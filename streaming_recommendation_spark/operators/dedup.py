@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's exact (user,item) dedup (reference:
+data_processing/generate_lightgcn_data.py:22-37 — a set() of tuples),
+these are the dedup modes a 100 TB training-data pipeline needs. All
+are expressed as DataFrame plans:
+
+  * exact_dedup         — md5-group; one shuffle on the digest.
+  * ngram_jaccard_pairs — shingle explode -> self-join on shingle ->
+                          per-pair intersection counts; |pairs| is
+                          bounded by shared-shingle co-occurrence, not
+                          |docs|^2.
+  * minhash_signatures / minhash_lsh_pairs — k independent
+    permutation-free minhashes ((a*h+b) mod p), banded into LSH
+    buckets; candidate pairs only form inside a bucket, which is what
+    keeps this linear-ish at corpus scale.
+  * simhash64 — 64-bit sign-aggregated fingerprint; near-dups differ
+    in few bits (compare via xor popcount).
+
+Every hash is the cross-engine deterministic md5-derived hash
+(functions.hashing.det_hash_str) so the DuckDB oracle can replay the
+exact pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import det_hash_str
+
+# Mersenne prime 2^61-1: multiply-mod stays exact in int128-free SQL
+# engines as long as a,b < 2^30 and h < 2^32 (a*h < 2^62).
+MH_PRIME = 2305843009213693951
+MH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(64)]  # odd a, distinct b
+
+
+def normalize_text(col):
+    """Lowercase, collapse whitespace — canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text."""
+    return (
+        df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def word_shingles(col, n: int = 3):
+    """n-gram word shingles of normalized text -> array<string>."""
+    words = F.split(normalize_text(col), " ")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def shingle_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle) exploded + de-duplicated per doc."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold (a < b).
+
+    Inverted-index self-join: pairs only materialize for docs sharing
+    at least one shingle. Sizes come from one groupBy; Jaccard =
+    |∩| / (|A| + |B| - |∩|).
+    """
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — minhash of the shingle set.
+
+    minhash_i = min over shingles s of (a_i * H(s) + b_i) mod P, with
+    H the deterministic md5-derived 32-bit hash. Computed per-doc with
+    higher-order array functions: zero extra shuffles beyond the doc
+    scan.
+    """
+    params = MH_PARAMS[:num_hashes]
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME))
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on all rows of >=1 band.
+
+    Bucket key = md5 of the band slice; the self-join happens on
+    (band, bucket) so only same-bucket docs ever meet — the LSH
+    property that makes near-dedup feasible at corpus scale.
+    Returns distinct (a, b) with a < b; verify with
+    ngram_jaccard_pairs on the candidates if exact Jaccard is needed.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string")
+                                              for r in range(rows_per_band)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over word shingles.
+
+    Bit j of the fingerprint is the sign of sum over shingles of
+    (+1 if bit j of H(shingle) else -1). Near-duplicate docs yield
+    fingerprints within small Hamming distance; compare with
+    ``F.bit_count(a ^ b)``.
+    """
+    words = word_shingles(F.col(text_col), 2)
+    exploded = df.select(F.col(id_col), F.explode(words).alias("w")).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
+    )
+    # per-bit vote: sum(2*bit-1) over shingles, 60 usable bits
+    bit_cols = [
+        F.sum(
+            (F.shiftright(F.col("h"), j) % 2 * 2 - 1)
+        ).alias(f"b{j}")
+        for j in range(60)
+    ]
+    votes = exploded.groupBy(id_col).agg(*bit_cols)
+    fp = None
+    for j in range(60):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2 ** j).cast("long")
+        fp = term if fp is None else fp + term
+    return votes.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,122 @@
+"""Per-user history operators (SURVEY §2.4 A1, §2.5 W2-W4).
+
+The reference builds per-user time-sorted histories by loading a whole
+CSV into a defaultdict and sorting per user (reference:
+api_service/behavior_lookup.py:17-29; data_processing/
+generate_training_data.py:84-108), truncates to the most recent 50
+(behavior_lookup.py:40), and generates training samples by sliding a
+stride-2 prefix window over each history
+(generate_training_data.py:163-178).
+
+Spark-first shapes:
+  * collect_history — one groupBy + sort_array(collect_list(struct)):
+    a single shuffle on user_id; the sort is per-group, in-memory,
+    spill-safe.
+  * last_n_events — row_number over a user window; Spark >= 3.5
+    rewrites rank<=k filters to WindowGroupLimit (per-partition top-k
+    heaps), so no full per-user sort materializes.
+  * sliding_window_samples — posexplode over the collected history:
+    the "growing prefix" frame expressed as array slices, one shuffle
+    total, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tail_slice(arr: Column, n: int) -> Column:
+    """Last n elements, order preserved. (A bare slice(arr, -n, n)
+    returns EMPTY when the array is shorter than n — Spark treats the
+    out-of-range negative start as no-match.)"""
+    return F.when(F.size(arr) <= n, arr).otherwise(F.slice(arr, -n, n))
+
+
+def collect_history(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "item_id",
+    max_len: int | None = None,
+) -> DataFrame:
+    """user -> chronologically sorted [(ts, item), ...] (A1/W2/W3).
+
+    Ties on ts break by item value ascending (deterministic; the
+    reference inherits file order, documented divergence).
+    Returns (user_col, history: array<struct<ts,item>>).
+    """
+    collected = df.groupBy(user_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(item_col).alias("item")))
+        ).alias("history")
+    )
+    if max_len is not None:
+        # keep the most recent max_len, preserving chronological order
+        collected = collected.withColumn(
+            "history", tail_slice(F.col("history"), max_len)
+        )
+    return collected
+
+
+def last_n_events(
+    df: DataFrame,
+    n: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Most recent n rows per user (W3), deterministic tie-break."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def sliding_window_samples(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "item_id",
+    start: int = 1,
+    stride: int = 2,
+    max_history: int = 50,
+) -> DataFrame:
+    """W4: stride-S prefix-window training samples.
+
+    For each user's chronological item sequence h[0..L-1], emit one
+    sample per position p in {start, start+stride, ...}: the prefix
+    h[0..p-1] (tail-truncated to max_history) as history and h[p] as
+    the positive candidate. Mirrors generate_training_data.py:163-178
+    (start index 1, stride 2, history cap 50).
+
+    Returns (user, history: array, candidate, pos).
+    """
+    hist = collect_history(df, user_col, ts_col, item_col)
+    items = hist.select(
+        F.col(user_col),
+        F.transform("history", lambda s: s["item"]).alias("__items"),
+    )
+    exploded = items.select(
+        F.col(user_col),
+        F.col("__items"),
+        F.posexplode("__items").alias("pos", "candidate"),
+    )
+    return (
+        exploded.where(
+            (F.col("pos") >= start) & ((F.col("pos") - start) % stride == 0)
+        )
+        .select(
+            F.col(user_col),
+            tail_slice(F.slice("__items", 1, F.col("pos")), max_history).alias(
+                "history"
+            ),
+            F.col("candidate"),
+            F.col("pos"),
+        )
+    )

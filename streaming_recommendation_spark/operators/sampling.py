@@ -1,0 +1,111 @@
+"""Deterministic sampling & split operators (SURVEY §2.6).
+
+The reference's sampling is non-reproducible (unseeded random.shuffle,
+reference: data_processing/split_users.py:24; np.random.choice pools,
+model_training/lightgcn/utils.py:306-311). Our engine makes every
+sample a pure function of the row key via the cross-engine hash in
+functions.hashing, so (a) results are stable across runs/cluster
+sizes, (b) the DuckDB oracle can verify them bit-for-bit, and (c) no
+shuffle or driver round-trip is needed — sampling is a map-side
+filter.
+
+  SA1 hash_split             split_users.py:22-29 (80/20 user split)
+  SA3 bernoulli_by_activity  generate_training_data.py:139-147
+  SA4 negative_sample        generate_training_data.py:152-156,174-178
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import det_unit
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    rate: float,
+    *,
+    string_key: bool = False,
+    salt: int = 0,
+    invert: bool = False,
+) -> DataFrame:
+    """SA1/SA2: deterministic ~rate fraction selected by key hash.
+
+    ``invert=True`` returns the complement — the two halves partition
+    the input exactly (unlike randomSplit, which is only approximate
+    and non-deterministic across repartitioning).
+    """
+    u = det_unit(key_col, string=string_key, salt=salt)
+    cond = u < F.lit(rate)
+    return df.where(~cond if invert else cond)
+
+
+def bernoulli_by_activity(
+    df: DataFrame,
+    key_col: str,
+    count_col: str,
+    threshold: int = 10,
+    rate_active: float = 0.5,
+    rate_light: float = 0.1,
+    salt: int = 1,
+) -> DataFrame:
+    """SA3: keep active keys (count >= threshold) at rate_active, the
+    rest at rate_light — deterministic per key."""
+    rate = F.when(F.col(count_col) >= threshold, F.lit(rate_active)).otherwise(
+        F.lit(rate_light)
+    )
+    return df.where(det_unit(key_col, salt=salt) < rate)
+
+
+def negative_sample(
+    interactions: DataFrame,
+    items: DataFrame,
+    k_per_user: int,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    pool_cap: int = 5000,
+    salt: int = 7,
+) -> DataFrame:
+    """SA4/J3: k negatives per user, never an item the user touched.
+
+    Scale-first shape (SURVEY §7 risk 2): instead of materializing
+    all_items − user_items per user (O(|users|·|items|)), draw a
+    deterministic hash-ordered candidate stream per (user, item) pair
+    from a capped item pool, anti-join the user's positives, then keep
+    the first k by hash rank. The candidate pool is `pool_cap` items
+    (hash-ranked, stable), so the cross join is |users| × pool_cap —
+    bounded — and the anti-join is a broadcast when positives are
+    small.
+
+    Deterministic: same output on every run and any cluster layout.
+    """
+    from ..functions.hashing import det_hash_long
+
+    pool = (
+        items.select(item_col)
+        .distinct()
+        .withColumn("__h", det_hash_long(item_col))
+        .orderBy("__h")
+        .limit(pool_cap)
+        .drop("__h")
+    )
+    users = interactions.select(user_col).distinct()
+    cands = users.join(F.broadcast(pool), how="cross")
+    # rank candidates per user by a pair-hash; filter out positives
+    pair_hash = det_unit(
+        (F.col(user_col).cast("long") * F.lit(1000003) + F.col(item_col).cast("long")),
+        salt=salt,
+    )
+    cands = cands.withColumn("__u", pair_hash)
+    positives = interactions.select(user_col, item_col).distinct()
+    negatives = cands.join(positives, [user_col, item_col], "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col("__u").asc(), F.col(item_col).asc())
+    return (
+        negatives.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k_per_user)
+        .drop("__u", "__rn")
+    )

@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's recall stage is a dense matmul of one user embedding
+against the whole item matrix followed by topk (reference:
+eval_online/main/lightgcn.py:40-45; model_service/models.py:47-55).
+Re-expressed for a distributed engine:
+
+  * knn_brute_force — broadcast the (small) query set against the
+    (huge) corpus: corpus stays partitioned, each task scores its
+    partition against every query JVM-side (zip_with/aggregate), then
+    per-query top-k via WindowGroupLimit. Cost: one corpus scan, no
+    shuffle of vectors — only k rows per query shuffle to the final
+    stage. This is the exact shape that survives 100 TB: the corpus
+    never moves.
+  * lsh_knn — sign-random-projection bucketing: vectors agreeing on
+    all P hyperplane signs land in the same bucket; queries probe
+    only their bucket. Hyperplanes are deterministic (seeded, stored
+    as literals) so results are reproducible. Trades recall for a
+    ~2^P candidate reduction.
+  * mean_pool_grouped — per-dimension average of vectors across rows
+    (cold-start pseudo-user, reference model_service/models.py:68-75)
+    via posexplode + groupBy: partial aggregation map-side, one
+    shuffle of (group, dim) partial sums.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot
+from .topk import top_k_per_group
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query. Returns
+    (query_id, neighbor_id, rank) — ranks are float-free so results
+    are stable under FP reassociation differences across engines."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    scored = c.join(F.broadcast(q), how="cross")
+    sim = (
+        cosine_similarity("__qvec", "__cvec")
+        if metric == "cosine"
+        else dot("__qvec", "__cvec")
+    )
+    scored = scored.select(query_id_col, "neighbor_id", sim.alias("score"))
+    return top_k_per_group(
+        scored,
+        k,
+        [query_id_col],
+        F.col("score").desc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", "rank")
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
+    hand-rolled LCG so no RNG state leaks into the plan)."""
+    state = seed
+    planes = []
+    for _ in range(num_planes):
+        vals = []
+        while len(vals) < dim:
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u1 = ((state >> 11) + 1) / (1 << 53)
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            u2 = (state >> 11) / (1 << 53)
+            vals.append(math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.pi * u2))
+        norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / norm for v in vals])
+    return planes
+
+
+def srp_bucket(vec_col, planes: list[list[float]]):
+    """Sign-random-projection bucket id (0..2^P-1) as a Column."""
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(vec_col, lit_plane, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only same-SRP-bucket candidates.
+
+    At scale the corpus is written bucketed/partitioned by the SRP
+    key, so a probe touches 1/2^P of the data; here the bucket is an
+    equi-join key, so Catalyst plans a shuffled hash join instead of
+    the brute-force cross product.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    scored = c.join(F.broadcast(q), "__bucket").select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity("__qvec", "__cvec").alias("score"),
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        [query_id_col],
+        F.col("score").desc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", "rank")
+
+
+def mean_pool_grouped(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean vector: posexplode -> (group, dim) partial avg ->
+    re-assemble with array_agg sorted by dim. Two narrow shuffles, no
+    Python."""
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "v")
+    )
+    avgs = exploded.groupBy(group_col, "dim").agg(F.avg("v").alias("v"))
+    return (
+        avgs.groupBy(group_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
+            ).alias("mean_vec")
+        )
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators over the documents table.
+
+Corpus-curation primitives a training-data pipeline needs, all
+whole-stage-codegen built-ins (no Python in the hot path):
+
+  * token_stats    — whitespace + BPE-ish regex token counts
+  * quality_score  — length / punctuation / stopword-ratio heuristic
+  * language_id    — stopword-hit n-gram heuristic (en/de/fr/es)
+  * fingerprint    — polynomial rolling hash of normalized words
+
+The documents testdata table: (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalize_text
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "que", "dans"],
+    "es": ["el", "la", "los", "que", "de", "no", "una", "por", "con", "para"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Non-whitespace token array (the reference has no tokenizer; this
+    is the whitespace baseline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"\S+"), 0)
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """GPT-2-style pre-tokenizer approximation: word pieces, numbers,
+    punctuation runs — a stable proxy for BPE token counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"), 0
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    t = tokens(F.col(text_col))
+    b = bpe_ish_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.size(b).alias("n_bpe_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        (F.length(F.col(text_col)) / F.greatest(F.size(t), F.lit(1))).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]: penalize too-short docs, extreme
+    punctuation density, and missing stopwords (word-salad signal)."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tok = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    punct_ratio = n_punct / F.greatest(F.length(text), F.lit(1))
+    all_stop = [w for ws in STOPWORDS.values() for w in ws]
+    stop_hits = F.size(
+        F.filter(F.split(normalize_text(text), " "), lambda w: w.isin(*all_stop))
+    )
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    length_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.when(punct_ratio > 0.2, F.lit(0.0)).otherwise(1 - punct_ratio * 5)
+    stop_score = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
+    q = (length_score + punct_score + stop_score) / 3
+    return df.select(
+        F.col(id_col),
+        F.round(q, 6).alias("quality"),
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Picks the language with the most
+    stopword hits; 'und' (undetermined) when no hits. Deterministic
+    tie-break: highest language code wins (struct-max semantics)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    scores = []
+    for lang in sorted(STOPWORDS):
+        total = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[lang])))
+        scores.append(F.struct(total.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Polynomial rolling hash of the normalized word sequence —
+    order-sensitive (unlike the md5-of-whole-text digest) and
+    computable incrementally at ingest. H is the cross-engine
+    md5-derived word hash.
+
+    Two independent 31-bit Mersenne-modulus hashes (multipliers 31 /
+    37) combined into one 62-bit value. The modulus must stay at
+    2^31-1: with acc < 2^31 and h < 2^32, acc*mult + h < 2^63 — a
+    larger modulus overflows int64, which ANSI mode (Spark 4 default)
+    turns into a runtime error."""
+    P = 2147483647  # 2^31 - 1
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    word_hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+
+    def poly(mult: int):
+        return F.aggregate(
+            word_hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * F.lit(mult) + h % F.lit(P)) % F.lit(P),
+        )
+
+    fp = poly(31) * F.lit(P + 1) + poly(37)
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

@@ -1,0 +1,668 @@
+"""Named query registry: every SURVEY §2 operator as a (Spark
+callable, DuckDB oracle SQL) pair over the driver's testdata tables.
+
+Contract (driver verify):
+  * each Spark callable takes (spark, sf_dir) and returns a DataFrame;
+  * the oracle SQL is ANSI SQL DuckDB runs over the same parquet
+    (views pre-registered: region nation customer supplier part
+    orders lineitem events documents embeddings);
+  * column names must match exactly (compare sorts columns by name);
+  * results must be deterministic → every top-k/limit query carries a
+    total tie-break, every "random" sample is hash-deterministic.
+
+Design rule: queries are declarative DataFrame plans; the oracle is an
+independent re-derivation, not a translation of the Spark plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.hashing import KNUTH, MOD32, det_unit
+from .functions.scalars import clean_price, minmax_scale
+from .operators import asof, dedup, history, sampling, similarity, text, topk
+from .sources.testdata import load_table
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None => rows-only check (non-SQL-expressible)
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, oracle, doc, tags)
+        return fn
+
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY §2.2-§2.5) over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                        AS sum_qty,
+           sum(l_extendedprice)                                   AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))                AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))  AS sum_charge,
+           avg(l_quantity)                                        AS avg_qty,
+           avg(l_extendedprice)                                   AS avg_price,
+           avg(l_discount)                                        AS avg_disc,
+           count(*)                                               AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: filter + 2-key groupBy + 8 aggregates (A-family).",
+    tags=("agg", "filter"),
+)
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_revenue_by_nation",
+    """
+    SELECT n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           count(*)                                AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Multi-join star query (J-family): fact->dim chain w/ broadcast dims.",
+    tags=("join", "agg"),
+)
+def q02_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q03_top_orders",
+    """
+    SELECT o_orderkey, o_orderdate,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: join + agg + global top-k (W5 global: TakeOrderedAndProject).",
+    tags=("join", "agg", "topk"),
+)
+def q03_top_orders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q04_customers_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="P5 anti-join: excluded-key filter as left_anti (broadcast).",
+    tags=("join",),
+)
+def q04_customers_no_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q05_parts_in_lineitem",
+    """
+    SELECT count(*) AS n_parts
+    FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """,
+    doc="P6 semi-join membership filter.",
+    tags=("join",),
+)
+def q05_parts_in_lineitem(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li.select("l_partkey"), part.p_partkey == F.col("l_partkey"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "q06_distinct_users",
+    "SELECT DISTINCT user_id FROM events",
+    doc="A2 distinct keys.",
+    tags=("agg",),
+)
+def q06_distinct_users(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id").distinct()
+
+
+@register(
+    "q07_dedup_pairs",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="A3 dropDuplicates on a pair (reference generate_lightgcn_data.py:22-37).",
+    tags=("agg",),
+)
+def q07_dedup_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select("user_id", "event_type").dropDuplicates()
+
+
+@register(
+    "q08_top_active_users",
+    """
+    SELECT user_id, count(*) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id ASC
+    LIMIT 20
+    """,
+    doc="A5 frequency top-N with total tie-break.",
+    tags=("agg", "topk"),
+)
+def q08_top_active_users(spark, sf_dir):
+    return topk.frequency_top_n(_t(spark, sf_dir, "events"), "user_id", 20)
+
+
+@register(
+    "q09_minmax_scaled_price",
+    """
+    WITH b AS (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx FROM part)
+    SELECT p_partkey,
+           round(CASE WHEN mx > mn THEN (p_retailprice - mn) / (mx - mn) ELSE 0.0 END, 6)
+             AS price_scaled
+    FROM part, b
+    """,
+    doc="A6+F2 min-max normalization (reference generate_training_data.py:27-46).",
+    tags=("agg", "scalar"),
+)
+def q09_minmax_scaled_price(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    bounds = part.agg(
+        F.min("p_retailprice").alias("mn"), F.max("p_retailprice").alias("mx")
+    )
+    return part.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        F.round(
+            minmax_scale(F.col("p_retailprice"), F.col("mn"), F.col("mx")), 6
+        ).alias("price_scaled"),
+    )
+
+
+@register(
+    "q10_user_histories",
+    """
+    SELECT user_id,
+           string_agg(event_id::VARCHAR, '|' ORDER BY ts, event_id) AS history
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A1/W2/F5 per-user chronologically sorted history, pipe-encoded "
+    "(reference behavior_lookup.py:17-29 + generate_training_data.py:172).",
+    tags=("agg", "window"),
+)
+def q10_user_histories(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    h = history.collect_history(ev, "user_id", "ts", "event_id")
+    return h.select(
+        "user_id",
+        F.concat_ws(
+            "|", F.transform("history", lambda s: s["item"].cast("string"))
+        ).alias("history"),
+    )
+
+
+@register(
+    "q11_last5_events",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    doc="W3 last-N per user via WindowGroupLimit (reference behavior_lookup.py:40).",
+    tags=("window", "topk"),
+)
+def q11_last5_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return history.last_n_events(ev, 5, "user_id", "ts", "event_id").select(
+        "user_id", "event_id", "event_type"
+    )
+
+
+@register(
+    "q12_asof_last_event",
+    """
+    WITH probes AS (
+      SELECT DISTINCT user_id, ts AS probe_ts FROM events
+      WHERE event_type = 'purchase'
+    ), ranked AS (
+      SELECT p.user_id, p.probe_ts, e.event_id,
+             row_number() OVER (PARTITION BY p.user_id, p.probe_ts
+                                ORDER BY e.ts DESC, e.event_id DESC) AS rn
+      FROM probes p JOIN events e
+        ON e.user_id = p.user_id AND e.ts <= p.probe_ts
+    )
+    SELECT user_id, floor(epoch(probe_ts))::BIGINT AS probe_sec,
+           event_id AS asof_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    doc="J4 point-in-time lookup (reference behavior_lookup.py:34-41, "
+    "bisect_right => inclusive; tie-break max event_id). Spark plan: "
+    "single window pass over union — no join.",
+    tags=("asof", "window"),
+)
+def q12_asof_last_event(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    probes = (
+        ev.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    )
+    joined = asof.asof_join(
+        probes, ev.select("user_id", "ts", "event_id"), on="ts", by="user_id",
+        value_cols=["event_id"], tiebreak="event_id",
+    )
+    return joined.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("probe_sec"),
+        F.col("event_id").alias("asof_event_id"),
+    )
+
+
+@register(
+    "q13_range_join_counts",
+    """
+    WITH probes AS (
+      SELECT DISTINCT user_id, floor(epoch(ts))::BIGINT AS probe_sec FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.probe_sec, count(*) AS n_nearby
+    FROM probes p JOIN events e
+      ON e.user_id = p.user_id
+     AND floor(epoch(e.ts))::BIGINT BETWEEN p.probe_sec - 3600 AND p.probe_sec + 3600
+    GROUP BY p.user_id, p.probe_sec
+    """,
+    doc="J5 interval join (reference behavior_lookup.py:44-54), bucketized "
+    "to an equi-join + residual filter for scale.",
+    tags=("asof", "join"),
+)
+def q13_range_join_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ts"), "event_type"
+    )
+    probes = (
+        ev.where(F.col("event_type") == "purchase").select("user_id", "ts").distinct()
+    )
+    joined = asof.range_join(
+        probes, ev.select("user_id", "ts"), on="ts", by="user_id", window=3600
+    )
+    return (
+        joined.groupBy("user_id", "probe_ts")
+        .agg(F.count(F.lit(1)).alias("n_nearby"))
+        .select("user_id", F.col("probe_ts").alias("probe_sec"), "n_nearby")
+    )
+
+
+@register(
+    "q14_sliding_window_samples",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS pos
+      FROM events
+    )
+    SELECT o.user_id, o.pos,
+           (SELECT string_agg(e2.event_id::VARCHAR, '|' ORDER BY e2.pos)
+              FROM ordered e2
+             WHERE e2.user_id = o.user_id
+               AND e2.pos < o.pos AND e2.pos >= o.pos - 50) AS history,
+           o.event_id AS candidate
+    FROM ordered o
+    WHERE o.pos >= 1 AND (o.pos - 1) % 2 = 0
+    """,
+    doc="W4 stride-2 prefix-window sample generation "
+    "(reference generate_training_data.py:163-178).",
+    tags=("window",),
+)
+def q14_sliding_window_samples(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    samples = history.sliding_window_samples(
+        ev, "user_id", "ts", "event_id", start=1, stride=2, max_history=50
+    )
+    return samples.select(
+        "user_id",
+        "pos",
+        F.concat_ws("|", F.transform("history", lambda x: x.cast("string"))).alias(
+            "history"
+        ),
+        F.col("candidate").cast("long").alias("candidate"),
+    )
+
+
+@register(
+    "q15_p95_value_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.95), 6) AS p95_value
+    FROM events GROUP BY event_type
+    """,
+    doc="W9 exact p95 (reference eval_online/scripts/eval_online.py:48-50); "
+    "Spark percentile == DuckDB quantile_cont (continuous interpolation).",
+    tags=("agg",),
+)
+def q15_p95_value_by_type(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95_value"))
+    )
+
+
+@register(
+    "q16_hash_split_users",
+    f"""
+    SELECT user_id
+    FROM (SELECT DISTINCT user_id FROM events)
+    WHERE ((user_id * {KNUTH}) % {MOD32}) / {MOD32}.0 < 0.2
+    """,
+    doc="SA1 deterministic 20% user hold-out (reference split_users.py:22-29; "
+    "unseeded shuffle replaced by key-hash selection, documented divergence).",
+    tags=("sampling",),
+)
+def q16_hash_split_users(spark, sf_dir):
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return sampling.hash_split(users, "user_id", 0.2)
+
+
+@register(
+    "q17_activity_sampled_users",
+    f"""
+    WITH counts AS (
+      SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT user_id, cnt FROM counts
+    WHERE (((user_id + 1) * {KNUTH}) % {MOD32}) / {MOD32}.0
+          < CASE WHEN cnt >= 10 THEN 0.5 ELSE 0.1 END
+    """,
+    doc="SA3 activity-tiered Bernoulli sampling "
+    "(reference generate_training_data.py:139-147), hash-deterministic.",
+    tags=("sampling", "agg"),
+)
+def q17_activity_sampled_users(spark, sf_dir):
+    counts = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return sampling.bernoulli_by_activity(
+        counts, "user_id", "cnt", threshold=10, rate_active=0.5, rate_light=0.1, salt=1
+    )
+
+
+@register(
+    "q18_negative_samples",
+    None,  # verified by invariant tests (no SQL-expressible stable plan)
+    doc="SA4/J3 deterministic k-per-user negative sampling with capped pool "
+    "(reference generate_training_data.py:152-156). Invariants tested in "
+    "tests/test_sampling.py; rows-only check here.",
+    tags=("sampling", "join"),
+)
+def q18_negative_samples(spark, sf_dir):
+    # part keys as the item universe; supplier->part lineitem pairs as
+    # the positive interactions
+    items = _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("item_id"))
+    inter = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("item_id")
+    )
+    return sampling.negative_sample(inter, items, k_per_user=5, pool_cap=500)
+
+
+@register(
+    "q19_clean_prices",
+    """
+    SELECT p_partkey,
+           coalesce(try_cast(replace(replace(trim(p_name), '$', ''), ',', '') AS DOUBLE), 0.0)
+             AS cleaned
+    FROM part
+    """,
+    doc="F1 dirty-price cleaning (reference generate_training_data.py:34-41) — "
+    "exercised on a string column; invalid -> 0.0.",
+    tags=("scalar",),
+)
+def q19_clean_prices(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", clean_price("p_name").alias("cleaned"))
+
+
+@register(
+    "q20_sessionization",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR lag(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    FROM marked GROUP BY user_id
+    """,
+    doc="Sessionization: lag + gap>30min cumsum (streaming analog: "
+    "session_window). Deterministic order (ts, event_id).",
+    tags=("window",),
+)
+def q20_sessionization(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("new_session").alias("n_sessions")
+    )
+
+
+@register(
+    "q21_hourly_event_counts",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS cnt, round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregation (batch form of streaming ST5).",
+    tags=("agg", "streaming"),
+)
+def q21_hourly_event_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis / dedup / similarity (100 TB extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q30_token_stats",
+    r"""
+    SELECT doc_id,
+           length(regexp_extract_all(text, '\S+'))  AS n_tokens,
+           length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace + BPE-ish regex tokenizers.",
+    tags=("text",),
+)
+def q30_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.token_stats(docs).select("doc_id", "n_tokens", "n_bpe_tokens", "n_chars")
+
+
+@register(
+    "q31_exact_dedup",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+    doc="Exact dedup by normalized-text digest.",
+    tags=("dedup",),
+)
+def q31_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents")).select("doc_id", "dup_count")
+
+
+@register(
+    "q32_doc_fingerprints",
+    None,  # aggregate-over-array rolling hash; oracle added via list_reduce if stable
+    doc="Order-sensitive polynomial rolling-hash fingerprint per doc.",
+    tags=("text",),
+)
+def q32_doc_fingerprints(spark, sf_dir):
+    return text.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q33_language_id",
+    None,  # heuristic verified by accuracy test against the lang column
+    doc="Stopword-vote language ID; accuracy asserted in tests/test_text.py.",
+    tags=("text",),
+)
+def q33_language_id(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q34_quality_scores",
+    None,
+    doc="Heuristic quality scoring (length/punct/stopword ratios).",
+    tags=("text",),
+)
+def q34_quality_scores(spark, sf_dir):
+    return text.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q35_knn_brute_force",
+    None,  # float-rank comparison done in tests (rank output is stable but
+    # cosine ties at float precision make a SQL oracle brittle)
+    doc="Exact top-10 cosine neighbors for 5 query vectors; corpus never "
+    "shuffles (broadcast queries). Cross-checked vs numpy in tests.",
+    tags=("similarity",),
+)
+def q35_knn_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.knn_brute_force(emb, queries_df, k=10)
+
+
+@register(
+    "q36_ngram_jaccard_dups",
+    None,  # verified structurally in tests; SQL oracle possible but heavy
+    doc="3-gram Jaccard >= 0.8 near-dup pairs via inverted-index self-join.",
+    tags=("dedup",),
+)
+def q36_ngram_jaccard_dups(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q37_minhash_lsh_pairs",
+    None,
+    doc="MinHash-LSH candidate pairs (16 hashes, 4 bands); recall vs exact "
+    "Jaccard asserted in tests/test_dedup.py.",
+    tags=("dedup",),
+)
+def q37_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))

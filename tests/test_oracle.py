@@ -1,0 +1,65 @@
+"""Every registry query with an oracle runs on Spark AND DuckDB at
+sf0.001; results must match after column-name sort + row canonical-
+ization — the same discipline the driver's CORRECTNESS gate applies
+at sf0.01.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from streaming_recommendation_spark.queries import registry
+
+from .conftest import SF_DIR, duck_con
+
+ORACLE_QUERIES = [q for q in registry().values() if q.oracle is not None]
+ROWS_ONLY_QUERIES = [q for q in registry().values() if q.oracle is None]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def canon_rows(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("q", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_matches_duckdb(q, spark):
+    sdf = q.fn(spark, SF_DIR)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_con(SF_DIR)
+    res = con.execute(q.oracle)
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), f"{q.name}: column mismatch"
+    assert len(spark_rows) == len(duck_rows), f"{q.name}: row count"
+    s = canon_rows(spark_cols, spark_rows)
+    d = canon_rows(duck_cols, duck_rows)
+    mismatches = [i for i, (a, b) in enumerate(zip(s, d)) if a != b]
+    assert not mismatches, (
+        f"{q.name}: {len(mismatches)} row mismatches; first: "
+        f"spark={s[mismatches[0]]} duck={d[mismatches[0]]}"
+    )
+
+
+@pytest.mark.parametrize("q", ROWS_ONLY_QUERIES, ids=lambda q: q.name)
+def test_rows_only_runs(q, spark):
+    df = q.fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
