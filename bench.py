@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Benchmark the headline query suite.
+
+Runs the representative queries from the registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized with the noop sink (no driver
+collect) so the timing covers the whole distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative coverage: scan/agg (q01), star join (q02), join+topk
+# (q03), anti-join (q04), history collect (q10), window top-k (q11),
+# as-of (q12), range join (q13), sliding-window samples (q14),
+# sessionization (q20), tumbling windows (q21), text (q30), exact
+# dedup (q31), knn (q35), minhash LSH (q37).
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_customers_no_orders",
+    "q10_user_histories",
+    "q11_last5_events",
+    "q12_asof_last_event",
+    "q13_range_join_counts",
+    "q14_sliding_window_samples",
+    "q20_sessionization",
+    "q21_hourly_event_counts",
+    "q30_token_stats",
+    "q31_exact_dedup",
+    "q35_knn_brute_force",
+    "q37_minhash_lsh_pairs",
+]
+
+
+def main() -> None:
+    from streaming_recommendation_spark.queries import queries
+    from streaming_recommendation_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM/codegen paths so q1 doesn't pay session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

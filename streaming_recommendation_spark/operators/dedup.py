@@ -40,10 +40,20 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the default parallelism. For
+    CPU-bound per-row text work over a source that arrives as one or
+    two small files (local tests), this is the difference between 1
+    busy core and all of them. At real scale the scan's file/row-group
+    splits already parallelize and callers can skip it."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per identical (normalized) text."""
     return (
-        df.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        spread(df)
+        .withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
         .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
         .drop("__digest")
@@ -67,7 +77,8 @@ def shingle_table(
 ) -> DataFrame:
     """(id, shingle) exploded + de-duplicated per doc."""
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        spread(df)
+        .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
 
@@ -115,26 +126,44 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    repartition: bool = True,
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — minhash of the shingle set.
 
     minhash_i = min over shingles s of (a_i * H(s) + b_i) mod P, with
-    H the deterministic md5-derived 32-bit hash. Computed per-doc with
-    higher-order array functions: zero extra shuffles beyond the doc
-    scan.
+    H the deterministic md5-derived 32-bit hash.
+
+    Perf shape: H(s) is materialized ONCE per shingle in its own
+    projection (CollapseProject won't re-inline an expensive alias),
+    then one aggregate pass folds every shingle into all num_hashes
+    mins via an indexed transform — O(shingles x num_hashes) cheap
+    int ops, O(shingles) md5 calls. A naive per-hash array_min
+    recomputes md5 num_hashes times. ``repartition`` spreads the
+    CPU-bound scan when the source is a single small file (local
+    tests); at scale the file count already provides parallelism.
     """
     params = MH_PARAMS[:num_hashes]
+    if repartition:
+        df = spread(df)
     sh = F.array_distinct(word_shingles(F.col(text_col), n))
-    hashes = F.transform(sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME))
-            ).alias(f"mh{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+        ).alias("__h"),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    a_arr = F.array(*[F.lit(a) for a, _ in params])
+    b_arr = F.array(*[F.lit(b) for _, b in params])
+    sig = F.aggregate(
+        F.col("__h"),
+        F.array_repeat(F.lit(MH_PRIME), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MH_PRIME)),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+    return hashed.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -186,7 +215,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ``F.bit_count(a ^ b)``.
     """
     words = word_shingles(F.col(text_col), 2)
-    exploded = df.select(F.col(id_col), F.explode(words).alias("w")).withColumn(
+    exploded = spread(df).select(F.col(id_col), F.explode(words).alias("w")).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     )
     # per-bit vote: sum(2*bit-1) over shingles, 60 usable bits

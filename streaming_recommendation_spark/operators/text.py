@@ -112,16 +112,21 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     turns into a runtime error."""
     P = 2147483647  # 2^31 - 1
     words = F.split(normalize_text(F.col(text_col)), " ")
-    word_hashes = F.transform(
-        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    # materialize the md5-derived word hashes once; both polynomials
+    # then reference the bound column (no duplicate md5 evaluation)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+        ).alias("__wh"),
     )
 
     def poly(mult: int):
         return F.aggregate(
-            word_hashes,
+            F.col("__wh"),
             F.lit(0).cast("long"),
             lambda acc, h: (acc * F.lit(mult) + h % F.lit(P)) % F.lit(P),
         )
 
     fp = poly(31) * F.lit(P + 1) + poly(37)
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return hashed.select(F.col(id_col), fp.alias("fingerprint"))

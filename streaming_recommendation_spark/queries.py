@@ -170,16 +170,18 @@ def q03_top_orders(spark, sf_dir):
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
     """,
-    doc="P5 anti-join: excluded-key filter as left_anti (broadcast).",
+    doc="P5 anti-join: excluded-key filter as left_anti (broadcast). "
+    "Threshold keeps the result non-degenerate (>0 rows) at every sf.",
     tags=("join",),
 )
 def q04_customers_no_orders(spark, sf_dir):
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big_orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return cust.join(
-        orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+        big_orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 
