@@ -1,0 +1,94 @@
+"""Cascade smoke tests (SURVEY §5.4): deterministic stub scorers on
+the sf0.001 embeddings table; assert the k-chain, history exclusion,
+and determinism."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.cascade import CascadeConfig, recommend
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def cascade_inputs(spark):
+    emb = load_table(spark, "embeddings", SF_DIR)
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    users = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("user_vec")
+    )
+    # user u has seen items u*3, u*3+1, u*3+2 (deterministic synthetic history)
+    history = (
+        users.select("user_id")
+        .select("user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i"))
+        .select("user_id", (F.col("user_id") * 3 + F.col("i")).alias("item_id"))
+    )
+    return users, items, history
+
+
+def test_k_chain_and_exclusion(cascade_inputs):
+    users, items, history = cascade_inputs
+    cfg = CascadeConfig(k_recall=50, k_rank=25, k_rerank=12, k_final=5)
+    out = recommend(users, items, history, cfg)
+    rows = out.collect()
+
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.rank, r.item_id))
+    assert len(per_user) == 10
+    for uid, recs in per_user.items():
+        assert len(recs) == 5
+        assert sorted(r[0] for r in recs) == [1, 2, 3, 4, 5]
+    # J6: no recommended item is in the user's history
+    seen = {(r.user_id, r.item_id) for r in history.collect()}
+    assert not seen & {(r.user_id, r.item_id) for r in rows}
+
+
+def test_deterministic(cascade_inputs):
+    users, items, history = cascade_inputs
+    cfg = CascadeConfig(k_recall=30, k_rank=15, k_rerank=8, k_final=3)
+    a = sorted(map(tuple, recommend(users, items, history, cfg).collect()))
+    b = sorted(map(tuple, recommend(users, items, history, cfg).collect()))
+    assert a == b
+
+
+def test_self_similarity_recall(cascade_inputs):
+    """A user whose embedding IS an item's embedding and whose history
+    doesn't contain it surfaces that item first when no intermediate
+    stage cuts it (cosine(v, v) = 1 beats every other candidate at
+    recall and rerank)."""
+    from streaming_recommendation_spark.functions.vectors import cosine_similarity
+
+    users, items, history = cascade_inputs
+    # user 5's vector equals item 5's vector; history = {15,16,17}
+    cfg = CascadeConfig(k_recall=500, k_rank=500, k_rerank=500, k_final=1)
+    out = recommend(
+        users,
+        items,
+        history,
+        cfg,
+        recall_score=cosine_similarity("user_vec", "item_vec"),
+    ).where(F.col("user_id") == 5)
+    top = out.where(F.col("rank") == 1).collect()[0]
+    assert top.item_id == 5
+
+
+def test_custom_scorer_column(cascade_inputs):
+    """Pluggable scorer: rerank by item_id descending overrides the
+    embedding stub."""
+    users, items, history = cascade_inputs
+    out = recommend(
+        users,
+        items,
+        history,
+        CascadeConfig(k_final=3),
+        rerank_score=F.col("item_id").cast("double"),
+    )
+    for r in out.where(F.col("rank") == 1).collect():
+        # rank-1 item must be the max item_id among that user's shortlist
+        assert r.item_id > 400  # embeddings table has 500 ids; shortlist top is high

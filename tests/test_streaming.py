@@ -1,0 +1,122 @@
+"""Streaming pipeline tests — Kafka-less harness per SURVEY §5.3:
+a text-file stream stands in for the Kafka source (same `value`
+string column), JsonlDirSink stands in for Redis (executor-side
+writes, last-write-wins keys).
+
+Fixture requirements from FIXTURES.md §8: duplicate (user_id,
+timestamp) pairs, out-of-order timestamps, null/empty history rows.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from streaming_recommendation_spark.streaming import (
+    JsonlDirSink,
+    parse_profile_stream,
+    profile_pipeline,
+    sliding_window_activity,
+    versioned_profile_records,
+)
+
+BASE_TS = 1_700_000_000
+
+MESSAGES = [
+    {"user_id": "u1", "history_items": ["a", "b"], "timestamp": BASE_TS + 60},
+    {"user_id": "u1", "history_items": ["a", "b"], "timestamp": BASE_TS + 60},  # dup
+    {"user_id": "u2", "history_items": ["c"], "timestamp": BASE_TS + 300},
+    {"user_id": "u2", "history_items": ["c", "d"], "timestamp": BASE_TS + 120},  # out of order
+    {"user_id": "u3", "history_items": [], "timestamp": BASE_TS + 10},  # empty guard
+    {"user_id": None, "history_items": ["x"], "timestamp": BASE_TS + 20},  # null guard
+    {"user_id": "u4", "history_items": ["e"], "timestamp": None},  # null ts guard
+]
+
+
+@pytest.fixture()
+def message_dir(tmp_path):
+    d = tmp_path / "msgs"
+    d.mkdir()
+    (d / "batch0.txt").write_text(
+        "\n".join(json.dumps(m) for m in MESSAGES) + "\n"
+    )
+    return str(d)
+
+
+def test_profile_pipeline_end_to_end(spark, message_dir, tmp_path):
+    raw = spark.readStream.text(message_dir)  # column `value`, like Kafka post-cast
+    sink = JsonlDirSink(str(tmp_path / "kv"))
+    q = profile_pipeline(raw, sink, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    kv = sink.read_all()
+    # guards dropped u3 (empty), null-user, u4 (null ts); dup (u1, ts) deduped
+    assert sorted(kv.keys()) == [
+        f"user_profile:u1:{BASE_TS + 60}",
+        f"user_profile:u2:{BASE_TS + 120}",
+        f"user_profile:u2:{BASE_TS + 300}",
+    ]
+    assert json.loads(kv[f"user_profile:u1:{BASE_TS + 60}"]) == ["a", "b"]
+    assert json.loads(kv[f"user_profile:u2:{BASE_TS + 120}"]) == ["c", "d"]
+
+
+def test_pipeline_restart_is_idempotent(spark, message_dir, tmp_path):
+    """Checkpoint + idempotent keys: re-running over the same source
+    dir writes no new keys (effectively-once)."""
+    raw = spark.readStream.text(message_dir)
+    sink = JsonlDirSink(str(tmp_path / "kv"))
+    ckpt = str(tmp_path / "ckpt")
+    profile_pipeline(raw, sink, checkpoint_dir=ckpt).awaitTermination(120)
+    first = sink.read_all()
+
+    raw2 = spark.readStream.text(message_dir)
+    profile_pipeline(raw2, sink, checkpoint_dir=ckpt).awaitTermination(120)
+    assert sink.read_all() == first
+
+
+def test_parse_guards_batch_mode(spark, message_dir):
+    """The parse stage is mode-agnostic: run it as a plain batch scan."""
+    raw = spark.read.text(message_dir)
+    parsed = parse_profile_stream(raw)
+    rows = {(r.user_id, r.timestamp) for r in parsed.collect()}
+    assert rows == {
+        ("u1", BASE_TS + 60),
+        ("u2", BASE_TS + 300),
+        ("u2", BASE_TS + 120),
+    }
+    recs = {r.key: r.value for r in versioned_profile_records(parsed).collect()}
+    assert recs[f"user_profile:u2:{BASE_TS + 300}"] == '["c"]'
+
+
+def test_sliding_window_activity_batch(spark, message_dir):
+    raw = spark.read.text(message_dir)
+    agg = sliding_window_activity(
+        parse_profile_stream(raw), window_duration="10 minutes", slide="5 minutes"
+    )
+    rows = agg.collect()
+    # u1's event at +60s lands in 2 sliding windows (10min window, 5min slide)
+    u1 = [r for r in rows if r.user_id == "u1"]
+    assert len(u1) == 2
+    assert all(r.window_items == ["a", "b"] for r in u1)
+    # u2's two events (+120, +300) share windows; items merge + distinct
+    u2 = {tuple(sorted(r.window_items)) for r in rows if r.user_id == "u2"}
+    assert ("c", "d") in u2
+
+
+def test_sliding_window_activity_streaming(spark, message_dir, tmp_path):
+    raw = spark.readStream.text(message_dir)
+    agg = sliding_window_activity(parse_profile_stream(raw))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_agg")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode emits only watermark-closed windows; with availableNow
+    # over a finite source the final watermark closes all of them
+    rows = spark.sql("SELECT * FROM win_agg").collect()
+    assert {r.user_id for r in rows} <= {"u1", "u2"}
