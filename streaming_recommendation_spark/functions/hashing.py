@@ -49,7 +49,10 @@ def det_unit(col: Column | str, *, string: bool = False, salt: int = 0) -> Colum
 
     Used for reproducible Bernoulli sampling / splits (SURVEY §2.6
     SA1-SA4): ``det_unit(key) < rate`` selects a stable ~rate fraction.
-    ``salt`` derives independent streams from the same key.
+    ``salt`` derives a DIFFERENT deterministic stream from the same
+    key (for integer keys it shifts the multiplicative hash, so salted
+    streams are distinct but not statistically independent; string
+    keys re-hash through md5, which IS effectively independent).
     """
     c = F.col(col) if isinstance(col, str) else col
     if salt:

@@ -104,6 +104,7 @@ def lsh_knn(
     queries: DataFrame,
     k: int = 10,
     num_planes: int = 4,
+    num_tables: int = 4,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -112,28 +113,48 @@ def lsh_knn(
 ) -> DataFrame:
     """Approximate top-k: score only same-SRP-bucket candidates.
 
-    At scale the corpus is written bucketed/partitioned by the SRP
-    key, so a probe touches 1/2^P of the data; here the bucket is an
-    equi-join key, so Catalyst plans a shuffled hash join instead of
-    the brute-force cross product.
+    OR-amplified: ``num_tables`` independent plane sets; a candidate
+    qualifies if it shares a bucket with the query in ANY table
+    (recall grows as 1-(1-p^P)^L while each table still prunes
+    ~1/2^P of the corpus). The (table, bucket) pair is an equi-join
+    key, so Catalyst plans a shuffled hash join instead of the
+    brute-force cross product; at scale the corpus is written
+    bucketed/partitioned by the same key.
     """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, num_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        srp_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
-    scored = c.join(F.broadcast(q), "__bucket").select(
-        query_id_col,
+    tables = [
+        _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
+    ]
+
+    def bucketed(df, idc, vc):
+        return df.select(
+            F.col(idc),
+            F.col(vc),
+            F.posexplode(
+                F.array(*[srp_bucket(F.col(vc), planes) for planes in tables])
+            ).alias("__table", "__bucket"),
+        )
+
+    c = bucketed(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
         "neighbor_id",
-        cosine_similarity("__qvec", "__cvec").alias("score"),
+        "__cvec",
+    )
+    q = bucketed(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        query_id_col,
+        "__qvec",
+    )
+    scored = (
+        c.join(F.broadcast(q), ["__table", "__bucket"])
+        .select(query_id_col, "neighbor_id", "__qvec", "__cvec")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_similarity("__qvec", "__cvec").alias("score"),
+        )
     )
     return top_k_per_group(
         scored,

@@ -605,8 +605,25 @@ def q31_exact_dedup(spark, sf_dir):
 
 @register(
     "q32_doc_fingerprints",
-    None,  # aggregate-over-array rolling hash; oracle added via list_reduce if stable
-    doc="Order-sensitive polynomial rolling-hash fingerprint per doc.",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             list_transform(
+               string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+               w -> ('0x' || substr(md5(w), 1, 8))::BIGINT) AS hs
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_concat([0::BIGINT], hs),
+                       (acc, h) -> (acc * 31 + h % 2147483647) % 2147483647)
+             * 2147483648
+           + list_reduce(list_concat([0::BIGINT], hs),
+                         (acc, h) -> (acc * 37 + h % 2147483647) % 2147483647)
+             AS fingerprint
+    FROM h
+    """,
+    doc="Order-sensitive polynomial rolling-hash fingerprint per doc "
+    "(two 31-bit Mersenne polynomials packed into 62 bits).",
     tags=("text",),
 )
 def q32_doc_fingerprints(spark, sf_dir):
@@ -668,3 +685,209 @@ def q36_ngram_jaccard_dups(spark, sf_dir):
 )
 def q37_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Second wave: set ops, rollup/pivot shapes, dictionary encoding,
+# ranking metrics, vector aggregation (SURVEY §2.4 A7/A10/A11, §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_part_degree",
+    """
+    SELECT l_partkey AS node, count(*) AS degree
+    FROM (SELECT DISTINCT l_partkey, l_orderkey FROM lineitem)
+    GROUP BY l_partkey
+    """,
+    doc="A10 degree count for graph normalization (reference "
+    "model_training/lightgcn/model.py:17-23): per-node distinct-edge count.",
+    tags=("agg", "graph"),
+)
+def q22_part_degree(spark, sf_dir):
+    edges = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_orderkey")
+        .dropDuplicates(["l_partkey", "l_orderkey"])
+    )
+    return edges.groupBy(F.col("l_partkey").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@register(
+    "q23_rollup_revenue",
+    """
+    SELECT r_name, n_name,
+           round(sum(o_totalprice), 4) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+    doc="Hierarchical rollup (region -> nation -> grand total). Not a "
+    "reference operator (SURVEY §2.4 notes none exist) but exposed as a "
+    "first-class engine capability.",
+    tags=("agg", "rollup"),
+)
+def q23_rollup_revenue(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q24_event_type_pivot",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*)                                  AS n_total
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot-style conditional aggregation (wide per-user activity "
+    "features). Spark: count(when(...)); pushes to one shuffle.",
+    tags=("agg", "pivot"),
+)
+def q24_event_type_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cnt_of = lambda t: F.count(F.when(F.col("event_type") == t, 1))
+    return ev.groupBy("user_id").agg(
+        cnt_of("click").alias("n_click"),
+        cnt_of("view").alias("n_view"),
+        cnt_of("purchase").alias("n_purchase"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "q25_viewers_never_purchased",
+    """
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SO2 set difference (reference generate_training_data.py:153 "
+    "all_items - user_items as EXCEPT).",
+    tags=("setop",),
+)
+def q25_viewers_never_purchased(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return viewers.exceptAll(buyers).distinct() if False else viewers.subtract(buyers)
+
+
+@register(
+    "q26_union_distinct_keys",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="SO1 union + distinct (reference din/utils.py:130-141).",
+    tags=("setop",),
+)
+def q26_union_distinct_keys(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "click").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return a.union(b).distinct()
+
+
+@register(
+    "q27_dict_encode_users",
+    """
+    SELECT user_id, dense_rank() OVER (ORDER BY user_id) - 1 AS user_idx
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+    doc="J2 dictionary encoding: string/extern ids -> dense ints "
+    "(reference lightgcn/utils.py:56-66). Deterministic rank by key; at "
+    "scale prefer zipWithIndex-free monotonic ids per partition + offset.",
+    tags=("join", "window"),
+)
+def q27_dict_encode_users(spark, sf_dir):
+    from pyspark.sql import Window
+
+    users = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return users.withColumn(
+        "user_idx", F.dense_rank().over(Window.orderBy("user_id")) - 1
+    )
+
+
+@register(
+    "q28_precision_at_5",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           round(count(*) FILTER (event_type = 'purchase') / 5.0, 6)
+             AS precision_at_5
+    FROM ranked WHERE rn <= 5
+    GROUP BY user_id
+    """,
+    doc="A11 ranking metric (precision@k) as window + conditional agg "
+    "(reference lightgcn/utils.py:157-231 computes Recall/Precision@K "
+    "row-at-a-time).",
+    tags=("agg", "window", "metrics"),
+)
+def q28_precision_at_5(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.count(F.when(F.col("event_type") == "purchase", 1)) / 5.0, 6
+            ).alias("precision_at_5")
+        )
+    )
+
+
+@register(
+    "q29_mean_vector_by_label",
+    """
+    SELECT label, dim - 1 AS dim, round(avg(v), 6) AS mean_v
+    FROM (
+      SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    )
+    GROUP BY label, dim
+    """,
+    doc="A7 grouped mean-pool of embedding vectors (reference "
+    "model_service/models.py:68-75) via posexplode + per-dim partial avg "
+    "— map-side combine, one narrow shuffle of (label, dim) sums.",
+    tags=("agg", "vector"),
+)
+def q29_mean_vector_by_label(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    )

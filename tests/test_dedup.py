@@ -1,0 +1,68 @@
+"""Dedup operator verification on constructed near-duplicates (the
+documents testdata has no guaranteed dup pairs, so we make our own)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE),  # exact dup of 1
+        Row(doc_id=3, text="  " + BASE.upper() + "  "),  # normalized dup of 1
+        Row(doc_id=4, text=BASE.replace("garden", "meadow")),  # near dup
+        Row(doc_id=5, text="completely different content about spark and "
+                           "distributed query engines running at scale"),
+        Row(doc_id=6, text="another unrelated snippet mentioning minhash "
+                           "signatures banding and locality sensitive hashing"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_normalized(spark, docs):
+    out = {r.doc_id: r.dup_count for r in exact_dedup(docs).collect()}
+    # 1,2,3 collapse to representative doc_id=1 with count 3
+    assert out[1] == 3
+    assert 2 not in out and 3 not in out
+    assert out[4] == out[5] == out[6] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.a, r.b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs  # case/whitespace normalize
+    assert (1, 4) in pairs and pairs[(1, 4)] < 1.0  # one-word swap
+    assert not any({a, b} == {5, 6} for a, b in pairs)
+
+
+def test_minhash_lsh_candidates_cover_true_dups(spark, docs):
+    cands = {(r.a, r.b) for r in minhash_lsh_pairs(docs, num_hashes=16, bands=4).collect()}
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+    assert (1, 4) in cands  # high-jaccard near dup should band-collide
+    assert (5, 6) not in cands
+
+
+def test_simhash_hamming_orders_similarity(spark, docs):
+    fps = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    ham = lambda a, b: bin(fps[a] ^ fps[b]).count("1")
+    assert ham(1, 2) == 0
+    assert ham(1, 3) == 0
+    assert ham(1, 4) < ham(1, 5)
+    assert ham(1, 4) <= 10  # near dup stays within a few bits

@@ -33,7 +33,9 @@ def canon(v):
 
 def canon_rows(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    # sort key=repr: rows may contain None (e.g. rollup group keys),
+    # which plain tuple comparison can't order against strings
+    return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
 @pytest.mark.parametrize("q", ORACLE_QUERIES, ids=lambda q: q.name)

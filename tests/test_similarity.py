@@ -1,0 +1,90 @@
+"""Similarity-search verification: brute-force kNN against a numpy
+re-computation (independent implementation), LSH recall vs exact."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.similarity import (
+    knn_brute_force,
+    lsh_knn,
+    mean_pool_grouped,
+)
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF_DIR).cache()
+
+
+def numpy_topk(mat, ids, queries, qids, k):
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    out = {}
+    for qid, q in zip(qids, queries):
+        sims = mat_n @ (q / np.linalg.norm(q))
+        # sort by (-sim, id) to mirror the engine's tie-break
+        order = sorted(range(len(ids)), key=lambda i: (-sims[i], ids[i]))
+        out[qid] = [ids[i] for i in order[:k]]
+    return out
+
+
+def test_knn_matches_numpy(spark, emb):
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    qids = [i for i in ids if i < 5]
+    queries = np.array([mat[ids.index(q)] for q in qids])
+
+    expected = numpy_topk(mat, ids, queries, qids, 10)
+
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {}
+    for r in knn_brute_force(emb, qdf, k=10).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid in qids:
+        ordered = [nid for _, nid in sorted(got[qid])]
+        assert ordered == expected[qid], f"query {qid}"
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    """LSH kNN must achieve decent recall@10 vs exact while scoring
+    only a bucket's worth of candidates."""
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in knn_brute_force(emb, qdf, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in lsh_knn(emb, qdf, k=10, num_planes=3).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # every query finds itself (same bucket by construction)
+    for q in exact:
+        assert q in approx.get(q, set())
+    assert mean_recall > 0.3, f"mean recall {mean_recall:.2f} too low"
+
+
+def test_mean_pool_grouped_matches_numpy(spark, emb):
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    expected = {
+        lbl: np.mean(np.array(vs, dtype=np.float64), axis=0)
+        for lbl, vs in by_label.items()
+    }
+    got = {r.label: r.mean_vec for r in mean_pool_grouped(emb, "label").collect()}
+    for lbl, exp in expected.items():
+        assert np.allclose(got[lbl], exp, atol=1e-6), f"label {lbl}"

@@ -1,0 +1,71 @@
+"""Text-analysis operator checks: language-ID accuracy against the
+documents table's own lang labels, quality-score bounds, token stats."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.text import (
+    STOPWORDS,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def test_language_id_runs_on_corpus(spark):
+    """The synthetic documents table is vocabulary-uniform across its
+    lang labels (verified: 'de'-labeled docs contain English-ish
+    database terms), so label accuracy is not measurable there — the
+    clear-cases test below carries the semantic check. Here: the
+    detector runs corpus-wide, yields only known codes, and every doc
+    gets exactly one prediction."""
+    docs = load_table(spark, "documents", SF_DIR)
+    out = language_id(docs)
+    assert out.count() == docs.count()
+    codes = {r.pred_lang for r in out.select("pred_lang").distinct().collect()}
+    assert codes <= set(STOPWORDS) | {"und"}
+
+
+def test_language_id_clear_cases(spark):
+    rows = [
+        Row(doc_id=1, text="the cat sat on the mat and it was happy for a while"),
+        Row(doc_id=2, text="der hund ist nicht auf der wiese und das ist gut"),
+        Row(doc_id=3, text="le chat est dans la maison et il est content pour une heure"),
+        Row(doc_id=4, text="el perro y el gato no una amistad por una casa con los"),
+        Row(doc_id=5, text="zzz qqq xxx www"),  # no stopwords at all
+    ]
+    out = {r.doc_id: r.pred_lang for r in language_id(spark.createDataFrame(rows)).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "fr"
+    assert out[4] == "es"
+    assert out[5] == "und"
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    rows = [
+        Row(doc_id=1, text="the report describes the method and it is clear "
+                           "that the results in the study are sound for use"),
+        Row(doc_id=2, text="!!! ??? ***"),
+        Row(doc_id=3, text="word"),
+    ]
+    out = {r.doc_id: r for r in quality_score(spark.createDataFrame(rows)).collect()}
+    for r in out.values():
+        assert 0.0 <= r.quality <= 1.0
+    assert out[1].quality > out[2].quality
+    assert out[1].quality > out[3].quality
+
+
+def test_token_stats_counts(spark):
+    rows = [Row(doc_id=1, text="Hello, world! 42 times"), Row(doc_id=2, text="")]
+    out = {r.doc_id: r for r in token_stats(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_tokens == 4  # whitespace tokens
+    # BPE-ish: Hello , world ! 42 times
+    assert out[1].n_bpe_tokens == 6
+    assert out[2].n_tokens == 0
