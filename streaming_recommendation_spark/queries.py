@@ -891,3 +891,173 @@ def q29_mean_vector_by_label(spark, sf_dir):
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("mean_v"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Third wave: serving cascade, multimodal, ETL, streaming-batch shapes
+# (rows-only where no stable SQL oracle exists; invariants live in tests/)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q38_profile_kv_records",
+    """
+    SELECT concat('user_profile:', user_id, ':',
+                  floor(epoch(max(ts)))::BIGINT) AS key,
+           to_json(list(event_id::VARCHAR ORDER BY ts, event_id)) AS value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="F7+F8+ST4 shape: versioned Redis-style key + JSON-array value "
+    "per user (reference consumer.py:66-67 key/value format), computed "
+    "in batch over events.",
+    tags=("scalar", "streaming"),
+)
+def q38_profile_kv_records(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hist = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("version_ts"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("ts"), F.col("event_id")))
+                ),
+                lambda s: s["event_id"].cast("string"),
+            ).alias("items"),
+        )
+    )
+    return hist.select(
+        F.concat_ws(
+            ":", F.lit("user_profile"), F.col("user_id"), F.col("version_ts")
+        ).alias("key"),
+        F.to_json("items").alias("value"),
+    )
+
+
+@register(
+    "q40_cascade_recommend",
+    None,
+    doc="M1-M5 three-stage cascade (recall->exclude->rank->rerank, "
+    "k=100/50/20/10) over the embeddings table with deterministic "
+    "embedding-math scorers. Invariants (k-chain, exclusion, "
+    "determinism, Arrow-scorer parity) in tests/test_cascade.py.",
+    tags=("cascade", "vector"),
+)
+def q40_cascade_recommend(spark, sf_dir):
+    from .cascade import CascadeConfig, recommend
+
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select(F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec"))
+    users = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("user_vec")
+    )
+    history = users.select(
+        "user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    ).select("user_id", ((F.col("user_id") * 3 + F.col("i")) % 500).alias("item_id"))
+    return recommend(users, items, history, CascadeConfig())
+
+
+@register(
+    "q41_sliding_windows_batch",
+    None,
+    doc="ST5 sliding-window per-user aggregation (the windowing the "
+    "reference README promises but never ships) run in batch mode over "
+    "events; streaming execution tested in tests/test_streaming.py.",
+    tags=("streaming", "window"),
+)
+def q41_sliding_windows_batch(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q42_image_features",
+    None,
+    doc="Multimodal: binary media column -> Arrow-batched mapInPandas "
+    "feature extraction (deterministic fake codec; real decoder "
+    "import-gated). Plumbing invariants in tests/test_multimodal.py.",
+    tags=("multimodal",),
+)
+def q42_image_features(spark, sf_dir):
+    from .multimodal import attach_fake_media, extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_image_features(attach_fake_media(docs, kind="image"))
+
+
+@register(
+    "q43_video_frame_sample",
+    None,
+    doc="Multimodal: per-video frame sampling (1->N fan-out via "
+    "mapInPandas) over fake 8-frame payloads.",
+    tags=("multimodal",),
+)
+def q43_video_frame_sample(spark, sf_dir):
+    from .multimodal import attach_fake_media, sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frames = sample_frames(attach_fake_media(docs, kind="video"), every_n=2)
+    # binary frames don't hash stably across engines; project counts
+    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+
+
+@register(
+    "q44_simhash",
+    None,
+    doc="SimHash 60-bit fingerprints over word shingles; Hamming-"
+    "distance ordering verified in tests/test_dedup.py.",
+    tags=("dedup",),
+)
+def q44_simhash(spark, sf_dir):
+    return dedup.simhash64(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q45_lsh_knn",
+    None,
+    doc="OR-amplified SRP-LSH approximate kNN; recall vs exact "
+    "verified in tests/test_similarity.py.",
+    tags=("similarity",),
+)
+def q45_lsh_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_knn(emb, qdf, k=10)
+
+
+@register(
+    "q46_train_data_etl",
+    None,
+    doc="M3 ETL end-to-end on testdata-shaped reviews (events mapped to "
+    "the reviews schema): prefix-window positives + hash-probed "
+    "negatives -> reference train_data schema. Fixture-level "
+    "invariants in tests/test_etl.py.",
+    tags=("etl",),
+)
+def q46_train_data_etl(spark, sf_dir):
+    from .etl import build_train_data
+
+    ev = _t(spark, sf_dir, "events")
+    reviews = ev.select(
+        F.col("user_id").cast("string").alias("reviewerID"),
+        F.concat(F.lit("I"), (F.col("event_id") % 200).cast("string")).alias("asin"),
+        ((F.col("event_id") % 5) + 1).cast("double").alias("overall"),
+        F.unix_timestamp("ts").alias("unixReviewTime"),
+    )
+    excluded = reviews.select(F.col("reviewerID").alias("user_id")).distinct().limit(0)
+    return build_train_data(
+        reviews, excluded, rate_active=1.0, rate_light=1.0,
+        negatives_per_positive=2, max_history=10,
+    )

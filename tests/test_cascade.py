@@ -92,3 +92,41 @@ def test_custom_scorer_column(cascade_inputs):
     for r in out.where(F.col("rank") == 1).collect():
         # rank-1 item must be the max item_id among that user's shortlist
         assert r.item_id > 400  # embeddings table has 500 ids; shortlist top is high
+
+
+def test_pandas_udf_scorer_matches_jvm_stub(cascade_inputs):
+    """The Arrow-batched dot-product scorer must produce the same
+    ranking as the JVM-side zip_with/aggregate stub."""
+    from streaming_recommendation_spark.cascade.scorers import dot_product_scorer
+
+    users, items, history = cascade_inputs
+    cfg = CascadeConfig(k_recall=40, k_rank=20, k_rerank=10, k_final=5)
+    jvm = recommend(users, items, history, cfg)
+    udf_scorer = dot_product_scorer()
+    arrow = recommend(
+        users, items, history, cfg,
+        recall_score=udf_scorer(F.col("user_vec"), F.col("item_vec")),
+    )
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_torch_scorer_import_gate(cascade_inputs):
+    from streaming_recommendation_spark.cascade.scorers import torch_module_scorer
+
+    users, items, history = cascade_inputs
+    try:
+        import torch  # noqa: F401
+        import pytest as _pytest
+
+        _pytest.skip("torch unexpectedly present")
+    except ImportError:
+        pass
+    import pytest as _pytest
+
+    scorer = torch_module_scorer("/nonexistent/model.pt")
+    with _pytest.raises(Exception) as ei:
+        recommend(
+            users, items, history, CascadeConfig(),
+            rerank_score=scorer(F.col("user_vec"), F.col("item_vec")),
+        ).collect()
+    assert "PyTorch" in str(ei.value) or "NotImplementedError" in str(ei.value)

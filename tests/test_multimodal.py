@@ -1,0 +1,78 @@
+"""Multimodal column plumbing: binary schema, Arrow-batched
+mapInPandas decode/feature/frame ops, determinism across
+partitionings, and the import-gated real-decoder path."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.multimodal import (
+    attach_fake_media,
+    extract_image_features,
+    sample_frames,
+)
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def media_docs(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id")
+    return attach_fake_media(docs, kind="image").cache()
+
+
+def test_media_column_is_binary(media_docs):
+    assert dict(media_docs.dtypes)["media"] == "binary"
+    row = media_docs.first()
+    assert bytes(row.media).startswith(b"FAKEMEDIA1")
+
+
+def test_feature_extraction_schema_and_values(spark, media_docs):
+    feats = extract_image_features(media_docs, feature_dim=8)
+    assert [f.name for f in feats.schema.fields] == [
+        "doc_id", "width", "height", "feature",
+    ]
+    rows = feats.collect()
+    assert len(rows) == media_docs.count()
+    for r in rows[:20]:
+        assert len(r.feature) == 8
+        assert all(0.0 <= v <= 1.0 for v in r.feature)
+        assert r.width == r.doc_id % 16 + 4
+        assert r.height == r.doc_id % 12 + 4
+
+
+def test_features_stable_across_partitionings(spark, media_docs):
+    a = {r.doc_id: r.feature for r in extract_image_features(media_docs).collect()}
+    rep = media_docs.repartition(13)
+    b = {r.doc_id: r.feature for r in extract_image_features(rep).collect()}
+    assert a == b
+
+
+def test_frame_sampling_fanout(spark):
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id").limit(10)
+    vids = attach_fake_media(docs, kind="video")  # n_frames = 8
+    frames = sample_frames(vids, every_n=2)
+    rows = frames.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert len(per_doc) == 10
+    for idxs in per_doc.values():
+        assert sorted(idxs) == [0, 2, 4, 6]
+    assert all(len(bytes(r.frame)) > 0 for r in rows)
+
+
+def test_pil_decoder_import_gate(spark, media_docs):
+    """Without Pillow the real-decoder path must fail loudly with
+    guidance, not silently fall back."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow unexpectedly present")
+    except ImportError:
+        pass
+    with pytest.raises(Exception) as ei:
+        extract_image_features(media_docs.limit(2), decoder="pil").collect()
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
