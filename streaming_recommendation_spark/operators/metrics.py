@@ -1,0 +1,144 @@
+"""Evaluation-metric operators (SURVEY §2.4 A11).
+
+The reference computes Recall/Precision/NDCG@K, pairwise accuracy,
+MRR, AUC, logloss row-at-a-time in Python (reference:
+model_training/lightgcn/utils.py:157-231 — NDCG at :216-222;
+din/utils.py:285-316; ranknet/utils.py:321-375). Here each metric is
+a window-rank + conditional-aggregation DataFrame plan: one shuffle
+on the user key for the per-user family, one global agg for AUC —
+partial aggregation map-side, no Python in the loop.
+
+Input contract: (user, score, label) predictions; label is 0/1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    df: DataFrame,
+    k: int = 5,
+    user_col: str = "user_id",
+    score_col: str = "score",
+    label_col: str = "label",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user precision@k, recall@k, NDCG@k, MRR.
+
+    Deterministic: ties on score break by `tiebreak_col` ascending.
+    Users with zero relevant items get recall/ndcg/mrr = 0.
+    """
+    order = [F.col(score_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(user_col).orderBy(*order)
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+
+    rel = F.col(label_col) == 1
+    in_k = F.col("__rn") <= k
+    dcg = F.sum(F.when(rel & in_k, 1.0 / F.log2(F.col("__rn") + 1)).otherwise(0.0))
+    n_rel = F.sum(F.when(rel, 1).otherwise(0))
+    hits_k = F.sum(F.when(rel & in_k, 1).otherwise(0))
+    first_rel = F.min(F.when(rel, F.col("__rn")))
+
+    per_user = ranked.groupBy(user_col).agg(
+        hits_k.alias("__hits"),
+        n_rel.alias("__nrel"),
+        dcg.alias("__dcg"),
+        first_rel.alias("__first"),
+    )
+    # ideal DCG for min(k, n_rel) relevant items at the top
+    idcg = F.when(
+        F.col("__nrel") > 0,
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.col("__nrel"), F.lit(k))),
+            F.lit(0.0),
+            lambda acc, i: acc + 1.0 / F.log2(i + 1),
+        ),
+    ).otherwise(F.lit(None))
+
+    return per_user.select(
+        user_col,
+        F.round(F.col("__hits") / k, 6).alias(f"precision_at_{k}"),
+        F.round(
+            F.when(F.col("__nrel") > 0, F.col("__hits") / F.col("__nrel")).otherwise(
+                0.0
+            ),
+            6,
+        ).alias(f"recall_at_{k}"),
+        F.round(
+            F.coalesce(F.col("__dcg") / idcg, F.lit(0.0)), 6
+        ).alias(f"ndcg_at_{k}"),
+        F.round(
+            F.coalesce(1.0 / F.col("__first"), F.lit(0.0)), 6
+        ).alias("mrr"),
+    )
+
+
+def binary_metrics(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    threshold: float = 0.5,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """One-row (auc, accuracy, logloss, n_pos, n_neg).
+
+    AUC by the Mann-Whitney rank-sum with tie-averaged ranks,
+    computed over DISTINCT-SCORE GROUPS: aggregate (n, n_pos) per
+    score first (map-side combinable), then a window over the group
+    rows assigns each tie group its average rank = rows_before +
+    (n+1)/2. The single-partition window touches |distinct scores|
+    rows, not |rows| — for model scores that's the quantized score
+    space; for truly continuous scores at extreme scale, pre-bucket
+    scores to fixed precision first.
+
+    logloss expects score in [0,1]; scores are clamped to [eps, 1-eps]
+    (the reference clips identically via sklearn's default).
+    """
+    groups = df.groupBy(score_col).agg(
+        F.count(F.lit(1)).alias("__n_in_tie"),
+        F.sum(F.col(label_col)).alias("__pos_in_tie"),
+    )
+    w = Window.orderBy(F.col(score_col).asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    tie_avg = groups.withColumn(
+        "__avg_rank",
+        F.coalesce(F.sum("__n_in_tie").over(w), F.lit(0))
+        + (F.col("__n_in_tie") + 1) / 2.0,
+    )
+    pos_rank_sum = F.sum(F.col("__avg_rank") * F.col("__pos_in_tie"))
+    np_ = F.sum("__pos_in_tie")
+    nn_ = F.sum(F.col("__n_in_tie") - F.col("__pos_in_tie"))
+
+    clamped = F.greatest(F.least(F.col(score_col), F.lit(1 - eps)), F.lit(eps))
+    base = df.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col(score_col) >= threshold) == (F.col(label_col) == 1), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("accuracy"),
+        F.round(
+            -F.avg(
+                F.col(label_col) * F.log(clamped)
+                + (1 - F.col(label_col)) * F.log(1 - clamped)
+            ),
+            6,
+        ).alias("logloss"),
+    )
+    auc = tie_avg.agg(
+        F.round(
+            (pos_rank_sum - np_ * (np_ + 1) / 2) / (np_ * nn_), 6
+        ).alias("auc"),
+        np_.cast("long").alias("n_pos"),
+        nn_.cast("long").alias("n_neg"),
+    )
+    return auc.crossJoin(base).select(
+        "auc", "accuracy", "logloss", "n_pos", "n_neg"
+    )

@@ -1061,3 +1061,136 @@ def q46_train_data_etl(spark, sf_dir):
         reviews, excluded, rate_active=1.0, rate_light=1.0,
         negatives_per_positive=2, max_history=10,
     )
+
+
+@register(
+    "q47_ranking_metrics",
+    """
+    WITH preds AS (
+      SELECT user_id, value AS score, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY score DESC, event_id ASC) AS rn
+      FROM preds
+    ), per_user AS (
+      SELECT user_id,
+             sum(CASE WHEN label = 1 AND rn <= 5 THEN 1 ELSE 0 END) AS hits,
+             sum(label) AS nrel,
+             sum(CASE WHEN label = 1 AND rn <= 5
+                      THEN 1.0 / log2(rn + 1) ELSE 0 END) AS dcg,
+             min(CASE WHEN label = 1 THEN rn END) AS first_rel
+      FROM ranked GROUP BY user_id
+    )
+    SELECT user_id,
+           round(hits / 5.0, 6) AS precision_at_5,
+           round(CASE WHEN nrel > 0 THEN hits / nrel::DOUBLE ELSE 0 END, 6)
+             AS recall_at_5,
+           round(CASE WHEN nrel > 0 THEN dcg /
+                   list_reduce(list_transform(generate_series(1, least(nrel, 5)::BIGINT),
+                               i -> 1.0 / log2(i + 1)), (a, b) -> a + b)
+                 ELSE 0 END, 6) AS ndcg_at_5,
+           round(coalesce(1.0 / first_rel, 0), 6) AS mrr
+    FROM per_user
+    """,
+    doc="A11 per-user ranking metrics (precision/recall/NDCG@5, MRR) as "
+    "window + conditional aggregation (reference lightgcn/utils.py:"
+    "157-231 computes these row-at-a-time in Python).",
+    tags=("agg", "window", "metrics"),
+)
+def q47_ranking_metrics(spark, sf_dir):
+    from .operators.metrics import ranking_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    preds = ev.select(
+        "user_id",
+        F.col("value").alias("score"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return ranking_metrics(preds, k=5, tiebreak_col="event_id")
+
+
+@register(
+    "q48_binary_metrics",
+    """
+    WITH preds AS (
+      SELECT value / (SELECT max(value) FROM events) AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events
+    ), groups AS (
+      SELECT score, count(*) AS n, sum(label) AS pos
+      FROM preds GROUP BY score
+    ), ranked AS (
+      SELECT *, coalesce(sum(n) OVER (ORDER BY score ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                + (n + 1) / 2.0 AS avg_rank
+      FROM groups
+    )
+    SELECT round((sum(avg_rank * pos) - sum(pos) * (sum(pos) + 1) / 2)
+                 / (sum(pos) * sum(n - pos)), 6) AS auc,
+           (SELECT round(avg(CASE WHEN (score >= 0.5) = (label = 1)
+                                  THEN 1.0 ELSE 0.0 END), 6) FROM preds)
+             AS accuracy,
+           (SELECT round(-avg(label * ln(greatest(least(score, 1-1e-15), 1e-15))
+                    + (1 - label) * ln(1 - greatest(least(score, 1-1e-15), 1e-15))), 6)
+              FROM preds) AS logloss,
+           sum(pos)::BIGINT AS n_pos,
+           sum(n - pos)::BIGINT AS n_neg
+    FROM ranked
+    """,
+    doc="A11 global binary metrics: tie-averaged rank-sum AUC over "
+    "distinct-score groups, accuracy, clamped logloss (reference "
+    "din/utils.py:285-316 uses sklearn row-at-a-time).",
+    tags=("agg", "metrics"),
+)
+def q48_binary_metrics(spark, sf_dir):
+    from .operators.metrics import binary_metrics
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("mx"))
+    preds = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("mx")).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return binary_metrics(preds)
+
+
+@register(
+    "q49_normalized_edges",
+    """
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), du AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+       dv AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst)
+    SELECT e.src, e.dst,
+           round(1.0 / sqrt(du.d * dv.d), 6) AS norm_weight
+    FROM edges e JOIN du ON e.src = du.src JOIN dv ON e.dst = dv.dst
+    """,
+    doc="A10+M6 graph prep: bipartite user-item edges with symmetric-"
+    "normalized weights 1/sqrt(d_u * d_v) (reference lightgcn/"
+    "model.py:17-23 computes this inside torch; here it is two degree "
+    "aggs + two broadcast-able joins).",
+    tags=("graph", "agg", "join"),
+)
+def q49_normalized_edges(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    du = edges.groupBy("src").agg(F.count(F.lit(1)).alias("du"))
+    dv = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("dv"))
+    return (
+        edges.join(du, "src")
+        .join(dv, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(1.0 / F.sqrt(F.col("du") * F.col("dv")), 6).alias("norm_weight"),
+        )
+    )

@@ -1,0 +1,55 @@
+"""Hand-computed sanity checks for the metric operators (the oracle
+tests cross-check them against DuckDB on the full events table)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from streaming_recommendation_spark.operators.metrics import (
+    binary_metrics,
+    ranking_metrics,
+)
+
+
+def test_ranking_metrics_hand_computed(spark):
+    # user A: items ranked by score -> labels [1, 0, 1]; k=2
+    rows = [
+        Row(user_id="A", score=0.9, label=1, item="x"),
+        Row(user_id="A", score=0.8, label=0, item="y"),
+        Row(user_id="A", score=0.7, label=1, item="z"),
+        Row(user_id="B", score=0.5, label=0, item="p"),
+    ]
+    out = {
+        r.user_id: r
+        for r in ranking_metrics(
+            spark.createDataFrame(rows), k=2, tiebreak_col="item"
+        ).collect()
+    }
+    a = out["A"]
+    assert a.precision_at_2 == 0.5  # 1 hit of 2
+    assert a.recall_at_2 == 0.5  # 1 of 2 relevant
+    # dcg = 1/log2(2) = 1.0; idcg(min(2,2)) = 1 + 1/log2(3)
+    exp_ndcg = 1.0 / (1 + 1 / math.log2(3))
+    assert abs(a.ndcg_at_2 - exp_ndcg) < 1e-6
+    assert a.mrr == 1.0
+    b = out["B"]
+    assert (b.precision_at_2, b.recall_at_2, b.ndcg_at_2, b.mrr) == (0, 0, 0, 0)
+
+
+def test_binary_metrics_hand_computed(spark):
+    # scores: pos {0.9, 0.6}, neg {0.6, 0.2}: one tie across classes
+    rows = [
+        Row(score=0.9, label=1),
+        Row(score=0.6, label=1),
+        Row(score=0.6, label=0),
+        Row(score=0.2, label=0),
+    ]
+    m = binary_metrics(spark.createDataFrame(rows)).collect()[0]
+    # ranks asc: 0.2->1, 0.6 tie -> (2+3)/2=2.5 each, 0.9->4
+    # pos rank sum = 2.5 + 4 = 6.5; auc = (6.5 - 2*3/2) / (2*2) = 0.875
+    assert m.auc == 0.875
+    assert m.n_pos == 2 and m.n_neg == 2
+    # threshold 0.5: predictions [1,1,1,0] vs labels [1,1,0,0] -> 3/4
+    assert m.accuracy == 0.75
