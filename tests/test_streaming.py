@@ -120,3 +120,46 @@ def test_sliding_window_activity_streaming(spark, message_dir, tmp_path):
     # over a finite source the final watermark closes all of them
     rows = spark.sql("SELECT * FROM win_agg").collect()
     assert {r.user_id for r in rows} <= {"u1", "u2"}
+
+
+def test_observed_metrics_per_batch(spark, message_dir, tmp_path):
+    """A9: in-flight counters via df.observe + listener, no second
+    pass over the data."""
+    import json as _json
+
+    from streaming_recommendation_spark.streaming.metrics import (
+        CountsListener,
+        observe_counts,
+    )
+
+    listener = CountsListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = spark.readStream.text(message_dir)
+        parsed = parse_profile_stream(raw)
+        observed = observe_counts(parsed, name="ingest")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("obs_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        import time
+
+        for _ in range(20):  # listener events arrive asynchronously
+            ingest = [
+                b for b in listener.batches if "ingest" in b.get("observed", {})
+            ]
+            if ingest:
+                break
+            time.sleep(0.5)
+        assert ingest, f"no observed metrics in {listener.batches}"
+        total = sum(b["observed"]["ingest"]["n_rows"] for b in ingest)
+        # 4 rows survive the null/empty guards (dedup happens later):
+        # u1 x2 (the duplicate counts here) + u2 x2
+        assert total == 4
+    finally:
+        spark.streams.removeListener(listener)
