@@ -186,3 +186,49 @@ def mean_pool_grouped(
             ).alias("mean_vec")
         )
     )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 6,
+    num_tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine (a < b, cosine >=
+    threshold) — the vector analog of MinHash text dedup.
+
+    Candidate pairs form only inside an SRP-LSH bucket (per table),
+    then exact cosine verifies. High thresholds pair with more planes:
+    near-identical vectors agree on almost every hyperplane sign, so
+    the bucket join prunes aggressively while OR-amplification keeps
+    recall. A full pairwise cosine is O(n^2) and never materializes.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    tables = [
+        _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
+    ]
+    bucketed = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.posexplode(
+            F.array(*[srp_bucket(F.col(vec_col), planes) for planes in tables])
+        ).alias("__table", "__bucket"),
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__table", "__bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__table", "__bucket"
+    )
+    return (
+        a.join(b, ["__table", "__bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select("a", "b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

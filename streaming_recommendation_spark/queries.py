@@ -1194,3 +1194,16 @@ def q49_normalized_edges(spark, sf_dir):
             F.round(1.0 / F.sqrt(F.col("du") * F.col("dv")), 6).alias("norm_weight"),
         )
     )
+
+
+@register(
+    "q50_embedding_near_dups",
+    None,
+    doc="Embedding-cosine near-dup pairs via SRP-LSH bucket self-join + "
+    "exact-cosine verify; O(n^2) never materializes. Constructed-pair "
+    "recall verified in tests/test_similarity.py.",
+    tags=("dedup", "similarity"),
+)
+def q50_embedding_near_dups(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dups(emb, threshold=0.9)

@@ -49,6 +49,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Managed-table warehouse outside the repo (bucketed tables)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         # Read TIMESTAMP(NANOS) parquet columns as long (Spark has no
         # nanos type); sources.testdata converts them back to proper
         # microsecond timestamps at the scan edge.

@@ -1,0 +1,59 @@
+"""Physical table layout: partitioning and bucketing.
+
+The reference has one physical layout: whole CSV files read start to
+finish (its "index" is an in-memory per-user sorted dict,
+reference: api_service/behavior_lookup.py:17-29). At 100 TB, layout
+IS the index:
+
+  * ``write_partitioned`` — hive-style directory partitioning; query
+    predicates on the partition column prune entire directories
+    before any IO (verified: `PartitionFilters` in the scan node).
+  * ``write_bucketed`` — pre-shuffle the table ONCE into N buckets by
+    join/agg key (+ in-bucket sort). Every later equi-join or groupBy
+    on that key skips its Exchange — the repeat-query answer to the
+    reference's in-memory index, but disk-resident and
+    cluster-shared. Bucketed tables are managed (saveAsTable); the
+    warehouse dir comes from the session config.
+
+Rules of thumb encoded here: partition by LOW-cardinality columns
+only (dates, categories); bucket by HIGH-cardinality join keys
+(user_id); bucket count ~ cluster cores at the target scale.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    df.write.partitionBy(*partition_cols).format(fmt).mode("overwrite").save(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # an orphaned location (prior session's table; the in-memory
+    # catalog forgot it) blocks managed-table creation — clear it
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(warehouse, table.split(".")[-1].lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale)
+    writer = df.write.bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").mode("overwrite").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1,0 +1,78 @@
+"""Physical layout: partition pruning and bucketed shuffle
+elimination, verified against the actual physical plans."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.sources.layout import (
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def n_exchanges(plan: str) -> int:
+    import re
+
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+def test_partition_pruning(spark, tmp_path):
+    ev = load_table(spark, "events", SF_DIR)
+    out = str(tmp_path / "events_by_type")
+    write_partitioned(ev, out, ["event_type"])
+
+    back = spark.read.parquet(out).where(F.col("event_type") == "purchase")
+    plan = plan_of(back)
+    assert "PartitionFilters" in plan
+    # pruned scan returns exactly the purchases
+    expected = ev.where(F.col("event_type") == "purchase").count()
+    assert back.count() == expected
+
+
+def test_bucketed_join_skips_shuffle(spark):
+    ev = load_table(spark, "events", SF_DIR)
+    users = ev.select("user_id").distinct().withColumn(
+        "segment", (F.col("user_id") % 5).cast("int")
+    )
+    write_bucketed(ev, "ev_bucketed", "user_id", num_buckets=8, sort_col="user_id")
+    write_bucketed(users, "users_bucketed", "user_id", num_buckets=8)
+
+    a = read_table(spark, "ev_bucketed")
+    b = read_table(spark, "users_bucketed")
+    joined = a.join(b.hint("merge"), "user_id")
+    plan = plan_of(joined)
+    # both sides bucketed on the join key with equal bucket counts:
+    # the sort-merge join must run without any Exchange node
+    assert n_exchanges(plan) == 0, plan
+    assert joined.count() == ev.count()
+
+    # aggregation on the bucket key also skips its shuffle
+    agg = a.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    agg_plan = plan_of(agg)
+    assert n_exchanges(agg_plan) == 0, agg_plan
+    assert agg.count() == ev.select("user_id").distinct().count()
+
+
+def test_unbucketed_join_does_shuffle(spark):
+    """Control: the same join without bucketing has Exchanges — proves
+    the assertion above is meaningful."""
+    ev = load_table(spark, "events", SF_DIR)
+    users = ev.select("user_id").distinct()
+    joined = ev.join(users.hint("merge"), "user_id")
+    assert n_exchanges(plan_of(joined)) >= 2

@@ -88,3 +88,30 @@ def test_mean_pool_grouped_matches_numpy(spark, emb):
     got = {r.label: r.mean_vec for r in mean_pool_grouped(emb, "label").collect()}
     for lbl, exp in expected.items():
         assert np.allclose(got[lbl], exp, atol=1e-6), f"label {lbl}"
+
+
+def test_embedding_near_dups(spark):
+    """Constructed near-identical vectors must pair; orthogonal ones
+    must not."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    rows = [
+        Row(vec_id=1, embedding=base.tolist()),
+        Row(vec_id=2, embedding=(base + rng.normal(scale=0.01, size=16)).tolist()),
+        Row(vec_id=3, embedding=(base * 2.5).tolist()),  # same direction
+        Row(vec_id=4, embedding=rng.normal(size=16).tolist()),
+        Row(vec_id=5, embedding=(-base).tolist()),  # opposite direction
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {(r.a, r.b): r.cosine for r in embedding_near_dups(df, 0.95).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) in pairs and abs(pairs[(1, 3)] - 1.0) < 1e-9
+    assert not any(5 in p for p in pairs)
+    assert not any(4 in p for p in pairs)
