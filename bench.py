@@ -40,6 +40,15 @@ HEADLINE = [
     "q31_exact_dedup",
     "q35_knn_brute_force",
     "q37_minhash_lsh_pairs",
+    "q40_cascade_recommend",
+    "q42_image_features",
+    "q47_ranking_metrics",
+    "q48_binary_metrics",
+    "q49_normalized_edges",
+    "q50_embedding_near_dups",
+    "q51_priority_with_late_lineitem",
+    "q53_distinct_suppliers_per_part",
+    "q55_running_revenue",
 ]
 
 

@@ -1207,3 +1207,194 @@ def q49_normalized_edges(spark, sf_dir):
 def q50_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dups(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave: deeper relational shapes (exists, outer joins, distinct
+# aggs, running windows, string functions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q51_priority_with_late_lineitem",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem
+      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery as a left_semi join "
+    "with a residual inequality predicate.",
+    tags=("join", "agg"),
+)
+def q51_priority_with_late_lineitem(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "q52_customer_order_outer",
+    """
+    SELECT c_mktsegment,
+           count(o_orderkey) AS n_orders,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_order,
+           round(coalesce(sum(o_totalprice), 0), 4) AS revenue
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    doc="Left outer join with null-aware aggregation (count skips "
+    "nulls, explicit null bucket counted).",
+    tags=("join", "agg"),
+)
+def q52_customer_order_outer(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+    return j.groupBy("c_mktsegment").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "n_customers_no_order"
+        ),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("revenue"),
+    )
+
+
+@register(
+    "q53_distinct_suppliers_per_part",
+    """
+    SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+           count(*) AS n_lines
+    FROM lineitem GROUP BY l_partkey
+    """,
+    doc="Distinct-count aggregation (two-phase expand/agg in Spark).",
+    tags=("agg",),
+)
+def q53_distinct_suppliers_per_part(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q54_string_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                            AS brand_upper,
+           substr(p_name, 1, 8)                      AS name_prefix,
+           replace(p_type, ' ', '_')                 AS type_snake,
+           length(p_name)                            AS name_len,
+           CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END AS has_a,
+           lpad(p_size::VARCHAR, 4, '0')             AS size_padded
+    FROM part
+    """,
+    doc="Scalar string-function battery (upper/substr/replace/length/"
+    "LIKE/lpad) — all whole-stage-codegen built-ins.",
+    tags=("scalar",),
+)
+def q54_string_functions(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.length("p_name").alias("name_len"),
+        F.when(F.col("p_name").like("%a%"), 1).otherwise(0).alias("has_a"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "q55_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_revenue
+    FROM orders
+    """,
+    doc="Running-total window (cumulative frame) per customer.",
+    tags=("window",),
+)
+def q55_running_revenue(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_revenue"),
+    )
+
+
+@register(
+    "q56_inter_event_gaps",
+    """
+    WITH g AS (
+      SELECT user_id,
+             floor(epoch(ts))::BIGINT
+               - floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)))::BIGINT AS gap
+      FROM events
+    )
+    SELECT user_id,
+           count(gap) AS n_gaps,
+           round(avg(gap), 6) AS avg_gap_sec,
+           max(gap) AS max_gap_sec
+    FROM g GROUP BY user_id
+    """,
+    doc="lag() inter-event deltas + per-user gap statistics (the "
+    "sessionization building block, exposed directly).",
+    tags=("window", "agg"),
+)
+def q56_inter_event_gaps(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.round(F.avg("gap"), 6).alias("avg_gap_sec"),
+        F.max("gap").alias("max_gap_sec"),
+    )
+
+
+@register(
+    "q57_approx_distinct",
+    None,  # sketch implementations differ across engines by design;
+    # accuracy vs exact asserted in tests/test_oracle.py::test_approx_distinct
+    doc="approx_count_distinct (HLL++) per event_type; within-5%-of-"
+    "exact invariant tested.",
+    tags=("agg", "approx"),
+)
+def q57_approx_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )

@@ -65,3 +65,26 @@ def test_rows_only_runs(q, spark):
     df = q.fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """q57 has no oracle (sketches differ across engines); assert the
+    HLL estimate lands within 5% of the exact distinct count."""
+    from streaming_recommendation_spark.queries import registry
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry()["q57_approx_distinct"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, "events", SF_DIR)
+    import pyspark.sql.functions as F
+
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, est in approx.items():
+        assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
