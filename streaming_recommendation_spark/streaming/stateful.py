@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY §2.10 — reserved for stateful extensions; §2.8 ST5).
+
+``running_history_state`` maintains each user's last-N item history
+ACROSS micro-batches — the true stateful version of the profile the
+reference rebuilds from scratch per message (its Kafka payload
+carries the whole history every time; the consumer just overwrites,
+reference: spark_stream/consumer.py:64-67). With keyed state the
+stream can accept INCREMENTAL events (one item per message) and still
+emit complete, bounded profiles, which is what an at-scale ingest
+topology sends.
+
+State per user: (items: last-N list, last_ts). Processing-time
+timeout evicts idle users so the state store stays bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id string, timestamp bigint, history_items array<string>"
+STATE_SCHEMA = "items array<string>, last_ts bigint"
+
+
+def _update_history(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    max_items: int = 50,
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    items: list[str]
+    last_ts: int
+    if state.exists:
+        items, last_ts = state.get
+        items = list(items)
+    else:
+        items, last_ts = [], 0
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # deterministic arrival order: sort by (timestamp, item)
+    rows = rows.sort_values(["timestamp", "item"])
+    for _, r in rows.iterrows():
+        items.append(str(r["item"]))
+        last_ts = max(last_ts, int(r["timestamp"]))
+    items = items[-max_items:]
+
+    state.update((items, last_ts))
+    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "timestamp": [last_ts], "history_items": [items]}
+    )
+
+
+def running_history_state(
+    events: DataFrame,
+    max_items: int = 50,
+) -> DataFrame:
+    """events (user_id, item, timestamp) — one item per row — into a
+    stream of complete last-N profiles per user per micro-batch.
+
+    Works on a streaming DataFrame (keyed state, update mode). The
+    grouping key is user_id, so state shuffles once and lives
+    partitioned in the state store.
+    """
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        return _update_history(key, pdfs, state, max_items)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
