@@ -1,0 +1,55 @@
+"""Physical-plan auditing.
+
+The engine's performance discipline: after an operator is correct,
+read its plan and keep iterating until it's the plan you'd want on a
+1000-executor cluster. This module turns that from eyeballing
+``explain()`` output into assertable facts — tests pin them
+(tests/test_plan_audit.py) so a regression that, say, un-broadcasts a
+dimension join or blocks predicate pushdown fails CI, not production.
+
+Extracted facts:
+  n_exchanges          shuffle count (every Exchange is a stage boundary)
+  n_broadcast_joins    dims that stayed broadcast
+  n_sortmerge_joins    large-table joins
+  has_window_group_limit  rank-filter top-k compiled to per-group heaps
+  has_take_ordered     global top-k compiled to TakeOrderedAndProject
+  pushed_filters       predicates that reached the parquet scan
+  codegen_stages       whole-stage-codegen span count (JVM-compiled)
+  bnl_joins            broadcast-nested-loop joins (usually a smell:
+                       a non-equi join that missed its equi rewrite)
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(df: DataFrame) -> dict:
+    plan = formatted_plan(df)
+    node = lambda name: len(re.findall(rf"\(\d+\) {name}\b", plan))
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return {
+        "n_exchanges": node("Exchange"),
+        "n_broadcast_joins": node("BroadcastHashJoin"),
+        "n_sortmerge_joins": node("SortMergeJoin"),
+        "n_shuffled_hash_joins": node("ShuffledHashJoin"),
+        "bnl_joins": node("BroadcastNestedLoopJoin"),
+        "has_window_group_limit": "WindowGroupLimit" in plan,
+        "has_take_ordered": "TakeOrderedAndProject" in plan,
+        "pushed_filters": [p for p in pushed if p.strip()],
+        # NOTE: under AQE the pre-execution formatted plan omits
+        # codegen ids; this only counts them on executed plans
+        "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "plan": plan,
+    }
