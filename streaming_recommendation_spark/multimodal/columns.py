@@ -93,6 +93,12 @@ def extract_image_features(
     to 32x32, mean-pool channels (import-gated).
     """
 
+    # single-small-file sources arrive as one partition; spread the
+    # CPU-bound decode across cores (at scale the scan splits provide
+    # the parallelism and this coalesces nothing away)
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":
             try:

@@ -1398,3 +1398,52 @@ def q57_approx_distinct(spark, sf_dir):
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+@register(
+    "q58_parts_above_avg_price",
+    """
+    SELECT p_partkey, p_name, round(p_retailprice, 4) AS price
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+    """,
+    doc="Scalar subquery predicate (global aggregate broadcast into "
+    "the filter).",
+    tags=("filter", "agg"),
+)
+def q58_parts_above_avg_price(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("avg_p"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .where(F.col("p_retailprice") > F.col("avg_p"))
+        .select("p_partkey", "p_name", F.round("p_retailprice", 4).alias("price"))
+    )
+
+
+@register(
+    "q59_orders_of_top_spenders",
+    """
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey
+      HAVING sum(o_totalprice) > 1000000
+    )
+    """,
+    doc="IN-subquery over an aggregated-HAVING derived set (left_semi "
+    "against a filtered aggregate).",
+    tags=("join", "agg"),
+)
+def q59_orders_of_top_spenders(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    spenders = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("spend"))
+        .where(F.col("spend") > 1_000_000)
+        .select("o_custkey")
+    )
+    return orders.join(spenders, "o_custkey", "left_semi").select(
+        "o_orderkey", "o_custkey"
+    )

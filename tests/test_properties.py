@@ -1,0 +1,143 @@
+"""Randomized model-based tests: each operator runs ONCE over a few
+hundred seeded-random cases (heavy tie/duplicate density) and is
+compared row-for-row against an independent pure-Python model — the
+reference's own algorithm (e.g. bisect_right for as-of lookups)."""
+
+from __future__ import annotations
+
+import bisect
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.asof import asof_join
+from streaming_recommendation_spark.operators.history import (
+    sliding_window_samples,
+)
+
+SEED = 20260813
+
+
+@pytest.fixture(scope="module")
+def random_events_probes():
+    rng = random.Random(SEED)
+    events, probes = [], []
+    for u in range(25):
+        n = rng.randint(0, 12)
+        # small ts domain => many exact ties and probe==event collisions
+        tss = sorted(rng.randint(0, 30) for _ in range(n))
+        for i, ts in enumerate(tss):
+            events.append(Row(user_id=u, ts=ts, event_id=u * 100 + i))
+        for _ in range(rng.randint(1, 6)):
+            probes.append(Row(user_id=u, ts=rng.randint(-5, 35)))
+    return events, probes
+
+
+def model_asof(events, probes, tolerance=None):
+    """The reference's algorithm: per-user sorted list + bisect_right
+    (behavior_lookup.py:34-41), with our documented tie-break (max
+    event_id among equal ts)."""
+    by_user = {}
+    for e in events:
+        by_user.setdefault(e.user_id, []).append((e.ts, e.event_id))
+    for lst in by_user.values():
+        lst.sort()
+    out = {}
+    for p in probes:
+        lst = by_user.get(p.user_id, [])
+        idx = bisect.bisect_right([t for t, _ in lst], p.ts)
+        if idx == 0:
+            out[(p.user_id, p.ts)] = None
+            continue
+        best_ts = lst[idx - 1][0]
+        if tolerance is not None and p.ts - best_ts > tolerance:
+            out[(p.user_id, p.ts)] = None
+            continue
+        out[(p.user_id, p.ts)] = max(eid for t, eid in lst if t == best_ts)
+    return out
+
+
+@pytest.mark.parametrize("tolerance", [None, 7])
+def test_asof_matches_bisect_model(spark, random_events_probes, tolerance):
+    events, probes = random_events_probes
+    edf = spark.createDataFrame(events)
+    pdf = spark.createDataFrame(list({(p.user_id, p.ts) for p in probes}))
+    pdf = pdf.toDF("user_id", "ts")
+    got = {
+        (r.user_id, r.ts): r.event_id
+        for r in asof_join(
+            pdf, edf, value_cols=["event_id"], tiebreak="event_id",
+            tolerance=tolerance,
+        ).collect()
+    }
+    expected = model_asof(events, [Row(user_id=u, ts=t) for u, t in got], tolerance)
+    assert got == expected
+
+
+def test_sliding_samples_match_reference_loop(spark):
+    """Model: the reference's generate_training_data.py:163-178 loop
+    — for idx in range(start, len, stride): prefix = history[:idx],
+    candidate = history[idx], prefix tail-truncated."""
+    rng = random.Random(SEED + 1)
+    rows = []
+    for u in range(15):
+        n = rng.randint(0, 10)
+        tss = sorted(rng.sample(range(100), n))
+        for i, ts in enumerate(tss):
+            rows.append(Row(user_id=u, ts=ts, item_id=u * 100 + i))
+    df = spark.createDataFrame(rows, schema="user_id int, ts int, item_id int")
+
+    start, stride, max_h = 1, 2, 4
+    got = {
+        (r.user_id, r.pos): (tuple(r.history), r.candidate)
+        for r in sliding_window_samples(
+            df, start=start, stride=stride, max_history=max_h
+        ).collect()
+    }
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.item_id))
+    expected = {}
+    for u, lst in by_user.items():
+        lst.sort()
+        items = [i for _, i in lst]
+        for idx in range(start, len(items), stride):
+            expected[(u, idx)] = (tuple(items[:idx][-max_h:]), items[idx])
+    assert got == expected
+
+
+def test_det_unit_range_and_uniformity(spark):
+    from streaming_recommendation_spark.functions.hashing import det_unit
+
+    df = spark.range(0, 50_000).select(
+        det_unit("id").alias("u_int"),
+        det_unit(F.concat(F.lit("k"), F.col("id")), string=True).alias("u_str"),
+    )
+    stats = df.agg(
+        F.min("u_int"), F.max("u_int"), F.avg("u_int"),
+        F.min("u_str"), F.max("u_str"), F.avg("u_str"),
+    ).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert 0.0 <= stats[3] and stats[4] < 1.0
+    assert abs(stats[2] - 0.5) < 0.02  # uniform-ish mean
+    assert abs(stats[5] - 0.5) < 0.02
+    # decile balance for the string hash (the sampling workhorse)
+    deciles = (
+        df.groupBy(F.floor(F.col("u_str") * 10).alias("d")).count().collect()
+    )
+    for r in deciles:
+        assert abs(r["count"] - 5000) < 350, r
+
+
+def test_tail_slice_all_lengths(spark):
+    from streaming_recommendation_spark.operators.history import tail_slice
+
+    df = spark.range(0, 12).select(
+        F.sequence(F.lit(1), F.col("id").cast("int")).alias("arr")
+    )
+    out = df.select("arr", tail_slice(F.col("arr"), 5).alias("t")).collect()
+    for r in out:
+        assert r.t == r.arr[-5:]
