@@ -1447,3 +1447,26 @@ def q59_orders_of_top_spenders(spark, sf_dir):
     return orders.join(spenders, "o_custkey", "left_semi").select(
         "o_orderkey", "o_custkey"
     )
+
+
+@register(
+    "q60_cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all 4 combinations) — exposed engine "
+    "capability beyond the reference (SURVEY §2.4 note).",
+    tags=("agg", "rollup"),
+)
+def q60_cube_order_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )

@@ -1,0 +1,146 @@
+"""Serving facade: the reference's API endpoints as testable handlers.
+
+The reference exposes FastAPI routes (reference: deploy_datapipeline/
+data_pipeline/api_service/main.py):
+  POST /send_kafka/  {user_id, timestamp} -> as-of last-50 history for
+       the user (+ a fan-out of other users), produced to Kafka
+       (:52-77; as-of lookup behavior_lookup.py:34-41)
+  GET  /get_recommendation/ {user_id, timestamp} -> latest
+       recommendation_result at-or-before timestamp (:89-107)
+
+Here the HTTP layer is a thin import-gated wrapper (``build_app``);
+the logic lives in ``ReplayService`` — pure handlers over (a) the
+engine's as-of operator for history and (b) a KV store (Redis in
+production, the jsonl sink's dict in tests). Handlers return plain
+dicts, so they are tested without any web framework.
+
+Scale note: the reference rebuilds its in-memory per-user index from
+the whole behavior CSV at import time (behavior_lookup.py:17-29).
+``ReplayService`` instead pre-collects per-user sorted histories ONCE
+via the engine (bounded: only users' last ``max_history`` items) —
+the same data the reference holds, but produced by a distributed
+groupBy, and refreshable by re-running one query.
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import KNUTH, MOD32
+from ..operators.history import collect_history
+
+
+class ReplayService:
+    def __init__(
+        self,
+        behavior: DataFrame,
+        kv: dict[str, str] | None = None,
+        max_history: int = 50,
+        fanout_min: int = 30,
+        fanout_max: int = 60,
+    ):
+        hist = collect_history(
+            behavior, "user_id", "timestamp", "item_id", max_len=None
+        ).collect()
+        # serving index: user -> ([ts...], [item...]) time-sorted
+        self.index = {
+            r.user_id: (
+                [h["ts"] for h in r.history],
+                [h["item"] for h in r.history],
+            )
+            for r in hist
+        }
+        self.users = sorted(self.index)
+        self.kv = kv if kv is not None else {}
+        self.max_history = max_history
+        self.fanout_min = fanout_min
+        self.fanout_max = fanout_max
+
+    def recent_history(self, user_id: str, timestamp: int) -> list[str]:
+        """bisect_right parity with the reference (inclusive ts <= T,
+        last max_history items)."""
+        if user_id not in self.index:
+            return []
+        tss, items = self.index[user_id]
+        idx = bisect.bisect_right(tss, timestamp)
+        return [str(x) for x in items[max(0, idx - self.max_history) : idx]]
+
+    def _fanout_users(self, seed_key: str) -> list[str]:
+        """Deterministic replacement for the reference's random 30-60
+        user sample (api_service/main.py:66-68)."""
+        if not self.users:
+            return []
+        h = int.from_bytes(seed_key.encode()[:8].ljust(8, b"\0"), "big")
+        n = self.fanout_min + (h * KNUTH % MOD32) % (
+            self.fanout_max - self.fanout_min + 1
+        )
+        start = (h * 2654435761) % max(1, len(self.users))
+        picked = [
+            self.users[(start + i) % len(self.users)]
+            for i in range(min(n, len(self.users)))
+        ]
+        return picked
+
+    def send_profiles(self, user_id: str, timestamp: int) -> dict:
+        """POST /send_kafka/ semantics: emit the target user's profile
+        plus a deterministic fan-out; profiles land in the KV store
+        (stand-in for the Kafka producer in a broker-less test env —
+        swap ``emit`` for sources.reference_io.to_kafka_records +
+        a Kafka writer in production)."""
+        targets = [user_id] + [
+            u for u in self._fanout_users(f"{user_id}:{timestamp}") if u != user_id
+        ]
+        sent = 0
+        for u in targets:
+            history = self.recent_history(u, timestamp)
+            if not history:
+                continue
+            self.kv[f"user_profile:{u}:{timestamp}"] = json.dumps(history)
+            sent += 1
+        return {"message": f"Sent {sent} user profiles to Kafka"}
+
+    def get_recommendation(self, user_id: str, timestamp: int) -> dict:
+        """GET /get_recommendation/ semantics: the latest
+        recommendation_result key at-or-before timestamp
+        (api_service/main.py:89-107)."""
+        prefix = f"recommendation_result:{user_id}:"
+        versions = sorted(
+            int(k.rsplit(":", 1)[1])
+            for k in self.kv
+            if k.startswith(prefix) and int(k.rsplit(":", 1)[1]) <= timestamp
+        )
+        if not versions:
+            return {"user_id": user_id, "recommendation": [], "timestamp": None}
+        ts = versions[-1]
+        return {
+            "user_id": user_id,
+            "timestamp": ts,
+            "recommendation": json.loads(self.kv[f"{prefix}{ts}"]),
+        }
+
+
+def build_app(service: ReplayService):
+    """Import-gated FastAPI wrapper with the reference's routes."""
+    try:
+        from fastapi import FastAPI  # type: ignore[import-not-found]
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "build_app needs fastapi; this container ships without it — "
+            "call ReplayService handlers directly"
+        ) from e
+
+    app = FastAPI()
+
+    @app.post("/send_kafka/")
+    def send_kafka(body: dict):  # pragma: no cover - needs fastapi
+        return service.send_profiles(body["user_id"], body["timestamp"])
+
+    @app.get("/get_recommendation/")
+    def get_rec(user_id: str, timestamp: int):  # pragma: no cover
+        return service.get_recommendation(user_id, timestamp)
+
+    return app
