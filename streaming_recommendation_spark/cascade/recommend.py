@@ -72,6 +72,7 @@ def recommend(
     recall_score: Column | None = None,
     rank_score: Column | None = None,
     rerank_score: Column | None = None,
+    recall_strategy: str = "brute",
 ) -> DataFrame:
     """Run the cascade for every user in `users`.
 
@@ -88,22 +89,37 @@ def recommend(
     """
     cfg = config or CascadeConfig()
 
-    # M1 recall: score every (user, item); at 100 TB swap this stage
-    # for operators.similarity.lsh_knn (same output contract).
-    scored = users.crossJoin(F.broadcast(items)).select(
-        "user_id",
-        "item_id",
-        (recall_score if recall_score is not None else _default_recall_score()).alias(
-            "recall_score"
-        ),
-    )
-    recalled = top_k_per_group(
-        scored,
-        cfg.k_recall,
-        ["user_id"],
-        F.col("recall_score").desc(),
-        F.col("item_id").asc(),
-    )
+    # M1 recall. recall_strategy:
+    #   "brute" — score every (user, item) pair (exact; items broadcast)
+    #   "lsh"   — SRP-LSH bucketed approximate recall: at 100 TB the
+    #             item corpus is too large to score densely; buckets
+    #             prune ~1/2^P per table (same output contract)
+    if recall_strategy == "lsh":
+        from ..operators.similarity import lsh_knn
+
+        recalled = lsh_knn(
+            items,
+            users.select("user_id", F.col("user_vec").alias("item_vec")),
+            k=cfg.k_recall,
+            id_col="item_id",
+            vec_col="item_vec",
+            query_id_col="user_id",
+        ).select("user_id", F.col("neighbor_id").alias("item_id"))
+    else:
+        scored = users.crossJoin(F.broadcast(items)).select(
+            "user_id",
+            "item_id",
+            (
+                recall_score if recall_score is not None else _default_recall_score()
+            ).alias("recall_score"),
+        )
+        recalled = top_k_per_group(
+            scored,
+            cfg.k_recall,
+            ["user_id"],
+            F.col("recall_score").desc(),
+            F.col("item_id").asc(),
+        )
 
     # J6: drop items the user has already interacted with.
     fresh = recalled.join(history, ["user_id", "item_id"], "left_anti")

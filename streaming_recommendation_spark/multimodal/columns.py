@@ -43,6 +43,10 @@ IMAGE_FEATURE_SCHEMA = (
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
 
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, duration_s double, feature array<float>"
+)
+
 _MAGIC = b"FAKEMEDIA1"
 
 
@@ -163,3 +167,44 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, media_col).mapInPandas(run, FRAME_SCHEMA)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    sample_rate: int = 16_000,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Audio stub: the payload body stands in for 8-bit PCM samples;
+    emits (id, sample_rate, duration_s, chunked-energy feature). A
+    real build swaps the body parse for soundfile/librosa decode
+    (import-gated like the PIL path) — the Spark plumbing (binary in,
+    typed metadata + vector out, map-side only) is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srs, durs, feats = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                _w, _h, _nf, body = _parse_fake(bytes(payload))
+                samples = np.frombuffer(body, dtype=np.uint8).astype(np.float64)
+                samples = (samples - 128.0) / 128.0  # center like PCM
+                chunks = np.array_split(samples, feature_dim)
+                rms = np.array(
+                    [float(np.sqrt(np.mean(c**2))) if len(c) else 0.0 for c in chunks],
+                    dtype=np.float32,
+                )
+                ids.append(i)
+                srs.append(sample_rate)
+                durs.append(len(samples) / sample_rate)
+                feats.append(rms.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": srs,
+                    "duration_s": durs,
+                    "feature": feats,
+                }
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)

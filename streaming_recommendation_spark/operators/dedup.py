@@ -89,17 +89,37 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Doc pairs with shingle-set Jaccard >= threshold (a < b).
 
     Inverted-index self-join: pairs only materialize for docs sharing
     at least one shingle. Sizes come from one groupBy; Jaccard =
     |∩| / (|A| + |B| - |∩|).
+
+    ``max_df_ratio`` caps the inverted index by document frequency:
+    shingles present in more than that fraction of docs are dropped
+    from the JOIN side (sizes still count them). At corpus scale a
+    boilerplate shingle shared by 10% of documents alone generates
+    (0.1·N)^2 candidate pairs — the cap is what keeps the self-join
+    linear-ish. Jaccard becomes a lower bound for pairs whose overlap
+    was purely stop-shingles (they were never near-dups anyway).
     """
     sh = shingle_table(df, text_col, id_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    joinable = sh
+    if max_df_ratio is not None:
+        n_docs = df.select(id_col).distinct().count()
+        cap = max(2, int(max_df_ratio * n_docs))
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= cap)
+            .select("shingle")
+        )
+        joinable = sh.join(rare, "shingle", "left_semi")
+    a = joinable.select(F.col(id_col).alias("a"), "shingle")
+    b = joinable.select(F.col(id_col).alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a") < F.col("b"))

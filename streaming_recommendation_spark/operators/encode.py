@@ -1,0 +1,51 @@
+"""Dictionary encoding at scale (SURVEY §2.3 J2).
+
+q27's `dense_rank` over all distinct keys is the semantic spec but
+funnels every key through ONE partition. ``dict_encode`` is the scale
+path: count keys per sorted partition, prefix-sum the counts on the
+driver (one tiny action over n_partitions integers), then assign
+index = partition_offset + local row_number. Same contiguous 0..n-1
+result, shuffle-parallel everywhere; only the per-partition counts
+(not keys) touch the driver.
+
+Determinism: keys are range-partitioned by sort order, so the mapping
+equals the global sort order — identical to q27's dense_rank - 1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dict_encode(
+    df: DataFrame, key_col: str, index_col: str = "idx", num_partitions: int | None = None
+) -> DataFrame:
+    """(key) -> (key, idx) with contiguous indexes 0..n-1 in key sort
+    order. Input rows are de-duplicated first."""
+    keys = df.select(key_col).distinct()
+    n = num_partitions or keys.sparkSession.sparkContext.defaultParallelism
+    parted = keys.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(key_col)
+
+    counts = parted.select(F.spark_partition_id().alias("pid")).groupBy("pid").count()
+    sizes = {r.pid: r["count"] for r in counts.collect()}  # n integers only
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    spark = keys.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "pid int, offset long"
+        )
+    )
+
+    w = Window.partitionBy("pid").orderBy(key_col)
+    local = parted.select(
+        key_col, F.spark_partition_id().alias("pid")
+    ).withColumn("local_rn", F.row_number().over(w) - 1)
+    return (
+        local.join(offsets_df, "pid")
+        .select(key_col, (F.col("offset") + F.col("local_rn")).alias(index_col))
+    )

@@ -130,3 +130,24 @@ def test_torch_scorer_import_gate(cascade_inputs):
             rerank_score=scorer(F.col("user_vec"), F.col("item_vec")),
         ).collect()
     assert "PyTorch" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
+
+def test_lsh_recall_strategy(cascade_inputs):
+    """The LSH recall path must produce the same output contract and
+    respect history exclusion; quality is covered by the LSH recall
+    tests in test_similarity.py."""
+    users, items, history = cascade_inputs
+    out = recommend(
+        users, items, history,
+        CascadeConfig(k_recall=60, k_rank=30, k_rerank=15, k_final=5),
+        recall_strategy="lsh",
+    )
+    rows = out.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r.rank)
+    assert len(per_user) == 10
+    for ranks in per_user.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    seen = {(r.user_id, r.item_id) for r in history.collect()}
+    assert not seen & {(r.user_id, r.item_id) for r in rows}

@@ -66,3 +66,13 @@ def test_simhash_hamming_orders_similarity(spark, docs):
     assert ham(1, 3) == 0
     assert ham(1, 4) < ham(1, 5)
     assert ham(1, 4) <= 10  # near dup stays within a few bits
+
+
+def test_ngram_jaccard_with_df_cap(spark, docs):
+    """Capping the inverted index by document frequency must still
+    find the true near-dups (their overlap is in rare shingles)."""
+    capped = {
+        (r.a, r.b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df_ratio=0.9).collect()
+    }
+    assert (1, 2) in capped and (1, 3) in capped

@@ -76,3 +76,19 @@ def test_pil_decoder_import_gate(spark, media_docs):
     with pytest.raises(Exception) as ei:
         extract_image_features(media_docs.limit(2), decoder="pil").collect()
     assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_audio_features_stub(spark):
+    from streaming_recommendation_spark.multimodal.columns import (
+        extract_audio_features,
+    )
+
+    docs = load_table(spark, "documents", SF_DIR).select("doc_id").limit(20)
+    audio = attach_fake_media(docs, kind="audio")
+    out = extract_audio_features(audio).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.sample_rate == 16000
+        assert r.duration_s > 0
+        assert len(r.feature) == 8
+        assert all(0.0 <= v <= 1.01 for v in r.feature)

@@ -141,3 +141,25 @@ def test_tail_slice_all_lengths(spark):
     out = df.select("arr", tail_slice(F.col("arr"), 5).alias("t")).collect()
     for r in out:
         assert r.t == r.arr[-5:]
+
+
+def test_dict_encode_matches_dense_rank(spark):
+    """The distributed per-partition-offset encoder must equal the
+    single-partition dense_rank spec (q27) exactly."""
+    from pyspark.sql import Window
+
+    from streaming_recommendation_spark.operators.encode import dict_encode
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    got = {
+        r.user_id: r.idx for r in dict_encode(ev, "user_id", num_partitions=7).collect()
+    }
+    spec = {
+        r.user_id: r.idx
+        for r in ev.select("user_id")
+        .distinct()
+        .withColumn("idx", F.dense_rank().over(Window.orderBy("user_id")) - 1)
+        .collect()
+    }
+    assert got == spec
