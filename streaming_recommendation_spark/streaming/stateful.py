@@ -32,6 +32,7 @@ def _update_history(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     max_items: int = 50,
+    evict: bool = True,
 ) -> Iterator[pd.DataFrame]:
     if state.hasTimedOut:
         state.remove()
@@ -53,7 +54,8 @@ def _update_history(
     items = items[-max_items:]
 
     state.update((items, last_ts))
-    state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
+    if evict:
+        state.setTimeoutDuration(60 * 60 * 1000)  # evict after 1h idle
     yield pd.DataFrame(
         {"user_id": [key[0]], "timestamp": [last_ts], "history_items": [items]}
     )
@@ -62,6 +64,7 @@ def _update_history(
 def running_history_state(
     events: DataFrame,
     max_items: int = 50,
+    evict_idle: bool = True,
 ) -> DataFrame:
     """events (user_id, item, timestamp) — one item per row — into a
     stream of complete last-N profiles per user per micro-batch.
@@ -69,15 +72,26 @@ def running_history_state(
     Works on a streaming DataFrame (keyed state, update mode). The
     grouping key is user_id, so state shuffles once and lives
     partitioned in the state store.
+
+    ``evict_idle`` enables processing-time state eviction. Note the
+    operational consequence: with a timeout configured, Spark keeps
+    scheduling no-data micro-batches to evaluate timeouts, so an
+    ``availableNow`` run NEVER self-terminates — use eviction for
+    long-lived production streams, disable it for bounded
+    drain-and-stop runs.
     """
 
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        return _update_history(key, pdfs, state, max_items)
+        return _update_history(key, pdfs, state, max_items, evict=evict_idle)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )

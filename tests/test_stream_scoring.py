@@ -94,16 +94,25 @@ def test_running_history_state(spark, tmp_path):
         .select(F.from_json("value", schema).alias("m"))
         .select("m.*")
     )
-    out = running_history_state(raw, max_items=5)
-    q = (
-        out.writeStream.format("memory")
-        .queryName("hist_state")
-        .outputMode("update")
-        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    # evict_idle=False: bounded run must drain and self-terminate
+    # (with eviction on, timeout-evaluation batches run forever)
+    out = running_history_state(raw, max_items=5, evict_idle=False)
+    # state-store maintenance cost scales with state partitions; 2 is
+    # plenty for 2 users and cuts this test from ~2min to seconds
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("hist_state")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     rows = spark.sql("SELECT * FROM hist_state").collect()
     # u1 appears once per micro-batch that touched it; the LAST emission
     # carries the accumulated, truncated history
