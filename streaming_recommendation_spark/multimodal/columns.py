@@ -16,8 +16,10 @@ actual codec step is pluggable:
   * ``decoder="pil"``: real decode via Pillow, import-gated; raises
     NotImplementedError with guidance when Pillow is absent.
 
-Scale notes: blobs never pass through a shuffle (all ops are
-map-side); feature outputs are narrow (id + floats) so downstream
+Scale notes: all ops are map-side — at scale blobs never pass
+through a shuffle (the only exception is the explicit spread of a
+single-small-file source in local testing, where the scan gives one
+partition); feature outputs are narrow (id + floats) so downstream
 joins/aggregations shuffle only vectors, not media. Partition sizing
 is the scan's job — keep ``spark.sql.files.maxPartitionBytes`` small
 enough that a batch of blobs fits the Arrow budget.

@@ -1470,3 +1470,139 @@ def q60_cube_order_stats(spark, sf_dir):
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "q61_shipping_volume_between_nations",
+    """
+    SELECT supp_nation, cust_nation,
+           round(sum(volume), 4) AS revenue, count(*) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE n1.n_name < n2.n_name
+    )
+    GROUP BY supp_nation, cust_nation
+    """,
+    doc="TPC-H Q7 shape: 5-way join with a self-joined dimension "
+    "(nation twice under different roles) + inequality predicate.",
+    tags=("join", "agg"),
+)
+def q61_shipping_volume_between_nations(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(F.col("supp_nation") < F.col("cust_nation"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        F.round(F.sum(vol), 4).alias("revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+@register(
+    "q62_region_market_share",
+    """
+    SELECT r_name,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice ELSE 0 END)
+                 / sum(o_totalprice), 6) AS urgent_share
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="TPC-H Q8 shape: conditional-aggregate ratio (market share) "
+    "within groups.",
+    tags=("join", "agg"),
+)
+def q62_region_market_share(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    urgent = F.sum(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(
+            0.0
+        )
+    )
+    return j.groupBy("r_name").agg(
+        F.round(urgent / F.sum("o_totalprice"), 6).alias("urgent_share")
+    )
+
+
+@register(
+    "q63_lineitems_by_quantity_band",
+    """
+    SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 30 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n, round(avg(l_extendedprice), 6) AS avg_price
+    FROM lineitem GROUP BY 1
+    """,
+    doc="TPC-H Q12-style CASE bucketing + per-band aggregates.",
+    tags=("agg", "scalar"),
+)
+def q63_lineitems_by_quantity_band(spark, sf_dir):
+    band = (
+        F.when(F.col("l_quantity") < 10, "low")
+        .when(F.col("l_quantity") < 30, "mid")
+        .otherwise("high")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "q64_brand_revenue_ratio",
+    """
+    SELECT round(
+      100.0 * sum(CASE WHEN p_brand = 'Brand#1'
+                       THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / sum(l_extendedprice * (1 - l_discount)), 6) AS brand1_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="TPC-H Q14 shape: global conditional-revenue percentage over "
+    "a fact-dim join.",
+    tags=("join", "agg"),
+)
+def q64_brand_revenue_ratio(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    brand_vol = F.sum(F.when(F.col("p_brand") == "Brand#1", vol).otherwise(0.0))
+    return j.agg(
+        F.round(100.0 * brand_vol / F.sum(vol), 6).alias("brand1_pct")
+    )
