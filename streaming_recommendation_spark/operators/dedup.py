@@ -202,20 +202,7 @@ def minhash_lsh_pairs(
     Returns distinct (a, b) with a < b; verify with
     ngram_jaccard_pairs on the candidates if exact Jaccard is needed.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, num_hashes, text_col, id_col, n)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(F.concat_ws(",", *[F.col("sig")[b * rows_per_band + r].cast("string")
-                                              for r in range(rows_per_band)]))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = banded_signature_table(df, num_hashes, bands, text_col, id_col, n)
     a = banded.select(F.col(id_col).alias("a"), "band", "bucket")
     b = banded.select(F.col(id_col).alias("b"), "band", "bucket")
     return (
@@ -251,3 +238,63 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2 ** j).cast("long")
         fp = term if fp is None else fp + term
     return votes.select(F.col(id_col), fp.alias("simhash"))
+
+
+def banded_signature_table(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) — the LSH index rows for a corpus. Persist
+    this (bucketed by `bucket`, sources.layout.write_bucketed) and
+    incremental dedup of NEW documents becomes one equi-join against
+    the stored index — signatures of the existing corpus are never
+    recomputed. This is what makes continuous-ingest dedup feasible
+    at 100 TB: per batch, cost ~ |new docs| x bands, not |corpus|."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, num_hashes, text_col, id_col, n)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
+def incremental_lsh_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Candidate (new_id, existing_id) pairs: new docs vs a previously
+    persisted banded_signature_table. Only the new batch is hashed."""
+    new_banded = banded_signature_table(
+        new_docs, num_hashes, bands, text_col, id_col, n
+    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
+    existing = index.select(F.col(id_col).alias("existing_id"), "band", "bucket")
+    return (
+        new_banded.join(existing, ["band", "bucket"])
+        .where(F.col("new_id") != F.col("existing_id"))
+        .select("new_id", "existing_id")
+        .distinct()
+    )

@@ -76,3 +76,33 @@ def test_ngram_jaccard_with_df_cap(spark, docs):
         for r in ngram_jaccard_pairs(docs, threshold=0.5, max_df_ratio=0.9).collect()
     }
     assert (1, 2) in capped and (1, 3) in capped
+
+
+def test_incremental_lsh_index(spark, docs, tmp_path):
+    """Persist the banded index for the corpus; a new near-dup batch
+    finds its matches via one join, without re-hashing the corpus."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.dedup import (
+        banded_signature_table,
+        incremental_lsh_candidates,
+    )
+
+    index = banded_signature_table(docs)
+    path = str(tmp_path / "lsh_index")
+    index.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+
+    new_batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=BASE),  # dup of docs 1/2/3
+            Row(doc_id=101, text="fresh content with no twin anywhere "
+                                 "in the existing corpus at all today"),
+        ]
+    )
+    cands = {
+        (r.new_id, r.existing_id)
+        for r in incremental_lsh_candidates(new_batch, stored).collect()
+    }
+    assert (100, 1) in cands and (100, 2) in cands
+    assert not any(nid == 101 for nid, _ in cands)
