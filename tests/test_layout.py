@@ -76,3 +76,23 @@ def test_unbucketed_join_does_shuffle(spark):
     users = ev.select("user_id").distinct()
     joined = ev.join(users.hint("merge"), "user_id")
     assert n_exchanges(plan_of(joined)) >= 2
+
+
+def test_bucketed_window_query_skips_shuffle(spark):
+    """The repeat-query story for per-user operators (SURVEY M2):
+    last-N / as-of windows partition by user_id, so over a table
+    bucketed by user_id they run with no Exchange at all."""
+    from streaming_recommendation_spark.operators.history import last_n_events
+
+    ev = load_table(spark, "events", SF_DIR).withColumn(
+        "ts_sec", F.unix_timestamp("ts")
+    )
+    write_bucketed(ev, "ev_by_user", "user_id", num_buckets=8, sort_col="user_id")
+    bucketed = read_table(spark, "ev_by_user")
+
+    last5 = last_n_events(bucketed, 5, "user_id", "ts_sec", "event_id")
+    plan = plan_of(last5)
+    assert n_exchanges(plan) == 0, plan
+    # and the control: same query on the raw parquet shuffles
+    raw5 = last_n_events(ev, 5, "user_id", "ts_sec", "event_id")
+    assert n_exchanges(plan_of(raw5)) >= 1
