@@ -126,3 +126,42 @@ def test_running_history_state(spark, tmp_path):
     assert final.history_items == ["i2", "j0", "j1", "j2", "j3"]
     u2 = [r for r in rows if r.user_id == "u2"]
     assert u2 and u2[0].history_items == ["x"]
+
+
+def test_ingest_throughput_meets_baseline(spark, tmp_path):
+    """BASELINE.md target: >= 50 profiles/sec sustained through parse
+    -> dedup -> executor-side KV writes, on one node. 10k messages
+    through the full pipeline must clear it with a wide margin."""
+    import time
+
+    from streaming_recommendation_spark.streaming import (
+        JsonlDirSink,
+        profile_pipeline,
+    )
+
+    d = tmp_path / "bulk"
+    d.mkdir()
+    n = 10_000
+    lines = [
+        json.dumps(
+            {
+                "user_id": f"u{i % 500}",
+                "history_items": [f"i{(i + k) % 1000}" for k in range(10)],
+                "timestamp": 1_700_000_000 + i,
+            }
+        )
+        for i in range(n)
+    ]
+    (d / "bulk.txt").write_text("\n".join(lines) + "\n")
+
+    sink = JsonlDirSink(str(tmp_path / "kv"))
+    t0 = time.perf_counter()
+    q = profile_pipeline(
+        spark.readStream.text(str(d)), sink, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(300)
+    elapsed = time.perf_counter() - t0
+    written = len(sink.read_all())
+    assert written == n  # all (user, ts) pairs unique by construction
+    rate = written / elapsed
+    assert rate >= 50, f"{rate:.0f} profiles/sec < 50 target"
