@@ -86,6 +86,7 @@ def sliding_window_samples(
     start: int = 1,
     stride: int = 2,
     max_history: int = 50,
+    strategy: str = "array",
 ) -> DataFrame:
     """W4: stride-S prefix-window training samples.
 
@@ -96,7 +97,32 @@ def sliding_window_samples(
     (start index 1, stride 2, history cap 50).
 
     Returns (user, history: array, candidate, pos).
+
+    strategy:
+      "array"  — collect each user's items once, posexplode (one
+                 shuffle; per-user array bounded by 5-core-style
+                 activity).
+      "window" — whale-safe: a sliding collect_list frame of at most
+                 `max_history` rows per output row; no full-history
+                 array ever materializes, so a user with 10^6 events
+                 costs memory O(max_history) per row instead of
+                 O(user_events). Same output, same single shuffle.
     """
+    if strategy == "window":
+        order = [F.col(ts_col).asc(), F.col(item_col).asc()]
+        w_pos = Window.partitionBy(user_col).orderBy(*order)
+        w_hist = w_pos.rowsBetween(-max_history, -1)
+        return (
+            df.select(
+                F.col(user_col),
+                F.col(item_col).alias("candidate"),
+                (F.row_number().over(w_pos) - 1).alias("pos"),
+                F.collect_list(F.col(item_col)).over(w_hist).alias("history"),
+            )
+            .where((F.col("pos") >= start) & ((F.col("pos") - start) % stride == 0))
+            .select(user_col, "history", "candidate", "pos")
+        )
+
     hist = collect_history(df, user_col, ts_col, item_col)
     items = hist.select(
         F.col(user_col),

@@ -163,3 +163,24 @@ def test_dict_encode_matches_dense_rank(spark):
         .collect()
     }
     assert got == spec
+
+
+def test_sliding_samples_window_strategy_equals_array(spark):
+    """The whale-safe window-frame variant must produce byte-identical
+    samples to the array variant on the events table."""
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    kw = dict(
+        user_col="user_id", ts_col="ts", item_col="event_id",
+        start=1, stride=2, max_history=7,
+    )
+    a = {
+        (r.user_id, r.pos): (tuple(r.history), r.candidate)
+        for r in sliding_window_samples(ev, strategy="array", **kw).collect()
+    }
+    b = {
+        (r.user_id, r.pos): (tuple(r.history), r.candidate)
+        for r in sliding_window_samples(ev, strategy="window", **kw).collect()
+    }
+    assert a == b and len(a) > 100
