@@ -24,15 +24,33 @@ exact pipeline.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import det_hash_str
 
-# Mersenne prime 2^61-1: multiply-mod stays exact in int128-free SQL
-# engines as long as a,b < 2^30 and h < 2^32 (a*h < 2^62).
-MH_PRIME = 2305843009213693951
-MH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(64)]  # odd a, distinct b
+# Carter-Wegman family g_i(h) = (a_i*h + b_i) mod P over the Mersenne
+# prime P = 2^31-1, with the shingle hash h restricted to 28 bits
+# (first 7 hex chars of md5) and a_i, b_i drawn uniformly from [1, P).
+# a*h < 2^59 stays exact in int64 for ANY SQL engine, yet a*h wraps
+# the modulus ~2^28 times, so the family is genuinely 2-universal.
+# (The earlier 2^61-1 variant with a < 2^30 barely wrapped once:
+# components stayed monotone in the same min-shingle hash and the
+# per-component agreement rate did NOT track Jaccard — see
+# tests/test_dedup.py::test_minhash_component_agreement_tracks_jaccard.)
+MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _mh_param(i: int, salt: str) -> int:
+    """Deterministic pseudo-random coefficient uniform-ish in [1, P).
+    Derived from md5 so the DuckDB oracle can reproduce the values."""
+    digest = hashlib.md5(f"minhash-{salt}-{i}".encode()).hexdigest()
+    return int(digest[:12], 16) % (MH_PRIME - 1) + 1
+
+
+MH_PARAMS = [(_mh_param(i, "a"), _mh_param(i, "b")) for i in range(64)]
 
 
 def normalize_text(col):
@@ -109,12 +127,25 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     joinable = sh
     if max_df_ratio is not None:
-        n_docs = df.select(id_col).distinct().count()
-        cap = max(2, int(max_df_ratio * n_docs))
+        # cap = max(2, ratio * n_docs), derived lazily from the shingle
+        # table itself (a 1-row aggregate broadcast into the filter) —
+        # constructing this plan triggers zero Spark jobs, and n_docs
+        # costs one extra pass over the (much smaller) distinct-id set,
+        # not a second scan of the corpus.
+        n_docs_df = sh.select(
+            F.count_distinct(F.col(id_col)).alias("__n_docs")
+        )
         rare = (
             sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") <= cap)
+            .crossJoin(F.broadcast(n_docs_df))
+            .where(
+                F.col("df")
+                <= F.greatest(
+                    F.lit(2),
+                    (F.lit(max_df_ratio) * F.col("__n_docs")).cast("long"),
+                )
+            )
             .select("shingle")
         )
         joinable = sh.join(rare, "shingle", "left_semi")
@@ -151,7 +182,8 @@ def minhash_signatures(
     """(id, sig: array<long>[num_hashes]) — minhash of the shingle set.
 
     minhash_i = min over shingles s of (a_i * H(s) + b_i) mod P, with
-    H the deterministic md5-derived 32-bit hash.
+    H the deterministic md5-derived 28-bit hash (7 hex chars — small
+    enough that a*H stays int64-exact while wrapping P many times).
 
     Perf shape: H(s) is materialized ONCE per shingle in its own
     projection (CollapseProject won't re-inline an expensive alias),
@@ -169,14 +201,14 @@ def minhash_signatures(
     hashed = df.select(
         F.col(id_col),
         F.transform(
-            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
         ).alias("__h"),
     )
     a_arr = F.array(*[F.lit(a) for a, _ in params])
     b_arr = F.array(*[F.lit(b) for _, b in params])
     sig = F.aggregate(
         F.col("__h"),
-        F.array_repeat(F.lit(MH_PRIME), num_hashes),
+        F.array_repeat(F.lit(MH_PRIME).cast("long"), num_hashes),
         lambda acc, h: F.zip_with(
             acc,
             F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(MH_PRIME)),

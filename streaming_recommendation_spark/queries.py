@@ -816,17 +816,18 @@ def q26_union_distinct_keys(spark, sf_dir):
     FROM (SELECT DISTINCT user_id FROM events)
     """,
     doc="J2 dictionary encoding: string/extern ids -> dense ints "
-    "(reference lightgcn/utils.py:56-66). Deterministic rank by key; at "
-    "scale prefer zipWithIndex-free monotonic ids per partition + offset.",
+    "(reference lightgcn/utils.py:56-66). The oracle SQL (dense_rank) is "
+    "the semantic spec; the implementation uses the scale path — "
+    "operators/encode.py::dict_encode (range-partition + per-partition "
+    "offsets, proven equal in tests/test_properties.py) — so no global"
+    "single-partition window appears in the plan.",
     tags=("join", "window"),
 )
 def q27_dict_encode_users(spark, sf_dir):
-    from pyspark.sql import Window
+    from .operators.encode import dict_encode
 
-    users = _t(spark, sf_dir, "events").select("user_id").distinct()
-    return users.withColumn(
-        "user_idx", F.dense_rank().over(Window.orderBy("user_id")) - 1
-    )
+    users = _t(spark, sf_dir, "events").select("user_id")
+    return dict_encode(users, "user_id", index_col="user_idx")
 
 
 @register(
@@ -985,14 +986,25 @@ def q41_sliding_windows_batch(spark, sf_dir):
     None,
     doc="Multimodal: binary media column -> Arrow-batched mapInPandas "
     "feature extraction (deterministic fake codec; real decoder "
-    "import-gated). Plumbing invariants in tests/test_multimodal.py.",
+    "import-gated). Plumbing invariants in tests/test_multimodal.py. "
+    "Feature vector is posexploded to (doc_id, dim, value) rows so the "
+    "driver canonicalizer (pandas sort) can hash it — same flattening "
+    "q29 uses.",
     tags=("multimodal",),
 )
 def q42_image_features(spark, sf_dir):
     from .multimodal import attach_fake_media, extract_image_features
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    return extract_image_features(attach_fake_media(docs, kind="image"))
+    feats = extract_image_features(attach_fake_media(docs, kind="image"))
+    return feats.select(
+        "doc_id",
+        "width",
+        "height",
+        F.posexplode("feature").alias("dim", "v"),
+    ).select(
+        "doc_id", "width", "height", "dim", F.round(F.col("v"), 6).alias("feat_v")
+    )
 
 
 @register(

@@ -35,6 +35,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which Spark
+        # rejects outright unless nanosAsLong is on. The conf is a
+        # runtime-settable SQLConf, so set it here rather than relying on
+        # the session builder — callers (e.g. the driver harness) may hand
+        # us a vanilla session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with

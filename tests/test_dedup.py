@@ -106,3 +106,51 @@ def test_incremental_lsh_index(spark, docs, tmp_path):
     }
     assert (100, 1) in cands and (100, 2) in cands
     assert not any(nid == 101 for nid, _ in cands)
+
+
+def test_minhash_component_agreement_tracks_jaccard(spark):
+    """Guards against a degenerate hash family: if every (a_i, b_i)
+    keeps a_i*h below the Mersenne prime, the mod never engages and
+    every signature component becomes a monotone transform of the same
+    min-shingle hash — all components then agree/disagree together and
+    LSH banding gives no amplification. With a decorrelated family the
+    per-component agreement rate is an unbiased estimator of Jaccard."""
+    from streaming_recommendation_spark.operators.dedup import (
+        MH_PARAMS,
+        MH_PRIME,
+        minhash_signatures,
+    )
+
+    # Carter-Wegman coefficients uniform in [1, P); a*h (28-bit h)
+    # wraps the modulus many times, and stays int64-exact
+    for a, b in MH_PARAMS:
+        assert 1 <= a < MH_PRIME
+        assert 1 <= b < MH_PRIME
+        assert a * ((1 << 28) - 1) + b < (1 << 63)  # no int64 overflow
+
+    words_common = [f"w{i}" for i in range(30)]
+    words_a = words_common + [f"aa{i}" for i in range(10)]
+    words_b = words_common + [f"bb{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(words_a)),
+            Row(doc_id=2, text=" ".join(words_b)),
+        ]
+    )
+
+    def shingle_set(ws, n=3):
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    sa, sb = shingle_set(words_a), shingle_set(words_b)
+    true_j = len(sa & sb) / len(sa | sb)
+    assert 0.2 < true_j < 0.9  # strictly-partial overlap by construction
+
+    sigs = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(docs, num_hashes=64).collect()
+    }
+    n_agree = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    # degeneracy symptom: all 64 agree or all 64 disagree
+    assert 0 < n_agree < 64
+    # unbiased estimator: within ~3 sigma of true Jaccard for 64 hashes
+    assert abs(n_agree / 64 - true_j) < 0.2
