@@ -57,22 +57,36 @@ def build_item_embeddings(item_meta: DataFrame) -> DataFrame:
     transform — generate_training_data.py:29-80) but the "passes" are
     one agg + one broadcast join; the scan runs once thanks to
     column pruning.
+
+    Fit/transform parity (generate_training_data.py:30-41,64-70): the
+    min/max FIT sees only parseable prices — a missing price defaults
+    to 0.0 (parseable, in the fit), an unparseable string (\"N/A\",
+    \"\") is skipped. At TRANSFORM time unparseable prices emit the
+    literal 0.0, never a scaled value.
     """
+    # null only for unparseable strings; raw-missing -> 0.0 like the
+    # reference's item.get('price', 0.0)
+    parsed = F.when(F.col("price").isNull(), F.lit(0.0)).otherwise(
+        F.regexp_replace(F.trim(F.col("price").cast("string")), r"[$,]", "")
+        .try_cast("double")
+    )
     cleaned = item_meta.select(
         F.col("asin").alias("item_id"),
         hash_bucket(
             F.coalesce(last_category(F.col("categories")), F.lit(""))
         ).alias("category_hash"),
         hash_bucket(F.coalesce(F.col("brand"), F.lit("Unknown"))).alias("brand_hash"),
-        clean_price(F.col("price")).alias("price"),
+        parsed.alias("price"),
     )
-    bounds = cleaned.agg(F.min("price").alias("mn"), F.max("price").alias("mx"))
+    bounds = cleaned.where(F.col("price").isNotNull()).agg(
+        F.min("price").alias("mn"), F.max("price").alias("mx")
+    )
     scaled = cleaned.crossJoin(F.broadcast(bounds)).select(
         "item_id",
         "category_hash",
         "brand_hash",
         F.when(
-            F.col("mx") > F.col("mn"),
+            F.col("price").isNotNull() & (F.col("mx") > F.col("mn")),
             (F.col("price") - F.col("mn")) / (F.col("mx") - F.col("mn")),
         )
         .otherwise(F.lit(0.0))
@@ -143,13 +157,19 @@ def build_train_data(
 
     # W4: prefix-window samples; positives gated on rating >= 4 of the
     # candidate (the reference checks the NEXT item's rating,
-    # generate_training_data.py:171).
+    # generate_training_data.py:171). Window parity
+    # (generate_training_data.py:139-162): each user's sequence is
+    # truncated to the last max_history events BEFORE windowing, and
+    # active users (original count >= activity_threshold — the
+    # reference's min_history_len) start the window at that index
+    # while light users start at 1.
     ratings = sampled.select("user_id", "item_id", "rating").dropDuplicates(
         ["user_id", "item_id"]
     )
     samples = sliding_window_samples(
         sampled, "user_id", "ts", "item_id", start=1, stride=stride,
-        max_history=max_history,
+        max_history=max_history, truncate=max_history,
+        active_start=activity_threshold,
     )
     positives = (
         samples.join(

@@ -87,6 +87,8 @@ def sliding_window_samples(
     stride: int = 2,
     max_history: int = 50,
     strategy: str = "array",
+    truncate: int | None = None,
+    active_start: int | None = None,
 ) -> DataFrame:
     """W4: stride-S prefix-window training samples.
 
@@ -95,6 +97,17 @@ def sliding_window_samples(
     h[0..p-1] (tail-truncated to max_history) as history and h[p] as
     the positive candidate. Mirrors generate_training_data.py:163-178
     (start index 1, stride 2, history cap 50).
+
+    Reference-parity knobs (generate_training_data.py:139-162):
+      truncate     — keep only each user's LAST `truncate` events
+                     BEFORE windowing (the reference truncates to
+                     max_history_len first, so heavy users emit
+                     windows over the truncated tail only).
+      active_start — users whose ORIGINAL (pre-truncation) event
+                     count >= active_start begin the window at index
+                     active_start (the reference's min_history_len=10
+                     for high-activity users); lighter users keep
+                     `start`. None = `start` for everyone.
 
     Returns (user, history: array, candidate, pos).
 
@@ -106,20 +119,47 @@ def sliding_window_samples(
                  `max_history` rows per output row; no full-history
                  array ever materializes, so a user with 10^6 events
                  costs memory O(max_history) per row instead of
-                 O(user_events). Same output, same single shuffle.
+                 O(user_events). Same output, same single shuffle
+                 (the truncate/active_start windows share the
+                 partition key, so Catalyst adds sorts, not
+                 exchanges).
     """
+
+    def start_expr(cnt_col):
+        if active_start is None:
+            return F.lit(start)
+        return F.when(cnt_col >= active_start, F.lit(active_start)).otherwise(
+            F.lit(start)
+        )
+
     if strategy == "window":
         order = [F.col(ts_col).asc(), F.col(item_col).asc()]
+        pre = df
+        if truncate is not None or active_start is not None:
+            w_cnt = Window.partitionBy(user_col)
+            pre = pre.withColumn("__cnt", F.count(F.lit(1)).over(w_cnt))
+        if truncate is not None:
+            w_desc = Window.partitionBy(user_col).orderBy(
+                F.col(ts_col).desc(), F.col(item_col).desc()
+            )
+            pre = pre.withColumn("__rdesc", F.row_number().over(w_desc)).where(
+                F.col("__rdesc") <= truncate
+            ).drop("__rdesc")
         w_pos = Window.partitionBy(user_col).orderBy(*order)
         w_hist = w_pos.rowsBetween(-max_history, -1)
+        st = start_expr(F.col("__cnt")) if active_start is not None else F.lit(start)
         return (
-            df.select(
+            pre.select(
                 F.col(user_col),
                 F.col(item_col).alias("candidate"),
                 (F.row_number().over(w_pos) - 1).alias("pos"),
                 F.collect_list(F.col(item_col)).over(w_hist).alias("history"),
+                st.alias("__start"),
             )
-            .where((F.col("pos") >= start) & ((F.col("pos") - start) % stride == 0))
+            .where(
+                (F.col("pos") >= F.col("__start"))
+                & ((F.col("pos") - F.col("__start")) % stride == 0)
+            )
             .select(user_col, "history", "candidate", "pos")
         )
 
@@ -128,14 +168,19 @@ def sliding_window_samples(
         F.col(user_col),
         F.transform("history", lambda s: s["item"]).alias("__items"),
     )
+    items = items.withColumn("__cnt", F.size("__items"))
+    if truncate is not None:
+        items = items.withColumn("__items", tail_slice(F.col("__items"), truncate))
     exploded = items.select(
         F.col(user_col),
         F.col("__items"),
+        start_expr(F.col("__cnt")).alias("__start"),
         F.posexplode("__items").alias("pos", "candidate"),
     )
     return (
         exploded.where(
-            (F.col("pos") >= start) & ((F.col("pos") - start) % stride == 0)
+            (F.col("pos") >= F.col("__start"))
+            & ((F.col("pos") - F.col("__start")) % stride == 0)
         )
         .select(
             F.col(user_col),

@@ -83,6 +83,7 @@ def binary_metrics(
     label_col: str = "label",
     threshold: float = 0.5,
     eps: float = 1e-15,
+    auc_score_decimals: int | None = None,
 ) -> DataFrame:
     """One-row (auc, accuracy, logloss, n_pos, n_neg).
 
@@ -92,13 +93,21 @@ def binary_metrics(
     rows assigns each tie group its average rank = rows_before +
     (n+1)/2. The single-partition window touches |distinct scores|
     rows, not |rows| — for model scores that's the quantized score
-    space; for truly continuous scores at extreme scale, pre-bucket
-    scores to fixed precision first.
+    space.
 
-    logloss expects score in [0,1]; scores are clamped to [eps, 1-eps]
-    (the reference clips identically via sklearn's default).
+    For truly CONTINUOUS scores (|distinct| ~ |rows|), pass
+    ``auc_score_decimals`` to quantize scores to that many decimals
+    for the AUC ranking only: the window then touches at most
+    10^decimals + 1 rows regardless of data size, and the AUC error
+    is bounded by the mass of pairs within half a quantum of each
+    other (<= ~10^-decimals for score distributions without point
+    masses; exact when scores are already that coarse). accuracy /
+    logloss are always computed on unquantized scores.
     """
-    groups = df.groupBy(score_col).agg(
+    auc_score = F.col(score_col)
+    if auc_score_decimals is not None:
+        auc_score = F.round(auc_score, auc_score_decimals)
+    groups = df.groupBy(auc_score.alias(score_col)).agg(
         F.count(F.lit(1)).alias("__n_in_tie"),
         F.sum(F.col(label_col)).alias("__pos_in_tie"),
     )

@@ -67,6 +67,18 @@ def knn_brute_force(
     ).select(query_id_col, "neighbor_id", "rank")
 
 
+def _require_dim(dim: int | None, vec_col: str) -> int:
+    """Plan builders must not run Spark jobs; callers pass the vector
+    width explicitly (it is part of the table contract, e.g. 64 for
+    the embeddings testdata)."""
+    if dim is None:
+        raise ValueError(
+            f"dim is required (width of {vec_col!r}); inferring it would "
+            "run a Spark job during plan construction"
+        )
+    return dim
+
+
 def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit hyperplanes (Box-Muller over a
     hand-rolled LCG so no RNG state leaks into the plan)."""
@@ -120,9 +132,12 @@ def lsh_knn(
     key, so Catalyst plans a shuffled hash join instead of the
     brute-force cross product; at scale the corpus is written
     bucketed/partitioned by the same key.
+
+    ``dim`` is required: hyperplanes are plan-time literals, and
+    discovering the width with a ``first()`` would run a Spark job
+    inside a plan builder.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _require_dim(dim, vec_col)
     tables = [
         _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
     ]
@@ -206,9 +221,10 @@ def embedding_near_dups(
     near-identical vectors agree on almost every hyperplane sign, so
     the bucket join prunes aggressively while OR-amplification keeps
     recall. A full pairwise cosine is O(n^2) and never materializes.
+
+    ``dim`` is required — see ``lsh_knn``.
     """
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+    dim = _require_dim(dim, vec_col)
     tables = [
         _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
     ]

@@ -34,7 +34,22 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side's hot keys split across
     ``salt_buckets`` reducers. Output columns = big's + small's
-    (minus the duplicate key), same as ``big.join(small, on, how)``."""
+    (minus the duplicate key), same as ``big.join(small, on, how)``.
+
+    Only inner/left/left_semi/left_anti are supported: the small side
+    is replicated once per salt, so a right/full outer join would
+    surface each UNMATCHED small-side row ``salt_buckets`` times as
+    null-extended duplicates. (left_anti is safe — a big row matches
+    the replica carrying its own salt iff the key exists at all.)
+    """
+    safe = {"inner", "left", "left_outer", "leftouter", "left_semi",
+            "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in safe:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched "
+            "small-side rows are replicated per salt and would "
+            "duplicate in outer results; use AQE skew handling instead"
+        )
     salt_src = F.xxhash64(*[F.col(c) for c in big.columns])
     b = big.withColumn("__salt", F.pmod(salt_src, F.lit(salt_buckets)).cast("int"))
     s = small.withColumn(

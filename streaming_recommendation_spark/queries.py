@@ -1046,7 +1046,7 @@ def q45_lsh_knn(spark, sf_dir):
     qdf = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.lsh_knn(emb, qdf, k=10)
+    return similarity.lsh_knn(emb, qdf, k=10, dim=64)
 
 
 @register(
@@ -1215,7 +1215,7 @@ def q49_normalized_edges(spark, sf_dir):
 )
 def q50_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.9)
+    return similarity.embedding_near_dups(emb, threshold=0.9, dim=64)
 
 
 # ---------------------------------------------------------------------------

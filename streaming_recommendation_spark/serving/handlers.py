@@ -15,11 +15,16 @@ production, the jsonl sink's dict in tests). Handlers return plain
 dicts, so they are tested without any web framework.
 
 Scale note: the reference rebuilds its in-memory per-user index from
-the whole behavior CSV at import time (behavior_lookup.py:17-29).
-``ReplayService`` instead pre-collects per-user sorted histories ONCE
-via the engine (bounded: only users' last ``max_history`` items) —
-the same data the reference holds, but produced by a distributed
-groupBy, and refreshable by re-running one query.
+the whole behavior CSV at import time (behavior_lookup.py:17-29) —
+unbounded driver memory. ``ReplayService`` caps the collect at
+``collect_depth`` (default 4x ``max_history``) most-recent events per
+user, so the driver index is O(users x collect_depth) regardless of
+how deep heavy users' histories run. Documented divergence: an as-of
+probe at a timestamp older than a user's ``collect_depth``-th most
+recent event sees a truncated prefix (the reference, holding
+everything, would return deeper history). Probes at-or-after that
+horizon — the serving case — are exact. ``collect_depth=None`` opts
+back into the reference's unbounded behavior for small replays.
 """
 
 from __future__ import annotations
@@ -42,9 +47,12 @@ class ReplayService:
         max_history: int = 50,
         fanout_min: int = 30,
         fanout_max: int = 60,
+        collect_depth: int | None = -1,
     ):
+        if collect_depth == -1:
+            collect_depth = 4 * max_history
         hist = collect_history(
-            behavior, "user_id", "timestamp", "item_id", max_len=None
+            behavior, "user_id", "timestamp", "item_id", max_len=collect_depth
         ).collect()
         # serving index: user -> ([ts...], [item...]) time-sorted
         self.index = {

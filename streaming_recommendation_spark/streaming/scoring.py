@@ -34,10 +34,19 @@ def score_batch(
     (the reference's cold-start path, model_service/models.py:64-88) —
     fully deterministic, no model weights needed; learned scorers plug
     into the same ``recommend`` call.
+
+    The cascade is keyed by the (user_id, timestamp) PROFILE VERSION,
+    not the bare user: two versions of the same user in one
+    micro-batch each get recommendations from exactly their own
+    history, written under their own versioned key (previously both
+    keys received a blend of the merged histories). The composite key
+    doubles as the result-key suffix, so no join-back is needed to
+    recover the timestamp.
     """
     exploded = profiles.select(
-        "user_id",
-        "timestamp",
+        F.concat_ws(
+            ":", F.col("user_id"), F.col("timestamp").cast("string")
+        ).alias("__version"),
         F.explode("history_items").alias("item_key"),
     )
     with_vecs = exploded.join(
@@ -45,35 +54,28 @@ def score_batch(
         "item_key",
     )
     user_vecs = (
-        with_vecs.select(
-            "user_id", "timestamp", F.posexplode("item_vec").alias("dim", "v")
-        )
-        .groupBy("user_id", "timestamp", "dim")
+        with_vecs.select("__version", F.posexplode("item_vec").alias("dim", "v"))
+        .groupBy("__version", "dim")
         .agg(F.avg("v").alias("v"))
-        .groupBy("user_id", "timestamp")
+        .groupBy("__version")
         .agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct("dim", "v"))), lambda s: s["v"]
             ).alias("user_vec")
         )
     )
-    history = with_vecs.select("user_id", "item_id")
-    users = user_vecs.select("user_id", "user_vec")
+    history = with_vecs.select(F.col("__version").alias("user_id"), "item_id")
+    users = user_vecs.select(F.col("__version").alias("user_id"), "user_vec")
     recs = recommend(users, items, history, config or CascadeConfig())
-    per_user = recs.groupBy("user_id").agg(
+    per_version = recs.groupBy("user_id").agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("rank", "item_id"))),
             lambda s: s["item_id"].cast("string"),
         ).alias("items")
     )
-    return per_user.join(
-        user_vecs.select("user_id", "timestamp"), "user_id"
-    ).select(
+    return per_version.select(
         F.concat_ws(
-            ":",
-            F.lit("recommendation_result"),
-            F.col("user_id"),
-            F.col("timestamp").cast("string"),
+            ":", F.lit("recommendation_result"), F.col("user_id")
         ).alias("key"),
         F.to_json("items").alias("value"),
     )

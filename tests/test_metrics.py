@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from streaming_recommendation_spark.operators.metrics import (
     binary_metrics,
@@ -53,3 +54,31 @@ def test_binary_metrics_hand_computed(spark):
     assert m.n_pos == 2 and m.n_neg == 2
     # threshold 0.5: predictions [1,1,1,0] vs labels [1,1,0,0] -> 3/4
     assert m.accuracy == 0.75
+
+
+def test_binary_metrics_quantized_auc_close_to_exact(spark):
+    """auc_score_decimals bounds the AUC window at 10^d+1 rows for
+    continuous scores; the quantized AUC must track the exact one."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    labels = rng.integers(0, 2, size=n)
+    # informative continuous scores: every value distinct
+    scores = np.clip(
+        labels * 0.25 + rng.normal(0.4, 0.22, size=n), 1e-6, 1 - 1e-6
+    )
+    rows = [
+        Row(user_id="u", score=float(s), label=int(l))
+        for s, l in zip(scores, labels)
+    ]
+    df = spark.createDataFrame(rows)
+    exact = binary_metrics(df).collect()[0]
+    quant = binary_metrics(df, auc_score_decimals=3).collect()[0]
+    assert abs(exact.auc - quant.auc) < 2e-3
+    # accuracy/logloss unaffected by quantization
+    assert exact.accuracy == quant.accuracy
+    assert exact.logloss == quant.logloss
+    # the ranking window now touches a bounded score space
+    n_groups = df.select(F.round("score", 3).alias("s")).distinct().count()
+    assert n_groups <= 10 ** 3 + 1

@@ -184,3 +184,46 @@ def test_sliding_samples_window_strategy_equals_array(spark):
         for r in sliding_window_samples(ev, strategy="window", **kw).collect()
     }
     assert a == b and len(a) > 100
+
+
+def test_sliding_window_reference_parity_knobs(spark):
+    """truncate + active_start reproduce generate_training_data.py's
+    loop exactly (truncate to last max_history BEFORE windowing;
+    start index = min_history_len for users at/above it) — and both
+    strategies agree."""
+    from pyspark.sql import Row
+
+    rows = []
+    # heavy user: 12 events -> truncated to last 8, start at 4 (active)
+    rows += [Row(user_id="heavy", ts=100 + i, item_id=f"h{i:02d}") for i in range(12)]
+    # light user: 3 events -> start at 1
+    rows += [Row(user_id="light", ts=200 + i, item_id=f"l{i}") for i in range(3)]
+    df = spark.createDataFrame(rows)
+
+    def python_reference(seq, truncate, active_start, start, stride, max_history):
+        out = []
+        cnt = len(seq)
+        st = active_start if cnt >= active_start else start
+        trunc = seq[-truncate:] if cnt > truncate else seq
+        for idx in range(st, len(trunc), stride):
+            hist = trunc[:idx][-max_history:]
+            if hist:
+                out.append((tuple(hist), trunc[idx], idx))
+        return sorted(out)
+
+    expect = {
+        "heavy": python_reference([f"h{i:02d}" for i in range(12)], 8, 4, 1, 2, 8),
+        "light": python_reference(["l0", "l1", "l2"], 8, 4, 1, 2, 8),
+    }
+    for strategy in ("array", "window"):
+        got = {}
+        res = sliding_window_samples(
+            df, "user_id", "ts", "item_id", start=1, stride=2,
+            max_history=8, strategy=strategy, truncate=8, active_start=4,
+        ).collect()
+        for r in res:
+            got.setdefault(r.user_id, []).append(
+                (tuple(r.history), r.candidate, r.pos)
+            )
+        for u in expect:
+            assert sorted(got.get(u, [])) == expect[u], (strategy, u)

@@ -65,3 +65,25 @@ def test_fastapi_gate(service):
 
     with pytest.raises(NotImplementedError):
         build_app(service)
+
+
+def test_index_collect_is_bounded(spark):
+    """The driver index must be O(users x collect_depth) even when one
+    user has far more events than the serving window needs (VERDICT r1
+    'what's wrong' #3 — previously an unbounded driver collect)."""
+    rows = [
+        Row(user_id="whale", item_id=f"w-i{i}", timestamp=1000 + i)
+        for i in range(500)
+    ] + [Row(user_id="light", item_id="l-i0", timestamp=1000)]
+    behavior = spark.createDataFrame(rows)
+
+    svc = ReplayService(behavior, max_history=5)  # default depth = 20
+    assert len(svc.index["whale"][0]) == 20
+    assert len(svc.index["light"][0]) == 1
+    # serving-window probes (within the collected horizon) are exact
+    assert svc.recent_history("whale", 1000 + 499) == [
+        f"w-i{i}" for i in range(495, 500)
+    ]
+    # explicit opt-out restores the reference's unbounded behavior
+    svc_full = ReplayService(behavior, max_history=5, collect_depth=None)
+    assert len(svc_full.index["whale"][0]) == 500

@@ -57,3 +57,24 @@ def test_als_recall_end_to_end(spark):
     assert all(r.n == 5 for r in per_user)
     n_users = inter.select("user_id").distinct().count()
     assert len(per_user) == n_users
+
+
+def test_salted_join_rejects_outer(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([Row(k=1, v="a")])
+    small = spark.createDataFrame([Row(k=1, w="x"), Row(k=2, w="y")])
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(big, small, "k", how="full_outer")
+    with pytest.raises(ValueError, match="salted_join does not support"):
+        salted_join(big, small, "k", how="right")
+    # left_anti is in the safe set and must not duplicate
+    anti = salted_join(
+        spark.createDataFrame([Row(k=1, v="a"), Row(k=3, v="c")]),
+        small.select("k"),
+        "k",
+        how="left_anti",
+    ).collect()
+    assert [(r.k, r.v) for r in anti] == [(3, "c")]

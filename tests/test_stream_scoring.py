@@ -165,3 +165,31 @@ def test_ingest_throughput_meets_baseline(spark, tmp_path):
     assert written == n  # all (user, ts) pairs unique by construction
     rate = written / elapsed
     assert rate >= 50, f"{rate:.0f} profiles/sec < 50 target"
+
+
+def test_score_batch_keeps_profile_versions_separate(spark, items):
+    """Two versions of the same user in one micro-batch must each be
+    scored against exactly their own history (older versions
+    previously got blended histories and the newer history's
+    exclusions)."""
+    profiles = spark.createDataFrame(
+        [
+            {"user_id": "300", "history_items": ["1", "2"], "timestamp": 1_700_000_100},
+            {"user_id": "300", "history_items": ["50", "51", "52"], "timestamp": 1_700_000_200},
+        ]
+    )
+    from streaming_recommendation_spark.cascade import CascadeConfig
+
+    out = score_batch(profiles, items, CascadeConfig(k_final=5))
+    recs = {r.key: json.loads(r.value) for r in out.collect()}
+    assert set(recs) == {
+        "recommendation_result:300:1700000100",
+        "recommendation_result:300:1700000200",
+    }
+    v1 = recs["recommendation_result:300:1700000100"]
+    v2 = recs["recommendation_result:300:1700000200"]
+    # each version excludes ONLY its own history
+    assert not {"1", "2"} & set(v1)
+    assert not {"50", "51", "52"} & set(v2)
+    # different histories -> different user vectors -> different lists
+    assert v1 != v2
