@@ -43,6 +43,9 @@ class CascadeConfig:
     k_rank: int = 50
     k_rerank: int = 20
     k_final: int = 10
+    # vector width, required by recall_strategy="lsh" (hyperplanes are
+    # plan-time literals; see operators.similarity._require_dim)
+    lsh_dim: int | None = None
 
 
 def _default_recall_score() -> Column:
@@ -101,6 +104,7 @@ def recommend(
             items,
             users.select("user_id", F.col("user_vec").alias("item_vec")),
             k=cfg.k_recall,
+            dim=cfg.lsh_dim,
             id_col="item_id",
             vec_col="item_vec",
             query_id_col="user_id",

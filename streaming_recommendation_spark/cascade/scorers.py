@@ -52,6 +52,59 @@ def dot_product_scorer() -> Callable[..., Column]:
     return pandas_scorer(_dot)
 
 
+def seeded_mlp_weights(
+    in_dim: int, hidden_dims: tuple[int, ...] = (16, 8), seed: int = 7
+) -> list:
+    """Deterministic random-but-seeded MLP weights [(W, b), ...] for
+    ``numpy_mlp_scorer`` — a stand-in for a trained state dict that
+    any test environment can reproduce."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dims = [in_dim, *hidden_dims, 1]
+    return [
+        (
+            rng.normal(0.0, (2.0 / (a + b)) ** 0.5, size=(a, b)),
+            rng.normal(0.0, 0.01, size=b),
+        )
+        for a, b in zip(dims, dims[1:])
+    ]
+
+
+def numpy_mlp_scorer(weights: list) -> Callable[..., Column]:
+    """Real-model scoring path WITHOUT torch: a numpy MLP executed
+    inside an Arrow-batched pandas UDF.
+
+    Signature parity with the reference's learned rankers — the MLP
+    consumes the concatenation of its two vector inputs exactly like
+    RankNet's forward (reference eval_online/main/ranknet.py:34-58:
+    concat(user_emb, item_emb) -> MLP -> score) and, fed
+    (candidate_vec, pooled_history_vec), like the post-attention half
+    of DIN's forward (eval_online/main/din.py:91-129: concat features
+    -> MLP -> sigmoid logit). ReLU hidden layers, sigmoid output.
+
+    ``weights`` ([(W, b), ...], e.g. from ``seeded_mlp_weights``) ride
+    to executors in the UDF closure — the same mechanism a broadcast
+    state dict uses. Each Arrow batch is scored as ONE stacked matmul
+    chain, never row-at-a-time; W0's row count must equal
+    len(vec_a) + len(vec_b).
+    """
+
+    def _score(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        x = np.concatenate(
+            [np.stack(a.to_numpy()), np.stack(b.to_numpy())], axis=1
+        ).astype("float64")
+        for i, (w, bias) in enumerate(weights):
+            x = x @ w + bias
+            if i < len(weights) - 1:
+                x = np.maximum(x, 0.0)
+        return pd.Series(1.0 / (1.0 + np.exp(-x[:, 0])))
+
+    return pandas_scorer(_score)
+
+
 def torch_module_scorer(
     weights_path: str,
     kind: str = "ranknet",

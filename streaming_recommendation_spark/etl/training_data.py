@@ -163,8 +163,14 @@ def build_train_data(
     # active users (original count >= activity_threshold — the
     # reference's min_history_len) start the window at that index
     # while light users start at 1.
-    ratings = sampled.select("user_id", "item_id", "rating").dropDuplicates(
-        ["user_id", "item_id"]
+    # MAX rating per (user, item): the reference gates on the rating of
+    # the specific occurrence at the window position; after collecting
+    # item-only histories that occurrence is gone, and dropDuplicates
+    # would pick an ARBITRARY occurrence (nondeterministic). Max is the
+    # deterministic choice (documented divergence: a pair is positive
+    # if ANY occurrence rated >= 4).
+    ratings = sampled.groupBy("user_id", "item_id").agg(
+        F.max("rating").alias("rating")
     )
     samples = sliding_window_samples(
         sampled, "user_id", "ts", "item_id", start=1, stride=stride,

@@ -479,10 +479,38 @@ def q17_activity_sampled_users(spark, sf_dir):
 
 @register(
     "q18_negative_samples",
-    None,  # verified by invariant tests (no SQL-expressible stable plan)
+    """
+    WITH pool AS (
+      SELECT item_id FROM (SELECT DISTINCT p_partkey AS item_id FROM part)
+      ORDER BY (item_id * 2654435761) % 4294967296
+      LIMIT 500
+    ),
+    users AS (SELECT DISTINCT l_suppkey AS user_id FROM lineitem),
+    positives AS (
+      SELECT DISTINCT l_suppkey AS user_id, l_partkey AS item_id FROM lineitem
+    ),
+    cands AS (
+      SELECT user_id, item_id,
+             ((((user_id * 1000003 + item_id) + 7) * 2654435761)
+               % 4294967296) / 4294967296.0 AS u
+      FROM users CROSS JOIN pool
+    ),
+    negs AS (
+      SELECT c.user_id, c.item_id, c.u
+      FROM cands c ANTI JOIN positives p USING (user_id, item_id)
+    ),
+    ranked AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY u ASC, item_id ASC) AS rn
+      FROM negs
+    )
+    SELECT user_id, item_id FROM ranked WHERE rn <= 5
+    """,
     doc="SA4/J3 deterministic k-per-user negative sampling with capped pool "
     "(reference generate_training_data.py:152-156). Invariants tested in "
-    "tests/test_sampling.py; rows-only check here.",
+    "tests/test_sampling.py; the oracle replays the Knuth pair-hash, "
+    "hash-ranked 500-item pool, positive anti-join, and per-user top-5.",
     tags=("sampling", "join"),
 )
 def q18_negative_samples(spark, sf_dir):
@@ -630,20 +658,86 @@ def q32_doc_fingerprints(spark, sf_dir):
     return text.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.STOPWORDS[lang])
+
+
+_Q33_HITS = ",\n      ".join(
+    f"len(list_filter(words, w -> list_contains([{_sw_list(lang)}], w)))"
+    f" AS h_{lang}"
+    for lang in sorted(text.STOPWORDS)
+)
+# Spark's array_max over struct(hits, lang) ties-break by the HIGHEST
+# language code — mirror by testing codes in descending order.
+_Q33_PRED = " ".join(
+    f"WHEN h_{lang} = mx THEN '{lang}'"
+    for lang in sorted(text.STOPWORDS, reverse=True)[:-1]
+)
+
+
 @register(
     "q33_language_id",
-    None,  # heuristic verified by accuracy test against the lang column
-    doc="Stopword-vote language ID; accuracy asserted in tests/test_text.py.",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS words
+      FROM documents
+    ), hits AS (
+      SELECT doc_id,
+      {_Q33_HITS},
+      greatest(h_de, h_en, h_es, h_fr) AS mx
+      FROM norm
+    )
+    SELECT doc_id,
+           CASE WHEN mx = 0 THEN 'und' {_Q33_PRED}
+                ELSE '{sorted(text.STOPWORDS)[0]}' END AS pred_lang,
+           mx AS stopword_hits
+    FROM hits
+    """,
+    doc="Stopword-vote language ID; accuracy asserted in tests/test_text.py; "
+    "oracle re-derives the vote + highest-code tie-break in SQL.",
     tags=("text",),
 )
 def q33_language_id(spark, sf_dir):
     return text.language_id(_t(spark, sf_dir, "documents"))
 
 
+_Q34_ALLSTOP = ", ".join(
+    f"'{w}'" for ws in text.STOPWORDS.values() for w in ws
+)
+
+
 @register(
     "q34_quality_scores",
-    None,
-    doc="Heuristic quality scoring (length/punct/stopword ratios).",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+'))      AS n_tok,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             length(text)                               AS n_chars,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               w -> list_contains([{_Q34_ALLSTOP}], w))) AS stop_hits
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             n_punct / greatest(n_chars, 1)   AS punct_ratio,
+             stop_hits / greatest(n_tok, 1)   AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           round((least(n_tok / 20.0, 1.0)
+                  + (CASE WHEN punct_ratio > 0.2 THEN 0.0
+                          ELSE 1 - punct_ratio * 5 END)
+                  + least(stop_ratio * 4.0, 1.0)) / 3, 6) AS quality,
+           n_tok AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6)  AS stop_ratio
+    FROM r
+    """,
+    doc="Heuristic quality scoring (length/punct/stopword ratios); oracle "
+    "re-derives the ratio formula in SQL.",
     tags=("text",),
 )
 def q34_quality_scores(spark, sf_dir):
@@ -652,10 +746,32 @@ def q34_quality_scores(spark, sf_dir):
 
 @register(
     "q35_knn_brute_force",
-    None,  # float-rank comparison done in tests (rank output is stable but
-    # cosine ties at float precision make a SQL oracle brittle)
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> (qv[i] * cv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS score
+      FROM q CROSS JOIN c),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk AS rank FROM ranked WHERE rnk <= 10
+    """,
     doc="Exact top-10 cosine neighbors for 5 query vectors; corpus never "
-    "shuffles (broadcast queries). Cross-checked vs numpy in tests.",
+    "shuffles (broadcast queries). Cross-checked vs numpy in tests. The "
+    "oracle mirrors the engine's float arithmetic bit-for-bit: float32 "
+    "elementwise products widened to double, then double-summed — ranks "
+    "agree exactly (ties would need cosines equal at double precision).",
     tags=("similarity",),
 )
 def q35_knn_brute_force(spark, sf_dir):
@@ -666,21 +782,86 @@ def q35_knn_brute_force(spark, sf_dir):
     return similarity.knn_brute_force(emb, queries_df, k=10)
 
 
+# 3-gram word shingles of normalized text, shared by the q36/q37
+# oracles (mirrors operators/dedup.py::word_shingles + shingle_table)
+_SHINGLE_CTE = """
+    words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(w) - 2 <= 0
+                           THEN [array_to_string(w, ' ')]
+                           ELSE list_transform(range(1, len(w) - 1),
+                                               i -> array_to_string(w[i:i+2], ' '))
+                      END) AS shingle
+        FROM words)
+    )"""
+
+
 @register(
     "q36_ngram_jaccard_dups",
-    None,  # verified structurally in tests; SQL oracle possible but heavy
-    doc="3-gram Jaccard >= 0.8 near-dup pairs via inverted-index self-join.",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+      FROM sh x JOIN sh y USING (shingle)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
+    """,
+    doc="3-gram Jaccard >= 0.8 near-dup pairs via inverted-index self-join; "
+    "oracle re-derives the shingle sets and Jaccard in SQL.",
     tags=("dedup",),
 )
 def q36_ngram_jaccard_dups(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
 
 
+# Carter-Wegman coefficients as a literal VALUES table so the oracle
+# reproduces the exact signatures (same md5-derived 28-bit shingle hash)
+_Q37_PARAMS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(dedup.MH_PARAMS[:16])
+)
+
+
 @register(
     "q37_minhash_lsh_pairs",
-    None,
+    f"""
+    WITH {_SHINGLE_CTE},
+    params(i, a, b) AS (VALUES {_Q37_PARAMS}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * hv + b) % {dedup.MH_PRIME}) AS mh
+      FROM hashed CROSS JOIN params
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+    FROM bands x JOIN bands y USING (band, band_key)
+    WHERE x.doc_id < y.doc_id
+    """,
     doc="MinHash-LSH candidate pairs (16 hashes, 4 bands); recall vs exact "
-    "Jaccard asserted in tests/test_dedup.py.",
+    "Jaccard asserted in tests/test_dedup.py. The oracle recomputes the "
+    "full signature matrix (same md5 shingle hash, same Carter-Wegman "
+    "coefficients) and bands in SQL — pair equality on band values is "
+    "equivalent to the engine's md5-bucket join.",
     tags=("dedup",),
 )
 def q37_minhash_lsh_pairs(spark, sf_dir):
@@ -938,11 +1119,79 @@ def q38_profile_kv_records(spark, sf_dir):
 
 @register(
     "q40_cascade_recommend",
-    None,
+    """
+    WITH users AS (SELECT vec_id AS user_id, embedding AS uv
+                   FROM embeddings WHERE vec_id < 20),
+    items AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
+    history AS (
+      SELECT user_id, (user_id * 3 + i) % 500 AS item_id
+      FROM users CROSS JOIN range(3) t(i)
+    ),
+    recall AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY score DESC, item_id ASC) AS rn
+      FROM (SELECT u.user_id, it.item_id,
+                   list_sum(list_transform(range(1, 65),
+                                           i -> (uv[i] * iv[i])::DOUBLE)) AS score
+            FROM users u CROSS JOIN items it)
+    ),
+    fresh AS (
+      SELECT r.user_id, r.item_id
+      FROM (SELECT user_id, item_id FROM recall WHERE rn <= 100) r
+      ANTI JOIN history h USING (user_id, item_id)
+    ),
+    hdim AS (
+      SELECT h.user_id, d.dim, avg(iv[d.dim + 1]::DOUBLE) AS v
+      FROM history h JOIN items it USING (item_id)
+      CROSS JOIN range(64) d(dim)
+      GROUP BY 1, 2
+    ),
+    hvec AS (SELECT user_id, list(v ORDER BY dim) AS hv FROM hdim GROUP BY user_id),
+    rank1 AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rscore DESC, item_id ASC) AS rn
+      FROM (SELECT f.user_id, f.item_id,
+                   CASE WHEN sqrt(list_sum(list_transform(iv, x -> (x*x)::DOUBLE)))
+                             * sqrt(list_sum(list_transform(hv, x -> x*x))) > 0
+                        THEN list_sum(list_transform(range(1, 65),
+                                                     i -> (iv[i] * hv[i])::DOUBLE))
+                             / (sqrt(list_sum(list_transform(iv, x -> (x*x)::DOUBLE)))
+                                * sqrt(list_sum(list_transform(hv, x -> x*x))))
+                        ELSE 0 END AS rscore
+            FROM fresh f
+            JOIN items it USING (item_id)
+            JOIN hvec USING (user_id))
+    ),
+    shortlist AS (SELECT user_id, item_id FROM rank1 WHERE rn <= 20),
+    final AS (
+      SELECT s.user_id, s.item_id,
+             CASE WHEN sqrt(list_sum(list_transform(uv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(iv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> (uv[i] * iv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(uv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(iv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS rrscore
+      FROM shortlist s
+      JOIN items it USING (item_id)
+      JOIN users u USING (user_id)
+    )
+    SELECT user_id, item_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY rrscore DESC, item_id ASC) AS rank
+    FROM final
+    QUALIFY rank <= 10
+    """,
     doc="M1-M5 three-stage cascade (recall->exclude->rank->rerank, "
     "k=100/50/20/10) over the embeddings table with deterministic "
     "embedding-math scorers. Invariants (k-chain, exclusion, "
-    "determinism, Arrow-scorer parity) in tests/test_cascade.py.",
+    "determinism, Arrow-scorer parity) in tests/test_cascade.py. The "
+    "oracle replays every stage in SQL with float-parity arithmetic "
+    "(dot recall -> history anti-join -> mean-pool history cosine rank "
+    "-> user-item cosine rerank; top-50-then-20 collapses to top-20 "
+    "under the identical ordering key).",
     tags=("cascade", "vector"),
 )
 def q40_cascade_recommend(spark, sf_dir):
@@ -961,10 +1210,26 @@ def q40_cascade_recommend(spark, sf_dir):
 
 @register(
     "q41_sliding_windows_batch",
-    None,
+    """
+    WITH slotted AS (
+      SELECT user_id, value,
+             (floor(epoch(ts))::BIGINT // 1800) * 1800 AS slot
+      FROM events
+    ), expanded AS (
+      SELECT user_id, value, unnest([slot - 1800, slot]) AS wstart
+      FROM slotted
+    )
+    SELECT make_timestamp(wstart * 1000000)::TIMESTAMP_NS AS window_start,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
     doc="ST5 sliding-window per-user aggregation (the windowing the "
     "reference README promises but never ships) run in batch mode over "
-    "events; streaming execution tested in tests/test_streaming.py.",
+    "events; streaming execution tested in tests/test_streaming.py. "
+    "Oracle expands each event into its two overlapping 1h/30m windows.",
     tags=("streaming", "window"),
 )
 def q41_sliding_windows_batch(spark, sf_dir):
@@ -983,13 +1248,34 @@ def q41_sliding_windows_batch(spark, sf_dir):
 
 @register(
     "q42_image_features",
-    None,
+    """
+    WITH halves AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 8),
+               k -> ('0x' || substr(md5(doc_id::VARCHAR), 2*k + 1, 2))::BIGINT))
+               AS s1,
+             list_sum(list_transform(range(8, 16),
+               k -> ('0x' || substr(md5(doc_id::VARCHAR), 2*k + 1, 2))::BIGINT))
+               AS s2
+      FROM documents
+    )
+    SELECT doc_id,
+           (doc_id % 16 + 4)::INT AS width,
+           (doc_id % 12 + 4)::INT AS height,
+           j::INT AS dim,
+           round(((CASE WHEN j % 2 = 0 THEN s1 ELSE s2 END)
+                  / 8.0 / 255.0)::FLOAT::DOUBLE, 6) AS feat_v
+    FROM halves CROSS JOIN range(8) t(j)
+    """,
     doc="Multimodal: binary media column -> Arrow-batched mapInPandas "
     "feature extraction (deterministic fake codec; real decoder "
     "import-gated). Plumbing invariants in tests/test_multimodal.py. "
     "Feature vector is posexploded to (doc_id, dim, value) rows so the "
     "driver canonicalizer (pandas sort) can hash it — same flattening "
-    "q29 uses.",
+    "q29 uses. Oracle re-derives the fake codec arithmetic: the payload "
+    "body is md5(doc_id) bytes repeated 4x, so the 8 byte-histogram "
+    "chunk means alternate between the two md5 byte-half means "
+    "(float32-rounded like the UDF's np.float32 output).",
     tags=("multimodal",),
 )
 def q42_image_features(spark, sf_dir):
@@ -1003,15 +1289,32 @@ def q42_image_features(spark, sf_dir):
         "height",
         F.posexplode("feature").alias("dim", "v"),
     ).select(
-        "doc_id", "width", "height", "dim", F.round(F.col("v"), 6).alias("feat_v")
+        "doc_id",
+        "width",
+        "height",
+        "dim",
+        # cast BEFORE round: round(float) returns float32, whose
+        # re-widened value differs from the oracle's double at ~1e-8
+        F.round(F.col("v").cast("double"), 6).alias("feat_v"),
     )
 
 
 @register(
     "q43_video_frame_sample",
-    None,
+    """
+    SELECT doc_id,
+           (2 * j)::INT AS frame_idx,
+           substr(md5(doc_id::VARCHAR), ((2 * j) % 2) * 16 + 1, 16)
+             AS frame_hex
+    FROM documents CROSS JOIN range(4) t(j)
+    """,
     doc="Multimodal: per-video frame sampling (1->N fan-out via "
-    "mapInPandas) over fake 8-frame payloads.",
+    "mapInPandas) over fake 8-frame payloads; frames are hex-encoded so "
+    "the oracle verifies the exact byte slices. The fake body is "
+    "md5(doc_id) bytes repeated 4x (64 bytes, 8 frames of 8 bytes): "
+    "frame fi = bytes [8*fi, 8*fi+8) = md5 byte-half fi %% 2; sampling "
+    "every_n=2 keeps fi in {0,2,4,6}. (2*j %% 2 is identically 0 — kept "
+    "for shape parity with the engine's slicing rule.)",
     tags=("multimodal",),
 )
 def q43_video_frame_sample(spark, sf_dir):
@@ -1019,26 +1322,127 @@ def q43_video_frame_sample(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     frames = sample_frames(attach_fake_media(docs, kind="video"), every_n=2)
-    # binary frames don't hash stably across engines; project counts
-    return frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames_sampled"))
+    # hex-encode the frame bytes so the oracle can verify the exact
+    # slicing, not just the fan-out count
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 @register(
     "q44_simhash",
-    None,
-    doc="SimHash 60-bit fingerprints over word shingles; Hamming-"
-    "distance ordering verified in tests/test_dedup.py.",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) - 1 <= 0
+                         THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w)),
+                                             i -> array_to_string(w[i:i+1], ' '))
+                    END) AS shingle
+      FROM words
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sh
+    ), votes AS (
+      SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+      FROM hashed CROSS JOIN range(60) t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0 END)::BIGINT
+             AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    doc="SimHash 60-bit fingerprints over 2-gram word shingles; Hamming-"
+    "distance ordering verified in tests/test_dedup.py. Oracle recomputes "
+    "the per-bit vote from the same md5-derived 60-bit shingle hashes "
+    "(shingles counted WITH multiplicity, exactly like the engine).",
     tags=("dedup",),
 )
 def q44_simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+# --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
+# deterministic (seeded LCG, operators/similarity._hyperplanes), so the
+# oracle embeds the exact same constants as literals and replays the
+# sign-bucket -> candidate-join -> exact-cosine pipeline in SQL. repr()
+# round-trips doubles, so both engines see bit-identical planes.
+
+
+def _srp_dot_sql(vec: str, plane: list[float]) -> str:
+    lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" i -> ({vec}[i] * ({lit})[i])::DOUBLE))"
+    )
+
+
+def _srp_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN {_srp_dot_sql(vec, p)} >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    ]
+    return " + ".join(terms)
+
+
+def _srp_bucket_cte(num_planes: int, num_tables: int, seed: int = 42) -> str:
+    """allb(vec_id, tbl, bucket): every embedding's bucket per table."""
+    tables = [
+        similarity._hyperplanes(64, num_planes, seed + 1000 * t)
+        for t in range(num_tables)
+    ]
+    selects = [
+        f"SELECT vec_id, {t} AS tbl, {_srp_bucket_sql('embedding', planes)}"
+        f" AS bucket FROM embeddings"
+        for t, planes in enumerate(tables)
+    ]
+    return "allb AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_COSINE_SQL = """
+    CASE WHEN sqrt(list_sum(list_transform(av, x -> (x*x)::DOUBLE)))
+              * sqrt(list_sum(list_transform(bv, x -> (x*x)::DOUBLE))) > 0
+         THEN list_sum(list_transform(range(1, 65), i -> (av[i] * bv[i])::DOUBLE))
+              / (sqrt(list_sum(list_transform(av, x -> (x*x)::DOUBLE)))
+                 * sqrt(list_sum(list_transform(bv, x -> (x*x)::DOUBLE))))
+         ELSE 0 END
+"""
+
+
 @register(
     "q45_lsh_knn",
-    None,
+    f"""
+    WITH {_srp_bucket_cte(num_planes=4, num_tables=4)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM (SELECT * FROM allb WHERE vec_id < 5) q
+      JOIN allb c USING (tbl, bucket)
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS score
+      FROM (SELECT cand.query_id, cand.neighbor_id,
+                   qe.embedding AS av, ce.embedding AS bv
+            FROM cand
+            JOIN embeddings qe ON qe.vec_id = cand.query_id
+            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk AS rank FROM ranked WHERE rnk <= 10
+    """,
     doc="OR-amplified SRP-LSH approximate kNN; recall vs exact "
-    "verified in tests/test_similarity.py.",
+    "verified in tests/test_similarity.py. Oracle replays the seeded "
+    "hyperplanes (embedded as literals), sign buckets, OR-amplified "
+    "candidate join, and float-parity cosine ranking in SQL.",
     tags=("similarity",),
 )
 def q45_lsh_knn(spark, sf_dir):
@@ -1051,11 +1455,87 @@ def q45_lsh_knn(spark, sf_dir):
 
 @register(
     "q46_train_data_etl",
-    None,
+    """
+    WITH reviews AS (
+      SELECT user_id::VARCHAR AS uid,
+             'I' || (event_id % 200)::VARCHAR AS item,
+             ((event_id % 5) + 1)::DOUBLE AS rating,
+             floor(epoch(ts))::BIGINT AS rts
+      FROM events
+    ),
+    seqs AS (
+      SELECT uid, list(item ORDER BY rts, item) AS items, count(*) AS cnt
+      FROM reviews GROUP BY uid
+    ),
+    trunc AS (
+      SELECT uid, cnt,
+             CASE WHEN len(items) > 30
+                  THEN items[len(items) - 29 : len(items)]
+                  ELSE items END AS items
+      FROM seqs
+    ),
+    samples AS (
+      SELECT uid, p AS pos, items[1:p] AS hist, items[p + 1] AS cand
+      FROM trunc
+      CROSS JOIN LATERAL unnest(range(CASE WHEN cnt >= 10 THEN 10 ELSE 1 END,
+                                      len(items), 2)) t(p)
+    ),
+    ratings AS (
+      SELECT uid, item, max(rating) AS rating FROM reviews GROUP BY 1, 2
+    ),
+    positives AS (
+      SELECT s.uid, s.pos, s.hist, s.cand
+      FROM samples s JOIN ratings r ON r.uid = s.uid AND r.item = s.cand
+      WHERE r.rating >= 4
+    ),
+    user_items AS (
+      SELECT uid, list(DISTINCT item) AS allit FROM reviews GROUP BY uid
+    ),
+    pool AS (
+      SELECT item,
+             row_number() OVER (
+               ORDER BY (('0x' || substr(md5(item || '11'), 1, 8))::BIGINT
+                         / 4294967296.0) ASC, item ASC) - 1 AS idx
+      FROM (SELECT DISTINCT item FROM reviews)
+    ),
+    probes AS (
+      SELECT uid, pos, hist,
+             floor((('0x' || substr(md5(uid || '#' || pos::VARCHAR || '13'),
+                                    1, 8))::BIGINT / 4294967296.0) * 200)::INT
+               AS basei
+      FROM positives
+    ),
+    negcand AS (
+      SELECT pr.uid, pr.pos, pr.hist, o.off, pl.item AS neg
+      FROM probes pr
+      CROSS JOIN range(0, 16) o(off)
+      JOIN pool pl ON pl.idx = (pr.basei + o.off) % 200
+      JOIN user_items ui USING (uid)
+      WHERE NOT list_contains(ui.allit, pl.item)
+    ),
+    negatives AS (
+      SELECT uid, hist, neg AS cand FROM (
+        SELECT *, row_number() OVER (PARTITION BY uid, pos
+                                     ORDER BY off ASC) AS rn
+        FROM negcand)
+      WHERE rn <= 2
+    )
+    SELECT uid AS user_id,
+           array_to_string(hist, '|') AS history_items,
+           cand AS candidate_item,
+           label
+    FROM (SELECT uid, hist, cand, 1 AS label FROM positives
+          UNION ALL
+          SELECT uid, hist, cand, 0 AS label FROM negatives)
+    """,
     doc="M3 ETL end-to-end on testdata-shaped reviews (events mapped to "
     "the reviews schema): prefix-window positives + hash-probed "
     "negatives -> reference train_data schema. Fixture-level "
-    "invariants in tests/test_etl.py.",
+    "invariants in tests/test_etl.py. The oracle replays the whole "
+    "pipeline: chronological per-user sequences, last-10 truncation, "
+    "per-tier start index, stride-2 windows, max-rating positive gate, "
+    "md5-hash-ranked 200-item pool, 16-slot probe walk, first-2 clean "
+    "negatives per positive.",
     tags=("etl",),
 )
 def q46_train_data_etl(spark, sf_dir):
@@ -1071,7 +1551,7 @@ def q46_train_data_etl(spark, sf_dir):
     excluded = reviews.select(F.col("reviewerID").alias("user_id")).distinct().limit(0)
     return build_train_data(
         reviews, excluded, rate_active=1.0, rate_light=1.0,
-        negatives_per_positive=2, max_history=10,
+        negatives_per_positive=2, max_history=30,
     )
 
 
@@ -1207,15 +1687,34 @@ def q49_normalized_edges(spark, sf_dir):
 
 @register(
     "q50_embedding_near_dups",
-    None,
+    f"""
+    WITH {_srp_bucket_cte(num_planes=6, num_tables=4)},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      FROM allb x JOIN allb y USING (tbl, bucket)
+      WHERE x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT a, b, {_COSINE_SQL} AS cosine
+      FROM (SELECT cand.a, cand.b, ae.embedding AS av, be.embedding AS bv
+            FROM cand
+            JOIN embeddings ae ON ae.vec_id = cand.a
+            JOIN embeddings be ON be.vec_id = cand.b)
+    )
+    SELECT a, b, cosine FROM scored WHERE cosine >= 0.35
+    """,
     doc="Embedding-cosine near-dup pairs via SRP-LSH bucket self-join + "
     "exact-cosine verify; O(n^2) never materializes. Constructed-pair "
-    "recall verified in tests/test_similarity.py.",
+    "recall verified in tests/test_similarity.py. Oracle replays the "
+    "seeded hyperplanes (literal-embedded), bucket self-join, and "
+    "float-parity cosine in SQL.",
     tags=("dedup", "similarity"),
 )
 def q50_embedding_near_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dups(emb, threshold=0.9, dim=64)
+    # 0.35: the synthetic embeddings' max pairwise cosine is ~0.51, so a
+    # production-style 0.9 threshold would make this check vacuously empty
+    return similarity.embedding_near_dups(emb, threshold=0.35, dim=64)
 
 
 # ---------------------------------------------------------------------------

@@ -139,7 +139,7 @@ def test_lsh_recall_strategy(cascade_inputs):
     users, items, history = cascade_inputs
     out = recommend(
         users, items, history,
-        CascadeConfig(k_recall=60, k_rank=30, k_rerank=15, k_final=5),
+        CascadeConfig(k_recall=60, k_rank=30, k_rerank=15, k_final=5, lsh_dim=64),
         recall_strategy="lsh",
     )
     rows = out.collect()
@@ -151,3 +151,57 @@ def test_lsh_recall_strategy(cascade_inputs):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     seen = {(r.user_id, r.item_id) for r in history.collect()}
     assert not seen & {(r.user_id, r.item_id) for r in rows}
+
+
+def test_numpy_mlp_scorer_end_to_end(cascade_inputs):
+    """The real-model slot proven without torch: a seeded numpy MLP
+    (RankNet forward parity — concat(user, item) -> ReLU MLP ->
+    sigmoid, reference eval_online/main/ranknet.py:34-58) runs through
+    the SAME Arrow-batched pandas-UDF path torch_module_scorer uses,
+    end-to-end inside the cascade's rerank stage."""
+    import numpy as np
+
+    from streaming_recommendation_spark.cascade.scorers import (
+        numpy_mlp_scorer,
+        seeded_mlp_weights,
+    )
+
+    users, items, history = cascade_inputs
+    weights = seeded_mlp_weights(in_dim=128, hidden_dims=(16, 8), seed=7)
+    scorer = numpy_mlp_scorer(weights)
+    cfg = CascadeConfig(k_recall=40, k_rank=20, k_rerank=10, k_final=5)
+    out = recommend(
+        users, items, history, cfg,
+        rerank_score=scorer(F.col("user_vec"), F.col("item_vec")),
+    )
+    rows = out.collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append((r.rank, r.item_id))
+    assert len(per_user) == 10
+    for recs in per_user.values():
+        assert sorted(r[0] for r in recs) == [1, 2, 3, 4, 5]
+    # deterministic across runs (seeded weights, Arrow batching)
+    again = recommend(
+        users, items, history, cfg,
+        rerank_score=scorer(F.col("user_vec"), F.col("item_vec")),
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # the MLP genuinely reorders vs the cosine stub on the same inputs
+    stub = recommend(users, items, history, cfg).collect()
+    assert sorted(map(tuple, stub)) != sorted(map(tuple, rows))
+
+    # UDF-level parity with a plain-numpy forward pass
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    a = pd.Series([rng.normal(size=64) for _ in range(32)])
+    b = pd.Series([rng.normal(size=64) for _ in range(32)])
+    x = np.concatenate([np.stack(a.to_numpy()), np.stack(b.to_numpy())], axis=1)
+    for i, (w, bias) in enumerate(weights):
+        x = x @ w + bias
+        if i < len(weights) - 1:
+            x = np.maximum(x, 0.0)
+    expect = 1.0 / (1.0 + np.exp(-x[:, 0]))
+    got = scorer.func(a, b)
+    assert np.allclose(got.to_numpy(), expect)
