@@ -66,3 +66,11 @@ def test_q35_knn_no_vector_shuffle(run):
     # corpus scored in place: the only join is the broadcast of queries
     assert a["bnl_joins"] >= 1 or a["n_broadcast_joins"] >= 1
     assert a["n_sortmerge_joins"] == 0
+
+
+def test_q27_dict_encode_no_global_window(run):
+    """q27 ships the scale path (per-partition offsets), so the plan
+    must not contain a single-partition exchange — the signature of a
+    global dense_rank window (VERDICT r1 scale-killer)."""
+    a = run("q27_dict_encode_users")
+    assert "SinglePartition" not in a["plan"]
