@@ -163,3 +163,81 @@ def test_observed_metrics_per_batch(spark, message_dir, tmp_path):
         assert total == 4
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_prometheus_exposition_format(tmp_path):
+    """Text-exposition parity surface for the reference's metric set
+    (kafka_sent_count gauge, consumed/write counters, latency
+    histogram) — format must follow the 0.0.4 contract: TYPE lines,
+    cumulative le buckets, _sum/_count."""
+    from streaming_recommendation_spark.streaming.metrics import (
+        PrometheusExposition,
+    )
+
+    exp = PrometheusExposition()
+    exp.set("kafka_sent_count", 42, help="Number of Kafka messages sent")
+    exp.inc("spark_consumed_count", 10)
+    exp.inc("spark_consumed_count", 5)
+    exp.inc("redis_write_count", 3)
+    for v in (0.004, 0.03, 0.03, 2.0):
+        exp.observe(
+            "req_latency_seconds", v, labels={"endpoint": "/predict/"}
+        )
+    text = exp.render()
+    assert "# TYPE kafka_sent_count gauge" in text
+    assert "kafka_sent_count 42" in text
+    assert "# TYPE spark_consumed_count counter" in text
+    assert "spark_consumed_count 15.0" in text
+    assert "redis_write_count 3.0" in text
+    # cumulative buckets: le=0.005 sees 1, le=0.05 sees 3, +Inf sees 4
+    assert 'req_latency_seconds_bucket{endpoint="/predict/",le="0.005"} 1' in text
+    assert 'req_latency_seconds_bucket{endpoint="/predict/",le="0.05"} 3' in text
+    assert 'req_latency_seconds_bucket{endpoint="/predict/",le="+Inf"} 4' in text
+    assert 'req_latency_seconds_count{endpoint="/predict/"} 4' in text
+
+    # textfile-collector handoff (atomic rename; no torn reads)
+    out = tmp_path / "spark.prom"
+    exp.write_textfile(str(out))
+    assert out.read_text() == text
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already registered"):
+        exp.inc("kafka_sent_count")
+
+
+def test_prometheus_listener_streaming(spark, message_dir, tmp_path):
+    """End-to-end: micro-batch progress lands in the exposition as the
+    reference's spark_consumed_count plus observed_* counters."""
+    import time
+
+    from streaming_recommendation_spark.streaming.metrics import (
+        PrometheusCountsListener,
+        observe_counts,
+    )
+
+    listener = PrometheusCountsListener()
+    spark.streams.addListener(listener)
+    try:
+        raw = spark.readStream.text(message_dir)
+        parsed = parse_profile_stream(raw)
+        observed = observe_counts(parsed, name="ingest")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("prom_sink")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_prom"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        text = ""
+        for _ in range(20):
+            text = listener.exposition.render()
+            if "spark_consumed_count" in text and "observed_ingest_n_rows" in text:
+                break
+            time.sleep(0.5)
+        assert "# TYPE spark_consumed_count counter" in text
+        assert "observed_ingest_n_rows" in text
+    finally:
+        spark.streams.removeListener(listener)
