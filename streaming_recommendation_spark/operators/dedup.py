@@ -272,6 +272,61 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return votes.select(F.col(id_col), fp.alias("simhash"))
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(a, b, hamming) pairs with SimHash Hamming distance <=
+    ``max_hamming`` (a < b) — the classic banded SimHash dedup
+    (Manku et al., WWW'07 shape): split the 60-bit fingerprint into
+    4 bands of 15 bits; by pigeonhole, any pair within Hamming
+    distance 3 agrees EXACTLY on at least one band, so candidate
+    pairs form only inside a (band, 15-bit value) bucket — an
+    equi-join, never an all-pairs scan. ``bit_count(a XOR b)``
+    verifies exactly.
+
+    max_hamming must be <= 3 with 4 bands (pigeonhole guarantee);
+    raising it needs more bands.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            "max_hamming > 3 breaks the 4-band pigeonhole guarantee; "
+            "use more bands (60/15) or filter the full fingerprint set"
+        )
+    fps = simhash64(df, text_col, id_col)
+    banded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 15 * b).bitwiseAND(F.lit((1 << 15) - 1))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("__fa"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("__fb"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def banded_signature_table(
     df: DataFrame,
     num_hashes: int = 16,

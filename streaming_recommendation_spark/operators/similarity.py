@@ -181,6 +181,90 @@ def lsh_knn(
     ).select(query_id_col, "neighbor_id", "rank")
 
 
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_landmarks: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse Voronoi quantizer over
+    deterministic LANDMARK vectors, then exact cosine inside probed
+    cells — the second scale path next to SRP-LSH.
+
+    Landmarks are the ``num_landmarks`` hash-ranked corpus vectors
+    (deterministic, no fitting job; a k-means refinement can replace
+    them offline without changing this plan). Every corpus vector
+    joins its single nearest landmark's cell; each query probes its
+    ``n_probe`` nearest cells, so the search space shrinks to
+    ~n_probe/num_landmarks of the corpus while the landmark table
+    stays broadcast-small. Candidate scoring is exact cosine; returns
+    (query_id, neighbor_id, rank).
+
+    Plan shape at scale: landmarks broadcast to the assignment
+    cross-join; the only shuffles are the per-vector argmin window
+    (key = vector id) and the cell equi-join — the corpus is never
+    compared all-pairs, and at rest it can be written partitioned by
+    cell id so the probe join prunes partitions.
+    """
+    from ..functions.hashing import det_hash_long
+
+    landmarks = (
+        corpus.select(F.col(id_col).alias("__lid"), F.col(vec_col).alias("__lvec"))
+        .withColumn("__h", det_hash_long("__lid"))
+        .orderBy(F.col("__h").asc(), F.col("__lid").asc())
+        .limit(num_landmarks)
+        .drop("__h")
+    )
+
+    def sq_l2(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def assign(df, idc, vc, probes):
+        scored = df.crossJoin(F.broadcast(landmarks)).select(
+            idc,
+            vc,
+            "__lid",
+            sq_l2(F.col(vc), F.col("__lvec")).alias("__d"),
+        )
+        return top_k_per_group(
+            scored, probes, [idc], F.col("__d").asc(), F.col("__lid").asc()
+        ).select(idc, vc, "__lid")
+
+    c = assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        "neighbor_id",
+        "__cvec",
+        1,
+    )
+    q = assign(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        query_id_col,
+        "__qvec",
+        n_probe,
+    )
+    scored = c.join(q, "__lid").select(
+        query_id_col,
+        "neighbor_id",
+        cosine_similarity("__qvec", "__cvec").alias("score"),
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        [query_id_col],
+        F.col("score").desc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", "rank")
+
+
 def mean_pool_grouped(
     df: DataFrame,
     group_col: str,

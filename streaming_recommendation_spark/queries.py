@@ -1368,6 +1368,125 @@ def q44_simhash(spark, sf_dir):
     return dedup.simhash64(_t(spark, sf_dir, "documents"))
 
 
+# simhash fingerprint CTE shared with q44's oracle (same vote math)
+_SIMHASH_FP_CTE = """
+    words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS w
+      FROM documents
+    ), sh2 AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) - 1 <= 0
+                         THEN [array_to_string(w, ' ')]
+                         ELSE list_transform(range(1, len(w)),
+                                             i -> array_to_string(w[i:i+1], ' '))
+                    END) AS shingle
+      FROM words
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM sh2
+    ), votes AS (
+      SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+      FROM hashed CROSS JOIN range(60) t(j)
+      GROUP BY doc_id, j
+    ), fp AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN (1::HUGEINT << j) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM votes GROUP BY doc_id
+    )"""
+
+
+@register(
+    "q65_simhash_near_dups",
+    f"""
+    WITH {_SIMHASH_FP_CTE},
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (15 * b.band)) & 32767 AS bucket
+      FROM fp CROSS JOIN range(4) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+             x.simhash AS fa, y.simhash AS fb
+      FROM banded x JOIN banded y USING (band, bucket)
+      WHERE x.doc_id < y.doc_id
+    )
+    SELECT a, b, bit_count(xor(fa, fb)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 3
+    """,
+    doc="Banded SimHash near-dup pairs (Manku WWW'07 shape): 4x15-bit "
+    "band buckets guarantee every Hamming<=3 pair shares a band "
+    "(pigeonhole), so candidates form in an equi-join, never all-pairs; "
+    "bit_count(XOR) verifies exactly. Brute-force parity in "
+    "tests/test_dedup.py; the oracle replays bands + XOR popcount.",
+    tags=("dedup",),
+)
+def q65_simhash_near_dups(spark, sf_dir):
+    return dedup.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "q66_ivf_knn",
+    """
+    WITH landmarks AS (
+      SELECT vec_id AS lid, embedding AS lvec
+      FROM embeddings
+      ORDER BY (vec_id * 2654435761) % 4294967296 ASC, vec_id ASC
+      LIMIT 16
+    ),
+    dist AS (
+      SELECT e.vec_id, e.embedding AS v, l.lid, l.lvec,
+             list_sum(list_transform(range(1, 65),
+               i -> ((e.embedding[i] - l.lvec[i])
+                     * (e.embedding[i] - l.lvec[i]))::DOUBLE)) AS d
+      FROM embeddings e CROSS JOIN landmarks l
+    ),
+    ranked_cells AS (
+      SELECT vec_id, v, lid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, lid ASC) AS rn
+      FROM dist
+    ),
+    cassign AS (SELECT vec_id AS neighbor_id, v AS cv, lid
+                FROM ranked_cells WHERE rn = 1),
+    qassign AS (SELECT vec_id AS query_id, v AS qv, lid
+                FROM ranked_cells WHERE vec_id < 5 AND rn <= 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> (qv[i] * cv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS score
+      FROM qassign JOIN cassign USING (lid)
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk AS rank FROM topk WHERE rnk <= 10
+    """,
+    doc="IVF-style ANN: deterministic hash-ranked landmark centroids "
+    "(broadcast-small), per-vector nearest-cell assignment, queries "
+    "probe 3 cells, exact cosine inside cells. Recall + self-hit floor "
+    "in tests/test_similarity.py. Oracle replays landmarks, float-parity "
+    "L2 assignment, probe join, and cosine ranking in SQL.",
+    tags=("similarity",),
+)
+def q66_ivf_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_knn(emb, qdf, k=10, num_landmarks=16, n_probe=3)
+
+
 # --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
 # deterministic (seeded LCG, operators/similarity._hyperplanes), so the
 # oracle embeds the exact same constants as literals and replays the

@@ -154,3 +154,33 @@ def test_minhash_component_agreement_tracks_jaccard(spark):
     assert 0 < n_agree < 64
     # unbiased estimator: within ~3 sigma of true Jaccard for 64 hashes
     assert abs(n_agree / 64 - true_j) < 0.2
+
+
+def test_simhash_near_dups_matches_bruteforce(spark, docs):
+    """Banded candidates must find EVERY pair within the pigeonhole
+    guarantee (Hamming <= 3 with 4x15-bit bands) — compare against
+    all-pairs bit_count over the same fingerprints."""
+    import itertools
+
+    from streaming_recommendation_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dups,
+    )
+
+    fps = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    brute = {
+        (a, b): bin(fps[a] ^ fps[b]).count("1")
+        for a, b in itertools.combinations(sorted(fps), 2)
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r.a, r.b): r.hamming
+        for r in simhash_near_dups(docs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert brute, "fixture must contain at least one near-dup pair"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs, max_hamming=4)

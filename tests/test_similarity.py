@@ -145,3 +145,32 @@ def test_plan_builders_run_no_jobs(spark, emb):
         lsh_knn(emb, qdf, k=5)
     with _pytest.raises(ValueError, match="dim is required"):
         embedding_near_dups(emb, threshold=0.9)
+
+
+def test_ivf_knn_recall_and_self(spark, emb):
+    """IVF landmark quantizer: decent recall@10 vs exact while probing
+    ~n_probe/num_landmarks of the corpus; every query finds itself
+    (its own cell is always its nearest probed cell)."""
+    from streaming_recommendation_spark.operators.similarity import ivf_knn
+
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in knn_brute_force(emb, qdf, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in ivf_knn(emb, qdf, k=10, num_landmarks=16, n_probe=4).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q in exact:
+        assert q in approx.get(q, set()), f"query {q} missed itself"
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall > 0.3, f"mean recall {mean_recall:.2f} too low"
+    # plan construction runs no jobs (landmarks are a limit, not a collect)
+    sc = spark.sparkContext
+    before = len(sc.statusTracker().getJobIdsForGroup(None))
+    ivf_knn(emb, qdf, k=5, num_landmarks=8, n_probe=2)
+    assert len(sc.statusTracker().getJobIdsForGroup(None)) == before
