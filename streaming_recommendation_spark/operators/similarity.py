@@ -250,7 +250,9 @@ def ivf_knn(
         "__qvec",
         n_probe,
     )
-    scored = c.join(q, "__lid").select(
+    # the probed-query side is |queries| x n_probe rows — broadcast it
+    # so the corpus-wide cell join never sort-merges the big side
+    scored = c.join(F.broadcast(q), "__lid").select(
         query_id_col,
         "neighbor_id",
         cosine_similarity("__qvec", "__cvec").alias("score"),

@@ -74,3 +74,13 @@ def test_q27_dict_encode_no_global_window(run):
     global dense_rank window (VERDICT r1 scale-killer)."""
     a = run("q27_dict_encode_users")
     assert "SinglePartition" not in a["plan"]
+
+
+def test_q66_ivf_broadcasts_queries(run):
+    """IVF cell join must broadcast the probed-query side (tiny), not
+    sort-merge the corpus; the landmark assignment cross-joins are
+    16-row broadcast nested loops (intended)."""
+    a = run("q66_ivf_knn")
+    assert a["n_sortmerge_joins"] == 0
+    assert a["n_broadcast_joins"] >= 1
+    assert a["has_window_group_limit"]
