@@ -49,6 +49,16 @@ HEADLINE = [
     "q51_priority_with_late_lineitem",
     "q53_distinct_suppliers_per_part",
     "q55_running_revenue",
+    # round-2 additions: jaccard near-dups (q36), sliding windows
+    # (q41), simhash fingerprints + banded near-dups (q44/q65),
+    # SRP-LSH and IVF ANN (q45/q66), end-to-end train ETL (q46)
+    "q36_ngram_jaccard_dups",
+    "q41_sliding_windows_batch",
+    "q44_simhash",
+    "q45_lsh_knn",
+    "q46_train_data_etl",
+    "q65_simhash_near_dups",
+    "q66_ivf_knn",
 ]
 
 
