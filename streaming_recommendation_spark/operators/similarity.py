@@ -181,6 +181,59 @@ def lsh_knn(
     ).select(query_id_col, "neighbor_id", "rank")
 
 
+def ivf_landmarks(
+    corpus: DataFrame,
+    num_landmarks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(__lid, __lvec): the ``num_landmarks`` hash-ranked corpus
+    vectors that act as deterministic IVF cell centroids. Pure plan —
+    no fitting job; swap in k-means-refined centroids offline without
+    changing any downstream plan."""
+    from ..functions.hashing import det_hash_long
+
+    return (
+        corpus.select(F.col(id_col).alias("__lid"), F.col(vec_col).alias("__lvec"))
+        .withColumn("__h", det_hash_long("__lid"))
+        .orderBy(F.col("__h").asc(), F.col("__lid").asc())
+        .limit(num_landmarks)
+        .drop("__h")
+    )
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    landmarks: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """(id, vec, __lid): each vector's ``n_probe`` nearest landmark
+    cells (ties by landmark id). Landmarks broadcast; the only shuffle
+    is the per-vector argmin window. With n_probe=1 this is the cell
+    assignment to persist the corpus under — write_partitioned by
+    ``__lid`` and probe reads prune whole cells (see
+    tests/test_layout.py)."""
+    scored = df.crossJoin(F.broadcast(landmarks)).select(
+        id_col,
+        vec_col,
+        "__lid",
+        _sq_l2(F.col(vec_col), F.col("__lvec")).alias("__d"),
+    )
+    return top_k_per_group(
+        scored, n_probe, [id_col], F.col("__d").asc(), F.col("__lid").asc()
+    ).select(id_col, vec_col, "__lid")
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -210,42 +263,17 @@ def ivf_knn(
     compared all-pairs, and at rest it can be written partitioned by
     cell id so the probe join prunes partitions.
     """
-    from ..functions.hashing import det_hash_long
-
-    landmarks = (
-        corpus.select(F.col(id_col).alias("__lid"), F.col(vec_col).alias("__lvec"))
-        .withColumn("__h", det_hash_long("__lid"))
-        .orderBy(F.col("__h").asc(), F.col("__lid").asc())
-        .limit(num_landmarks)
-        .drop("__h")
-    )
-
-    def sq_l2(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def assign(df, idc, vc, probes):
-        scored = df.crossJoin(F.broadcast(landmarks)).select(
-            idc,
-            vc,
-            "__lid",
-            sq_l2(F.col(vc), F.col("__lvec")).alias("__d"),
-        )
-        return top_k_per_group(
-            scored, probes, [idc], F.col("__d").asc(), F.col("__lid").asc()
-        ).select(idc, vc, "__lid")
-
-    c = assign(
+    landmarks = ivf_landmarks(corpus, num_landmarks, id_col, vec_col)
+    c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
+        landmarks,
         "neighbor_id",
         "__cvec",
         1,
     )
-    q = assign(
+    q = ivf_assign(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
+        landmarks,
         query_id_col,
         "__qvec",
         n_probe,

@@ -96,3 +96,57 @@ def test_bucketed_window_query_skips_shuffle(spark):
     # and the control: same query on the raw parquet shuffles
     raw5 = last_n_events(ev, 5, "user_id", "ts_sec", "event_id")
     assert n_exchanges(plan_of(raw5)) >= 1
+
+
+def test_ivf_cells_partition_pruned(spark, tmp_path):
+    """The ANN-at-rest story: persist the corpus partitioned by IVF
+    cell id; a probe read filtering on the probed cells must prune
+    partitions at the scan (PartitionFilters), and scoring over the
+    pruned scan must equal the all-in-memory ivf_knn."""
+    from streaming_recommendation_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from streaming_recommendation_spark.operators.similarity import (
+        ivf_assign,
+        ivf_knn,
+        ivf_landmarks,
+    )
+    from streaming_recommendation_spark.operators.topk import top_k_per_group
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    landmarks = ivf_landmarks(emb, num_landmarks=8)
+    cells = ivf_assign(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")),
+        landmarks, "neighbor_id", "cvec", 1,
+    )
+    path = str(tmp_path / "ivf_cells")
+    write_partitioned(cells, path, ["__lid"])
+
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    probes = ivf_assign(qdf, landmarks, "query_id", "qvec", 2)
+    probed_cells = sorted({r[0] for r in probes.select("__lid").collect()})
+    assert len(probed_cells) < 8, "probe set must prune at least one cell"
+
+    at_rest = spark.read.parquet(path).where(F.col("__lid").isin(probed_cells))
+    plan = plan_of(at_rest)
+    assert "PartitionFilters" in plan and "__lid" in plan
+
+    scored = at_rest.join(probes, "__lid").select(
+        "query_id", "neighbor_id",
+        cosine_similarity("qvec", "cvec").alias("score"),
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in top_k_per_group(
+            scored, 5, ["query_id"],
+            F.col("score").desc(), F.col("neighbor_id").asc(), rank_col="rank",
+        ).collect()
+    }
+    expect = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_knn(emb, qdf.select("query_id", F.col("qvec").alias("embedding")),
+                         k=5, num_landmarks=8, n_probe=2).collect()
+    }
+    assert got == expect
