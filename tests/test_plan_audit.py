@@ -84,3 +84,116 @@ def test_q66_ivf_broadcasts_queries(run):
     assert a["n_sortmerge_joins"] == 0
     assert a["n_broadcast_joins"] >= 1
     assert a["has_window_group_limit"]
+
+
+# --- round-2 registry queries (q52-q65): pin the physical properties
+# that keep each shape viable at 100 TB.
+
+
+def test_q52_outer_join_is_equi(run):
+    # customer LEFT JOIN orders: both sides scale with SF, so any
+    # equi strategy is fine — but never a nested-loop explosion
+    a = run("q52_customer_order_outer")
+    assert a["bnl_joins"] == 0
+    assert (
+        a["n_sortmerge_joins"] + a["n_broadcast_joins"] + a["n_shuffled_hash_joins"]
+        >= 1
+    )
+
+
+def test_q53_distinct_agg_two_phase(run):
+    # count(DISTINCT) must compile to the expand/partial-agg shape:
+    # shuffles only on the grouping key, never a global collect
+    a = run("q53_distinct_suppliers_per_part")
+    assert "SinglePartition" not in a["plan"]
+    assert a["n_exchanges"] <= 2
+
+
+def test_q54_scalar_battery_no_shuffle(run):
+    # a pure scalar projection must stay map-side: zero exchanges,
+    # and the scan reads only the referenced columns
+    a = run("q54_string_functions")
+    assert a["n_exchanges"] == 0
+    assert "p_comment" not in a["plan"]  # column pruning reached the scan
+
+
+def test_q55_running_window_partitioned(run):
+    # cumulative window is per-custkey: one hash exchange, never a
+    # single-partition global sort
+    a = run("q55_running_revenue")
+    assert "SinglePartition" not in a["plan"]
+    assert a["n_exchanges"] == 1
+
+
+def test_q56_window_agg_shares_partitioning(run):
+    # lag() partitions by user_id and the gap aggregation groups by
+    # user_id — Catalyst must reuse the window's exchange (1 shuffle,
+    # not 2; the partial agg rides on the window's partitioning)
+    a = run("q56_inter_event_gaps")
+    assert "SinglePartition" not in a["plan"]
+    assert a["n_exchanges"] == 1
+
+
+def test_q58_scalar_subquery_broadcasts(run):
+    # the 1-row global average joins back via broadcast (BNL on a
+    # single-row side is constant work), never a sort-merge
+    a = run("q58_parts_above_avg_price")
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q59_semi_join_shape(run):
+    # IN-subquery compiles to left_semi against the filtered
+    # aggregate; no nested loop
+    a = run("q59_orders_of_top_spenders")
+    assert a["bnl_joins"] == 0
+    assert "Semi" in a["plan"]
+
+
+def test_q60_cube_single_shuffle(run):
+    # CUBE = Expand (map-side row replication) + one hash agg
+    # exchange; the grouping-set explosion must not add shuffles
+    a = run("q60_cube_order_stats")
+    assert "Expand" in a["plan"]
+    assert a["n_exchanges"] == 1
+
+
+def test_q61_q7_shape_broadcasts_dims(run):
+    # TPC-H Q7 shape: supplier/customer/nation x2 all broadcast; the
+    # only shuffle joins are lineitem-orders (both fact-sized)
+    a = run("q61_shipping_volume_between_nations")
+    assert a["n_broadcast_joins"] >= 4
+    assert a["bnl_joins"] == 0
+
+
+def test_q62_all_dims_broadcast(run):
+    # orders is the only fact: customer/nation/region chain stays
+    # fully broadcast, zero sort-merge joins
+    a = run("q62_region_market_share")
+    assert a["n_broadcast_joins"] >= 3
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q63_case_banding_single_shuffle(run):
+    # CASE-bucketed groupBy: 3 output groups, partial agg map-side,
+    # one exchange
+    a = run("q63_lineitems_by_quantity_band")
+    assert a["n_exchanges"] == 1
+
+
+def test_q64_fact_dim_broadcast(run):
+    # part is a dimension: must broadcast against lineitem. The final
+    # global agg's single partition carries 1 row — fine.
+    a = run("q64_brand_revenue_ratio")
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q65_simhash_banded_equi_join(run):
+    # banded SimHash: candidates come from a (band,bucket) equi
+    # self-join — never an all-pairs nested loop over documents
+    a = run("q65_simhash_near_dups")
+    assert a["bnl_joins"] == 0
+    assert (
+        a["n_sortmerge_joins"] + a["n_broadcast_joins"] + a["n_shuffled_hash_joins"]
+        >= 1
+    )
