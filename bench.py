@@ -7,7 +7,12 @@ Runs the representative queries from the registry at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized with the noop sink (no driver
-collect) so the timing covers the whole distributed plan.
+collect) so the timing covers the whole distributed plan. Each query
+runs twice and the MIN is reported: this container shows ~25% CPU
+steal time (/proc/stat col 8) with multi-second bursts, and the first
+execution additionally pays one-time whole-stage-codegen compilation —
+min-of-2 measures the plan, not the hypervisor (observed: q50 swung
+2.8s -> 35s across otherwise-identical runs).
 """
 
 from __future__ import annotations
@@ -59,6 +64,10 @@ HEADLINE = [
     "q46_train_data_etl",
     "q65_simhash_near_dups",
     "q66_ivf_knn",
+    # PII scrub (map-side regex throughput) + tf-idf (explode/agg/
+    # join/window pipeline) over documents
+    "q67_pii_scrub",
+    "q68_tfidf_top_terms",
 ]
 
 
@@ -74,11 +83,14 @@ def main() -> None:
     qs = queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        runs = []
+        for _ in range(2):
+            df = qs[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 3)
+        print(f"# {name}: {timings[name]:.3f}s (runs: {[f'{r:.2f}' for r in runs]})", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -257,17 +257,34 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     exploded = spread(df).select(F.col(id_col), F.explode(words).alias("w")).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     )
-    # per-bit vote: sum(2*bit-1) over shingles, 60 usable bits
-    bit_cols = [
+    # Per-bit vote, packed: bit j's vote is positive iff
+    # 2 * (#shingles with bit j set) > #shingles. Packing three 20-bit
+    # set-bit counters per aggregate long (bits 3k, 3k+1, 3k+2 share
+    # p{k}) cuts the agg from 60 sum columns to 20+1 — 3x smaller
+    # generated code (multi-second cold-compile win on wide plans) and
+    # a 3x narrower partial-agg shuffle buffer. Bound: < 2^20 shingles
+    # (~6 MB of text) per doc before a counter could carry into its
+    # neighbor field.
+    FIELD = 20
+    packed_cols = [
         F.sum(
-            (F.shiftright(F.col("h"), j) % 2 * 2 - 1)
-        ).alias(f"b{j}")
-        for j in range(60)
+            F.shiftright(F.col("h"), 3 * k).bitwiseAND(F.lit(1))
+            + F.shiftright(F.col("h"), 3 * k + 1).bitwiseAND(F.lit(1)) * F.lit(1 << FIELD)
+            + F.shiftright(F.col("h"), 3 * k + 2).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * FIELD))
+        ).alias(f"p{k}")
+        for k in range(20)
     ]
-    votes = exploded.groupBy(id_col).agg(*bit_cols)
+    votes = exploded.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_sh"), *packed_cols
+    )
+    mask = F.lit((1 << FIELD) - 1)
     fp = None
     for j in range(60):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2 ** j).cast("long")
+        k, m = divmod(j, 3)
+        cnt = F.shiftright(F.col(f"p{k}"), FIELD * m).bitwiseAND(mask)
+        term = F.when(cnt * 2 > F.col("n_sh"), F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         fp = term if fp is None else fp + term
     return votes.select(F.col(id_col), fp.alias("simhash"))
 

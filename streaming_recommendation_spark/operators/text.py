@@ -7,6 +7,8 @@ whole-stage-codegen built-ins (no Python in the hot path):
   * quality_score  — length / punctuation / stopword-ratio heuristic
   * language_id    — stopword-hit n-gram heuristic (en/de/fr/es)
   * fingerprint    — polynomial rolling hash of normalized words
+  * pii_scrub      — email/IPv4/phone redaction with per-kind counts
+  * tfidf_top_terms — per-doc top-k terms by (linear-idf) tf-idf
 
 The documents testdata table: (doc_id, text, lang, source, n_chars).
 """
@@ -96,6 +98,77 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
         best["hits"].alias("stopword_hits"),
+    )
+
+
+# (kind, pattern, replacement) — scrub order matters: emails may embed
+# digit runs, IPs may embed phone-shaped digit groups; scrubbing in this
+# order means each counter sees text already cleaned of earlier kinds,
+# so nothing is double-counted. Patterns stay in the ASCII subset where
+# Java regex (Spark) and RE2 (DuckDB oracle) agree.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers; emit the
+    scrubbed text plus a per-kind redaction count. Pure regexp
+    built-ins chained in one projection — map-side only, zero
+    shuffles, whole-stage codegen (a corpus-scale scrub is exactly as
+    expensive as one scan). Training-data curation analogue of the
+    reference's field-cleaning passes (model_training/din/
+    utils.py:119-131 cleans prices; this cleans text)."""
+    cur = F.col(text_col)
+    cols = [F.col(id_col)]
+    for kind, pat, repl in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{kind}"))
+        cur = F.regexp_replace(cur, F.lit(pat), F.lit(repl))
+    cols.append(cur.alias("scrubbed_text"))
+    return df.select(*cols)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf with a LINEAR idf
+    (score = tf * n_docs / df). The linear variant is chosen
+    deliberately: tf * n_docs is exact integer arithmetic and IEEE
+    division is correctly rounded, so Spark and any oracle engine rank
+    bit-identically — log-idf would hang result order on libm ln()
+    ULPs. Ties break on term ascending.
+
+    Shape: explode -> (doc,term) tf agg -> term df agg -> tf x df join
+    on term -> per-doc top-k window. All shuffles key on term or doc —
+    no single-partition stage, WindowGroupLimit prunes the heap."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * F.col("n_docs") / F.col("df"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
     )
 
 

@@ -1487,6 +1487,102 @@ def q66_ivf_knn(spark, sf_dir):
     return similarity.ivf_knn(emb, qdf, k=10, num_landmarks=16, n_probe=3)
 
 
+@register(
+    "q67_pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.org from 10.0.'
+                  || (doc_id % 256) || '.7 call 555-'
+                  || (100 + doc_id % 900) || '-' || (1000 + doc_id % 9000)
+               AS text
+      FROM documents
+    ), e AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM aug
+    ), i AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+             regexp_replace(t1,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g') AS t2
+      FROM e
+    )
+    SELECT doc_id, n_email, n_ipv4,
+           len(regexp_extract_all(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+             AS n_phone,
+           regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                          '<PHONE>', 'g') AS scrubbed_text
+    FROM i
+    """,
+    doc="PII redaction (email/IPv4/phone) with per-kind counts. The "
+    "query plants deterministic doc_id-derived PII so the scrub "
+    "provably fires on every row; the operator itself is one chained "
+    "regexp projection — map-side, zero shuffles. Oracle replays the "
+    "same scrub chain in RE2.",
+    tags=("text",),
+)
+def q67_pii_scrub(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.org from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(aug)
+
+
+@register(
+    "q68_tfidf_top_terms",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), ranked AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             tf.tf * n.n_docs / dfq.df AS score,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * n.n_docs / dfq.df DESC, tf.term ASC) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, round(score, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-doc top-3 terms by linear-idf tf-idf (tf * n_docs / df): "
+    "integer products + one correctly-rounded IEEE division keep the "
+    "ranking bit-identical across engines, unlike log-idf whose order "
+    "would hang on libm ln() ULPs.",
+    tags=("text", "agg"),
+)
+def q68_tfidf_top_terms(spark, sf_dir):
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 # --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
 # deterministic (seeded LCG, operators/similarity._hyperplanes), so the
 # oracle embeds the exact same constants as literals and replays the

@@ -131,6 +131,23 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Columnar sink #2 (beyond parquet): ORC is built into Spark and
+    interchangeable for engines that prefer it (Hive/Trino estates).
+    Optional partition columns give the same directory-pruning reads
+    as the parquet layout module."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as the parquet
+    path (predicate pushdown + column pruning reach the reader)."""
+    return spark.read.orc(path)
+
+
 def to_kafka_records(df: DataFrame) -> DataFrame:
     """S8: serialize rows to the reference's Kafka payload shape —
     (key, value) where value is the JSON object the consumer's

@@ -1,18 +1,26 @@
 from .pipeline import (
+    CLICK_SCHEMA,
     PROFILE_SCHEMA,
+    clicks_with_profiles,
+    parse_click_stream,
     parse_profile_stream,
     profile_pipeline,
     read_kafka_stream,
+    session_window_activity,
     sliding_window_activity,
     versioned_profile_records,
 )
 from .sink import JsonlDirSink, RedisSink, foreach_batch_writer
 
 __all__ = [
+    "CLICK_SCHEMA",
     "PROFILE_SCHEMA",
+    "clicks_with_profiles",
+    "parse_click_stream",
     "parse_profile_stream",
     "profile_pipeline",
     "read_kafka_stream",
+    "session_window_activity",
     "sliding_window_activity",
     "versioned_profile_records",
     "JsonlDirSink",

@@ -125,6 +125,93 @@ def profile_pipeline(
     return writer.start()
 
 
+# Click message schema for the stream-stream enrichment leg (the
+# reference's eval_online joins clicks to profiles in pandas after a
+# driver collect; here both sides stay distributed streams).
+CLICK_SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("item_id", StringType()),
+        StructField("timestamp", LongType()),
+    ]
+)
+
+
+def parse_click_stream(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Click leg of the parse stage: (user_id, item_id, click_time)."""
+    parsed = (
+        raw.select(F.col(value_col).cast("string").alias("json"))
+        .select(F.from_json("json", CLICK_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+    return parsed.where(
+        F.col("user_id").isNotNull() & F.col("timestamp").isNotNull()
+    ).withColumn("click_time", F.timestamp_seconds("timestamp"))
+
+
+def clicks_with_profiles(
+    profiles: DataFrame,
+    clicks: DataFrame,
+    max_lag: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click pairs with every profile
+    version of the same user published in the preceding ``max_lag``.
+
+    Both sides are watermarked, and the join condition is an equi key
+    plus a bounded time range — exactly the shape Structured Streaming
+    requires to size its join state finitely (profiles older than
+    watermark + max_lag are evicted). Works unchanged in batch mode.
+    """
+    p = profiles.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("history_items"),
+        F.col("event_time").alias("profile_time"),
+    )
+    c = clicks
+    if profiles.isStreaming:
+        p = p.withWatermark("profile_time", watermark)
+        c = c.withWatermark("click_time", watermark)
+    cond = F.expr(
+        "user_id = p_user_id"
+        " AND click_time >= profile_time"
+        f" AND click_time <= profile_time + interval {max_lag}"
+    )
+    return c.join(p, cond, "inner").select(
+        "user_id", "item_id", "click_time", "profile_time", "history_items"
+    )
+
+
+def session_window_activity(
+    parsed: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-user session windows: events closer than ``gap`` merge into
+    one session (the streaming twin of the batch q20 sessionization —
+    same gap semantics, but windows merge incrementally in the state
+    store instead of via a lag() scan)."""
+    src = parsed
+    if parsed.isStreaming:
+        src = parsed.withWatermark("event_time", watermark)
+    return (
+        src.groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_profiles"),
+            F.array_distinct(F.flatten(F.collect_list("history_items"))).alias(
+                "session_items"
+            ),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_profiles",
+            "session_items",
+        )
+    )
+
+
 def sliding_window_activity(
     parsed: DataFrame,
     window_duration: str = "10 minutes",

@@ -188,6 +188,25 @@ def test_q64_fact_dim_broadcast(run):
     assert a["n_sortmerge_joins"] == 0
 
 
+def test_q67_pii_scrub_map_side_only(run):
+    # the scrub is one chained regexp projection: zero shuffles, and
+    # only (doc_id, text) leave the parquet scan
+    a = run("q67_pii_scrub")
+    assert a["n_exchanges"] == 0
+    assert "lang" not in a["plan"]
+
+
+def test_q68_tfidf_partitioned_topk(run):
+    # tf-idf: term/doc keyed shuffles only; the 1-row corpus count
+    # broadcasts; the per-doc top-k compiles to a group-limit heap
+    a = run("q68_tfidf_top_terms")
+    # the per-doc ranking window shuffles by doc_id hash — the big
+    # data never funnels through the scalar corpus-count's 1-row stage
+    assert "hashpartitioning(doc_id" in a["plan"]
+    assert a["n_broadcast_joins"] >= 1
+    assert a["has_window_group_limit"]
+
+
 def test_q65_simhash_banded_equi_join(run):
     # banded SimHash: candidates come from a (band,bucket) equi
     # self-join — never an all-pairs nested loop over documents

@@ -87,3 +87,25 @@ def test_kafka_records_parse_back(spark):
     assert (parsed.user_id, parsed.history_items, parsed.timestamp) == (
         "u1", ["a", "b"], 1700000000,
     )
+
+
+def test_orc_roundtrip_with_partition_pruning(spark, tmp_path):
+    rows = [
+        Row(user_id=f"u{i}", item_id=f"i{i % 3}", timestamp=1_700_000_000 + i)
+        for i in range(30)
+    ]
+    path = str(tmp_path / "behavior_orc")
+    rio.write_orc(spark.createDataFrame(rows), path, partition_by=["item_id"])
+
+    back = rio.read_orc(spark, path)
+    assert back.count() == 30
+    assert {r.item_id for r in back.select("item_id").distinct().collect()} == {
+        "i0",
+        "i1",
+        "i2",
+    }
+    # partition pruning: an item_id filter reads only that directory
+    pruned = back.where(F.col("item_id") == "i1")
+    assert pruned.count() == 10
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "i1" in plan  # partition filter reached the scan

@@ -107,19 +107,22 @@ def test_sliding_window_activity_batch(spark, message_dir):
 def test_sliding_window_activity_streaming(spark, message_dir, tmp_path):
     raw = spark.readStream.text(message_dir)
     agg = sliding_window_activity(parse_profile_stream(raw))
+    # complete mode: append would only emit windows a LATER batch's
+    # watermark closes, and a finite availableNow source has no later
+    # batch — the assertion would pass vacuously on zero rows
     q = (
         agg.writeStream.format("memory")
         .queryName("win_agg")
-        .outputMode("append")
+        .outputMode("complete")
         .option("checkpointLocation", str(tmp_path / "ckpt2"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
-    # append mode emits only watermark-closed windows; with availableNow
-    # over a finite source the final watermark closes all of them
     rows = spark.sql("SELECT * FROM win_agg").collect()
-    assert {r.user_id for r in rows} <= {"u1", "u2"}
+    assert {r.user_id for r in rows} == {"u1", "u2"}
+    # u1's single event at +60s lands in 10 sliding windows (10min/1min)
+    assert sum(1 for r in rows if r.user_id == "u1") == 10
 
 
 def test_observed_metrics_per_batch(spark, message_dir, tmp_path):
@@ -241,3 +244,104 @@ def test_prometheus_listener_streaming(spark, message_dir, tmp_path):
         assert "observed_ingest_n_rows" in text
     finally:
         spark.streams.removeListener(listener)
+
+
+CLICKS = [
+    {"user_id": "u1", "item_id": "i9", "timestamp": BASE_TS + 90},  # 30s after u1 profile
+    {"user_id": "u2", "item_id": "i7", "timestamp": BASE_TS + 400},  # pairs with BOTH u2 profiles
+    {"user_id": "u2", "item_id": "i8", "timestamp": BASE_TS + 1200},  # > max_lag after both
+    {"user_id": "u9", "item_id": "i1", "timestamp": BASE_TS + 100},  # no profile
+]
+
+
+@pytest.fixture()
+def click_dir(tmp_path):
+    d = tmp_path / "clicks"
+    d.mkdir()
+    (d / "batch0.txt").write_text("\n".join(json.dumps(m) for m in CLICKS) + "\n")
+    return str(d)
+
+
+def _joined_pairs(rows):
+    return sorted((r.user_id, r.item_id, int(r.profile_time.timestamp())) for r in rows)
+
+
+# the raw parse keeps MESSAGES' duplicate (u1, +60) profile — the join
+# sees at-least-once input, so u1's click pairs with both copies
+# (profile_pipeline's dropDuplicatesWithinWatermark is what removes
+# dups, and it's deliberately not part of this join's contract)
+EXPECTED_PAIRS = [
+    ("u1", "i9", BASE_TS + 60),
+    ("u1", "i9", BASE_TS + 60),
+    ("u2", "i7", BASE_TS + 120),
+    ("u2", "i7", BASE_TS + 300),
+]
+
+
+def test_stream_stream_interval_join(spark, message_dir, click_dir, tmp_path):
+    from streaming_recommendation_spark.streaming import (
+        clicks_with_profiles,
+        parse_click_stream,
+    )
+
+    profiles = parse_profile_stream(spark.readStream.text(message_dir))
+    clicks = parse_click_stream(spark.readStream.text(click_dir))
+    joined = clicks_with_profiles(profiles, clicks, max_lag="5 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    # i8 is 15min after the last u2 profile (outside max_lag); u9 has
+    # no profile; u1/u2 clicks pair with every in-window version
+    assert _joined_pairs(rows) == EXPECTED_PAIRS
+
+
+def test_stream_stream_join_batch_twin(spark, message_dir, click_dir):
+    """The same join plan runs as a plain batch join (mode-agnostic)."""
+    from streaming_recommendation_spark.streaming import (
+        clicks_with_profiles,
+        parse_click_stream,
+    )
+
+    profiles = parse_profile_stream(spark.read.text(message_dir))
+    clicks = parse_click_stream(spark.read.text(click_dir))
+    rows = clicks_with_profiles(profiles, clicks, max_lag="5 minutes").collect()
+    assert _joined_pairs(rows) == EXPECTED_PAIRS
+
+
+def test_session_window_merges_close_events(spark, message_dir, tmp_path):
+    from streaming_recommendation_spark.streaming import session_window_activity
+
+    # batch: u2's events at +120 and +300 are 3min apart -> one session
+    # with a 5min gap; u1's two (duplicate) events at +60 are one session
+    parsed = parse_profile_stream(spark.read.text(message_dir))
+    rows = session_window_activity(parsed, gap="5 minutes").collect()
+    by_user = {r.user_id: r for r in rows}
+    assert len(rows) == 2
+    assert by_user["u2"].n_profiles == 2
+    assert sorted(by_user["u2"].session_items) == ["c", "d"]
+    assert by_user["u1"].n_profiles == 2
+
+    # streaming twin: same gap merge through the state store. Complete
+    # mode, because append only emits sessions the NEXT batch's
+    # watermark closes — with a finite availableNow source there is no
+    # next batch, so append would emit nothing here.
+    sparsed = parse_profile_stream(spark.readStream.text(message_dir))
+    q = (
+        session_window_activity(sparsed, gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    srows = spark.sql("SELECT * FROM sess").collect()
+    assert {(r.user_id, r.n_profiles) for r in srows} == {("u1", 2), ("u2", 2)}

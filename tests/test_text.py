@@ -10,7 +10,9 @@ from pyspark.sql import functions as F
 from streaming_recommendation_spark.operators.text import (
     STOPWORDS,
     language_id,
+    pii_scrub,
     quality_score,
+    tfidf_top_terms,
     token_stats,
 )
 from streaming_recommendation_spark.sources.testdata import load_table
@@ -69,3 +71,40 @@ def test_token_stats_counts(spark):
     # BPE-ish: Hello , world ! 42 times
     assert out[1].n_bpe_tokens == 6
     assert out[2].n_tokens == 0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    rows = [
+        Row(doc_id=1, text="mail a.user+tag@sub.example.org or b@x.io today"),
+        Row(doc_id=2, text="server 192.168.1.254 then call 555-867-5309"),
+        Row(doc_id=3, text="nothing sensitive here"),
+        # the IP must be scrubbed as an IP, never half-matched as a phone
+        Row(doc_id=4, text="ip 100.200.300.400"),
+    ]
+    out = {r.doc_id: r for r in pii_scrub(spark.createDataFrame(rows)).collect()}
+    assert out[1].n_email == 2 and "@" not in out[1].scrubbed_text
+    assert out[1].scrubbed_text == "mail <EMAIL> or <EMAIL> today"
+    assert out[2].n_ipv4 == 1 and out[2].n_phone == 1
+    assert out[2].scrubbed_text == "server <IP> then call <PHONE>"
+    assert (out[3].n_email, out[3].n_ipv4, out[3].n_phone) == (0, 0, 0)
+    assert out[3].scrubbed_text == "nothing sensitive here"
+    assert out[4].n_ipv4 == 1 and out[4].n_phone == 0
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    rows = [
+        Row(doc_id=1, text="apple apple banana shared shared shared"),
+        Row(doc_id=2, text="cherry shared shared"),
+        Row(doc_id=3, text="shared durian durian durian"),
+    ]
+    out = tfidf_top_terms(spark.createDataFrame(rows), k=2).collect()
+    top = {r.doc_id: r.term for r in out if r.rank == 1}
+    # 'shared' appears in every doc (df=3) so any doc-unique term
+    # (df=1) outranks it even at lower tf
+    assert top == {1: "apple", 2: "cherry", 3: "durian"}
+    d1 = {r.term: r for r in out if r.doc_id == 1}
+    assert d1["apple"].tf == 2 and d1["apple"].df == 1
+    assert d1["apple"].tfidf == pytest.approx(2 * 3 / 1)
+    # banana (tf=1,df=1 -> 3.0) ties shared (tf=3,df=3 -> 3.0); the
+    # term-ascending tie-break picks banana for rank 2
+    assert "banana" in d1 and d1["banana"].rank == 2
