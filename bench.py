@@ -68,6 +68,10 @@ HEADLINE = [
     # join/window pipeline) over documents
     "q67_pii_scrub",
     "q68_tfidf_top_terms",
+    # decorrelated-subquery TPC-H shapes (Q17/Q22/Q21)
+    "q69_small_quantity_revenue",
+    "q70_rich_segments_no_orders",
+    "q71_multi_supplier_orders",
 ]
 
 

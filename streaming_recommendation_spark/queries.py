@@ -1583,6 +1583,104 @@ def q68_tfidf_top_terms(spark, sf_dir):
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
+@register(
+    "q69_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (per-part average "
+    "threshold). Decorrelated Spark plan: the per-part thresholds are "
+    "one groupBy, joined back to the fact — never a per-row re-scan.",
+    tags=("join", "agg", "subquery"),
+)
+def q69_small_quantity_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(F.col("p_brand") == "Brand#1")
+        .join(F.broadcast(thresholds), li.l_partkey == F.col("t_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+    )
+    return j.agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+
+
+@register(
+    "q70_rich_segments_no_orders",
+    """
+    SELECT c_mktsegment, count(*) AS numcust,
+           round(sum(c_acctbal), 4) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000)
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: global-average scalar subquery + NOT EXISTS "
+    "anti-join (no large order; every synthetic customer has SOME "
+    "order, so the plain version is vacuously empty) + segment rollup.",
+    tags=("join", "agg", "subquery"),
+)
+def q70_rich_segments_no_orders(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    big_orders = orders.where(F.col("o_totalprice") > 300000)
+    no_orders = rich.join(
+        big_orders, rich.c_custkey == big_orders.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+    )
+
+
+@register(
+    "q71_multi_supplier_orders",
+    """
+    SELECT l_suppkey AS s_suppkey, count(DISTINCT l_orderkey) AS n_shared_orders
+    FROM lineitem
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = lineitem.l_orderkey
+                    AND l2.l_suppkey <> lineitem.l_suppkey)
+    GROUP BY l_suppkey
+    """,
+    doc="TPC-H Q21 shape: correlated EXISTS over the same fact table "
+    "(orders involving another supplier). Decorrelated Spark plan: "
+    "semi-join against the multi-supplier order set derived by one "
+    "distinct-count aggregation — the correlated re-scan never runs.",
+    tags=("join", "agg", "subquery"),
+)
+def q71_multi_supplier_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    multi = (
+        li.groupBy(F.col("l_orderkey").alias("m_orderkey"))
+        .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        .where(F.col("n_supp") >= 2)
+        .select("m_orderkey")
+    )
+    return (
+        li.join(multi, li.l_orderkey == F.col("m_orderkey"), "left_semi")
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("n_shared_orders"))
+    )
+
+
 # --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
 # deterministic (seeded LCG, operators/similarity._hyperplanes), so the
 # oracle embeds the exact same constants as literals and replays the

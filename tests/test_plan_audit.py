@@ -207,6 +207,36 @@ def test_q68_tfidf_partitioned_topk(run):
     assert a["has_window_group_limit"]
 
 
+def test_q69_correlated_scalar_decorrelated(run):
+    # Q17 shape: the per-part threshold is ONE aggregation joined
+    # back — the correlated per-row re-scan of lineitem never appears
+    # (2 scans of lineitem total, not |part| scans)
+    a = run("q69_small_quantity_revenue")
+    assert a["bnl_joins"] == 0
+    # node-numbered detail headers: one per physical scan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", a["plan"])) <= 3
+    assert a["n_broadcast_joins"] >= 2
+
+
+def test_q70_anti_join_shape(run):
+    # Q22 shape: NOT EXISTS compiles to a left-anti join; the global
+    # average is a broadcast scalar, and the o_totalprice filter is
+    # pushed into the orders scan feeding the anti join
+    a = run("q70_rich_segments_no_orders")
+    assert "Anti" in a["plan"]
+    assert any("o_totalprice" in p for p in a["pushed_filters"])
+
+
+def test_q71_exists_decorrelated_to_semi(run):
+    # Q21 shape: correlated EXISTS over the same fact becomes a
+    # semi-join against the aggregated multi-supplier order set
+    a = run("q71_multi_supplier_orders")
+    assert "Semi" in a["plan"]
+    assert a["bnl_joins"] == 0
+
+
 def test_q65_simhash_banded_equi_join(run):
     # banded SimHash: candidates come from a (band,bucket) equi
     # self-join — never an all-pairs nested loop over documents
