@@ -72,7 +72,13 @@ HEADLINE = [
     "q69_small_quantity_revenue",
     "q70_rich_segments_no_orders",
     "q71_multi_supplier_orders",
+    # iterative connected-components dedup resolution
+    "q72_dedup_clusters",
 ]
+
+# queries whose operator runs Spark jobs during plan construction
+# (driver-side iteration loops) — construction is charged for these
+ITERATIVE = {"q72_dedup_clusters"}
 
 
 def main() -> None:
@@ -89,8 +95,16 @@ def main() -> None:
     for name in HEADLINE:
         runs = []
         for _ in range(2):
-            df = qs[name](spark, SF_DIR)
-            t0 = time.perf_counter()
+            # lazy queries: construction excluded (it's parquet file
+            # listing/schema reads a real deployment caches in a
+            # catalog). Iterative operators run REAL jobs during
+            # construction — those are the query and must be charged.
+            if name in ITERATIVE:
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+            else:
+                df = qs[name](spark, SF_DIR)
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)

@@ -402,3 +402,100 @@ def incremental_lsh_candidates(
         .select("new_id", "existing_id")
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id of its connected component.
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbors (one shuffle — the
+    message groupBy; the label join broadcasts or co-partitions on the
+    same key). Labels decrease monotonically, so the fixpoint is the
+    per-component minimum, reached in O(graph diameter) rounds — for
+    near-dup clusters the diameter is tiny (docs in a cluster share
+    buckets pairwise), so 3-5 rounds is typical.
+
+    Scale notes: each round ends in ``localCheckpoint`` to truncate
+    lineage (without it, round k replays rounds 1..k-1 and the plan
+    grows quadratically). On a real cluster prefer a reliable
+    ``checkpoint`` dir so a lost executor doesn't recompute the chain.
+    For adversarial long-chain graphs (diameter ~ |V|) swap in the
+    large-star/small-star rounds of Kiveris et al., "Connected
+    Components in MapReduce and Beyond" (O(log^2 n) rounds); dedup
+    graphs never look like that, so the simple monotone propagation is
+    the better constant factor here.
+    """
+    # materialize the edge list ONCE: without this, every round's join
+    # re-executes the whole upstream candidate-pair pipeline (LSH
+    # banding etc.) — the edges are tiny relative to the corpus scan
+    # that produces them
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        # label each neighbor-list entry carries, then the per-node min
+        msgs = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        # labels only ever decrease -> strict < detects any change
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
+    (doc_id, cluster_id, is_canonical) for EVERY document.
+
+    LSH/SimHash emit pairwise candidates; a curation pipeline needs
+    the transitive closure — if A~B and B~C, one canonical doc must
+    survive from {A,B,C}, not two. cluster_id is the component's
+    minimum doc id (deterministic, so an oracle can replay it);
+    is_canonical marks the kept representative. Docs in no pair are
+    their own singleton cluster.
+    """
+    cc = connected_components(pairs, src, dst)
+    return (
+        df.select(id_col)
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -1681,6 +1681,60 @@ def q71_multi_supplier_orders(spark, sf_dir):
     )
 
 
+@register(
+    "q72_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    params(i, a, b) AS (VALUES {_Q37_PARAMS}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * hv + b) % {dedup.MH_PRIME}) AS mh
+      FROM hashed CROSS JOIN params
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS pa, y.doc_id AS pb
+      FROM bands x JOIN bands y USING (band, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    edges AS (
+      SELECT pa AS u, pb AS v FROM pairs
+      UNION SELECT pb, pa FROM pairs
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+    )
+    SELECT d.doc_id,
+           coalesce(m.comp, d.doc_id) AS cluster_id,
+           coalesce(m.comp, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d
+    LEFT JOIN (SELECT u, least(min(r), u) AS comp FROM reach GROUP BY u) m
+      ON m.u = d.doc_id
+    """,
+    doc="Dedup cluster resolution: MinHash-LSH candidate pairs (the q37 "
+    "pipeline) resolved into duplicate clusters via connected components "
+    "(iterative min-label propagation; O(diameter) rounds, one shuffle "
+    "each, lineage truncated per round). cluster_id = min doc_id of the "
+    "component; is_canonical marks the surviving representative. The "
+    "oracle replays the exact pair pipeline, then takes the transitive "
+    "closure with a recursive CTE.",
+    tags=("dedup", "graph"),
+)
+def q72_dedup_clusters(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+
+
 # --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
 # deterministic (seeded LCG, operators/similarity._hyperplanes), so the
 # oracle embeds the exact same constants as literals and replays the

@@ -184,3 +184,43 @@ def test_simhash_near_dups_matches_bruteforce(spark, docs):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dups(docs, max_hamming=4)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (transitive: LSH would emit only adjacent pairs),
+    # triangle 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a", "b"],
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
+    from streaming_recommendation_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)], ["doc_id", "text"]
+    )
+    # A~B, B~C (one cluster of 3); E~F; D and G singletons
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], ["a", "b"])
+    rows = dedup_clusters(docs, pairs).collect()
+    assert len(rows) == 7  # every doc present
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sorted(by_cluster) == [1, 4, 5, 7]
+    for cid, members in by_cluster.items():
+        canon = [r for r in members if r["is_canonical"]]
+        assert len(canon) == 1 and canon[0]["doc_id"] == cid
+    # the transitive member 3 landed with 1 even though (1,3) was
+    # never an LSH candidate pair
+    assert {r["doc_id"] for r in by_cluster[1]} == {1, 2, 3}
