@@ -74,11 +74,13 @@ HEADLINE = [
     "q71_multi_supplier_orders",
     # iterative connected-components dedup resolution
     "q72_dedup_clusters",
+    # quantized-Lloyd-refined IVF ANN
+    "q73_ivf_kmeans_knn",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
 # (driver-side iteration loops) — construction is charged for these
-ITERATIVE = {"q72_dedup_clusters"}
+ITERATIVE = {"q72_dedup_clusters", "q73_ivf_kmeans_knn"}
 
 
 def main() -> None:

@@ -1735,6 +1735,116 @@ def q72_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(docs, dedup.minhash_lsh_pairs(docs))
 
 
+def _kmeans_ivf_oracle(k=16, n_iter=2, dim=64, scale=1 << 20, offset="2.0"):
+    """Unrolled quantized-Lloyd SQL: the operator's integer arithmetic
+    (round((x+offset)*scale) -> argmin -> sum DIV count) is exact in
+    any engine, so each refinement round is spelled out as plain CTEs
+    and the final centroids convert back with rounding-free float ops
+    (scale is a power of two)."""
+    d1 = dim + 1
+    rounds = []
+    for r in range(n_iter):
+        rounds.append(
+            f"""
+    a{r} AS (
+      SELECT vec_id, qv, lid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, lid ASC) AS rn
+      FROM (SELECT q.vec_id, q.qv, c.lid,
+                   list_sum(list_transform(range(1, {d1}),
+                     i -> (q.qv[i] - c.qc[i]) * (q.qv[i] - c.qc[i]))) AS d
+            FROM qv q CROSS JOIN cent{r} c)
+    ),
+    s{r} AS (
+      SELECT lid, i AS dim, sum(qv[i]) AS s, count(*) AS n
+      FROM a{r}, range(1, {d1}) t(i)
+      WHERE rn = 1
+      GROUP BY lid, i
+    ),
+    m{r} AS (
+      SELECT lid, list(s // n ORDER BY dim) AS qc FROM s{r} GROUP BY lid
+    ),
+    cent{r + 1} AS (
+      SELECT c.lid, coalesce(m.qc, c.qc) AS qc
+      FROM cent{r} c LEFT JOIN m{r} m USING (lid)
+    )"""
+        )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((x + {offset}) * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT vec_id AS lid, qv AS qc FROM qv
+      ORDER BY (vec_id * 2654435761) % 4294967296 ASC, vec_id ASC
+      LIMIT {k}
+    ),{",".join(rounds)},
+    landmarks AS (
+      SELECT lid,
+             list_transform(qc, v -> v::DOUBLE / {float(scale)} - {offset})
+               AS lvec
+      FROM cent{n_iter}
+    ),
+    dist AS (
+      SELECT e.vec_id, e.embedding AS v, l.lid,
+             list_sum(list_transform(range(1, {d1}),
+               i -> ((e.embedding[i] - l.lvec[i])
+                     * (e.embedding[i] - l.lvec[i]))::DOUBLE)) AS d
+      FROM embeddings e CROSS JOIN landmarks l
+    ),
+    ranked_cells AS (
+      SELECT vec_id, v, lid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, lid ASC) AS rn
+      FROM dist
+    ),
+    cassign AS (SELECT vec_id AS neighbor_id, v AS cv, lid
+                FROM ranked_cells WHERE rn = 1),
+    qassign AS (SELECT vec_id AS query_id, v AS qv, lid
+                FROM ranked_cells WHERE vec_id < 5 AND rn <= 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, {d1}),
+                                               i -> (qv[i] * cv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS score
+      FROM qassign JOIN cassign USING (lid)
+    ),
+    topk AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk AS rank FROM topk WHERE rnk <= 10
+    """
+
+
+@register(
+    "q73_ivf_kmeans_knn",
+    _kmeans_ivf_oracle(),
+    doc="IVF ANN with Lloyd-REFINED centroids: 2 k-means rounds in "
+    "quantized integer arithmetic (deterministic on any engine and any "
+    "shuffle order — float k-means drifts by partial-sum order), then "
+    "the standard broadcast-assign / probe / exact-cosine plan. "
+    "Measured recall at sf0.01: 0.56 vs 0.46 for hash-ranked landmarks "
+    "at the same n_probe. Oracle unrolls the refinement rounds in SQL.",
+    tags=("similarity",),
+)
+def q73_ivf_kmeans_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_kmeans_knn(
+        emb, qdf, k=10, num_landmarks=16, n_iter=2, n_probe=3, dim=64
+    )
+
+
 # --- SRP-LSH oracle SQL generation (q45/q50): the hyperplanes are
 # deterministic (seeded LCG, operators/similarity._hyperplanes), so the
 # oracle embeds the exact same constants as literals and replays the

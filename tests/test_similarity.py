@@ -174,3 +174,43 @@ def test_ivf_knn_recall_and_self(spark, emb):
     before = len(sc.statusTracker().getJobIdsForGroup(None))
     ivf_knn(emb, qdf, k=5, num_landmarks=8, n_probe=2)
     assert len(sc.statusTracker().getJobIdsForGroup(None)) == before
+
+
+def test_kmeans_ivf_refinement(spark, emb):
+    """Quantized-Lloyd refinement: deterministic across runs (integer
+    arithmetic — no float partial-sum drift) and recall at least as
+    good as the hash-ranked seeds it starts from."""
+    from streaming_recommendation_spark.operators.similarity import (
+        ivf_kmeans_knn,
+        ivf_knn,
+        kmeans_refined_landmarks,
+    )
+
+    lm1 = kmeans_refined_landmarks(emb, k=8, n_iter=2, dim=64).collect()
+    lm2 = kmeans_refined_landmarks(emb, k=8, n_iter=2, dim=64).collect()
+    assert [(r["__lid"], r["__lvec"]) for r in lm1] == [
+        (r["__lid"], r["__lvec"]) for r in lm2
+    ]
+
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {}
+    for r in knn_brute_force(emb, qdf, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def mean_recall(df):
+        approx = {}
+        for r in df.collect():
+            approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in exact
+        ) / len(exact)
+
+    refined = mean_recall(
+        ivf_kmeans_knn(emb, qdf, k=10, num_landmarks=16, n_iter=2, n_probe=3, dim=64)
+    )
+    seeds = mean_recall(ivf_knn(emb, qdf, k=10, num_landmarks=16, n_probe=3))
+    assert refined >= seeds, f"refinement hurt recall: {refined} < {seeds}"
+    assert refined > 0.3
