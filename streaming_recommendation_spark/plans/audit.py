@@ -17,6 +17,10 @@ Extracted facts:
   codegen_stages       whole-stage-codegen span count (JVM-compiled)
   bnl_joins            broadcast-nested-loop joins (usually a smell:
                        a non-equi join that missed its equi rewrite)
+  has_dynamic_partition_pruning  fact-scan PartitionFilters carry a
+                       dynamicpruning subquery from the dim side
+  has_bloom_filter_pruning  runtime bloom filter probed on the fact
+                       side before its shuffle (might_contain)
 """
 
 from __future__ import annotations
@@ -47,6 +51,12 @@ def audit(df: DataFrame) -> dict:
         "bnl_joins": node("BroadcastNestedLoopJoin"),
         "has_window_group_limit": "WindowGroupLimit" in plan,
         "has_take_ordered": "TakeOrderedAndProject" in plan,
+        # runtime row-group/partition pruning injected by the optimizer:
+        # a partitioned scan whose PartitionFilters carry a subquery on
+        # the other join side (DPP), and a bloom filter built from the
+        # filtered build side and probed before the fact-side shuffle
+        "has_dynamic_partition_pruning": "dynamicpruningexpression" in plan,
+        "has_bloom_filter_pruning": "might_contain" in plan,
         "pushed_filters": [p for p in pushed if p.strip()],
         # NOTE: under AQE the pre-execution formatted plan omits
         # codegen ids; this only counts them on executed plans
