@@ -76,6 +76,10 @@ HEADLINE = [
     "q72_dedup_clusters",
     # quantized-Lloyd-refined IVF ANN
     "q73_ivf_kmeans_knn",
+    # TPC-H completion wave: correlated-min supplier (Q2) and 5-way
+    # snowflake profit (Q9) — the widest join trees in the registry
+    "q74_min_cost_supplier",
+    "q82_nation_year_profit",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

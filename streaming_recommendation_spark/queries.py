@@ -2591,3 +2591,460 @@ def q64_brand_revenue_ratio(spark, sf_dir):
     return j.agg(
         F.round(100.0 * brand_vol / F.sum(vol), 6).alias("brand1_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion wave (round 2): the remaining classic query shapes,
+# adapted to the synthetic schema (no partsupp table — supplier-cost
+# shapes derive unit costs from lineitem; no l_commitdate — date
+# predicates use l_shipdate/o_orderdate). Reference parity: these are
+# the relational shapes the reference's offline jobs compose from
+# pandas groupby/merge chains (model_training/din/utils.py,
+# eval_offline/main/evaluate.py); here each is one declarative plan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q74_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(unit_cost, 4) AS unit_cost
+    FROM cost
+    JOIN part     ON p_partkey = cost.l_partkey
+    JOIN supplier ON s_suppkey = cost.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size = 15 AND p_type = 'LARGE'
+      AND unit_cost = (
+        SELECT min(c2.unit_cost) FROM cost c2
+        WHERE c2.l_partkey = cost.l_partkey)
+    """,
+    doc="TPC-H Q2 shape: correlated min-subquery (cheapest supplier "
+    "per part). Spark plan filters parts FIRST (broadcast semi-join "
+    "into the fact scan), aggregates only surviving lineitems, then "
+    "takes the per-part min via one more partial-aggregated groupBy "
+    "joined back — the decorrelated form; no per-row re-scan, and the "
+    "fact scan never aggregates parts the filter would discard.",
+    tags=("join", "agg", "subquery"),
+)
+def q74_min_cost_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_name")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    # prune the fact to qualifying parts before any aggregation
+    li_f = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+    cost = li_f.groupBy("p_partkey", "p_name", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(best),
+            (cost.p_partkey == best.b_partkey)
+            & (cost.unit_cost == best.best_cost),
+        )
+        .join(F.broadcast(supplier), cost.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q75_order_count_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: outer join with a compound ON predicate, "
+    "then a two-level aggregation (per-customer count, then the "
+    "histogram of counts). The second groupBy runs over |customers| "
+    "rows — already reduced, cheap at any scale.",
+    tags=("join", "agg", "outer"),
+)
+def q75_order_count_distribution(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q76_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey, sum(l_extendedprice) AS part_value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, round(part_value, 4) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT sum(part_value) * 0.0006 FROM pv)
+    """,
+    doc="TPC-H Q11 shape: HAVING against a scalar share-of-total "
+    "subquery. The global total is a second aggregation over the "
+    "already-reduced per-part table, broadcast back as a cross join — "
+    "the fact is scanned once.",
+    tags=("agg", "subquery"),
+)
+def q76_important_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("part_value")
+    )
+    total = pv.agg((F.sum("part_value") * 0.0006).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .where(F.col("part_value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round("part_value", 4).alias("part_value"),
+        )
+    )
+
+
+@register(
+    "q77_top_revenue_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_rev, 4) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: argmax against an aggregated view (top "
+    "supplier by quarterly revenue). Spark: one filtered groupBy, a "
+    "broadcast scalar max, equality filter — ties all returned, so "
+    "the result is deterministic without a limit.",
+    tags=("agg", "subquery", "join"),
+)
+def q77_top_revenue_supplier(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("best_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("best_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("total_rev", 4).alias("total_rev")
+        )
+    )
+
+
+@register(
+    "q78_supplier_part_counts",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: negated predicates + NOT IN subquery "
+    "(flagged suppliers) + count-distinct per part descriptor. The "
+    "NOT IN compiles to a broadcast anti-join (s_suppkey is "
+    "non-nullable, so anti-join semantics match NOT IN exactly).",
+    tags=("join", "agg", "anti"),
+)
+def q78_supplier_part_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_f = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    flagged = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(flagged), li.l_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q79_large_volume_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 4) AS o_totalprice, sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    ) big ON o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18 shape: IN over a grouped-HAVING subquery (orders "
+    "whose total quantity exceeds a threshold), joined back to the "
+    "customer dim. Quantities are integral doubles, so the HAVING "
+    "threshold is exact in both engines.",
+    tags=("join", "agg", "subquery"),
+)
+def q79_large_volume_orders(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 200)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q80_disjunctive_revenue",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 15 AND 40
+           AND l_quantity BETWEEN 20 AND 50)
+    """,
+    doc="TPC-H Q19 shape: three-branch disjunctive predicate mixing "
+    "fact and dimension columns. Catalyst extracts the common "
+    "l_quantity bounds and the p_brand IN-set as pushed conjuncts, so "
+    "both scans prune before the join.",
+    tags=("join", "filter", "agg"),
+)
+def q80_disjunctive_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    b = F.col("p_brand")
+    cond = (
+        ((b == "Brand#1") & sz.between(1, 10) & q.between(1, 20))
+        | ((b == "Brand#2") & sz.between(5, 20) & q.between(10, 30))
+        | ((b == "Brand#3") & sz.between(15, 40) & q.between(20, 50))
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q81_heavy_shippers_of_red_parts",
+    """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM (
+        SELECT l_partkey, l_suppkey, sum(l_quantity) AS shipped
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+      ) qty
+      JOIN part ON p_partkey = qty.l_partkey
+      WHERE p_name LIKE 'red%' AND shipped > 50
+    )
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries (per-part-per-supplier "
+    "shipped volume over a date window, restricted to a part-name "
+    "prefix) driving a semi-join on the supplier dim. Spark: groupBy "
+    "+ broadcast part filter + left_semi — the supplier table is "
+    "never widened.",
+    tags=("join", "agg", "semi", "subquery"),
+)
+def q81_heavy_shippers_of_red_parts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    qty = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part_red), li.l_partkey == part_red.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("shipped"))
+        .where(F.col("shipped") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(qty, supplier.s_suppkey == qty.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    "q82_nation_year_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.1 * p_retailprice * l_quantity), 4) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%blue%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="TPC-H Q9 shape: 5-way snowflake join with a derived profit "
+    "measure (supply cost approximated as 10% of retail price — no "
+    "partsupp table in this schema) grouped by nation x order year. "
+    "part/supplier/nation broadcast; orders join is the only shuffle "
+    "besides the final agg.",
+    tags=("join", "agg"),
+)
+def q82_nation_year_profit(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part_g = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%blue%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part_g), li.l_partkey == part_g.p_partkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount), 4).alias("profit"))
+    )
+
+
+@register(
+    "q83_returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    HAVING sum(l_extendedprice * (1 - l_discount)) > 50000
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer over a "
+    "date window. Membership cutoff is a HAVING threshold rather than "
+    "LIMIT 20 so cross-engine float-sum ordering noise cannot flip "
+    "which rows qualify (a >-threshold at 5e4 is 1e10x above "
+    "double-sum error; a rank-20 boundary is not).",
+    tags=("join", "agg", "filter"),
+)
+def q83_returned_item_customers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(rev).alias("_raw_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .where(F.col("_raw_rev") > 50000)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("_raw_rev", 4).alias("revenue"),
+            "n_lines",
+        )
+    )

@@ -246,3 +246,104 @@ def test_q65_simhash_banded_equi_join(run):
         a["n_sortmerge_joins"] + a["n_broadcast_joins"] + a["n_shuffled_hash_joins"]
         >= 1
     )
+
+
+# --- TPC-H completion wave (q74-q83): the classic shapes must keep
+# their scale-critical physical properties.
+
+
+def test_q74_part_filter_prunes_before_agg(run):
+    # Q2 shape: the p_size/p_type filter reaches the part scan and the
+    # fact joins it broadcast BEFORE any aggregation; the per-part min
+    # is a second agg joined back (decorrelated) — no nested loop
+    a = run("q74_min_cost_supplier")
+    assert a["bnl_joins"] == 0
+    assert any("p_size" in p for p in a["pushed_filters"])
+    assert a["n_broadcast_joins"] >= 3  # part, best-cost, supplier, nation
+
+
+def test_q75_outer_join_then_two_aggs(run):
+    # Q13 shape: LEFT OUTER with compound ON stays an equi join; the
+    # histogram agg runs over already-reduced per-customer rows
+    a = run("q75_order_count_distribution")
+    assert a["bnl_joins"] == 0
+    assert (
+        a["n_sortmerge_joins"] + a["n_broadcast_joins"] + a["n_shuffled_hash_joins"]
+        >= 1
+    )
+
+
+def test_q76_single_fact_scan(run):
+    # Q11 shape: the share-of-total threshold must come from the
+    # REDUCED per-part table, re-scanning it, never the raw fact twice
+    import re
+
+    a = run("q76_important_parts")
+    # lineitem scanned at most twice (pv is recomputed per branch; the
+    # point is the threshold branch aggregates pv, not a third scan)
+    assert len(re.findall(r"\(\d+\) Scan parquet", a["plan"])) <= 2
+    assert a["bnl_joins"] <= 1  # the 1-row threshold broadcast only
+
+
+def test_q77_scalar_max_broadcast(run):
+    # Q15 shape: date filter pushed to the fact scan; the argmax is a
+    # broadcast 1-row cross join, supplier dim broadcast
+    a = run("q77_top_revenue_supplier")
+    assert any("l_shipdate" in p for p in a["pushed_filters"])
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q78_not_in_is_broadcast_anti(run):
+    # Q16 shape: the flagged-supplier NOT IN compiles to a broadcast
+    # anti join (keys non-nullable), part filter broadcast too
+    a = run("q78_supplier_part_counts")
+    assert "Anti" in a["plan"]
+    assert a["bnl_joins"] == 0
+    assert any("p_size" in p or "p_brand" in p for p in a["pushed_filters"])
+
+
+def test_q79_having_reduces_before_join(run):
+    # Q18 shape: the sum_qty HAVING filter applies to the aggregated
+    # per-order rows before the join back to orders/customer
+    a = run("q79_large_volume_orders")
+    assert a["bnl_joins"] == 0
+    assert a["n_exchanges"] <= 5
+
+
+def test_q80_disjunction_prunes_both_scans(run):
+    # Q19 shape: Catalyst extracts common conjuncts from the 3-branch
+    # OR; both scans see pushed predicates and the join stays equi
+    a = run("q80_disjunctive_revenue")
+    assert a["bnl_joins"] == 0
+    assert a["n_broadcast_joins"] >= 1
+    # the extracted l_quantity (fact) and p_brand/p_size (dim) bounds
+    assert any("l_quantity" in p for p in a["pushed_filters"])
+    assert any("p_brand" in p or "p_size" in p for p in a["pushed_filters"])
+
+
+def test_q81_semi_join_never_widens_supplier(run):
+    # Q20 shape: nested IN -> left_semi; supplier carries no lineitem
+    # columns at any point; date filter pushed to the fact scan
+    a = run("q81_heavy_shippers_of_red_parts")
+    assert "Semi" in a["plan"]
+    assert any("l_shipdate" in p for p in a["pushed_filters"])
+    assert a["bnl_joins"] == 0
+
+
+def test_q82_snowflake_single_fact_shuffle(run):
+    # Q9 shape: part/supplier/nation broadcast; the only sort-merge
+    # join is lineitem x orders; one final agg shuffle
+    a = run("q82_nation_year_profit")
+    assert a["n_broadcast_joins"] >= 3
+    assert a["n_sortmerge_joins"] <= 1
+    assert any("p_name" in p for p in a["pushed_filters"])
+
+
+def test_q83_filters_push_to_both_fact_and_orders(run):
+    # Q10 shape: returnflag filter on the lineitem scan, date window
+    # on the orders scan — both prune before the join
+    a = run("q83_returned_item_customers")
+    assert any("l_returnflag" in p for p in a["pushed_filters"])
+    assert any("o_orderdate" in p for p in a["pushed_filters"])
+    assert a["bnl_joins"] == 0
