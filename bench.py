@@ -80,6 +80,8 @@ HEADLINE = [
     # snowflake profit (Q9) — the widest join trees in the registry
     "q74_min_cost_supplier",
     "q82_nation_year_profit",
+    # one-pass corpus curation (langid + quality + dedup + sample)
+    "q84_corpus_curation",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -58,10 +58,10 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Heuristic quality in [0,1]: penalize too-short docs, extreme
-    punctuation density, and missing stopwords (word-salad signal)."""
-    text = F.col(text_col)
+def quality_parts(text: Column) -> tuple[Column, Column, Column]:
+    """(quality, n_tokens, punct_ratio, stop_ratio) building blocks as
+    raw Columns, so compositions (q84 curation) can inline them into a
+    single map-side projection instead of joining operator outputs."""
     toks = tokens(text)
     n_tok = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
@@ -75,6 +75,13 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     punct_score = F.when(punct_ratio > 0.2, F.lit(0.0)).otherwise(1 - punct_ratio * 5)
     stop_score = F.least(stop_ratio * F.lit(4.0), F.lit(1.0))
     q = (length_score + punct_score + stop_score) / 3
+    return q, n_tok, punct_ratio, stop_ratio
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality in [0,1]: penalize too-short docs, extreme
+    punctuation density, and missing stopwords (word-salad signal)."""
+    q, n_tok, punct_ratio, stop_ratio = quality_parts(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.round(q, 6).alias("quality"),
@@ -84,16 +91,23 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Stopword-vote language ID. Picks the language with the most
-    stopword hits; 'und' (undetermined) when no hits. Deterministic
-    tie-break: highest language code wins (struct-max semantics)."""
-    words = F.split(normalize_text(F.col(text_col)), " ")
+def language_vote(text: Column) -> Column:
+    """Winning ``struct(hits, lang)`` of the stopword vote (highest
+    hit count; struct-max ties-break toward the highest language
+    code). ``hits == 0`` means undetermined."""
+    words = F.split(normalize_text(text), " ")
     scores = []
     for lang in sorted(STOPWORDS):
         total = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[lang])))
         scores.append(F.struct(total.alias("hits"), F.lit(lang).alias("lang")))
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language ID. Picks the language with the most
+    stopword hits; 'und' (undetermined) when no hits. Deterministic
+    tie-break: highest language code wins (struct-max semantics)."""
+    best = language_vote(F.col(text_col))
     return df.select(
         F.col(id_col),
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),

@@ -3048,3 +3048,78 @@ def q83_returned_item_customers(spark, sf_dir):
             "n_lines",
         )
     )
+
+
+@register(
+    "q84_corpus_curation",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+               AS words,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h,
+             len(regexp_extract_all(text, '\\S+'))      AS n_tok,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             length(text)                               AS n_chars
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, h, n_tok, n_punct, n_chars,
+      {_Q33_HITS},
+      greatest(h_de, h_en, h_es, h_fr) AS mx,
+      len(list_filter(words, w -> list_contains([{_Q34_ALLSTOP}], w)))
+        AS stop_hits
+      FROM norm
+    ), scored AS (
+      SELECT doc_id, h, n_tok AS n_tokens,
+             CASE WHEN mx = 0 THEN 'und' {_Q33_PRED}
+                  ELSE '{sorted(text.STOPWORDS)[0]}' END AS pred_lang,
+             round((least(n_tok / 20.0, 1.0)
+                    + CASE WHEN n_punct / greatest(n_chars, 1) > 0.2 THEN 0.0
+                           ELSE 1 - (n_punct / greatest(n_chars, 1)) * 5 END
+                    + least((stop_hits / greatest(n_tok, 1)) * 4.0, 1.0)) / 3,
+                   6) AS quality,
+             min(doc_id) OVER (PARTITION BY h) AS canon
+      FROM hits
+    )
+    SELECT doc_id, pred_lang, quality, n_tokens
+    FROM scored
+    WHERE doc_id = canon
+      AND quality >= 0.5
+      AND ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0
+          < CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END
+    """,
+    doc="End-to-end corpus curation: language-ID + quality scoring + "
+    "exact-dedup canonical election + per-language stratified "
+    "downsampling (50% of 'en', the majority class, keep the rest) in "
+    "ONE pipeline. Scale shape: every per-doc feature (lang vote, "
+    "quality ratios, normalized-text digest) is computed in a single "
+    "map-side projection over the scan — no self-joins of operator "
+    "outputs — and the only shuffle is the digest hash-partition for "
+    "canonical election. Sampling is key-hash deterministic "
+    "(functions/hashing.py), so the oracle replays it exactly.",
+    tags=("text", "dedup", "sampling", "window"),
+)
+def q84_corpus_curation(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    best = text.language_vote(F.col("text"))
+    q, n_tok, _, _ = text.quality_parts(F.col("text"))
+    enriched = docs.select(
+        "doc_id",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "pred_lang"
+        ),
+        F.round(q, 6).alias("quality"),
+        n_tok.alias("n_tokens"),
+        F.md5(dedup.normalize_text(F.col("text"))).alias("_h"),
+    )
+    canon = F.min("doc_id").over(Window.partitionBy("_h"))
+    rate = F.when(F.col("pred_lang") == "en", F.lit(0.5)).otherwise(F.lit(1.0))
+    return (
+        enriched.withColumn("_canon", canon)
+        .where(F.col("doc_id") == F.col("_canon"))
+        .where(F.col("quality") >= 0.5)
+        .where(det_unit("doc_id") < rate)
+        .select("doc_id", "pred_lang", "quality", "n_tokens")
+    )

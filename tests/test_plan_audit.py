@@ -347,3 +347,16 @@ def test_q83_filters_push_to_both_fact_and_orders(run):
     assert any("l_returnflag" in p for p in a["pushed_filters"])
     assert any("o_orderdate" in p for p in a["pushed_filters"])
     assert a["bnl_joins"] == 0
+
+
+def test_q84_curation_single_shuffle_no_joins(run):
+    # curation composes langid + quality + dedup + sampling WITHOUT
+    # joining operator outputs: every per-doc feature rides one
+    # map-side projection; the only exchange is the digest
+    # hash-partition for canonical election
+    a = run("q84_corpus_curation")
+    assert a["n_exchanges"] == 1
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
