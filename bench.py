@@ -82,6 +82,9 @@ HEADLINE = [
     "q82_nation_year_profit",
     # one-pass corpus curation (langid + quality + dedup + sample)
     "q84_corpus_curation",
+    # grouping-set expansion + int8 vector compression
+    "q87_grouping_sets_events",
+    "q88_embedding_quantization",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -503,3 +503,39 @@ def ivf_kmeans_knn(
         F.col("neighbor_id").asc(),
         rank_col="rank",
     ).select(query_id_col, "neighbor_id", "rank")
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization per vector: ``scale = 127 / max|x|``,
+    ``qvec[i] = round(x[i] * scale)`` — 4x at-rest shrink for float32
+    corpora (the storage path for 100 TB ANN; scoring dequantizes with
+    one multiply, or runs integer dot products directly).
+
+    Deterministic IEEE arithmetic start to finish (one division for the
+    scale, then per-element multiply + half-away-from-zero round), so
+    any engine reproduces the quantized codes bit-for-bit — the q88
+    oracle replays them in DuckDB. Zero vectors pass through with
+    scale 0 and an all-zero code.
+
+    Map-side only: no shuffle, no UDF.
+    """
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    s = F.col("__scale")
+    qvec = F.transform(F.col(vec_col), lambda x: F.round(x * s).cast("tinyint"))
+    err = F.transform(F.col(vec_col), lambda x: x - F.round(x * s) / s)
+    mse = F.when(
+        s > 0,
+        F.aggregate(err, F.lit(0.0), lambda acc, e: acc + e * e)
+        / F.size(F.col(vec_col)),
+    ).otherwise(F.lit(0.0))
+    return df.withColumn("__scale", scale).select(
+        F.col(id_col),
+        F.col("__scale").alias("scale"),
+        qvec.alias("qvec"),
+        mse.alias("dequant_mse"),
+    )

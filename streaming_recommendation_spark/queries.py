@@ -3123,3 +3123,158 @@ def q84_corpus_curation(spark, sf_dir):
         .where(det_unit("doc_id") < rate)
         .select("doc_id", "pred_lang", "quality", "n_tokens")
     )
+
+
+@register(
+    "q85_rollup_nation_year",
+    """
+    SELECT n_name, year(o_orderdate) AS o_year,
+           grouping(n_name) AS g_nation,
+           grouping(year(o_orderdate)) AS g_year,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS revenue
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP(n_name, year(o_orderdate))
+    """,
+    doc="ROLLUP hierarchy (nation -> nation x year -> grand total) "
+    "with GROUPING() markers disambiguating real NULLs from subtotal "
+    "rows. Dims broadcast; the rollup is one shuffle (Spark expands "
+    "grouping sets map-side before the exchange).",
+    tags=("agg", "rollup", "join"),
+)
+def q85_rollup_nation_year(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .rollup("n_name", "o_year")
+        .agg(
+            F.grouping("n_name").alias("g_nation"),
+            F.grouping("o_year").alias("g_year"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q86_rank_battery",
+    """
+    SELECT c_custkey, n_name,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Analytic-function battery (rank / dense_rank / ntile / "
+    "percent_rank / cume_dist) per nation, fully tie-broken so the "
+    "ntile edges are deterministic. One hash-partitioned window — "
+    "no global ordering anywhere.",
+    tags=("window",),
+)
+def q86_rank_battery(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+@register(
+    "q87_grouping_sets_events",
+    """
+    SELECT event_type, hour(ts) AS h,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (hour(ts)), ())
+    """,
+    doc="Explicit GROUPING SETS (by-type, by-hour, grand total) over "
+    "the event stream — three rollup views in ONE scan + shuffle "
+    "instead of three jobs; the map-side expansion is 3x rows but "
+    "partial aggregation collapses it before the exchange.",
+    tags=("agg", "rollup"),
+)
+def q87_grouping_sets_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("h", F.hour("ts"))
+    return ev.groupingSets(
+        [["event_type"], ["h"], []], "event_type", "h"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@register(
+    "q88_embedding_quantization",
+    """
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ), s AS (
+      -- 127.0 / mx must divide in DOUBLE: DuckDB's DECIMAL / FLOAT
+      -- stays FLOAT, but Spark promotes lit(127.0) / float to DOUBLE
+      SELECT vec_id, embedding,
+             CASE WHEN mx > 0 THEN 127.0::DOUBLE / mx::DOUBLE
+                  ELSE 0.0 END AS sc
+      FROM t
+    )
+    SELECT vec_id,
+           round(sc, 6) AS scale,
+           CAST(list_sum(list_transform(embedding, x -> abs(round(x * sc))))
+                AS BIGINT) AS code_l1,
+           round(CASE WHEN sc > 0 THEN
+             list_reduce(
+               list_concat([0.0::DOUBLE],
+                 list_transform(embedding,
+                   x -> ((x - round(x * sc) / sc)
+                         * (x - round(x * sc) / sc))::DOUBLE)),
+               (acc, e) -> acc + e)
+             / len(embedding) ELSE 0.0 END, 12) AS dequant_mse
+    FROM s
+    """,
+    doc="Symmetric int8 embedding quantization (the 4x at-rest "
+    "compression path for 100 TB ANN corpora): per-vector scale, the "
+    "L1 norm of the int8 codes (bit-exact cross-engine checksum of "
+    "every quantized value), and dequantization MSE. Map-side only — "
+    "no shuffle, no UDF; one IEEE division then multiply+round per "
+    "element, so DuckDB replays the codes exactly.",
+    tags=("similarity", "functions"),
+)
+def q88_embedding_quantization(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_embeddings(emb, "embedding", "vec_id")
+    code_l1 = F.aggregate(
+        F.col("qvec"),
+        F.lit(0).cast("bigint"),
+        lambda acc, c: acc + F.abs(c.cast("bigint")),
+    )
+    return qd.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        code_l1.alias("code_l1"),
+        F.round("dequant_mse", 12).alias("dequant_mse"),
+    )

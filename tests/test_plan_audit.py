@@ -360,3 +360,43 @@ def test_q84_curation_single_shuffle_no_joins(run):
         a["n_broadcast_joins"] + a["n_sortmerge_joins"]
         + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
     )
+
+
+def test_q85_rollup_one_shuffle(run):
+    # ROLLUP expands grouping sets map-side (Expand node) and pays ONE
+    # agg exchange; both dims broadcast
+    a = run("q85_rollup_nation_year")
+    assert "Expand" in a["plan"]
+    assert a["n_broadcast_joins"] >= 2
+    assert a["n_exchanges"] == 1
+
+
+def test_q86_rank_battery_partitioned_window(run):
+    # all five analytic functions share ONE n_name-partitioned window
+    # sort — never a global (single-partition) ordering
+    a = run("q86_rank_battery")
+    assert "SinglePartition" not in a["plan"]
+    assert a["n_exchanges"] == 1
+    assert a["n_broadcast_joins"] >= 1
+
+
+def test_q87_grouping_sets_one_scan_one_shuffle(run):
+    # three rollup views from one scan: Expand -> partial agg ->
+    # single exchange
+    import re
+
+    a = run("q87_grouping_sets_events")
+    assert "Expand" in a["plan"]
+    assert len(re.findall(r"\(\d+\) Scan parquet", a["plan"])) == 1
+    assert a["n_exchanges"] == 1
+
+
+def test_q88_quantization_map_side_only(run):
+    # int8 quantization never shuffles: scale, codes, checksum and
+    # mse all ride the scan's projection
+    a = run("q88_embedding_quantization")
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )

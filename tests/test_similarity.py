@@ -214,3 +214,30 @@ def test_kmeans_ivf_refinement(spark, emb):
     seeds = mean_recall(ivf_knn(emb, qdf, k=10, num_landmarks=16, n_probe=3))
     assert refined >= seeds, f"refinement hurt recall: {refined} < {seeds}"
     assert refined > 0.3
+
+
+def test_quantize_embeddings_bounds_and_zero_vector(spark, emb):
+    from streaming_recommendation_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    qd = quantize_embeddings(emb, "embedding", "vec_id")
+    rows = qd.collect()
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    assert len(rows) == len(orig)
+    for r in rows[:50]:
+        x = np.array(orig[r.vec_id], dtype=np.float64)
+        assert all(-127 <= c <= 127 for c in r.qvec)
+        # round-trip error bounded by half a quantization step
+        if r.scale > 0:
+            recon = np.array(r.qvec, dtype=np.float64) / r.scale
+            assert np.max(np.abs(x - recon)) <= 0.5 / r.scale + 1e-12
+            assert r.dequant_mse <= (0.5 / r.scale) ** 2
+
+    # all-zero vector: scale 0, zero codes, zero mse (no div-by-zero)
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 8)], "vec_id: long, embedding: array<float>"
+    )
+    zr = quantize_embeddings(zero, "embedding", "vec_id").collect()[0]
+    assert zr.scale == 0.0 and zr.dequant_mse == 0.0
+    assert all(c == 0 for c in zr.qvec)
