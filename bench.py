@@ -85,6 +85,9 @@ HEADLINE = [
     # grouping-set expansion + int8 vector compression
     "q87_grouping_sets_events",
     "q88_embedding_quantization",
+    # corpus curation wave 2: broadcast decontamination + map-side chunking
+    "q89_decontamination",
+    "q92_doc_chunking",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

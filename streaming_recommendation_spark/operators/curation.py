@@ -1,0 +1,245 @@
+"""Corpus-curation operators a 100 TB training-data pipeline needs
+beyond dedup/quality: eval-set decontamination, repetition filters,
+domain-quota balancing, context-window chunking, sequence packing.
+
+The reference has no corpus leg (its data layer is events/ratings —
+reference: data_processing/generate_training_data.py), so these are
+engine-native additions in the same style as operators/text.py and
+operators/dedup.py: declarative DataFrame plans, cross-engine
+deterministic hashing (functions/hashing.py), no Python in the hot
+path.
+
+Scale notes per operator are in the docstrings; the common theme is
+that every shuffle keys on (doc, gram) or source — never a global
+ordering, never an all-pairs join — and the benchmark side of
+decontamination broadcasts (eval sets are MBs; the corpus is the
+100 TB side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import det_unit
+from .dedup import normalize_text, shingle_table, word_shingles
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share word n-grams with a held-out
+    benchmark/eval set (the standard GPT-3/PaLM-style contamination
+    check: any n-gram collision taints the doc).
+
+    Returns (id, n_ngrams, n_hits, hit_ratio, contaminated) where
+    n_ngrams counts the doc's DISTINCT n-grams and n_hits how many of
+    them occur anywhere in the benchmark.
+
+    Scale shape: the benchmark n-gram set is tiny next to the corpus
+    (eval suites are MBs against 100 TB), so it is deduped and
+    BROADCAST — the corpus side never shuffles for the probe; its only
+    shuffle is the per-doc distinct on (doc, gram). A left join + agg
+    keeps unontaminated docs in the output (an inner join would drop
+    exactly the rows a filter needs to keep).
+    """
+    grams = shingle_table(corpus, text_col, id_col, n)
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        grams.join(F.broadcast(bench), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_ngrams"), 6).alias("hit_ratio"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_top_word_ratio: float = 0.2,
+    max_dup_bigram_ratio: float = 0.7,
+) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-word fraction,
+    type-token ratio, and duplicate-bigram fraction, plus a keep flag
+    under the given thresholds.
+
+    Shape: two wordcount-style pipelines (words and bigrams), each
+    explode -> (doc, gram) count -> per-doc agg, joined on doc. Every
+    shuffle keys on (doc, gram) or doc — partial aggregation collapses
+    the explode before the exchange, and no array_distinct O(len^2)
+    per-row scans (measured in BASELINE.md: the explode+distinct shape
+    beats array_distinct 3x on long docs).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    wstats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bigrams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("g"),
+    )
+    bstats = (
+        bigrams.groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_uniq_bigrams"),
+        )
+    )
+    top_ratio = F.round(F.col("top_cnt") / F.col("n_words"), 6)
+    ttr = F.round(F.col("n_types") / F.col("n_words"), 6)
+    dup_ratio = F.round(1 - F.col("n_uniq_bigrams") / F.col("n_bigrams"), 6)
+    return (
+        wstats.join(bstats, id_col)
+        .select(
+            id_col,
+            F.col("n_words"),
+            top_ratio.alias("top_word_ratio"),
+            ttr.alias("type_token_ratio"),
+            dup_ratio.alias("dup_bigram_ratio"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("top_word_ratio") <= max_top_word_ratio)
+            & (F.col("dup_bigram_ratio") <= max_dup_bigram_ratio),
+        )
+    )
+
+
+def domain_quota_sample(
+    df: DataFrame,
+    quota: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap every domain at ``quota`` documents, picked by deterministic
+    hash rank (domain balancing for training mixes — stops one crawl
+    domain from dominating the batch composition).
+
+    One hash-partitioned window per domain; rank <= quota compiles to
+    WindowGroupLimit, so each partition keeps a bounded heap instead
+    of fully sorting (the same plan shape q03 pins). Deterministic:
+    the hash order is a pure function of the key, so reruns and the
+    oracle pick identical docs.
+    """
+    w = Window.partitionBy(domain_col).orderBy(
+        det_unit(id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= quota)
+        .select(id_col, domain_col, "rk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap
+    (context-window chunking for LLM pretraining: window tokens per
+    sample, stride < window gives window-stride tokens of overlap).
+
+    Chunk starts are 1, 1+stride, 1+2*stride, … while they still
+    introduce new tokens; the final chunk may be short. Emits
+    (id, chunk_idx, n_chunk_tokens, chunk_hash) — the md5 chunk hash
+    is the cross-engine checksum of the exact token slice, so the
+    oracle verifies content without hauling full text through the
+    comparator.
+
+    Map-side only: sequence + transform + posexplode inside one
+    projection — a 100 TB chunking pass costs exactly one scan, no
+    shuffle, and parallelism is row-level.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # smallest c >= 1 with 1 + (c-1)*stride + window > n  (ceil div)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * stride + 1, window)),
+    )
+    return df.select(F.col(id_col), F.posexplode(chunks)).select(
+        F.col(id_col),
+        F.col("pos").alias("chunk_idx"),
+        F.size(F.split(F.col("col"), " ")).alias("n_chunk_tokens"),
+        F.md5(F.col("col")).alias("chunk_hash"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    context_len: int = 2048,
+    token_col: str = "n_tokens",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-budget training bins by cumulative
+    token count (the streaming approximation of first-fit sequence
+    packing): within each domain, order docs by deterministic hash,
+    run a cumulative token sum, and cut a new bin every time the
+    running total crosses a multiple of context_len.
+
+    bin_id = floor((cumsum - n_tokens) / context_len) — i.e. the bin a
+    doc STARTS in; a doc straddling a boundary still lands in one bin
+    (real packers split or pad; the binning decision is the
+    distributed part, the intra-bin concat is embarrassingly local).
+
+    Scale shape: the window partitions by domain — no global sort, no
+    single-partition stage; each domain's packing is an independent
+    linear pass, which is how a 1000-executor run shards. Returns the
+    per-bin manifest (domain, bin_id, n_docs, bin_tokens).
+    """
+    w = (
+        Window.partitionBy(domain_col)
+        .orderBy(det_unit(id_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = F.col(token_col).cast("long")
+    binned = df.withColumn("_cum", F.sum(toks).over(w)).withColumn(
+        "bin_id", F.floor((F.col("_cum") - toks) / F.lit(context_len))
+    )
+    return binned.groupBy(domain_col, "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("bin_tokens"),
+    )

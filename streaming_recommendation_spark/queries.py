@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from .functions.hashing import KNUTH, MOD32, det_unit
 from .functions.scalars import clean_price, minmax_scale
-from .operators import asof, dedup, history, sampling, similarity, text, topk
+from .operators import asof, curation, dedup, history, sampling, similarity, text, topk
 from .sources.testdata import load_table
 
 
@@ -3278,3 +3278,202 @@ def q88_embedding_quantization(spark, sf_dir):
         code_l1.alias("code_l1"),
         F.round("dequant_mse", 12).alias("dequant_mse"),
     )
+
+
+# Shared DuckDB fragment: normalized word array of `text` (the SQL
+# twin of dedup.normalize_text + split).
+_NORM_WORDS = (
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+)
+
+
+@register(
+    "q89_decontamination",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(generate_series(1, len(w) - 4),
+                                      i -> array_to_string(w[i:i+4], ' '))
+             END AS gs
+      FROM norm
+    ), cg AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+    ), bg AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0)
+    )
+    SELECT cg.doc_id,
+           count(*) AS n_ngrams,
+           sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           round(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6) AS hit_ratio,
+           sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+             AS contaminated
+    FROM cg LEFT JOIN bg USING (g)
+    GROUP BY cg.doc_id
+    """,
+    doc="Benchmark decontamination (the GPT-3/PaLM-style n-gram "
+    "collision check): every training doc sharing a 5-gram with the "
+    "held-out eval slice (doc_id % 97 == 0) is flagged. The eval "
+    "n-gram set is deduped and BROADCAST — eval suites are MBs "
+    "against a 100 TB corpus, so the corpus side never shuffles for "
+    "the probe; its only exchange is the per-doc distinct on "
+    "(doc, gram).",
+    tags=("text", "dedup", "join"),
+)
+def q89_decontamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.decontaminate(corpus, benchmark, n=5)
+
+
+@register(
+    "q90_repetition_filters",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), wc AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(w) AS g FROM norm)
+      WHERE g <> '' GROUP BY doc_id, g
+    ), ws AS (
+      SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_types,
+             max(cnt) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ), bgr AS (
+      SELECT doc_id,
+             CASE WHEN len(w) <= 1 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(generate_series(1, len(w) - 1),
+                                      i -> array_to_string(w[i:i+1], ' '))
+             END AS gs
+      FROM norm
+    ), bc AS (
+      SELECT doc_id, g, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(gs) AS g FROM bgr)
+      GROUP BY doc_id, g
+    ), bs AS (
+      SELECT doc_id, sum(cnt) AS n_bigrams, count(*) AS n_uniq
+      FROM bc GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words,
+           round(top_cnt / n_words, 6)  AS top_word_ratio,
+           round(n_types / n_words, 6)  AS type_token_ratio,
+           round(1 - n_uniq / n_bigrams, 6) AS dup_bigram_ratio,
+           round(top_cnt / n_words, 6) <= 0.2
+             AND round(1 - n_uniq / n_bigrams, 6) <= 0.7 AS keep
+    FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+    doc="Gopher-style repetition filters: top-word fraction, "
+    "type-token ratio, duplicate-bigram fraction, and the keep flag "
+    "under (0.2, 0.7) thresholds. Two wordcount pipelines (words, "
+    "bigrams) joined on doc — every shuffle keys on (doc, gram) or "
+    "doc; partial aggregation collapses the explode before each "
+    "exchange. No O(len^2) array_distinct per-row scans (measured "
+    "3x slower in BASELINE.md q36 experiments).",
+    tags=("text", "agg"),
+)
+def q90_repetition_filters(spark, sf_dir):
+    return curation.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q91_domain_quota",
+    f"""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 40
+    """,
+    doc="Domain-quota balancing for training mixes: cap every source "
+    "at 40 docs picked by deterministic hash rank, so no crawl domain "
+    "dominates batch composition. One hash-partitioned window; "
+    "rank <= quota compiles to WindowGroupLimit (bounded per-group "
+    "heap, never a full per-domain sort at scale).",
+    tags=("sampling", "window"),
+)
+def q91_domain_quota(spark, sf_dir):
+    return curation.domain_quota_sample(
+        _t(spark, sf_dir, "documents"), quota=40
+    )
+
+
+@register(
+    "q92_doc_chunking",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 64 + 47) / 48.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    )
+    SELECT doc_id,
+           i - 1 AS chunk_idx,
+           len(w[(i-1)*48+1 : (i-1)*48+64]) AS n_chunk_tokens,
+           md5(array_to_string(w[(i-1)*48+1 : (i-1)*48+64], ' '))
+             AS chunk_hash
+    FROM ex
+    """,
+    doc="Context-window chunking for LLM pretraining: 64-token "
+    "windows, stride 48 (16-token overlap), final chunk ragged. "
+    "Map-side only — sequence + slice + posexplode in one projection "
+    "over the scan; a 100 TB chunking pass costs one scan and zero "
+    "shuffles. The md5 chunk hash is the cross-engine checksum of "
+    "the exact token slice.",
+    tags=("text", "functions"),
+)
+def q92_doc_chunking(spark, sf_dir):
+    return curation.chunk_documents(
+        _t(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
+@register(
+    "q93_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           sum(n_tokens) AS bin_tokens
+    FROM c GROUP BY source, bin_id
+    """,
+    doc="Sequence packing by cumulative token count (the streaming "
+    "first-fit approximation): within each source, hash-ordered docs "
+    "accumulate into 2048-token bins; emits the per-bin manifest. "
+    "The window partitions by source — no global sort, no "
+    "single-partition stage; each domain packs as an independent "
+    "linear pass, exactly how a 1000-executor run shards.",
+    tags=("sampling", "window", "agg"),
+)
+def q93_sequence_packing(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(text.tokens(F.col("text"))).alias("n_tokens"),
+    )
+    return curation.pack_sequences(docs, context_len=2048)

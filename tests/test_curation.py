@@ -1,0 +1,113 @@
+"""Edge semantics of the corpus-curation operators (operators/
+curation.py) that the sf-scale oracles can't pin: chunk coverage and
+overlap, packing-bin invariants, contamination flags on constructed
+collisions, repetition thresholds."""
+
+from __future__ import annotations
+
+import pytest
+
+from streaming_recommendation_spark.operators import curation
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 0: 10 distinct words — high TTR, keeps
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "a"),
+        # 1: one word repeated 20x — fails top-word and dup-bigram
+        (1, " ".join(["spam"] * 20), "a"),
+        # 2: shares a 5-word run with doc 100 (the benchmark doc)
+        (2, "one two three four five six seven unique tail words", "b"),
+        # 100: benchmark doc containing the shared run
+        (100, "prefix one two three four five six suffix", "b"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+
+
+def test_decontaminate_flags_constructed_collision(spark, docs):
+    corpus = docs.where("doc_id < 100")
+    bench = docs.where("doc_id = 100")
+    out = {
+        r.doc_id: r
+        for r in curation.decontaminate(corpus, bench, n=5).collect()
+    }
+    assert len(out) == 3
+    # doc 2 shares the 5-grams inside "one two three four five six"
+    assert out[2].contaminated and out[2].n_hits == 2
+    assert not out[0].contaminated and out[0].n_hits == 0
+    assert not out[1].contaminated
+    # n_ngrams counts DISTINCT 5-grams: doc 1 ("spam"*20) has exactly 1
+    assert out[1].n_ngrams == 1
+    assert out[0].n_ngrams == 6  # 10 words -> 6 overlapping 5-grams
+
+
+def test_repetition_stats_thresholds(spark, docs):
+    out = {
+        r.doc_id: r for r in curation.repetition_stats(docs).collect()
+    }
+    assert out[0].keep  # all-distinct doc passes
+    assert not out[1].keep  # 20x repeat fails
+    assert out[1].top_word_ratio == 1.0
+    assert out[1].dup_bigram_ratio == pytest.approx(1 - 1 / 19, abs=1e-6)
+    assert out[0].type_token_ratio == 1.0
+
+
+def test_domain_quota_cap_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(i, f"w{i}", "s" + str(i % 3)) for i in range(300)],
+        "doc_id: long, text: string, source: string",
+    )
+    a = curation.domain_quota_sample(df, quota=7)
+    rows = a.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert all(len(v) == 7 for v in per.values())
+    # deterministic: a second run picks the identical docs
+    again = {
+        (r.source, r.doc_id) for r in curation.domain_quota_sample(df, 7).collect()
+    }
+    assert again == {(r.source, r.doc_id) for r in rows}
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark):
+    n, window, stride = 150, 64, 48
+    words = " ".join(f"t{i}" for i in range(n))
+    df = spark.createDataFrame([(1, words)], "doc_id: long, text: string")
+    chunks = sorted(
+        curation.chunk_documents(df, window=window, stride=stride).collect(),
+        key=lambda r: r.chunk_idx,
+    )
+    # starts at 0, 48, 96 — 3 chunks; last is ragged (150-96=54 tokens)
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    assert [c.n_chunk_tokens for c in chunks] == [64, 64, 54]
+    # full coverage: last chunk start + its len == n
+    assert 2 * stride + chunks[-1].n_chunk_tokens == n
+
+
+def test_chunking_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    out = curation.chunk_documents(df, window=64, stride=48).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 3
+
+
+def test_packing_bins_conserve_tokens(spark):
+    df = spark.createDataFrame(
+        [(i, "s" + str(i % 2), 700) for i in range(20)],
+        "doc_id: long, source: string, n_tokens: long",
+    )
+    bins = curation.pack_sequences(df, context_len=2048).collect()
+    # token conservation across bins
+    assert sum(b.bin_tokens for b in bins) == 20 * 700
+    assert sum(b.n_docs for b in bins) == 20
+    # 700-token docs: cumsum crosses 2048 every 3 docs -> 3-per-bin
+    # until the tail; no bin exceeds ceil semantics
+    for b in bins:
+        assert b.n_docs <= 3
+    # bin ids are contiguous from 0 within each source
+    per = {}
+    for b in bins:
+        per.setdefault(b.source, []).append(b.bin_id)
+    for ids in per.values():
+        assert sorted(ids) == list(range(len(ids)))

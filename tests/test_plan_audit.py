@@ -400,3 +400,37 @@ def test_q88_quantization_map_side_only(run):
         a["n_broadcast_joins"] + a["n_sortmerge_joins"]
         + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
     )
+
+
+def test_q89_decontamination_broadcast_bench(run):
+    # the eval n-gram set broadcasts; the corpus side's only
+    # exchanges are its own (doc,gram) distinct + final agg
+    a = run("q89_decontamination")
+    assert a["n_broadcast_joins"] == 1
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert a["bnl_joins"] == 0
+
+
+def test_q91_domain_quota_group_limit(run):
+    # rank <= quota compiles to WindowGroupLimit; the window is
+    # source-partitioned, never global
+    a = run("q91_domain_quota")
+    assert a["has_window_group_limit"]
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q92_chunking_map_side_only(run):
+    # chunking is one projection over the scan: zero shuffles
+    a = run("q92_doc_chunking")
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+
+
+def test_q93_packing_partitioned_window(run):
+    # the packing window partitions by source — no global sort
+    a = run("q93_sequence_packing")
+    assert "SinglePartition" not in a["plan"]
+    assert a["bnl_joins"] == 0
