@@ -87,6 +87,13 @@ HEADLINE = [
     "q88_embedding_quantization",
     # corpus curation wave 2: broadcast decontamination + map-side chunking
     "q89_decontamination",
+    "q94_duplicate_ngram_spans",
+    "q95_unigram_rarity",
+    "q96_semantic_dedup",
+    "q97_bpe_merge_candidates",
+    "q98_importance_weights",
+    "q99_calibration_bins",
+    "q100_ewma_engagement",
     "q92_doc_chunking",
 ]
 

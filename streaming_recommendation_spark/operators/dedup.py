@@ -499,3 +499,88 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup diagnostics at token n-gram granularity
+    (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" operator, approximated on n-gram boundaries
+    instead of a suffix array).
+
+    For every document: how many of its token n-grams occur in at
+    least ``min_df`` documents, and what fraction of its TOKENS is
+    covered by the union of those duplicated n-gram spans (the
+    quantity a remove-duplicate-spans pass would cut). Returns
+    (id, n_tokens, n_grams, n_dup_grams, n_dup_spans, dup_tokens,
+    dup_token_ratio).
+
+    Scale shape: the gram table shuffles once keyed by gram hash for
+    the document-frequency count (same key profile as every shingle
+    pipeline here); the span-union windows partition by doc id, so
+    per-partition state is bounded by a single document's gram count.
+    No all-pairs join ever forms — unlike pairwise Jaccard, cost is
+    linear in corpus grams, which is exactly why suffix-style dedup
+    is the one pass that still runs at 100 TB.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    toks = spread(df).select(F.col(id_col), words.alias("__w"))
+    base = toks.select(id_col, F.size("__w").alias("n_tokens"))
+    grams = toks.where(F.size("__w") >= n).select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__w", i, n))),
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.select("gram", id_col)
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") >= min_df)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_pos.withColumn(
+        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn("__island", F.sum("__new").over(w))
+    spans = islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("__s"),
+        F.max("pos").alias("__e"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    cov = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__c").alias("n_dup_grams"),
+        F.sum(F.col("__e") + n - F.col("__s")).alias("dup_tokens"),
+    )
+    gstats = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        base.join(gstats, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+        )
+    )

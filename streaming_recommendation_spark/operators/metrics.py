@@ -151,3 +151,32 @@ def binary_metrics(
     return auc.crossJoin(base).select(
         "auc", "accuracy", "logloss", "n_pos", "n_neg"
     )
+
+
+def calibration_bins(
+    preds: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability-diagram bins: partition predictions into equal-width
+    score bins and report per-bin count, positives, mean score, and
+    empirical positive rate — the data behind a calibration curve /
+    expected-calibration-error computation.
+
+    Scale shape: one groupBy on the derived bin key with map-side
+    partial aggregation — a single shuffle of n_bins rows per
+    partition regardless of input size; the 100 TB cost is the scan.
+    floor(score * n_bins) is the same IEEE double op on every engine,
+    so bin assignment replays exactly; score 1.0 folds into the top
+    bin (the standard closed-right final interval).
+    """
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    return preds.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+        F.round(F.avg(F.col(label_col).cast("double")), 6).alias("pos_rate"),
+    )

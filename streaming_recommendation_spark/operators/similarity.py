@@ -539,3 +539,55 @@ def quantize_embeddings(
         qvec.alias("qvec"),
         mse.alias("dequant_mse"),
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    num_landmarks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): drop semantically-redundant
+    items by clustering embeddings and thresholding pairwise cosine
+    INSIDE each cluster only. Returns (id, cluster_id, kept) for
+    every input row: kept=false iff some same-cluster item with a
+    smaller id is >= threshold similar (deterministic keep-lowest-id
+    election, so an oracle can replay it).
+
+    Scale shape: the whole point of SemDeDup is that the O(n^2)
+    cosine matrix never forms — pairs exist only within a Voronoi
+    cell of the (broadcast-small) landmark quantizer, so cost is
+    sum over clusters of |cell|^2. At 100 TB, num_landmarks grows
+    with the corpus (the paper uses ~100k clusters for billions of
+    items) keeping cells roughly constant-sized; swap the hash-ranked
+    landmarks for kmeans_refined_landmarks offline without changing
+    this plan. The same cell assignment is what ivf_knn persists —
+    one clustering serves both dedup and ANN serving.
+    """
+    cells = ivf_assign(
+        corpus,
+        ivf_landmarks(corpus, num_landmarks, id_col, vec_col),
+        id_col,
+        vec_col,
+        n_probe=1,
+    )
+    a = cells.select(
+        F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"), "__lid"
+    )
+    b = cells.select(
+        F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"), "__lid"
+    )
+    dropped = (
+        a.join(b, "__lid")
+        .where(F.col("__a") < F.col("__b"))
+        .where(cosine_similarity("__va", "__vb") >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return cells.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("__lid").alias("cluster_id"),
+        (F.coalesce("__drop", F.lit(0)) == 0).alias("kept"),
+    )

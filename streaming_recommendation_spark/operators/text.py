@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalize_text
+from .dedup import normalize_text, spread
 
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
@@ -217,3 +217,163 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     fp = poly(31) * F.lit(P + 1) + poly(37)
     return hashed.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram LM quality score (the CCNet/Wikipedia-LM
+    perplexity filter, in an integer-exact variant): score each doc
+    by how common its tokens are IN THIS CORPUS.
+
+    A perplexity filter computes geometric-mean token probability,
+    which needs log() — and libm log differs across engines in final
+    ULPs, breaking bit-exact oracle replay (same reason tfidf here
+    uses linear idf). Every statistic kept is an integer aggregate of
+    corpus term frequencies, plus ONE final IEEE division, so the
+    ranking is cross-engine reproducible while ordering docs the same
+    way a unigram perplexity would: low mean_token_count = rare/noisy
+    text, high = common fluent text. n_hapax (corpus-unique tokens)
+    is the OOV-rate analog.
+
+    Scale shape: one explode + one groupBy(word) builds the term
+    table (vocab-sized, Zipf-bounded — far smaller than the corpus);
+    the score join shuffles keyed by word, then one groupBy(id)
+    aggregates. At 100 TB the vocab table is broadcastable after a
+    min-count floor; the plan keeps the shuffle join so skewed head
+    words still spread across partitions (AQE handles the 'the'
+    partition).
+    """
+    toks = spread(df).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word"),
+    )
+    counts = toks.groupBy("__word").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        toks.join(counts, "__word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__cnt").alias("sum_token_tf"),
+            F.min("__cnt").alias("min_token_count"),
+            F.sum((F.col("__cnt") == 1).cast("int")).alias("n_hapax"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "sum_token_tf",
+            "min_token_count",
+            "n_hapax",
+            F.round(F.col("sum_token_tf") / F.col("n_tokens"), 6).alias(
+                "mean_token_tf"
+            ),
+        )
+    )
+
+
+def bpe_merge_candidates(
+    df, text_col: str = "text", k: int = 50
+) -> DataFrame:
+    """First BPE merge-round candidates (tokenizer induction over the
+    corpus): count every adjacent character pair inside every word,
+    return the top-k pairs — the pair a byte-pair-encoding trainer
+    would merge first, then second, and so on within round one.
+
+    Scale shape: one projection explodes words to overlapping 2-char
+    substrings (map-side), one pair-keyed groupBy counts (partial
+    aggregation makes the shuffle vocab-of-pairs-sized, not
+    corpus-sized — |pairs| is bounded by |alphabet|^2 per length-2
+    window), and the global top-k compiles to TakeOrderedAndProject
+    (bounded heap per partition + driver merge of k rows, never a
+    global sort). This is exactly the count step HuggingFace's BPE
+    trainer runs per merge round; iterating merges re-runs it on the
+    re-tokenized stream.
+    """
+    word = F.explode(
+        F.split(normalize_text(F.col(text_col)), " ")
+    ).alias("__word")
+    pairs = (
+        spread(df)
+        .select(word)
+        .select(
+            F.explode(
+                F.when(
+                    F.length("__word") < 2, F.array().cast("array<string>")
+                ).otherwise(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("__word") - 1),
+                        lambda i: F.substring("__word", i, 2),
+                    )
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("pair").asc())
+        .limit(k)
+    )
+
+
+def importance_weights(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-flavored importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"),
+    unigram variant: score every corpus doc by how target-like its
+    token distribution is — the ratio of its tokens' total term
+    frequency in the TARGET domain vs in the full corpus. Sampling
+    proportional to the weight (det_unit(id) < rate * weight) then
+    selects a target-like training mix.
+
+    DSIR proper uses log-ratios of hashed-ngram features; the linear
+    integer-TF ratio keeps the score exactly replayable across
+    engines (the repo-wide no-libm-in-oracles rule) while ordering
+    docs the same way.
+
+    Scale shape: two vocab-sized groupBys (Zipf-bounded), one
+    word-keyed join of the corpus token stream against the vocab
+    table, one groupBy(id). The target side is typically a small
+    curated domain — its TF table broadcasts; the corpus TF join
+    stays shuffled so head-word skew spreads (AQE splits the 'the'
+    partition).
+    """
+    toks = spread(corpus).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word"),
+    )
+    ctf = toks.groupBy("__word").agg(F.count(F.lit(1)).alias("__ctf"))
+    ttf = (
+        target.select(
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("__word")
+        )
+        .groupBy("__word")
+        .agg(F.count(F.lit(1)).alias("__ttf"))
+    )
+    vocab = ctf.join(F.broadcast(ttf), "__word", "left").select(
+        "__word", "__ctf", F.coalesce("__ttf", F.lit(0)).alias("__ttf")
+    )
+    return (
+        toks.join(vocab, "__word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("__ttf").alias("target_tf_sum"),
+            F.sum("__ctf").alias("corpus_tf_sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "target_tf_sum",
+            "corpus_tf_sum",
+            F.round(
+                F.col("target_tf_sum") / F.col("corpus_tf_sum"), 6
+            ).alias("importance_weight"),
+        )
+    )

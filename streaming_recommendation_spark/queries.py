@@ -3477,3 +3477,295 @@ def q93_sequence_packing(spark, sf_dir):
         F.size(text.tokens(F.col("text"))).alias("n_tokens"),
     )
     return curation.pack_sequences(docs, context_len=2048)
+
+
+@register(
+    "q94_duplicate_ngram_spans",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+      FROM norm WHERE len(w) >= 8
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(w[i:i+7], ' ')) AS gram
+      FROM ex
+    ), dupg AS (
+      SELECT gram FROM (
+        SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+      ) WHERE df >= 2
+    ), dp AS (
+      SELECT doc_id, pos FROM grams JOIN dupg USING (gram)
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(max(pos + 7) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM dp
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ), sp AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) AS e,
+             count(*) AS c
+      FROM isl GROUP BY doc_id, island
+    ), cov AS (
+      SELECT doc_id, count(*) AS n_dup_spans, sum(c) AS n_dup_grams,
+             sum(e + 8 - s) AS dup_tokens
+      FROM sp GROUP BY doc_id
+    ), gst AS (
+      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           len(b.w) AS n_tokens,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_dup_grams, 0) AS n_dup_grams,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           coalesce(dup_tokens, 0) AS dup_tokens,
+           round(coalesce(dup_tokens, 0) / len(b.w), 6) AS dup_token_ratio
+    FROM norm b
+    LEFT JOIN gst USING (doc_id)
+    LEFT JOIN cov USING (doc_id)
+    """,
+    doc="Exact-substring dedup diagnostics (Lee et al. 2022 at 8-gram "
+    "granularity): per-doc duplicated-gram counts and the token "
+    "coverage of merged duplicate spans. One gram-keyed shuffle for "
+    "document frequency + doc-partitioned interval-union windows — "
+    "linear in corpus grams, no pairwise join, the only dedup shape "
+    "that still runs when pairwise Jaccard cannot.",
+    tags=("dedup", "text", "window"),
+)
+def q94_duplicate_ngram_spans(spark, sf_dir):
+    return dedup.duplicate_ngram_spans(
+        _t(spark, sf_dir, "documents"), n=8, min_df=2
+    )
+
+
+@register(
+    "q95_unigram_rarity",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(w) AS word FROM norm
+    ), c AS (
+      SELECT word, count(*) AS cnt FROM t GROUP BY word
+    ), s AS (
+      SELECT doc_id, cnt FROM t JOIN c USING (word)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(cnt) AS sum_token_tf,
+           min(cnt) AS min_token_count,
+           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           round(sum(cnt) / count(*), 6) AS mean_token_tf
+    FROM s GROUP BY doc_id
+    """,
+    doc="Corpus-unigram LM quality score (CCNet-style perplexity "
+    "filter, integer-exact variant): rank docs by how common their "
+    "tokens are in this corpus — rare/noisy text scores low, fluent "
+    "text high; n_hapax is the OOV-rate analog. Integer corpus-TF "
+    "aggregates + one IEEE division keep the ranking bit-identical "
+    "across engines where log-perplexity would hang on libm ULPs.",
+    tags=("text", "agg"),
+)
+def q95_unigram_rarity(spark, sf_dir):
+    return text.unigram_rarity(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q96_semantic_dedup",
+    """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    landmarks AS (
+      SELECT vec_id AS lid, embedding AS lvec FROM e
+      ORDER BY (vec_id * 2654435761) % 4294967296 ASC, vec_id ASC
+      LIMIT 16
+    ),
+    dist AS (
+      SELECT e.vec_id, e.embedding AS v, l.lid,
+             list_sum(list_transform(range(1, 65),
+               i -> ((e.embedding[i] - l.lvec[i])
+                     * (e.embedding[i] - l.lvec[i]))::DOUBLE)) AS d
+      FROM e CROSS JOIN landmarks l
+    ),
+    cassign AS (
+      SELECT vec_id, v, lid FROM (
+        SELECT vec_id, v, lid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, lid ASC) AS rn
+        FROM dist) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id FROM cassign a JOIN cassign b USING (lid)
+      WHERE a.vec_id < b.vec_id
+        AND CASE WHEN sqrt(list_sum(list_transform(a.v, x -> (x*x)::DOUBLE)))
+                      * sqrt(list_sum(list_transform(b.v, x -> (x*x)::DOUBLE))) > 0
+                 THEN list_sum(list_transform(range(1, 65),
+                        i -> (a.v[i] * b.v[i])::DOUBLE))
+                      / (sqrt(list_sum(list_transform(a.v, x -> (x*x)::DOUBLE)))
+                         * sqrt(list_sum(list_transform(b.v, x -> (x*x)::DOUBLE))))
+                 ELSE 0 END >= 0.35
+    )
+    SELECT c.vec_id, c.lid AS cluster_id,
+           (d.vec_id IS NULL) AS kept
+    FROM cassign c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023): embedding-cluster then "
+    "threshold pairwise cosine INSIDE cells only — the O(n^2) cosine "
+    "matrix never forms; cost is sum(|cell|^2) with broadcast-small "
+    "landmarks. Keep-lowest-id election makes the drop set "
+    "deterministic for oracle replay. Threshold 0.35 exercises the "
+    "drop path on the synthetic (near-orthogonal) embeddings; "
+    "production default is 0.95.",
+    tags=("similarity", "dedup"),
+)
+def q96_semantic_dedup(spark, sf_dir):
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35, num_landmarks=16
+    )
+
+
+@register(
+    "q97_bpe_merge_candidates",
+    f"""
+    WITH norm AS (
+      SELECT {_NORM_WORDS} AS w FROM documents
+    ), words AS (
+      SELECT unnest(w) AS word FROM norm
+    ), pairs AS (
+      SELECT unnest(
+        CASE WHEN len(word) < 2 THEN []
+             ELSE list_transform(generate_series(1, len(word) - 1),
+                                 i -> substr(word, i, 2))
+        END) AS pair
+      FROM words
+    )
+    SELECT pair, count(*) AS freq FROM pairs GROUP BY pair
+    ORDER BY freq DESC, pair ASC LIMIT 50
+    """,
+    doc="BPE tokenizer induction, merge round 1: corpus-wide adjacent "
+    "character-pair counts, top-50 merge candidates. Map-side explode "
+    "to 2-char windows, one pair-keyed partial-agg shuffle (alphabet^2"
+    "-bounded, not corpus-sized), global top-k as a bounded "
+    "TakeOrderedAndProject heap — the count step a BPE trainer re-runs "
+    "per merge round.",
+    tags=("text", "agg", "topk"),
+)
+def q97_bpe_merge_candidates(spark, sf_dir):
+    return text.bpe_merge_candidates(_t(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "q98_importance_weights",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, lang, {_NORM_WORDS} AS w FROM documents
+    ), t AS (
+      SELECT doc_id, unnest(w) AS word FROM norm
+    ), ctf AS (
+      SELECT word, count(*) AS ctf FROM t GROUP BY word
+    ), tt AS (
+      SELECT unnest(w) AS word FROM norm WHERE lang = 'en'
+    ), ttf AS (
+      SELECT word, count(*) AS ttf FROM tt GROUP BY word
+    ), v AS (
+      SELECT c.word, c.ctf, coalesce(f.ttf, 0) AS ttf
+      FROM ctf c LEFT JOIN ttf f USING (word)
+    ), s AS (
+      SELECT doc_id, ctf, ttf FROM t JOIN v USING (word)
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(ttf) AS target_tf_sum,
+           sum(ctf) AS corpus_tf_sum,
+           round(sum(ttf) / sum(ctf), 6) AS importance_weight
+    FROM s GROUP BY doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, linear "
+    "integer-TF variant): score every doc by target-domain (lang=en) "
+    "vs corpus token-distribution ratio; resampling by this weight "
+    "selects a target-like training mix. Integer TF sums + one IEEE "
+    "division = bit-exact cross-engine replay; target TF table "
+    "broadcasts, corpus join stays shuffled for head-word skew.",
+    tags=("text", "sampling", "agg"),
+)
+def q98_importance_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return text.importance_weights(docs, docs.where(F.col("lang") == "en"))
+
+
+@register(
+    "q99_calibration_bins",
+    """
+    WITH mx AS (SELECT max(value) AS mx FROM events),
+    p AS (
+      SELECT value / mx AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+      FROM events, mx
+    )
+    SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+           count(*) AS n,
+           sum(label) AS n_pos,
+           round(avg(score), 6) AS mean_score,
+           round(avg(label), 6) AS pos_rate
+    FROM p GROUP BY bin
+    """,
+    doc="Reliability-diagram bins over the q48 score/label derivation "
+    "(score = value/max, label = purchase): per-bin count, positives, "
+    "mean score, empirical positive rate — the calibration-curve / "
+    "ECE input. One derived-key groupBy with map-side partial agg: "
+    "n_bins rows per partition shuffle regardless of input size.",
+    tags=("metrics", "agg"),
+)
+def q99_calibration_bins(spark, sf_dir):
+    from .operators.metrics import calibration_bins
+
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("mx"))
+    preds = ev.crossJoin(F.broadcast(mx)).select(
+        (F.col("value") / F.col("mx")).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
+    )
+    return calibration_bins(preds, n_bins=10)
+
+
+@register(
+    "q100_ewma_engagement",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), l AS (
+      SELECT user_id,
+             list(value ORDER BY rn) AS xs,
+             list(event_id ORDER BY rn) AS ids
+      FROM e GROUP BY user_id
+    ), ex AS (
+      SELECT user_id, xs, ids,
+             unnest(generate_series(1, len(xs))) AS i
+      FROM l
+    )
+    SELECT user_id, ids[i] AS event_id,
+           list_reduce(xs[1:i], (acc, x) -> 0.5*acc + 0.5*x) AS ewma
+    FROM ex
+    """,
+    doc="Per-user EWMA engagement smoothing (y_i = 0.5*y_{i-1} + "
+    "0.5*x_i over (ts, event_id) order) via grouped applyInPandas — "
+    "the batch-grouped Arrow leg of the custom-operator surface "
+    "(mapInPandas covers ungrouped, applyInPandasWithState covers "
+    "streaming). alpha=0.5 makes every recurrence product exact in "
+    "binary FP, so the oracle's left-fold replays bit-identically. "
+    "One user-keyed shuffle; per-group memory is one user's events.",
+    tags=("pandas", "window", "etl"),
+)
+def q100_ewma_engagement(spark, sf_dir):
+    from .operators.grouped_pandas import ewma_by_key
+
+    return ewma_by_key(_t(spark, sf_dir, "events"))

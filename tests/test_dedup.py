@@ -224,3 +224,43 @@ def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
     # the transitive member 3 landed with 1 even though (1,3) was
     # never an LSH candidate pair
     assert {r["doc_id"] for r in by_cluster[1]} == {1, 2, 3}
+
+
+def test_duplicate_ngram_spans_full_and_zero_coverage(spark, docs):
+    from streaming_recommendation_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    out = {r.doc_id: r for r in duplicate_ngram_spans(docs, n=8).collect()}
+    # docs 1-3 are (normalized-)identical: every 8-gram duplicated,
+    # merged span covers the whole text
+    for d in (1, 2, 3):
+        assert out[d].n_dup_grams == out[d].n_grams > 0
+        assert out[d].dup_tokens == out[d].n_tokens
+        assert out[d].dup_token_ratio == 1.0
+    # doc 4 differs by one word mid-text: partial but nonzero coverage
+    assert 0 < out[4].dup_tokens < out[4].n_tokens
+    # unique docs: zero duplicated grams, zero coverage
+    for d in (5, 6):
+        assert out[d].n_dup_grams == 0
+        assert out[d].dup_tokens == 0
+        assert out[d].dup_token_ratio == 0.0
+
+
+def test_duplicate_ngram_spans_interval_union(spark):
+    from streaming_recommendation_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+    from pyspark.sql import Row
+
+    # two docs sharing two DISJOINT 3-gram regions separated by
+    # unique middles: span union must not bridge the gap
+    a = "x1 x2 x3 only in a middle part y1 y2 y3"
+    b = "x1 x2 x3 unrelated other central words y1 y2 y3"
+    df = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    out = {r.doc_id: r for r in duplicate_ngram_spans(df, n=3).collect()}
+    # each doc: grams (x1 x2 x3) and (y1 y2 y3) duplicated -> two
+    # islands of 3 tokens each
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 2
+        assert out[d].dup_tokens == 6

@@ -145,3 +145,24 @@ def test_train_data_deterministic(spark, reviews):
     a = sorted(map(tuple, build_train_data(reviews, excluded).collect()))
     b = sorted(map(tuple, build_train_data(reviews, excluded).collect()))
     assert a == b
+
+
+def test_ewma_by_key_recurrence_and_group_isolation(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.grouped_pandas import (
+        ewma_by_key,
+    )
+
+    rows = [
+        Row(user_id=1, event_id=1, ts=1, value=4.0),
+        Row(user_id=1, event_id=2, ts=2, value=0.0),
+        Row(user_id=1, event_id=3, ts=3, value=8.0),
+        Row(user_id=2, event_id=4, ts=1, value=100.0),
+    ]
+    out = {r.event_id: r.ewma for r in
+           ewma_by_key(spark.createDataFrame(rows)).collect()}
+    # y1=4; y2=0.5*4+0.5*0=2; y3=0.5*2+0.5*8=5 — exact halving
+    assert out[1] == 4.0 and out[2] == 2.0 and out[3] == 5.0
+    # user 2's sequence never bleeds into user 1's
+    assert out[4] == 100.0

@@ -82,3 +82,24 @@ def test_binary_metrics_quantized_auc_close_to_exact(spark):
     # the ranking window now touches a bounded score space
     n_groups = df.select(F.round("score", 3).alias("s")).distinct().count()
     assert n_groups <= 10 ** 3 + 1
+
+
+def test_calibration_bins_exact(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.metrics import (
+        calibration_bins,
+    )
+
+    rows = [
+        Row(score=0.05, label=0),
+        Row(score=0.05, label=1),
+        Row(score=0.55, label=1),
+        Row(score=1.0, label=1),  # folds into top bin
+    ]
+    out = {r.bin: r for r in
+           calibration_bins(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {0, 5, 9}
+    assert out[0].n == 2 and out[0].n_pos == 1 and out[0].pos_rate == 0.5
+    assert out[5].n == 1 and out[5].mean_score == 0.55
+    assert out[9].n == 1  # score 1.0 in bin 9, not bin 10

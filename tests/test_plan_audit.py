@@ -434,3 +434,55 @@ def test_q93_packing_partitioned_window(run):
     a = run("q93_sequence_packing")
     assert "SinglePartition" not in a["plan"]
     assert a["bnl_joins"] == 0
+
+
+def test_q94_dup_spans_no_pairwise_join(run):
+    # the whole point: gram-keyed aggregation, doc-partitioned
+    # windows — no self-join pair blowup, no single-partition stage
+    a = run("q94_duplicate_ngram_spans")
+    assert a["bnl_joins"] == 0
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q95_unigram_rarity_shape(run):
+    a = run("q95_unigram_rarity")
+    assert a["bnl_joins"] == 0
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q96_semantic_dedup_cell_equi_join(run):
+    # the landmark-assignment cross-joins are 16-row broadcast nested
+    # loops (intended, same as q66); the PAIR join must be a cell-keyed
+    # equi-join — never a nested-loop over the corpus
+    a = run("q96_semantic_dedup")
+    assert a["bnl_joins"] <= 3  # one per reuse of the cell assignment
+    assert (
+        a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"]
+        + a["n_broadcast_joins"]
+        >= 2
+    )
+
+
+def test_q97_bpe_top_k_bounded(run):
+    # global top-50 compiles to TakeOrderedAndProject, not a sort
+    a = run("q97_bpe_merge_candidates")
+    assert a["has_take_ordered"]
+    # the pair-keyed partial agg + spread()'s round-robin scatter
+    assert a["n_exchanges"] <= 2
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q98_importance_broadcast_target(run):
+    # target TF table broadcasts; corpus-side joins stay shuffled
+    a = run("q98_importance_weights")
+    assert a["n_broadcast_joins"] >= 1
+    assert a["bnl_joins"] == 0
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q99_calibration_single_agg_shuffle(run):
+    # one derived-key groupBy; the max(value) side is a broadcast
+    a = run("q99_calibration_bins")
+    assert a["bnl_joins"] <= 1  # 1-row max broadcast cross join
+    assert "SinglePartition" not in a["plan"] or a["n_exchanges"] <= 3

@@ -241,3 +241,34 @@ def test_quantize_embeddings_bounds_and_zero_vector(spark, emb):
     zr = quantize_embeddings(zero, "embedding", "vec_id").collect()[0]
     assert zr.scale == 0.0 and zr.dequant_mse == 0.0
     assert all(c == 0 for c in zr.qvec)
+
+
+def test_semantic_dedup_keeps_lowest_id(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    # 0/1 near-identical, 2 orthogonal-ish, 3 identical to 0
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.01, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.vec_id: r for r in
+           semantic_dedup(df, threshold=0.95, num_landmarks=2).collect()}
+    assert len(out) == 4  # every input row present
+    # within 0's cluster the lowest id survives; 1 and 3 are >= 0.95
+    # similar to 0 and get dropped (if co-clustered)
+    assert out[0].kept
+    clustered_with_0 = [
+        v for v in (1, 3) if out[v].cluster_id == out[0].cluster_id
+    ]
+    assert clustered_with_0, "near-identical vectors must co-cluster"
+    for v in clustered_with_0:
+        assert not out[v].kept
+    # orthogonal vector is never dropped
+    assert out[2].kept

@@ -108,3 +108,64 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     # banana (tf=1,df=1 -> 3.0) ties shared (tf=3,df=3 -> 3.0); the
     # term-ascending tie-break picks banana for rank 2
     assert "banana" in d1 and d1["banana"].rank == 2
+
+
+def test_unigram_rarity_counts(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.text import unigram_rarity
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="common common common"),
+            Row(doc_id=2, text="common rareword"),
+        ]
+    )
+    out = {r.doc_id: r for r in unigram_rarity(df).collect()}
+    # corpus TF: common=4, rareword=1
+    assert out[1].n_tokens == 3 and out[1].sum_token_tf == 12
+    assert out[1].n_hapax == 0 and out[1].min_token_count == 4
+    assert out[2].sum_token_tf == 5 and out[2].n_hapax == 1
+    assert out[2].min_token_count == 1
+    # fluent (all-common) doc scores higher than the hapax-bearing one
+    assert out[1].mean_token_tf > out[2].mean_token_tf
+
+
+def test_bpe_merge_candidates_counts(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.text import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="abab abab x"), Row(doc_id=2, text="abba")]
+    )
+    out = {r.pair: r.freq for r in bpe_merge_candidates(df, k=10).collect()}
+    # "abab" x2: ab,ba,ab each; "abba": ab,bb,ba; "x" contributes none
+    assert out["ab"] == 5
+    assert out["ba"] == 3
+    assert out["bb"] == 1
+    assert "x" not in out and len(out) == 3
+
+
+def test_importance_weights_target_ratio(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.text import (
+        importance_weights,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha alpha beta"),
+            Row(doc_id=2, text="beta gamma"),
+        ]
+    )
+    target = corpus.where(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in importance_weights(corpus, target).collect()}
+    # corpus TF: alpha=2, beta=2, gamma=1; target TF: alpha=2, beta=1
+    assert out[1].corpus_tf_sum == 6 and out[1].target_tf_sum == 5
+    assert out[2].corpus_tf_sum == 3 and out[2].target_tf_sum == 1
+    # the target doc scores strictly higher
+    assert out[1].importance_weight > out[2].importance_weight
