@@ -3766,6 +3766,10 @@ def q99_calibration_bins(spark, sf_dir):
     tags=("pandas", "window", "etl"),
 )
 def q100_ewma_engagement(spark, sf_dir):
-    from .operators.grouped_pandas import ewma_by_key
+    # ships the sorted-partition mapInPandas form: bit-equal to the
+    # applyInPandas form (tests/test_etl.py) and 4.5x faster at sf0.1
+    # (0.84s vs 3.75s warm — Python calls drop from O(users) to
+    # O(arrow batches))
+    from .operators.grouped_pandas import ewma_by_key_sorted
 
-    return ewma_by_key(_t(spark, sf_dir, "events"))
+    return ewma_by_key_sorted(_t(spark, sf_dir, "events"))

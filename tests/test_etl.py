@@ -166,3 +166,33 @@ def test_ewma_by_key_recurrence_and_group_isolation(spark):
     assert out[1] == 4.0 and out[2] == 2.0 and out[3] == 5.0
     # user 2's sequence never bleeds into user 1's
     assert out[4] == 100.0
+
+
+def test_ewma_sorted_matches_grouped_with_tiny_batches(spark):
+    """The mapInPandas scale path must be bit-equal to the
+    applyInPandas form even when Arrow batches split groups (forced
+    here with a 7-row batch cap so the carry logic actually runs)."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.grouped_pandas import (
+        ewma_by_key,
+        ewma_by_key_sorted,
+    )
+
+    rows = [
+        Row(user_id=u, event_id=u * 1000 + i, ts=i, value=float((u * 31 + i * 17) % 97))
+        for u in range(1, 6)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        a = {r.event_id: r.ewma for r in ewma_by_key(df).collect()}
+        b = {r.event_id: r.ewma for r in ewma_by_key_sorted(df).collect()}
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old
+            )
+    assert a == b  # bit-equal, not approx
