@@ -264,3 +264,63 @@ def test_duplicate_ngram_spans_interval_union(spark):
     for d in (1, 2):
         assert out[d].n_dup_spans == 2
         assert out[d].dup_tokens == 6
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_duplicate_ngram_spans_matches_bruteforce(spark, seed):
+    """Randomized corpus from a tiny vocab (forcing gram collisions)
+    vs a brute-force python replay of the same span rules."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(8)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for d in range(1, 31)
+    }
+    n = 3
+    toks = {d: t.split(" ") for d, t in docs.items()}
+    grams = {
+        d: [tuple(w[i:i + n]) for i in range(len(w) - n + 1)]
+        for d, w in toks.items()
+    }
+    df_count = Counter()
+    for d, gs in grams.items():
+        for g in set(gs):
+            df_count[g] += 1
+    expected = {}
+    for d, w in toks.items():
+        dup_pos = [i for i, g in enumerate(grams[d]) if df_count[g] >= 2]
+        spans = []
+        for i in sorted(dup_pos):
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + n - 1)
+            else:
+                spans.append([i, i + n - 1])
+        expected[d] = (
+            len(w),
+            len(grams[d]),
+            len(dup_pos),
+            len(spans),
+            sum(e - s + 1 for s, e in spans),
+        )
+
+    out = duplicate_ngram_spans(
+        spark.createDataFrame(
+            [Row(doc_id=d, text=t) for d, t in docs.items()]
+        ),
+        n=n,
+    ).collect()
+    got = {
+        r.doc_id: (r.n_tokens, r.n_grams, r.n_dup_grams, r.n_dup_spans,
+                   r.dup_tokens)
+        for r in out
+    }
+    assert got == expected
