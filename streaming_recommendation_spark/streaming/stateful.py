@@ -95,3 +95,61 @@ def running_history_state(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+EWMA_OUTPUT_SCHEMA = "user_id long, event_id long, ewma double"
+EWMA_STATE_SCHEMA = "acc double, has_acc boolean"
+
+
+def ewma_state(
+    events: DataFrame,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``operators.grouped_pandas.ewma_by_key``:
+    per-user EWMA of ``value`` carried ACROSS micro-batches in keyed
+    state, emitting one (user_id, event_id, ewma) row per input
+    event. Feeding the same events through any batch split produces
+    bit-identical values to the batch operator, because the state
+    stores exactly the recurrence's boundary condition (the last
+    smoothed value) and alpha=0.5 keeps every product exact.
+
+    Events within a micro-batch are ordered by (ts, event_id) — the
+    same total order the batch form sorts by — so output is
+    independent of arrival interleaving inside a batch. State is one
+    double per user: the minimal stateful-streaming footprint.
+    """
+    a = float(alpha)
+
+    def fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        acc, has_acc = state.get if state.exists else (0.0, False)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        out = []
+        for v in rows["value"].astype(float):
+            acc = v if not has_acc else (1.0 - a) * acc + a * v
+            has_acc = True
+            out.append(acc)
+        state.update((float(acc), True))
+        yield pd.DataFrame(
+            {
+                "user_id": rows["user_id"].to_numpy(),
+                "event_id": rows["event_id"].to_numpy(),
+                "ewma": out,
+            }
+        )
+
+    # append, not update: every event's smoothed value is emitted
+    # exactly once and never revised, so downstream append-only sinks
+    # (files) are valid
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

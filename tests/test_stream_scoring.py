@@ -193,3 +193,62 @@ def test_score_batch_keeps_profile_versions_separate(spark, items):
     assert not {"50", "51", "52"} & set(v2)
     # different histories -> different user vectors -> different lists
     assert v1 != v2
+
+
+def test_ewma_state_matches_batch_across_microbatches(spark, tmp_path):
+    """Streaming EWMA with keyed state must be bit-equal to the batch
+    operator regardless of how events split into micro-batches
+    (maxFilesPerTrigger=1 forces two batches; state carries the
+    recurrence boundary)."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.grouped_pandas import (
+        ewma_by_key,
+    )
+    from streaming_recommendation_spark.streaming.stateful import ewma_state
+
+    rows = [
+        dict(user_id=u, event_id=u * 100 + i, ts=i,
+             value=float((u * 13 + i * 7) % 29) + 0.5)
+        for u in (1, 2)
+        for i in range(6)
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    # split mid-user so the carry actually crosses a batch boundary
+    (d / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["ts"] < 3) + "\n"
+    )
+    (d / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows if r["ts"] >= 3) + "\n"
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, ts long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    sink_dir = str(tmp_path / "out")
+    q = (
+        ewma_state(stream)
+        .writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.ewma for r in spark.read.parquet(sink_dir).collect()
+    }
+    batch = {
+        r.event_id: r.ewma
+        for r in ewma_by_key(spark.createDataFrame(
+            [Row(**r) for r in rows]
+        )).collect()
+    }
+    assert got == batch  # bit-equal, every event emitted exactly once
