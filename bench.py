@@ -94,6 +94,7 @@ HEADLINE = [
     "q98_importance_weights",
     "q99_calibration_bins",
     "q100_ewma_engagement",
+    "q101_image_phash",
     "q92_doc_chunking",
 ]
 

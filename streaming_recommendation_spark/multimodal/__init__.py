@@ -3,6 +3,7 @@ from .columns import (
     MEDIA_SCHEMA,
     attach_fake_media,
     extract_image_features,
+    image_phash,
     sample_frames,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_fake_media",
     "extract_image_features",
+    "image_phash",
     "sample_frames",
 ]

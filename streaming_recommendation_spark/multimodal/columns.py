@@ -210,3 +210,69 @@ def extract_audio_features(
             )
 
     return df.select(id_col, media_col).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id long, width int, height int, phash long"
+PHASH_PIXELS = 48  # bits in the hash; fits a signed 64-bit long safely
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    media_col: str = "media",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Perceptual average-hash over the decoded image: bit i is set
+    iff pixel_i exceeds the mean pixel — the classic aHash visual
+    near-dup fingerprint (image dedup for multimodal training data).
+
+    Integer-exact by construction: bit_i = (pixel_i * N > sum), no
+    division — so the 48-bit hash replays identically on any engine,
+    which is what lets a SQL oracle verify this mapInPandas decode
+    path end-to-end (q101). The 'pil' decoder resizes to 8x8
+    luminance first (import-gated; container has no image libs).
+
+    Near-dup pairs over the hash: operators.dedup.banded_hamming_pairs.
+    """
+
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decoder == "pil":  # pragma: no cover - real decode path
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "decoder='pil' needs Pillow on the executors; this "
+                    "container ships without image libs — use decoder='fake'"
+                ) from e
+        for pdf in batches:
+            ids, ws, hs, phs = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[media_col]):
+                if decoder == "fake":
+                    w, h, _nf, body = _parse_fake(bytes(payload))
+                    px = np.frombuffer(
+                        body[:PHASH_PIXELS], dtype=np.uint8
+                    ).astype(np.int64)
+                else:  # pragma: no cover
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
+                    w, h = img.size
+                    px = np.asarray(img, dtype=np.int64).ravel()[:PHASH_PIXELS]
+                n = len(px)
+                total = int(px.sum())
+                bits = (px * n > total).astype(np.int64)
+                ph = int((bits << np.arange(n, dtype=np.int64)).sum())
+                ids.append(i)
+                ws.append(w)
+                hs.append(h)
+                phs.append(ph)
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs, "phash": phs}
+            )
+
+    return df.select(id_col, media_col).mapInPandas(run, PHASH_SCHEMA)

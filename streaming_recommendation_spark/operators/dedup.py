@@ -584,3 +584,61 @@ def duplicate_ngram_spans(
             ).alias("dup_token_ratio"),
         )
     )
+
+
+def banded_hamming_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 48,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance <= ``max_hamming``
+    over an ARBITRARY precomputed fingerprint column — the generic
+    form of ``simhash_near_dups``' banding, reusable for perceptual
+    image hashes (multimodal.image_phash), audio fingerprints, or any
+    bit-signature. Pigeonhole: max_hamming < bands guarantees any
+    qualifying pair agrees exactly on >= 1 band, so candidates form
+    only inside a (band, value) bucket — an equi-join, never
+    all-pairs.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) >= bands ({bands}) breaks the "
+            "pigeonhole guarantee; use more bands"
+        )
+    bw = bits // bands
+    banded = df.select(
+        F.col(id_col),
+        F.col(hash_col).alias("__fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(hash_col), bw * b).bitwiseAND(
+                        F.lit((1 << bw) - 1)
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("__fp").alias("__fa"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("__fp").alias("__fb"), "band", "bucket"
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -3773,3 +3773,43 @@ def q100_ewma_engagement(spark, sf_dir):
     from .operators.grouped_pandas import ewma_by_key_sorted
 
     return ewma_by_key_sorted(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q101_image_phash",
+    """
+    WITH m AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+             CAST(doc_id % 16 + 4 AS INT) AS width,
+             CAST(doc_id % 12 + 4 AS INT) AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             list_transform(generate_series(1, 48),
+               i -> CAST(('0x' || substr(repeat(hx, 3), 2*i - 1, 2))
+                         AS BIGINT)) AS b
+      FROM m
+    )
+    SELECT doc_id, width, height,
+           list_sum(list_transform(generate_series(1, 48),
+             i -> CASE WHEN b[i] * 48 > list_sum(b)
+                       THEN (CAST(1 AS BIGINT) << (i - 1))
+                       ELSE CAST(0 AS BIGINT) END)) AS phash
+    FROM px
+    """,
+    doc="Perceptual average-hash (aHash) over the binary media "
+    "column via the mapInPandas decode path — visual near-dup "
+    "fingerprinting for multimodal training data. bit_i = "
+    "(pixel_i * N > sum) is pure integer arithmetic, so the DuckDB "
+    "oracle replays the fake codec (md5-derived pixels) AND the hash "
+    "bit-for-bit in SQL — the multimodal leg's first hash-checked "
+    "driver entry (q42/q43 are rows-only). Pairing: "
+    "dedup.banded_hamming_pairs on the hash, an equi-join on "
+    "(band, 12-bit value) buckets.",
+    tags=("multimodal", "dedup", "pandas"),
+)
+def q101_image_phash(spark, sf_dir):
+    from .multimodal import attach_fake_media, image_phash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return image_phash(attach_fake_media(docs))

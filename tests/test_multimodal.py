@@ -92,3 +92,56 @@ def test_audio_features_stub(spark):
         assert r.duration_s > 0
         assert len(r.feature) == 8
         assert all(0.0 <= v <= 1.01 for v in r.feature)
+
+
+def test_image_phash_banded_near_dup_pairs(spark):
+    """Two images differing in one pixel hash within Hamming<=1 and
+    must surface as a banded pair; an unrelated image must not."""
+    import struct
+
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.multimodal.columns import (
+        _MAGIC,
+        image_phash,
+    )
+    from streaming_recommendation_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    def payload(body: bytes) -> bytes:
+        return _MAGIC + struct.pack(">III", 8, 6, 1) + body
+
+    base = bytes(range(48))
+    # mean-preserving local edit (swap two dark pixels): visually
+    # near-identical, hash within the banding budget
+    tweaked = bytes([1, 0]) + base[2:]
+    other = bytes((i * 37 + 11) % 251 for i in range(48))
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, media=payload(base)),
+            Row(doc_id=2, media=payload(tweaked)),
+            Row(doc_id=3, media=payload(other)),
+        ]
+    )
+    hashes = image_phash(df)
+    pairs = {(r.a, r.b): r.hamming
+             for r in banded_hamming_pairs(hashes, "phash").collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_banded_hamming_pairs_validates_params(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    df = spark.createDataFrame([Row(doc_id=1, phash=7)])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        banded_hamming_pairs(df, "phash", bits=50, bands=4)
+    with _pt.raises(ValueError):
+        banded_hamming_pairs(df, "phash", max_hamming=4, bands=4)

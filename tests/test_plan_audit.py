@@ -486,3 +486,14 @@ def test_q99_calibration_single_agg_shuffle(run):
     a = run("q99_calibration_bins")
     assert a["bnl_joins"] <= 1  # 1-row max broadcast cross join
     assert "SinglePartition" not in a["plan"] or a["n_exchanges"] <= 3
+
+
+def test_q101_phash_map_side_decode(run):
+    # media synth + decode + hash is one mapInPandas pass over the
+    # scan: the only exchange is spread()'s round-robin scatter
+    a = run("q101_image_phash")
+    assert a["n_exchanges"] <= 1
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
