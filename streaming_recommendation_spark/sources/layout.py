@@ -57,3 +57,43 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    partition_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Small-file-safe write: bound BOTH file-count extremes.
+
+    The two failure modes at 100 TB are (a) the small-files problem —
+    a 2000-task stage writing into 500 hive partitions emits up to
+    1M tiny files, wrecking later scan planning and the namenode —
+    and (b) single giant files that cap scan parallelism. This write:
+
+      * repartitions by the partition columns so each output
+        directory is written by few tasks (not every task writing
+        into every directory) — with AQE coalescing the shuffle;
+      * caps file size with ``maxRecordsPerFile`` so an oversized
+        partition splits into parallel-scannable chunks rather than
+        one monolith.
+
+    Row-count is the proxy for bytes here (parquet sizes vary with
+    encoding); production pipelines tune target_rows_per_file to land
+    near the 128-512 MB sweet spot.
+    """
+    w = df
+    if partition_cols:
+        from pyspark.sql import functions as F
+
+        w = df.repartition(*[F.col(c) for c in partition_cols])
+    writer = (
+        w.write.option("maxRecordsPerFile", target_rows_per_file)
+        .format(fmt)
+        .mode("overwrite")
+    )
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.save(path)

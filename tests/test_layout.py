@@ -150,3 +150,39 @@ def test_ivf_cells_partition_pruned(spark, tmp_path):
                          k=5, num_landmarks=8, n_probe=2).collect()
     }
     assert got == expect
+
+
+def test_write_compacted_bounds_file_counts(spark, tmp_path):
+    """Partitioned write without compaction sprays a file per
+    (task, partition); write_compacted bounds files per directory to
+    ceil(rows / target) while still splitting oversized partitions."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.sources.layout import (
+        write_compacted,
+    )
+
+    df = (
+        spark.range(0, 4000, 1, 16)
+        .select(
+            (F.col("id") % 4).alias("part"),
+            F.col("id").alias("v"),
+        )
+    )
+    naive = str(tmp_path / "naive")
+    df.write.partitionBy("part").parquet(naive)
+    naive_files = glob.glob(f"{naive}/part=*/*.parquet")
+    # every writing task touches every directory: 16 tasks x 4 dirs
+    assert len(naive_files) > 16
+
+    packed = str(tmp_path / "packed")
+    write_compacted(df, packed, target_rows_per_file=600,
+                    partition_cols=["part"])
+    for p in range(4):
+        files = glob.glob(f"{packed}/part={p}/*.parquet")
+        # 1000 rows / 600 cap -> exactly 2 files per directory
+        assert len(files) == 2, files
+    # round-trip intact
+    assert spark.read.parquet(packed).count() == 4000
