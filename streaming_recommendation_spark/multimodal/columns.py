@@ -84,6 +84,26 @@ def _parse_fake(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, nf, payload[off + 12 :]
 
 
+
+def _spread_if_narrow(df: DataFrame) -> DataFrame:
+    """Single-small-file sources arrive as one partition; spread the
+    CPU-bound decode across cores. At scale the scan splits provide
+    the parallelism and this coalesces nothing away."""
+    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
+        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    return df
+
+
+def _require_pil() -> None:
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "decoder='pil' needs Pillow on the executors; this "
+            "container ships without image libs — use decoder='fake'"
+        ) from e
+
+
 def extract_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -99,21 +119,11 @@ def extract_image_features(
     to 32x32, mean-pool channels (import-gated).
     """
 
-    # single-small-file sources arrive as one partition; spread the
-    # CPU-bound decode across cores (at scale the scan splits provide
-    # the parallelism and this coalesces nothing away)
-    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread_if_narrow(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:  # pragma: no cover
-                raise NotImplementedError(
-                    "decoder='pil' needs Pillow on the executors; this "
-                    "container ships without image libs — use decoder='fake'"
-                ) from e
+            _require_pil()
         for pdf in batches:
             ids, ws, hs, feats = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[media_col]):
@@ -235,18 +245,11 @@ def image_phash(
     Near-dup pairs over the hash: operators.dedup.banded_hamming_pairs.
     """
 
-    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
-        df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    df = _spread_if_narrow(df)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":  # pragma: no cover - real decode path
-            try:
-                from PIL import Image  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "decoder='pil' needs Pillow on the executors; this "
-                    "container ships without image libs — use decoder='fake'"
-                ) from e
+            _require_pil()
         for pdf in batches:
             ids, ws, hs, phs = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[media_col]):

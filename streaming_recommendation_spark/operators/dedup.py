@@ -507,6 +507,7 @@ def duplicate_ngram_spans(
     id_col: str = "doc_id",
     n: int = 8,
     min_df: int = 2,
+    count_within_doc: bool = False,
 ) -> DataFrame:
     """Exact-substring dedup diagnostics at token n-gram granularity
     (the Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -519,6 +520,13 @@ def duplicate_ngram_spans(
     quantity a remove-duplicate-spans pass would cut). Returns
     (id, n_tokens, n_grams, n_dup_grams, n_dup_spans, dup_tokens,
     dup_token_ratio).
+
+    ``count_within_doc=False`` (the q94 oracle's form) counts
+    DOCUMENT frequency: an n-gram repeated ten times inside one page
+    but unique corpus-wide is not flagged (that mode is
+    curation.repetition_stats' job). ``count_within_doc=True``
+    matches Lee et al.'s occurrence counting — total occurrences
+    >= min_df flags intra-document boilerplate too.
 
     Scale shape: the gram table shuffles once keyed by gram hash for
     the document-frequency count (same key profile as every shingle
@@ -542,10 +550,13 @@ def duplicate_ngram_spans(
             )
         ).alias("pos", "gram"),
     )
-    dup_grams = (
+    occurrences = (
         grams.select("gram", id_col)
-        .distinct()
-        .groupBy("gram")
+        if count_within_doc
+        else grams.select("gram", id_col).distinct()
+    )
+    dup_grams = (
+        occurrences.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") >= min_df)
         .select("gram")

@@ -564,6 +564,15 @@ def semantic_dedup(
     landmarks for kmeans_refined_landmarks offline without changing
     this plan. The same cell assignment is what ivf_knn persists —
     one clustering serves both dedup and ANN serving.
+
+    The lazy plan references the cell assignment three times (both
+    pair sides + the kept-flag base), so it re-executes 3x per run —
+    deliberate at this scale: persisting costs more than recomputing
+    pipelined codegen stages (measured on q36's shingle table,
+    NOTES_ROUND3.md), and the plan-audit pin budgets the three
+    broadcast nested loops. A production corpus run writes the
+    assignment out ONCE (the IVF at-rest layout, tests/test_layout)
+    and every stage — and later ANN serving — reads that table.
     """
     cells = ivf_assign(
         corpus,

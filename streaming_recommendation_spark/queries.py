@@ -3757,12 +3757,13 @@ def q99_calibration_bins(spark, sf_dir):
     FROM ex
     """,
     doc="Per-user EWMA engagement smoothing (y_i = 0.5*y_{i-1} + "
-    "0.5*x_i over (ts, event_id) order) via grouped applyInPandas — "
-    "the batch-grouped Arrow leg of the custom-operator surface "
-    "(mapInPandas covers ungrouped, applyInPandasWithState covers "
-    "streaming). alpha=0.5 makes every recurrence product exact in "
-    "binary FP, so the oracle's left-fold replays bit-identically. "
-    "One user-keyed shuffle; per-group memory is one user's events.",
+    "0.5*x_i over (ts, event_id) order) via the sorted-partition "
+    "mapInPandas form of operators/grouped_pandas.py (bit-equal to "
+    "the grouped applyInPandas form, 4.5x faster at 1500 groups — "
+    "Python calls scale with Arrow batches, not users). alpha=0.5 "
+    "makes every recurrence product exact in binary FP, so the "
+    "oracle's left-fold replays bit-identically. One user-keyed "
+    "shuffle + in-partition sort; per-batch memory is one Arrow batch.",
     tags=("pandas", "window", "etl"),
 )
 def q100_ewma_engagement(spark, sf_dir):

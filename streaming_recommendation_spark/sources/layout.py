@@ -65,6 +65,8 @@ def write_compacted(
     target_rows_per_file: int,
     partition_cols: list[str] | None = None,
     fmt: str = "parquet",
+    num_files: int | None = None,
+    salt_buckets: int = 1,
 ) -> None:
     """Small-file-safe write: bound BOTH file-count extremes.
 
@@ -75,20 +77,40 @@ def write_compacted(
 
       * repartitions by the partition columns so each output
         directory is written by few tasks (not every task writing
-        into every directory) — with AQE coalescing the shuffle;
+        into every directory);
       * caps file size with ``maxRecordsPerFile`` so an oversized
         partition splits into parallel-scannable chunks rather than
-        one monolith.
+        one monolith;
+      * for a SKEWED partition column, ``salt_buckets > 1`` spreads
+        each directory's rows over that many writing tasks (hot
+        directories would otherwise serialize through one task —
+        maxRecordsPerFile splits the files, not the work);
+      * for an UNPARTITIONED write, ``num_files`` is REQUIRED — it is
+        the explicit merge target (Spark cannot know row counts
+        without an action, so silent non-compaction is an error, not
+        a default).
 
     Row-count is the proxy for bytes here (parquet sizes vary with
     encoding); production pipelines tune target_rows_per_file to land
     near the 128-512 MB sweet spot.
     """
-    w = df
-    if partition_cols:
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
-        w = df.repartition(*[F.col(c) for c in partition_cols])
+    if partition_cols:
+        keys = [F.col(c) for c in partition_cols]
+        if salt_buckets > 1:
+            keys.append(
+                F.pmod(F.xxhash64(*df.columns), F.lit(salt_buckets))
+            )
+        w = df.repartition(*keys)
+    else:
+        if num_files is None:
+            raise ValueError(
+                "unpartitioned write_compacted needs num_files: without "
+                "it maxRecordsPerFile only caps file size and the "
+                "small-task spray is written through unchanged"
+            )
+        w = df.repartition(num_files)
     writer = (
         w.write.option("maxRecordsPerFile", target_rows_per_file)
         .format(fmt)

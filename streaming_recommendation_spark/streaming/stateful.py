@@ -104,26 +104,37 @@ EWMA_STATE_SCHEMA = "acc double, has_acc boolean"
 def ewma_state(
     events: DataFrame,
     alpha: float = 0.5,
+    evict_idle: bool = False,
 ) -> DataFrame:
     """Streaming twin of ``operators.grouped_pandas.ewma_by_key``:
     per-user EWMA of ``value`` carried ACROSS micro-batches in keyed
     state, emitting one (user_id, event_id, ewma) row per input
-    event. Feeding the same events through any batch split produces
-    bit-identical values to the batch operator, because the state
-    stores exactly the recurrence's boundary condition (the last
-    smoothed value) and alpha=0.5 keeps every product exact.
+    event. When arrival order respects (ts, event_id) ACROSS batches
+    — events sorted inside each batch, no event older than an already
+    -processed one — the output is bit-identical to the batch
+    operator: the state stores exactly the recurrence's boundary
+    condition and alpha=0.5 keeps every product exact.
 
-    Events within a micro-batch are ordered by (ts, event_id) — the
-    same total order the batch form sorts by — so output is
-    independent of arrival interleaving inside a batch. State is one
-    double per user: the minimal stateful-streaming footprint.
+    Out-of-order arrivals across batch boundaries fold in ARRIVAL
+    order (the standard streaming-recurrence semantics — with append
+    output, emitted values are final and cannot be revised); if
+    cross-batch reordering matters, bound it upstream with a
+    watermark-delayed sorted replay. Within one micro-batch events
+    are always sorted to (ts, event_id), so output never depends on
+    shuffle interleaving.
+
+    State is one double per user. ``evict_idle`` enables the same
+    1h processing-time eviction as ``running_history_state`` (and
+    inherits its caveat: with a timeout configured, availableNow runs
+    never self-terminate); without it, state grows with the live key
+    space — fine for bounded id spaces, unbounded otherwise.
     """
     a = float(alpha)
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+        if state.hasTimedOut:
             state.remove()
             return
         acc, has_acc = state.get if state.exists else (0.0, False)
@@ -135,6 +146,8 @@ def ewma_state(
             has_acc = True
             out.append(acc)
         state.update((float(acc), True))
+        if evict_idle:
+            state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(
             {
                 "user_id": rows["user_id"].to_numpy(),
@@ -151,5 +164,9 @@ def ewma_state(
         outputStructType=EWMA_OUTPUT_SCHEMA,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_idle
+            else GroupStateTimeout.NoTimeout
+        ),
     )

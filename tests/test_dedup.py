@@ -324,3 +324,31 @@ def test_duplicate_ngram_spans_matches_bruteforce(spark, seed):
         for r in out
     }
     assert got == expected
+
+
+def test_duplicate_ngram_spans_within_doc_mode(spark):
+    """Occurrence counting (Lee et al.'s form) flags intra-document
+    boilerplate that document-frequency mode deliberately ignores."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    nav = "home products about contact"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{nav} unique middle content {nav}"),
+            Row(doc_id=2, text="entirely different standalone words here"),
+        ]
+    )
+    by_df = {r.doc_id: r for r in
+             duplicate_ngram_spans(df, n=4).collect()}
+    by_tf = {r.doc_id: r for r in
+             duplicate_ngram_spans(df, n=4, count_within_doc=True).collect()}
+    # the repeated nav block is invisible to document frequency...
+    assert by_df[1].n_dup_grams == 0
+    # ...but occurrence counting flags both copies
+    assert by_tf[1].n_dup_grams == 2
+    assert by_tf[1].n_dup_spans == 2 and by_tf[1].dup_tokens == 8
+    assert by_tf[2].n_dup_grams == 0

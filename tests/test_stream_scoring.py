@@ -241,7 +241,7 @@ def test_ewma_state_matches_batch_across_microbatches(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = {
         r.event_id: r.ewma for r in spark.read.parquet(sink_dir).collect()
     }
