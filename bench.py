@@ -95,6 +95,7 @@ HEADLINE = [
     "q99_calibration_bins",
     "q100_ewma_engagement",
     "q101_image_phash",
+    "q102_pagerank",
     "q92_doc_chunking",
 ]
 

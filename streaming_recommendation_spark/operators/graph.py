@@ -1,0 +1,100 @@
+"""Iterative graph algorithms as DataFrame rounds (Pregel-on-Spark
+shape: one message shuffle per superstep, keyed by node).
+
+Complements the existing graph legs — degree/normalized-edge prep
+(q49, reference lightgcn graph construction) and connected-component
+cluster resolution (operators/dedup.py) — with rank propagation.
+
+Determinism policy: ranks are QUANTIZED to integer units (the same
+trick as the integer Lloyd rounds in operators/similarity.py), so
+every engine computes bit-identical rounds — summing integers is
+order-independent where float summation is not, and integer division
+truncates the same everywhere (all values here are nonnegative). A
+DuckDB oracle replays the unrolled rounds exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RANK_SCALE = 1 << 20  # rank unit = 2^-20 of total mass
+
+
+def pagerank_quantized(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    damping_pct: int = 85,
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph (edges symmetrized), ranks
+    in integer units of ``1/scale``: r'(v) = base + d * sum over
+    in-neighbors u of r(u) div deg(u), with base = (scale * (100-d%))
+    div (100 * N) and the damping product evaluated as
+    (d% * sum) div 100 — every step integer, so rounds replay
+    bit-identically on any engine. Returns (node, rank) after
+    ``rounds`` supersteps from the uniform start scale div N.
+
+    Scale shape: each round is ONE join of the rank vector against
+    the edge list on the source key plus ONE groupBy(dst) message
+    aggregation — both shuffles keyed by node id, the Pregel
+    superstep. The degree table comes from one edge aggregation and
+    co-partitions with the join. With ``rounds`` fixed and small the
+    lazy plan nests ``rounds`` joins; at production depth, checkpoint
+    each round like connected_components does (lineage truncation),
+    and pre-partition edges by src so every superstep reuses the
+    same partitioning without re-shuffling the (static) edge side.
+
+    Quantization error: each div truncates < 1 rank unit = 2^-20 of
+    total mass per node per round — negligible against PageRank's
+    own damping tolerance, and the price of exact replay.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = fwd.union(rev).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("u").alias("node"), "deg")
+    n_nodes = nodes.select(
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # uniform start: scale div N (1-row broadcast, no driver action)
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node",
+        "deg",
+        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        F.col("__n"),
+    )
+    for _ in range(rounds):
+        contribs = (
+            sym.join(
+                ranks.select(
+                    F.col("node").alias("u"),
+                    F.expr("rank div deg").alias("__c"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        ranks = (
+            ranks.select("node", "deg", "__n")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "__n",
+                (
+                    F.expr(
+                        f"(CAST({scale} AS BIGINT) * {100 - damping_pct})"
+                        f" div (100 * __n)"
+                    )
+                    + F.expr(
+                        f"({damping_pct} * coalesce(__sum, CAST(0 AS BIGINT)))"
+                        f" div 100"
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

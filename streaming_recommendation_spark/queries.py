@@ -3814,3 +3814,71 @@ def q101_image_phash(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return image_phash(attach_fake_media(docs))
+
+
+@register(
+    "q102_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+    ), deg AS (
+      SELECT u, count(*) AS deg FROM sym GROUP BY u
+    ), n AS (SELECT count(*) AS n FROM deg),
+    r0 AS (
+      SELECT u AS node, deg, (1048576 // (SELECT n FROM n)) AS rank
+      FROM deg
+    ),
+    c1 AS (
+      SELECT s.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym s JOIN r0 r ON s.u = r.node GROUP BY s.v
+    ), r1 AS (
+      SELECT r.node, r.deg,
+             ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r0 r LEFT JOIN c1 c USING (node)
+    ), c2 AS (
+      SELECT s.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym s JOIN r1 r ON s.u = r.node GROUP BY s.v
+    ), r2 AS (
+      SELECT r.node, r.deg,
+             ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r1 r LEFT JOIN c2 c USING (node)
+    ), c3 AS (
+      SELECT s.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym s JOIN r2 r ON s.u = r.node GROUP BY s.v
+    ), r3 AS (
+      SELECT r.node, r.deg,
+             ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r2 r LEFT JOIN c3 c USING (node)
+    )
+    SELECT node, rank FROM r3
+""",
+    doc="Quantized-integer PageRank (3 unrolled supersteps, d=0.85) "
+    "over the symmetrized customer-part bipartite graph — rank "
+    "propagation joining the degree/CC graph legs. Ranks live in "
+    "integer 2^-20 units; every div truncates identically on any "
+    "engine, so the DuckDB oracle replays all rounds bit-for-bit. "
+    "Each superstep is one node-keyed rank join + one groupBy(dst) "
+    "message shuffle — the Pregel shape; static edges pre-partition "
+    "once at production depth.",
+    tags=("graph", "agg", "iterative"),
+)
+def q102_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank_quantized
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_quantized(edges, rounds=3)

@@ -497,3 +497,14 @@ def test_q101_phash_map_side_decode(run):
         a["n_broadcast_joins"] + a["n_sortmerge_joins"]
         + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
     )
+
+
+def test_q102_pagerank_superstep_shape(run):
+    # 3 supersteps = node-keyed equi-joins + message aggregations;
+    # the 1-row node count broadcasts (BNL on 1 row is constant);
+    # no single-partition funnel for the rank vector
+    a = run("q102_pagerank")
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
+        "n_broadcast_joins"
+    ] >= 4
+    assert "hashpartitioning(node" in a["plan"] or "hashpartitioning(v" in a["plan"]

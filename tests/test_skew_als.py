@@ -78,3 +78,28 @@ def test_salted_join_rejects_outer(spark):
         how="left_anti",
     ).collect()
     assert [(r.k, r.v) for r in anti] == [(3, "c")]
+
+
+def test_pagerank_quantized_properties(spark):
+    """Star graph: the hub must outrank every leaf; total mass stays
+    within quantization loss of 1.0; two runs are bit-identical."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.graph import (
+        RANK_SCALE,
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [Row(src=0, dst=i) for i in range(1, 9)]
+        + [Row(src=100, dst=101)]  # detached pair
+    )
+    out = {r.node: r.rank for r in pagerank_quantized(edges, rounds=3).collect()}
+    assert len(out) == 11  # hub + 8 leaves + detached pair
+    hub, leaves = out[0], [out[i] for i in range(1, 9)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetric leaves tie exactly
+    # mass conservation up to truncation: <= 1 unit lost per div
+    assert 0.8 * RANK_SCALE < sum(out.values()) <= RANK_SCALE
+    out2 = {r.node: r.rank for r in pagerank_quantized(edges, rounds=3).collect()}
+    assert out == out2
