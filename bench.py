@@ -101,7 +101,7 @@ HEADLINE = [
 
 # queries whose operator runs Spark jobs during plan construction
 # (driver-side iteration loops) — construction is charged for these
-ITERATIVE = {"q72_dedup_clusters", "q73_ivf_kmeans_knn"}
+ITERATIVE = {"q72_dedup_clusters", "q73_ivf_kmeans_knn", "q102_pagerank"}
 
 
 def main() -> None:

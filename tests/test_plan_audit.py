@@ -499,11 +499,29 @@ def test_q101_phash_map_side_decode(run):
     )
 
 
-def test_q102_pagerank_superstep_shape(run):
-    # 3 supersteps = node-keyed equi-joins + message aggregations;
-    # the 1-row node count broadcasts (BNL on 1 row is constant);
-    # no single-partition funnel for the rank vector
-    a = run("q102_pagerank")
+def test_q102_pagerank_superstep_shape(spark):
+    # audit the UNMATERIALIZED plan (the registry query checkpoints
+    # each round, so its visible plan is only the last superstep):
+    # 3 supersteps = node-keyed equi-joins + message aggregations; no
+    # single-partition funnel for the rank vector
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.graph import (
+        pagerank_quantized,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    o = load_table(spark, "orders", SF_DIR)
+    li = load_table(spark, "lineitem", SF_DIR)
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    a = audit(pagerank_quantized(edges, rounds=3, materialize=False))
     assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
         "n_broadcast_joins"
     ] >= 4
