@@ -579,14 +579,16 @@ def duplicate_ngram_spans(
         F.sum("__c").alias("n_dup_grams"),
         F.sum(F.col("__e") + n - F.col("__s")).alias("dup_tokens"),
     )
-    gstats = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    # n_grams is pure arithmetic (every position yields one gram), so
+    # no aggregation over the gram table is needed for it
     return (
-        base.join(gstats, id_col, "left")
-        .join(cov, id_col, "left")
+        base.join(cov, id_col, "left")
         .select(
             id_col,
             "n_tokens",
-            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.greatest(
+                F.col("n_tokens") - (n - 1), F.lit(0)
+            ).alias("n_grams"),
             F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
             F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
             F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),

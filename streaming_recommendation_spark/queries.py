@@ -3517,18 +3517,15 @@ def q93_sequence_packing(spark, sf_dir):
       SELECT doc_id, count(*) AS n_dup_spans, sum(c) AS n_dup_grams,
              sum(e + 8 - s) AS dup_tokens
       FROM sp GROUP BY doc_id
-    ), gst AS (
-      SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
     )
     SELECT b.doc_id,
            len(b.w) AS n_tokens,
-           coalesce(n_grams, 0) AS n_grams,
+           greatest(len(b.w) - 7, 0) AS n_grams,
            coalesce(n_dup_grams, 0) AS n_dup_grams,
            coalesce(n_dup_spans, 0) AS n_dup_spans,
            coalesce(dup_tokens, 0) AS dup_tokens,
            round(coalesce(dup_tokens, 0) / len(b.w), 6) AS dup_token_ratio
     FROM norm b
-    LEFT JOIN gst USING (doc_id)
     LEFT JOIN cov USING (doc_id)
     """,
     doc="Exact-substring dedup diagnostics (Lee et al. 2022 at 8-gram "
