@@ -1,25 +1,40 @@
 from .asof import asof_join, range_join
+from .dedup import banded_hamming_pairs, duplicate_ngram_spans
 from .encode import dict_encode
+from .graph import pagerank_quantized
+from .grouped_pandas import ewma_by_key, ewma_by_key_sorted
 from .history import collect_history, last_n_events, sliding_window_samples, tail_slice
-from .metrics import binary_metrics, ranking_metrics
+from .metrics import binary_metrics, calibration_bins, ranking_metrics
 from .sampling import bernoulli_by_activity, hash_split, negative_sample
+from .similarity import semantic_dedup
 from .skew import salted_join
+from .text import bpe_merge_candidates, importance_weights, unigram_rarity
 from .topk import frequency_top_n, top_k_global, top_k_per_group
 
 __all__ = [
     "asof_join",
     "range_join",
+    "banded_hamming_pairs",
+    "duplicate_ngram_spans",
     "dict_encode",
+    "pagerank_quantized",
+    "ewma_by_key",
+    "ewma_by_key_sorted",
     "collect_history",
     "last_n_events",
     "sliding_window_samples",
     "tail_slice",
     "binary_metrics",
+    "calibration_bins",
     "ranking_metrics",
     "bernoulli_by_activity",
     "hash_split",
     "negative_sample",
+    "semantic_dedup",
     "salted_join",
+    "bpe_merge_candidates",
+    "importance_weights",
+    "unigram_rarity",
     "frequency_top_n",
     "top_k_global",
     "top_k_per_group",
