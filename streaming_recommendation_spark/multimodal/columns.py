@@ -84,14 +84,7 @@ def _parse_fake(payload: bytes) -> tuple[int, int, int, bytes]:
     return w, h, nf, payload[off + 12 :]
 
 
-
-def _spread_if_narrow(df: DataFrame) -> DataFrame:
-    """Single-small-file sources arrive as one partition; spread the
-    CPU-bound decode across cores. At scale the scan splits provide
-    the parallelism and this coalesces nothing away."""
-    if df.rdd.getNumPartitions() < df.sparkSession.sparkContext.defaultParallelism:
-        return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    return df
+from ..operators.dedup import spread  # canonical narrow-source spread helper
 
 
 def _require_pil() -> None:
@@ -110,6 +103,7 @@ def extract_image_features(
     media_col: str = "media",
     feature_dim: int = 8,
     decoder: str = "fake",
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """(id, width, height, feature[feature_dim]) via mapInPandas.
 
@@ -119,7 +113,7 @@ def extract_image_features(
     to 32x32, mean-pool channels (import-gated).
     """
 
-    df = _spread_if_narrow(df)
+    df = spread(df, repartition)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":
@@ -223,7 +217,9 @@ def extract_audio_features(
 
 
 PHASH_SCHEMA = "doc_id long, width int, height int, phash long"
-PHASH_PIXELS = 48  # bits in the hash; fits a signed 64-bit long safely
+PHASH_PIXELS = 48  # fake-decoder hash width (md5-derived body is 48
+# oracle-replayable bytes); the pil path uses the standard 64-pixel
+# 8x8 aHash, wrapped into the same signed-long column
 
 
 def image_phash(
@@ -231,6 +227,7 @@ def image_phash(
     id_col: str = "doc_id",
     media_col: str = "media",
     decoder: str = "fake",
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """Perceptual average-hash over the decoded image: bit i is set
     iff pixel_i exceeds the mean pixel — the classic aHash visual
@@ -239,13 +236,15 @@ def image_phash(
     Integer-exact by construction: bit_i = (pixel_i * N > sum), no
     division — so the 48-bit hash replays identically on any engine,
     which is what lets a SQL oracle verify this mapInPandas decode
-    path end-to-end (q101). The 'pil' decoder resizes to 8x8
-    luminance first (import-gated; container has no image libs).
+    path end-to-end (q101). The fake decoder hashes the 48 synthetic
+    body bytes; the 'pil' decoder is the standard 64-bit aHash (8x8
+    luminance resize; width/height report the ORIGINAL image dims)
+    and is import-gated — this container has no image libs.
 
     Near-dup pairs over the hash: operators.dedup.banded_hamming_pairs.
     """
 
-    df = _spread_if_narrow(df)
+    df = spread(df, repartition)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if decoder == "pil":  # pragma: no cover - real decode path
@@ -263,13 +262,17 @@ def image_phash(
 
                     from PIL import Image
 
-                    img = Image.open(io.BytesIO(payload)).convert("L").resize((8, 8))
-                    w, h = img.size
-                    px = np.asarray(img, dtype=np.int64).ravel()[:PHASH_PIXELS]
+                    img = Image.open(io.BytesIO(payload)).convert("L")
+                    w, h = img.size  # original dims, before the 8x8 resize
+                    px = np.asarray(img.resize((8, 8)), dtype=np.int64).ravel()
                 n = len(px)
                 total = int(px.sum())
-                bits = (px * n > total).astype(np.int64)
-                ph = int((bits << np.arange(n, dtype=np.int64)).sum())
+                ph = 0
+                for j, pxj in enumerate(px.tolist()):
+                    if pxj * n > total:
+                        ph |= 1 << j
+                if ph >= 1 << 63:  # 64-bit hashes: wrap into signed long
+                    ph -= 1 << 64
                 ids.append(i)
                 ws.append(w)
                 hs.append(h)

@@ -58,19 +58,45 @@ def normalize_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition to the default parallelism. For
-    CPU-bound per-row text work over a source that arrives as one or
-    two small files (local tests), this is the difference between 1
-    busy core and all of them. At real scale the scan's file/row-group
-    splits already parallelize and callers can skip it."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def spread(df: DataFrame, repartition: int | bool | None = None) -> DataFrame:
+    """Spread a narrow source across cores for CPU-bound per-row work
+    (hashing, shingling, decode). Semantics of ``repartition`` — the
+    one knob every corpus operator here plumbs through:
+
+      * ``None``/``True`` (default, auto): round-robin repartition to
+        the session default parallelism ONLY when the input has fewer
+        partitions. A single-small-file local source arrives as 1
+        partition and would pin the whole pass to one core; at real
+        scale the scan's file/row-group splits already provide the
+        parallelism, the probe sees enough partitions, and this is a
+        no-op — no operator unconditionally reshuffles a 100 TB scan.
+      * ``False``: never reshuffle (trust the upstream layout, e.g. a
+        bucketed/pre-partitioned table).
+      * ``int``: force exactly that many partitions.
+
+    The partition probe is plan-side (no Spark job) — callers pass
+    scan-stage inputs here, so there is no upstream exchange for the
+    ``.rdd`` conversion to materialize.
+    """
+    if repartition is False:
+        return df
+    if repartition is None or repartition is True:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    return df.repartition(int(repartition))
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
+) -> DataFrame:
     """Keep the lowest-id representative per identical (normalized) text."""
     return (
-        spread(df)
+        spread(df, repartition)
         .withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
         .groupBy("__digest")
         .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
@@ -91,11 +117,15 @@ def word_shingles(col, n: int = 3):
 
 
 def shingle_table(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """(id, shingle) exploded + de-duplicated per doc."""
     return (
-        spread(df)
+        spread(df, repartition)
         .select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
         .distinct()
     )
@@ -177,7 +207,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    repartition: bool = True,
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """(id, sig: array<long>[num_hashes]) — minhash of the shingle set.
 
@@ -195,8 +225,7 @@ def minhash_signatures(
     tests); at scale the file count already provides parallelism.
     """
     params = MH_PARAMS[:num_hashes]
-    if repartition:
-        df = spread(df)
+    df = spread(df, repartition)
     sh = F.array_distinct(word_shingles(F.col(text_col), n))
     hashed = df.select(
         F.col(id_col),
@@ -245,7 +274,12 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
+) -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over word shingles.
 
     Bit j of the fingerprint is the sign of sum over shingles of
@@ -254,7 +288,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     ``F.bit_count(a ^ b)``.
     """
     words = word_shingles(F.col(text_col), 2)
-    exploded = spread(df).select(F.col(id_col), F.explode(words).alias("w")).withColumn(
+    exploded = spread(df, repartition).select(
+        F.col(id_col), F.explode(words).alias("w")
+    ).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10).cast("long")
     )
     # Per-bit vote, packed: bit j's vote is positive iff
@@ -508,6 +544,7 @@ def duplicate_ngram_spans(
     n: int = 8,
     min_df: int = 2,
     count_within_doc: bool = False,
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """Exact-substring dedup diagnostics at token n-gram granularity
     (the Lee et al. 2022 "Deduplicating Training Data Makes Language
@@ -539,7 +576,7 @@ def duplicate_ngram_spans(
     from pyspark.sql import Window
 
     words = F.split(normalize_text(F.col(text_col)), " ")
-    toks = spread(df).select(F.col(id_col), words.alias("__w"))
+    toks = spread(df, repartition).select(F.col(id_col), words.alias("__w"))
     base = toks.select(id_col, F.size("__w").alias("n_tokens"))
     grams = toks.where(F.size("__w") >= n).select(
         F.col(id_col),

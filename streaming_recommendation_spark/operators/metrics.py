@@ -168,11 +168,13 @@ def calibration_bins(
     partial aggregation — a single shuffle of n_bins rows per
     partition regardless of input size; the 100 TB cost is the scan.
     floor(score * n_bins) is the same IEEE double op on every engine,
-    so bin assignment replays exactly; score 1.0 folds into the top
-    bin (the standard closed-right final interval).
+    so bin assignment replays exactly; scores are clamped into
+    [0, n_bins): 1.0 (and anything above) folds into the top bin (the
+    standard closed-right final interval), negatives into bin 0.
     """
-    b = F.least(
-        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    b = F.greatest(
+        F.least(F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)),
+        F.lit(0),
     )
     return preds.groupBy(b.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),

@@ -220,7 +220,10 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def unigram_rarity(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """Corpus-unigram LM quality score (the CCNet/Wikipedia-LM
     perplexity filter, in an integer-exact variant): score each doc
@@ -244,7 +247,7 @@ def unigram_rarity(
     words still spread across partitions (AQE handles the 'the'
     partition).
     """
-    toks = spread(df).select(
+    toks = spread(df, repartition).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word"),
     )
@@ -272,7 +275,7 @@ def unigram_rarity(
 
 
 def bpe_merge_candidates(
-    df, text_col: str = "text", k: int = 50
+    df, text_col: str = "text", k: int = 50, repartition: int | bool | None = None
 ) -> DataFrame:
     """First BPE merge-round candidates (tokenizer induction over the
     corpus): count every adjacent character pair inside every word,
@@ -293,7 +296,7 @@ def bpe_merge_candidates(
         F.split(normalize_text(F.col(text_col)), " ")
     ).alias("__word")
     pairs = (
-        spread(df)
+        spread(df, repartition)
         .select(word)
         .select(
             F.explode(
@@ -321,6 +324,7 @@ def importance_weights(
     target: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    repartition: int | bool | None = None,
 ) -> DataFrame:
     """DSIR-flavored importance weighting (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"),
@@ -342,7 +346,7 @@ def importance_weights(
     stays shuffled so head-word skew spreads (AQE splits the 'the'
     partition).
     """
-    toks = spread(corpus).select(
+    toks = spread(corpus, repartition).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word"),
     )

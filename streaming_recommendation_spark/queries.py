@@ -551,7 +551,8 @@ def q19_clean_prices(spark, sf_dir):
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
-    SELECT user_id, count(*) AS n_events, sum(new_session) AS n_sessions
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions
     FROM marked GROUP BY user_id
     """,
     doc="Sessionization: lag + gap>30min cumsum (streaming analog: "
@@ -2231,7 +2232,8 @@ def q51_priority_with_late_lineitem(spark, sf_dir):
     """
     SELECT c_mktsegment,
            count(o_orderkey) AS n_orders,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_customers_no_order,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_customers_no_order,
            round(coalesce(sum(o_totalprice), 0), 4) AS revenue
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
@@ -3308,7 +3310,8 @@ _NORM_WORDS = (
     )
     SELECT cg.doc_id,
            count(*) AS n_ngrams,
-           sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+           CAST(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
            round(sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
                  / count(*), 6) AS hit_ratio,
            sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
@@ -3342,7 +3345,7 @@ def q89_decontamination(spark, sf_dir):
       FROM (SELECT doc_id, unnest(w) AS g FROM norm)
       WHERE g <> '' GROUP BY doc_id, g
     ), ws AS (
-      SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_types,
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words, count(*) AS n_types,
              max(cnt) AS top_cnt
       FROM wc GROUP BY doc_id
     ), bgr AS (
@@ -3459,7 +3462,7 @@ def q92_doc_chunking(spark, sf_dir):
     SELECT source,
            CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
            count(*) AS n_docs,
-           sum(n_tokens) AS bin_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM c GROUP BY source, bin_id
     """,
     doc="Sequence packing by cumulative token count (the streaming "
@@ -3521,9 +3524,9 @@ def q93_sequence_packing(spark, sf_dir):
     SELECT b.doc_id,
            len(b.w) AS n_tokens,
            greatest(len(b.w) - 7, 0) AS n_grams,
-           coalesce(n_dup_grams, 0) AS n_dup_grams,
+           CAST(coalesce(n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
            coalesce(n_dup_spans, 0) AS n_dup_spans,
-           coalesce(dup_tokens, 0) AS dup_tokens,
+           CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
            round(coalesce(dup_tokens, 0) / len(b.w), 6) AS dup_token_ratio
     FROM norm b
     LEFT JOIN cov USING (doc_id)
@@ -3556,9 +3559,9 @@ def q94_duplicate_ngram_spans(spark, sf_dir):
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(cnt) AS sum_token_tf,
+           CAST(sum(cnt) AS BIGINT) AS sum_token_tf,
            min(cnt) AS min_token_count,
-           sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            round(sum(cnt) / count(*), 6) AS mean_token_tf
     FROM s GROUP BY doc_id
     """,
@@ -3678,8 +3681,8 @@ def q97_bpe_merge_candidates(spark, sf_dir):
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(ttf) AS target_tf_sum,
-           sum(ctf) AS corpus_tf_sum,
+           CAST(sum(ttf) AS BIGINT) AS target_tf_sum,
+           CAST(sum(ctf) AS BIGINT) AS corpus_tf_sum,
            round(sum(ttf) / sum(ctf), 6) AS importance_weight
     FROM s GROUP BY doc_id
     """,
@@ -3705,9 +3708,9 @@ def q98_importance_weights(spark, sf_dir):
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
       FROM events, mx
     )
-    SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+    SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
            count(*) AS n,
-           sum(label) AS n_pos,
+           CAST(sum(label) AS BIGINT) AS n_pos,
            round(avg(score), 6) AS mean_score,
            round(avg(label), 6) AS pos_rate
     FROM p GROUP BY bin
@@ -3792,7 +3795,7 @@ def q100_ewma_engagement(spark, sf_dir):
            list_sum(list_transform(generate_series(1, 48),
              i -> CASE WHEN b[i] * 48 > list_sum(b)
                        THEN (CAST(1 AS BIGINT) << (i - 1))
-                       ELSE CAST(0 AS BIGINT) END)) AS phash
+                       ELSE CAST(0 AS BIGINT) END)) :: BIGINT AS phash
     FROM px
     """,
     doc="Perceptual average-hash (aHash) over the binary media "
@@ -3853,7 +3856,7 @@ def q101_image_phash(spark, sf_dir):
              + ((85 * coalesce(c.sm, 0)) // 100) AS rank
       FROM r2 r LEFT JOIN c3 c USING (node)
     )
-    SELECT node, rank FROM r3
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
 """,
     doc="Quantized-integer PageRank (3 unrolled supersteps, d=0.85) "
     "over the symmetrized customer-part bipartite graph — rank "

@@ -145,7 +145,8 @@ def ewma_state(
             acc = v if not has_acc else (1.0 - a) * acc + a * v
             has_acc = True
             out.append(acc)
-        state.update((float(acc), True))
+        if len(rows):
+            state.update((float(acc), True))
         if evict_idle:
             state.setTimeoutDuration(60 * 60 * 1000)
         yield pd.DataFrame(

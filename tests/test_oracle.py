@@ -88,3 +88,19 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for t, est in approx.items():
         assert abs(est - exact[t]) / exact[t] < 0.05, (t, est, exact[t])
+
+
+@pytest.mark.parametrize("q", ORACLE_QUERIES, ids=lambda q: q.name)
+def test_dtype_parity_with_duckdb(q, spark):
+    """The driver's value-hash canonicalizes through pandas, where a
+    DuckDB HUGEINT (integer sum()) lands as float64 while Spark's
+    BIGINT lands as int64 — equal values, different hashes (the q20
+    round-2 red row). Guard the whole class: every oracle column's
+    pandas dtype *kind* must match the Spark result's."""
+    spdf = q.fn(spark, SF_DIR).toPandas()
+    ddf = duck_con(SF_DIR).execute(q.oracle).df()
+    sp = {c.lower(): spdf[c].dtype for c in spdf.columns}
+    du = {c.lower(): ddf[c].dtype for c in ddf.columns}
+    assert set(sp) == set(du), f"{q.name}: column sets differ"
+    bad = {c: (sp[c], du[c]) for c in sp if sp[c].kind != du[c].kind}
+    assert not bad, f"{q.name}: dtype-kind mismatches (spark, duck): {bad}"
