@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import det_hash_str
+from ..plans.audit import checkpoint_partitioned
 
 # Carter-Wegman family g_i(h) = (a_i*h + b_i) mod P over the Mersenne
 # prime P = 2^31-1, with the shingle hash h restricted to 28 bits
@@ -471,10 +472,14 @@ def connected_components(
     # re-executes the whole upstream candidate-pair pipeline (LSH
     # banding etc.) — the edges are tiny relative to the corpus scan
     # that produces them
-    sym = (
+    # hash-partitioned by the per-round join key (nbr) so each
+    # propagation round's message join reuses the static edge-side
+    # partitioning instead of re-shuffling it (checkpoint_partitioned
+    # keeps the layout visible to the planner under AQE)
+    sym = checkpoint_partitioned(
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .localCheckpoint()
+        .repartition("nbr")
     )
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.audit import checkpoint_partitioned
+
 RANK_SCALE = 1 << 20  # rank unit = 2^-20 of total mass
 
 
@@ -62,7 +64,12 @@ def pagerank_quantized(
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     sym = fwd.union(rev).distinct()
     if materialize:
-        sym = sym.localCheckpoint()
+        # hash-partition the static edge side by the superstep join key
+        # ONCE; checkpoint_partitioned keeps the layout visible to the
+        # planner, so every round's rank join AND the degree aggregate
+        # reuse it instead of re-shuffling the edge list per superstep
+        # (plan-asserted in tests/test_plan_audit.py)
+        sym = checkpoint_partitioned(sym.repartition("u"))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("node"), "deg")
     n_nodes = nodes.select(

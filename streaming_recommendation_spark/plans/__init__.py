@@ -1,3 +1,3 @@
-from .audit import audit, formatted_plan
+from .audit import audit, checkpoint_partitioned, formatted_plan
 
-__all__ = ["audit", "formatted_plan"]
+__all__ = ["audit", "checkpoint_partitioned", "formatted_plan"]

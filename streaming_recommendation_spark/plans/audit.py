@@ -63,3 +63,26 @@ def audit(df: DataFrame) -> dict:
         "codegen_stages": len(set(re.findall(r"codegen id : (\d+)", plan))),
         "plan": plan,
     }
+
+
+def checkpoint_partitioned(df):
+    """``localCheckpoint`` that KEEPS the DataFrame's hash
+    partitioning. Under AQE, ``Dataset.checkpoint`` records
+    ``UnknownPartitioning`` (the adaptive plan can still re-coalesce,
+    so Spark won't promise a layout) and every later join against the
+    checkpoint re-shuffles it. Iterative operators (PageRank,
+    connected components) checkpoint a STATIC side once and join it
+    every round — re-shuffling it per round is the exact cost the
+    checkpoint was meant to avoid. Materializing with AQE briefly off
+    makes the LogicalRDD carry ``hashpartitioning(key, n)``, so each
+    superstep reuses the layout (one message shuffle per round, the
+    Pregel shape). On a real cluster the equivalent durable form is a
+    table bucketed by the join key (sources/layout.py).
+    """
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        sess.conf.set("spark.sql.adaptive.enabled", old)

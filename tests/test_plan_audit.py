@@ -526,3 +526,39 @@ def test_q102_pagerank_superstep_shape(spark):
         "n_broadcast_joins"
     ] >= 4
     assert "hashpartitioning(node" in a["plan"] or "hashpartitioning(v" in a["plan"]
+
+
+def test_checkpoint_partitioned_superstep_reuses_edge_layout(spark):
+    # The static edge side of an iterative operator is repartitioned by
+    # the join key once and checkpointed; each superstep must then run
+    # with ONE exchange (the message groupBy) — not re-shuffle the
+    # edges every round. Broadcast is disabled to force the
+    # at-scale sort-merge shape.
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.plans.audit import (
+        checkpoint_partitioned,
+    )
+
+    edges = spark.range(2000).select(
+        (F.col("id") % 500).alias("u"), ((F.col("id") * 7) % 500).alias("v")
+    )
+    sym = checkpoint_partitioned(edges.repartition("u"))
+    part = sym._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    assert "hashpartitioning(u" in part, part
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ranks = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        one_round = (
+            sym.join(ranks.select(F.col("u"), F.expr("deg * 2").alias("__c")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("__c").alias("s"))
+        )
+        a = audit(one_round)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # 1 exchange total: the message groupBy. Edge scan, degree agg, and
+    # the rank join all reuse the checkpointed hashpartitioning(u).
+    assert a["n_exchanges"] == 1, a["plan"]
