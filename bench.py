@@ -97,11 +97,22 @@ HEADLINE = [
     "q101_image_phash",
     "q102_pagerank",
     "q92_doc_chunking",
+    # round-3 additions: Lee-et-al occurrence-count dup spans, the
+    # cascade's LSH (no-crossJoin) recall path, and collision-free
+    # prefix-doubling exact substring dedup
+    "q94b_duplicate_ngram_spans_occurrences",
+    "q103_cascade_lsh_recall",
+    "q104_exact_substring_dups",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
 # (driver-side iteration loops) — construction is charged for these
-ITERATIVE = {"q72_dedup_clusters", "q73_ivf_kmeans_knn", "q102_pagerank"}
+ITERATIVE = {
+    "q72_dedup_clusters",
+    "q73_ivf_kmeans_knn",
+    "q102_pagerank",
+    "q104_exact_substring_dups",
+}
 
 
 def main() -> None:

@@ -8,6 +8,7 @@ from .metrics import binary_metrics, calibration_bins, ranking_metrics
 from .sampling import bernoulli_by_activity, hash_split, negative_sample
 from .similarity import semantic_dedup
 from .skew import salted_join
+from .suffix import exact_substring_duplicates, prefix_doubling_ranks
 from .text import bpe_merge_candidates, importance_weights, unigram_rarity
 from .topk import frequency_top_n, top_k_global, top_k_per_group
 
@@ -32,6 +33,8 @@ __all__ = [
     "negative_sample",
     "semantic_dedup",
     "salted_join",
+    "exact_substring_duplicates",
+    "prefix_doubling_ranks",
     "bpe_merge_candidates",
     "importance_weights",
     "unigram_rarity",

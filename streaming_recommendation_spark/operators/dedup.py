@@ -542,6 +542,35 @@ def dedup_clusters(
     )
 
 
+def span_coverage(dup_pos: DataFrame, id_col: str = "doc_id", n: int = 8) -> DataFrame:
+    """Merge flagged gram START positions into maximal covered spans
+    per document (each position covers tokens [pos, pos + n)), and
+    aggregate: (id, n_dup_spans, n_dup_grams, dup_tokens). The
+    interval-union windows partition by doc id, so per-partition state
+    is bounded by one document's positions — no cross-doc shuffle key.
+    Shared by the hashed-n-gram (duplicate_ngram_spans) and
+    rank-exact (operators.suffix) substring-dedup passes."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (n - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = dup_pos.withColumn(
+        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
+    ).withColumn("__island", F.sum("__new").over(w))
+    spans = islands.groupBy(id_col, "__island").agg(
+        F.min("pos").alias("__s"),
+        F.max("pos").alias("__e"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("__c").alias("n_dup_grams"),
+        F.sum(F.col("__e") + n - F.col("__s")).alias("dup_tokens"),
+    )
+
+
 def duplicate_ngram_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -604,23 +633,7 @@ def duplicate_ngram_spans(
         .select("gram")
     )
     dup_pos = grams.join(dup_grams, "gram").select(id_col, "pos")
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_end = F.max(F.col("pos") + (n - 1)).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    islands = dup_pos.withColumn(
-        "__new", (F.col("pos") > F.coalesce(prev_end, F.lit(-1))).cast("int")
-    ).withColumn("__island", F.sum("__new").over(w))
-    spans = islands.groupBy(id_col, "__island").agg(
-        F.min("pos").alias("__s"),
-        F.max("pos").alias("__e"),
-        F.count(F.lit(1)).alias("__c"),
-    )
-    cov = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_dup_spans"),
-        F.sum("__c").alias("n_dup_grams"),
-        F.sum(F.col("__e") + n - F.col("__s")).alias("dup_tokens"),
-    )
+    cov = span_coverage(dup_pos, id_col=id_col, n=n)
     # n_grams is pure arithmetic (every position yields one gram), so
     # no aggregation over the gram table is needed for it
     return (

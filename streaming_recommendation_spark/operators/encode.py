@@ -23,9 +23,21 @@ def dict_encode(
 ) -> DataFrame:
     """(key) -> (key, idx) with contiguous indexes 0..n-1 in key sort
     order. Input rows are de-duplicated first."""
+    from ..plans.audit import checkpoint_partitioned
+
     keys = df.select(key_col).distinct()
     n = num_partitions or keys.sparkSession.sparkContext.defaultParallelism
-    parted = keys.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(key_col)
+    # materialize the range partitioning ONCE: the per-partition counts
+    # and the final rank assignment below are separate executions, and
+    # without this AQE may coalesce the distinct's shuffle differently
+    # per execution — the offsets of execution A applied to the
+    # partitioning of execution B silently duplicate indexes (found by
+    # operators/suffix.py's false rank merges; the checkpoint pins one
+    # physical layout for both passes). Vocabulary-sized, not
+    # corpus-sized, so the materialization is bounded.
+    parted = checkpoint_partitioned(
+        keys.repartitionByRange(n, F.col(key_col)).sortWithinPartitions(key_col)
+    )
 
     counts = parted.select(F.spark_partition_id().alias("pid")).groupBy("pid").count()
     sizes = {r.pid: r["count"] for r in counts.collect()}  # n integers only

@@ -104,3 +104,22 @@ def test_dtype_parity_with_duckdb(q, spark):
     assert set(sp) == set(du), f"{q.name}: column sets differ"
     bad = {c: (sp[c], du[c]) for c in sp if sp[c].kind != du[c].kind}
     assert not bad, f"{q.name}: dtype-kind mismatches (spark, duck): {bad}"
+
+
+def test_driver_priority_prefix_is_valid():
+    """The driver verifies a 50-entry registry prefix per round; the
+    round-3 prefix must reference real queries, contain no dupes, and
+    actually lead the ordering."""
+    from streaming_recommendation_spark.queries import (
+        _DRIVER_PRIORITY,
+        queries,
+        registry,
+    )
+
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)) == 50
+    reg = registry()
+    assert all(n in reg for n in _DRIVER_PRIORITY)
+    assert list(queries())[:50] == _DRIVER_PRIORITY
+    # every prefix entry must carry a SQL oracle (that's the point of
+    # spending a driver slot on it)
+    assert all(reg[n].oracle is not None for n in _DRIVER_PRIORITY)

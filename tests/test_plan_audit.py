@@ -562,3 +562,12 @@ def test_checkpoint_partitioned_superstep_reuses_edge_layout(spark):
     # 1 exchange total: the message groupBy. Edge scan, degree agg, and
     # the rank join all reuse the checkpointed hashpartitioning(u).
     assert a["n_exchanges"] == 1, a["plan"]
+
+
+def test_q103_cascade_lsh_recall_no_cross_product(run):
+    # The 'lsh' recall strategy exists precisely so the item corpus is
+    # never densely scored: candidates come from an equi-join on
+    # (table, bucket). The brute path's crossJoin must NOT appear.
+    a = run("q103_cascade_lsh_recall")
+    assert a["bnl_joins"] == 0, a["plan"]
+    assert "CartesianProduct" not in a["plan"]
