@@ -19,13 +19,29 @@ from pyspark.sql import functions as F
 
 
 def dict_encode(
-    df: DataFrame, key_col: str, index_col: str = "idx", num_partitions: int | None = None
+    df: DataFrame,
+    key_col: str,
+    index_col: str = "idx",
+    num_partitions: int | None = None,
+    min_count: int = 1,
 ) -> DataFrame:
     """(key) -> (key, idx) with contiguous indexes 0..n-1 in key sort
-    order. Input rows are de-duplicated first."""
+    order. Input rows are de-duplicated first. ``min_count`` keeps
+    only keys occurring at least that often in ``df`` — the dedup
+    already runs as a groupBy, so the occurrence filter costs nothing
+    extra (used by operators/suffix.py to prune globally-unique
+    blocks in the same pass that ranks the survivors)."""
     from ..plans.audit import checkpoint_partitioned
 
-    keys = df.select(key_col).distinct()
+    if min_count > 1:
+        keys = (
+            df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .where(F.col("__cnt") >= min_count)
+            .select(key_col)
+        )
+    else:
+        keys = df.select(key_col).distinct()
     n = num_partitions or keys.sparkSession.sparkContext.defaultParallelism
     # materialize the range partitioning ONCE: the per-partition counts
     # and the final rank assignment below are separate executions, and

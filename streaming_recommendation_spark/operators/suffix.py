@@ -57,8 +57,10 @@ def token_rank_table(
     """(id, pos, r): dense rank of each token occurrence, position
     0-based within its (normalized) document."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    toks = spread(df, repartition).select(
-        F.col(id_col), F.posexplode(words).alias("pos", "__tok")
+    toks = checkpoint_partitioned(
+        spread(df, repartition).select(
+            F.col(id_col), F.posexplode(words).alias("pos", "__tok")
+        )
     )
     vocab = dict_encode(toks, "__tok", index_col="r")
     return toks.join(vocab, "__tok").select(id_col, "pos", "r")
@@ -85,6 +87,7 @@ def prefix_doubling_ranks(
     rounds: int,
     id_col: str = "doc_id",
     prune_unique: bool = False,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Iterate rank doubling: after ``rounds`` rounds, ``r`` is the
     dense rank of the 2^rounds-token block starting at each position
@@ -108,21 +111,20 @@ def prefix_doubling_ranks(
     truncated prefix). On real corpora the survivor set collapses
     within a few rounds — round tables SHRINK while block length
     doubles, which is what keeps the pass linear-ish at 100 TB."""
-    ranks = checkpoint_partitioned(ranks.repartition(id_col, "pos"))
+    if materialize_input:
+        ranks = checkpoint_partitioned(ranks.repartition(id_col, "pos"))
     for k in range(rounds):
         joined = _rank_at_offset(ranks, id_col, 1 << k)
         if prune_unique:
             joined = joined.where(F.col("__r2") != PAST_END)
         paired = joined.withColumn("__key", F.struct("r", "__r2"))
-        if prune_unique:
-            survivors = (
-                paired.groupBy("__key")
-                .agg(F.count(F.lit(1)).alias("__occ"))
-                .where(F.col("__occ") >= 2)
-                .select("__key")
-            )
-            paired = paired.join(survivors, "__key", "left_semi")
-        vocab = dict_encode(paired, "__key", index_col="__nr")
+        # min_count=2 folds survivor pruning into the rank-vocabulary
+        # groupBy (one pass); the inner join back then drops unique
+        # positions automatically
+        vocab = dict_encode(
+            paired, "__key", index_col="__nr",
+            min_count=2 if prune_unique else 1,
+        )
         ranks = checkpoint_partitioned(
             paired.join(vocab, "__key").select(
                 id_col, "pos", F.col("__nr").alias("r")
@@ -154,15 +156,18 @@ def exact_substring_duplicates(
         base_rounds -= 1
     block = 1 << base_rounds
 
-    words = F.split(normalize_text(F.col(text_col)), " ")
-    toks = spread(df, repartition).select(F.col(id_col), words.alias("__w"))
-    base = toks.select(id_col, F.size("__w").alias("n_tokens"))
+    # one corpus scan: the round-0 rank table is checkpointed keyed by
+    # (id, pos); every doc's token count falls out of it (positions are
+    # dense, split() yields >= 1 token for any text), so no second
+    # scan/explode is needed for the per-doc base stats
+    r0 = checkpoint_partitioned(
+        token_rank_table(df, text_col, id_col, repartition=repartition)
+        .repartition(id_col, "pos")
+    )
+    base = r0.groupBy(id_col).agg((F.max("pos") + 1).alias("n_tokens"))
 
     ranks = prefix_doubling_ranks(
-        token_rank_table(df, text_col, id_col, repartition=repartition),
-        base_rounds,
-        id_col,
-        prune_unique=True,
+        r0, base_rounds, id_col, prune_unique=True, materialize_input=False
     )
     # substring-of-length-min_len key: block ranks at pos and at
     # pos + min_len - block (overlapping windows cover exactly

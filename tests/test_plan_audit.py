@@ -571,3 +571,24 @@ def test_q103_cascade_lsh_recall_no_cross_product(run):
     a = run("q103_cascade_lsh_recall")
     assert a["bnl_joins"] == 0, a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q94b_occurrence_mode_same_shape(run):
+    # identical plan contract to q94: gram-keyed agg + doc-partitioned
+    # windows, no pair blowup, no single-partition funnel
+    a = run("q94b_duplicate_ngram_spans_occurrences")
+    assert a["bnl_joins"] == 0
+    assert "SinglePartition" not in a["plan"]
+
+
+def test_q104_exact_substring_visible_plan(spark):
+    # q104 is iterative (rank rounds materialize via checkpoint); the
+    # visible plan is the final window-key stage — it must join
+    # checkpointed rank RDDs with no cross product and keep the
+    # span-union windows doc-partitioned
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q104_exact_substring_dups"].fn(spark, SF_DIR))
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert "SinglePartition" not in a["plan"]
