@@ -103,6 +103,9 @@ HEADLINE = [
     "q94b_duplicate_ngram_spans_occurrences",
     "q103_cascade_lsh_recall",
     "q104_exact_substring_dups",
+    # distributed BPE trainer + tokenizer application
+    "q105_bpe_learned_merges",
+    "q106_bpe_token_counts",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -112,6 +115,8 @@ ITERATIVE = {
     "q73_ivf_kmeans_knn",
     "q102_pagerank",
     "q104_exact_substring_dups",
+    "q105_bpe_learned_merges",
+    "q106_bpe_token_counts",
 }
 
 

@@ -1,4 +1,5 @@
 from .asof import asof_join, range_join
+from .bpe import bpe_token_stats, learn_bpe, segment_words
 from .dedup import banded_hamming_pairs, duplicate_ngram_spans
 from .encode import dict_encode
 from .graph import pagerank_quantized
@@ -15,6 +16,9 @@ from .topk import frequency_top_n, top_k_global, top_k_per_group
 __all__ = [
     "asof_join",
     "range_join",
+    "bpe_token_stats",
+    "learn_bpe",
+    "segment_words",
     "banded_hamming_pairs",
     "duplicate_ngram_spans",
     "dict_encode",

@@ -1,0 +1,117 @@
+"""Distributed BPE trainer/applier vs a pure-Python Sennrich
+reference implementation."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from streaming_recommendation_spark.operators.bpe import (
+    bpe_token_stats,
+    learn_bpe,
+    segment_words,
+)
+
+DOCS = [
+    (0, "low lower lowest low low slow slower"),
+    (1, "new newer newest news new new renew"),
+    (2, "low new slow snow know now low new"),
+    (3, "the newest lowest slowest widest the the"),
+]
+
+
+def py_word_freq(docs):
+    c = Counter()
+    for _, t in docs:
+        for w in re.sub(r"\s+", " ", t.lower()).strip().split(" "):
+            c[w] += 1
+    return c
+
+
+def py_learn(docs, num_merges, min_freq=2):
+    wf = {tuple(w): f for w, f in py_word_freq(docs).items()}
+    merges = []
+    for _ in range(num_merges):
+        pc = Counter()
+        for syms, f in wf.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        # count desc, pair-string asc — the operator's tie-break
+        best = min(pc.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new = {}
+        for syms, f in wf.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        wf = new
+    return merges
+
+
+def py_segment(word, merges):
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_learn_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = learn_bpe(df, num_merges=10)
+    want = py_learn(DOCS, 10)
+    assert got == want
+    assert len(got) >= 5  # the corpus supports a real merge chain
+
+
+def test_segmentation_matches_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    merges = learn_bpe(df, num_merges=8)
+    vocab = sorted(py_word_freq(DOCS))
+    wdf = spark.createDataFrame([(w,) for w in vocab], "__word string")
+    got = {
+        r["__word"]: r["__tokens"]
+        for r in segment_words(wdf, merges).collect()
+    }
+    for w in vocab:
+        assert got[w] == py_segment(w, merges), w
+        assert "".join(got[w]) == w  # lossless
+
+
+def test_token_stats_match_reference(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    merges = learn_bpe(df, num_merges=8)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_stats(df, merges).collect()
+    }
+    for i, t in DOCS:
+        words = re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+        want = (len(words), sum(len(py_segment(w, merges)) for w in words))
+        assert got[i] == want, i
+
+
+def test_merge_fold_handles_overlaps(spark):
+    # 'aaa' under merge (a,a): greedy left-to-right -> [aa, a]
+    wdf = spark.createDataFrame([("aaa",), ("aaaa",)], "__word string")
+    got = {r["__word"]: r["__tokens"] for r in segment_words(wdf, [("a", "a")]).collect()}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]

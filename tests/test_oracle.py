@@ -116,10 +116,10 @@ def test_driver_priority_prefix_is_valid():
         registry,
     )
 
-    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)) == 50
+    assert len(_DRIVER_PRIORITY) == len(set(_DRIVER_PRIORITY)) >= 50
     reg = registry()
     assert all(n in reg for n in _DRIVER_PRIORITY)
-    assert list(queries())[:50] == _DRIVER_PRIORITY
+    assert list(queries())[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     # every prefix entry must carry a SQL oracle (that's the point of
     # spending a driver slot on it)
     assert all(reg[n].oracle is not None for n in _DRIVER_PRIORITY)

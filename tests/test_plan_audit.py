@@ -592,3 +592,15 @@ def test_q104_exact_substring_visible_plan(spark):
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
     assert "SinglePartition" not in a["plan"]
+
+
+def test_q106_bpe_apply_broadcast_segmentation(spark):
+    # tokenizer application: segmentation folds over DISTINCT words
+    # and broadcast-joins back — the corpus side never shuffles on the
+    # word key, and no cross product forms
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q106_bpe_token_counts"].fn(spark, SF_DIR))
+    assert a["n_broadcast_joins"] >= 1, a["plan"]
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
