@@ -115,3 +115,38 @@ def test_merge_fold_handles_overlaps(spark):
     got = {r["__word"]: r["__tokens"] for r in segment_words(wdf, [("a", "a")]).collect()}
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
+
+
+def test_randomized_corpora_match_reference(spark):
+    # seeded random corpora over a tiny alphabet: heavy self-pair runs
+    # and ambiguous ties exercise the greedy-merge and tie-break paths
+    import random
+
+    rng = random.Random(99)
+    for trial in range(3):
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(1, 12))
+                ),
+            )
+            for i in range(8)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        merges = learn_bpe(df, num_merges=6)
+        assert merges == py_learn(docs, 6), (trial, docs)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_token_stats(df, merges).collect()
+        }
+        import re as _re
+
+        for i, t in docs:
+            words = _re.sub(r"\s+", " ", t.lower()).strip().split(" ")
+            want = (
+                len(words),
+                sum(len(py_segment(w, merges)) for w in words),
+            )
+            assert got[i] == want, (trial, i)

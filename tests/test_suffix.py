@@ -108,3 +108,36 @@ def test_agrees_with_hashed_ngram_operator(spark):
         for r in duplicate_ngram_spans(df, n=8, count_within_doc=True).collect()
     }
     assert a == b
+
+
+def test_randomized_corpora_match_bruteforce(spark):
+    # seeded random corpora over a 3-word alphabet — dense collisions,
+    # runs, cross-doc and intra-doc repeats all occur by construction
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice(["a", "b", "ab"])
+                    for _ in range(rng.randint(0, 30))
+                ),
+            )
+            for i in range(12)
+        ]
+        docs = [(i, t if t else "x") for i, t in docs]
+        min_len = rng.choice([2, 3, 5])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["n_grams"],
+                r["n_dup_grams"],
+                r["n_dup_spans"],
+                r["dup_tokens"],
+            )
+            for r in exact_substring_duplicates(df, min_len=min_len).collect()
+        }
+        assert got == brute(docs, min_len), (trial, min_len, docs)
