@@ -76,7 +76,10 @@ def main(sf_dir, out_path):
             s = canon_rows(spark_cols, spark_rows)
             d = canon_rows(duck_cols, duck_rows)
             rec["hash_match"] = s == d
-            sp_pd = sdf.limit(200).toPandas()
+            # full conversion, not a limit() sample: a nullable int
+            # column whose first null appears late flips int64->float64
+            # only on the full result — exactly the class this checks
+            sp_pd = sdf.toPandas()
             du_pd = con.execute(oracles[name]).df()
             sp_k = {c.lower(): sp_pd[c].dtype.kind for c in sp_pd.columns}
             du_k = {c.lower(): du_pd[c].dtype.kind for c in du_pd.columns}

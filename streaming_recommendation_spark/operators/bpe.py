@@ -42,6 +42,11 @@ from .dedup import normalize_text, spread
 
 L = "\x01"  # symbol open sentinel
 R = "\x02"  # symbol close sentinel
+# tokens containing the sentinel bytes (binary-contaminated crawl
+# text) would corrupt segment boundaries — strip them on BOTH sides
+# (word_frequency_table / bpe_token_stats here; the q105/q106 oracles
+# apply the same regexp) before wrapping
+_STRIP_SENTINELS = f"[{L}{R}]"
 
 
 def _init_seg(word_col) -> F.Column:
@@ -92,8 +97,9 @@ def word_frequency_table(
     return (
         spread(df, repartition)
         .select(
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word")
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__raw")
         )
+        .select(F.regexp_replace("__raw", _STRIP_SENTINELS, "").alias("__word"))
         .groupBy("__word")
         .agg(F.count(F.lit(1)).alias("__freq"))
     )
@@ -163,7 +169,10 @@ def bpe_token_stats(
     only (word, token_count)."""
     toks = spread(df, repartition).select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__word"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__raw"),
+    ).select(
+        F.col(id_col),
+        F.regexp_replace("__raw", _STRIP_SENTINELS, "").alias("__word"),
     )
     seg = segment_words(toks.select("__word").distinct(), merges).select(
         "__word", F.size("__tokens").alias("__n_sub")

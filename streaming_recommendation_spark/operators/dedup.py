@@ -607,8 +607,6 @@ def duplicate_ngram_spans(
     linear in corpus grams, which is exactly why suffix-style dedup
     is the one pass that still runs at 100 TB.
     """
-    from pyspark.sql import Window
-
     words = F.split(normalize_text(F.col(text_col)), " ")
     toks = spread(df, repartition).select(F.col(id_col), words.alias("__w"))
     base = toks.select(id_col, F.size("__w").alias("n_tokens"))

@@ -110,7 +110,13 @@ def prefix_doubling_ranks(
     run past the document end are dropped rather than ranked by
     truncated prefix). On real corpora the survivor set collapses
     within a few rounds — round tables SHRINK while block length
-    doubles, which is what keeps the pass linear-ish at 100 TB."""
+    doubles, which is what keeps the pass linear-ish at 100 TB.
+
+    Storage note: each round's checkpoint stays materialized for the
+    session (the standard ITERATIVE pattern here — pagerank and
+    connected_components behave the same). A long-lived session
+    running many passes should use a reliable checkpoint dir with
+    periodic cleanup instead of localCheckpoint."""
     if materialize_input:
         ranks = checkpoint_partitioned(ranks.repartition(id_col, "pos"))
     for k in range(rounds):
@@ -171,10 +177,11 @@ def exact_substring_duplicates(
     )
     # substring-of-length-min_len key: block ranks at pos and at
     # pos + min_len - block (overlapping windows cover exactly
-    # [pos, pos + min_len)). In pruned mode the rank table holds only
-    # full, non-unique blocks, so surviving pairs are full windows by
-    # construction — but the doc-length filter still applies when
-    # min_len == block (offset 0, self-pair).
+    # [pos, pos + min_len)). No doc-length filter is needed in either
+    # branch: pruned-mode rank tables hold only FULL blocks, so a
+    # surviving window's trailing block ending at pos + min_len is
+    # inside the document by construction (and with min_len == 1 there
+    # are no rounds, but every 1-token window is trivially full).
     if min_len == block:
         keyed = ranks.select(
             id_col, "pos", F.struct("r", F.col("r").alias("__r2")).alias("__key")
@@ -183,13 +190,9 @@ def exact_substring_duplicates(
         keyed = _rank_at_offset(ranks, id_col, min_len - block).select(
             id_col, "pos", F.struct("r", "__r2").alias("__key")
         )
-        # in pruned mode a null-coalesced PAST_END means the trailing
-        # block was pruned or truncated — the window cannot repeat
+        # a null-coalesced PAST_END means the trailing block was pruned
+        # (unique) or truncated — the window cannot repeat
         keyed = keyed.where(F.col("__r2") != PAST_END)
-    n_tok = base.select(id_col, "n_tokens")
-    keyed = keyed.join(n_tok, id_col).where(
-        F.col("pos") + min_len <= F.col("n_tokens")
-    ).select(id_col, "pos", "__key")
 
     dup_keys = (
         keyed.groupBy("__key")

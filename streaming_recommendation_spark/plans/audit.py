@@ -78,6 +78,13 @@ def checkpoint_partitioned(df):
     superstep reuses the layout (one message shuffle per round, the
     Pregel shape). On a real cluster the equivalent durable form is a
     table bucketed by the join key (sources/layout.py).
+
+    Caveat: the AQE flag is session-global, so a query PLANNED by a
+    concurrent thread/stream during the (brief, eager) materialization
+    would also skip AQE. The engine's operators run checkpoints
+    sequentially on the driver thread; if you embed them under a
+    multi-threaded scheduler, serialize calls or use a separate
+    SparkSession (newSession()) per thread.
     """
     sess = df.sparkSession
     old = sess.conf.get("spark.sql.adaptive.enabled")

@@ -4187,7 +4187,9 @@ def _bpe_oracle_ctes(num_merges: int) -> str:
         f"""wf0 AS MATERIALIZED (
       SELECT word, count(*) AS freq,
              regexp_replace(word, '(.)', {sym}, 'g') AS seg
-      FROM (SELECT unnest({_NORM_WORDS}) AS word FROM documents)
+      FROM (SELECT regexp_replace(unnest({_NORM_WORDS}),
+                     '[' || chr(1) || chr(2) || ']', '', 'g') AS word
+            FROM documents)
       GROUP BY word
     )"""
     ]
@@ -4205,12 +4207,16 @@ def _bpe_oracle_ctes(num_merges: int) -> str:
              cnt
       FROM p{k} WHERE cnt >= 2 ORDER BY cnt DESC, pair ASC LIMIT 1
     ), wf{k + 1} AS MATERIALIZED (
+      -- coalesce to a never-present chr(3) pattern: when round k found
+      -- no pair with count >= 2 (m{k} empty -> NULL scalars), the
+      -- replace must be a no-op, mirroring learn_bpe's early break —
+      -- a NULL pattern would null every seg and cascade
       SELECT word, freq,
              replace(seg,
-                     chr(1) || (SELECT a FROM m{k}) || chr(2)
-                       || chr(1) || (SELECT b FROM m{k}) || chr(2),
-                     chr(1) || (SELECT a FROM m{k})
-                       || (SELECT b FROM m{k}) || chr(2)) AS seg
+                     coalesce(chr(1) || (SELECT a FROM m{k}) || chr(2)
+                       || chr(1) || (SELECT b FROM m{k}) || chr(2), chr(3)),
+                     coalesce(chr(1) || (SELECT a FROM m{k})
+                       || (SELECT b FROM m{k}) || chr(2), chr(3))) AS seg
       FROM wf{k}
     )""")
     return ",\n    ".join(ctes)
@@ -4230,7 +4236,10 @@ _Q105_ORACLE = f"""
 _Q106_ORACLE = f"""
     WITH {_bpe_oracle_ctes(_BPE_MERGES)},
     dw AS (
-      SELECT doc_id, unnest({_NORM_WORDS}) AS word FROM documents
+      SELECT doc_id,
+             regexp_replace(unnest({_NORM_WORDS}),
+               '[' || chr(1) || chr(2) || ']', '', 'g') AS word
+      FROM documents
     )
     SELECT doc_id,
            count(*) AS n_words,
