@@ -106,6 +106,8 @@ HEADLINE = [
     # distributed BPE trainer + tokenizer application
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",
+    # duplicated-substring length distribution off the doubling rounds
+    "q107_dup_length_profile",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -117,6 +119,7 @@ ITERATIVE = {
     "q104_exact_substring_dups",
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",
+    "q107_dup_length_profile",
 }
 
 

@@ -9,7 +9,11 @@ from .metrics import binary_metrics, calibration_bins, ranking_metrics
 from .sampling import bernoulli_by_activity, hash_split, negative_sample
 from .similarity import semantic_dedup
 from .skew import salted_join
-from .suffix import exact_substring_duplicates, prefix_doubling_ranks
+from .suffix import (
+    dup_length_profile,
+    exact_substring_duplicates,
+    prefix_doubling_ranks,
+)
 from .text import bpe_merge_candidates, importance_weights, unigram_rarity
 from .topk import frequency_top_n, top_k_global, top_k_per_group
 
@@ -37,6 +41,7 @@ __all__ = [
     "negative_sample",
     "semantic_dedup",
     "salted_join",
+    "dup_length_profile",
     "exact_substring_duplicates",
     "prefix_doubling_ranks",
     "bpe_merge_candidates",

@@ -88,7 +88,8 @@ def prefix_doubling_ranks(
     id_col: str = "doc_id",
     prune_unique: bool = False,
     materialize_input: bool = True,
-) -> DataFrame:
+    return_rounds: bool = False,
+) -> DataFrame | list[DataFrame]:
     """Iterate rank doubling: after ``rounds`` rounds, ``r`` is the
     dense rank of the 2^rounds-token block starting at each position
     (blocks running past the document end rank by their truncated
@@ -111,6 +112,11 @@ def prefix_doubling_ranks(
     truncated prefix). On real corpora the survivor set collapses
     within a few rounds — round tables SHRINK while block length
     doubles, which is what keeps the pass linear-ish at 100 TB.
+    In pruned mode the post-round-k table holds EXACTLY the positions
+    whose full 2^k-token block occurs >= 2 times corpus-wide (all
+    occurrences of a duplicated block have duplicated components, so
+    none are lost to earlier pruning) — ``return_rounds=True`` exposes
+    the per-round tables for length-distribution diagnostics.
 
     Storage note: each round's checkpoint stays materialized for the
     session (the standard ITERATIVE pattern here — pagerank and
@@ -119,6 +125,7 @@ def prefix_doubling_ranks(
     periodic cleanup instead of localCheckpoint."""
     if materialize_input:
         ranks = checkpoint_partitioned(ranks.repartition(id_col, "pos"))
+    round_tables: list[DataFrame] = []
     for k in range(rounds):
         joined = _rank_at_offset(ranks, id_col, 1 << k)
         if prune_unique:
@@ -136,7 +143,9 @@ def prefix_doubling_ranks(
                 id_col, "pos", F.col("__nr").alias("r")
             ).repartition(id_col, "pos")
         )
-    return ranks
+        if return_rounds:
+            round_tables.append(ranks)
+    return round_tables if return_rounds else ranks
 
 
 def exact_substring_duplicates(
@@ -213,3 +222,40 @@ def exact_substring_duplicates(
             F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 6
         ).alias("dup_token_ratio"),
     )
+
+
+def dup_length_profile(
+    df: DataFrame,
+    max_len: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
+) -> DataFrame:
+    """Per-doc duplicated-substring LENGTH distribution (the Lee et
+    al. 2022 diagnostic behind choosing a dedup threshold): for each
+    power-of-two block length 2..max_len, how many of the document's
+    positions start an exactly-duplicated full block of that length.
+    Output: (id, n_tokens, dup_at_2, dup_at_4, ..., dup_at_max_len);
+    columns are cumulative-in-length (a duplicated 16-block implies
+    duplicated 8-blocks), so the falloff across columns IS the length
+    histogram. Collision-free: counts come from the pruned
+    prefix-doubling round tables, not hashes."""
+    if max_len < 2 or max_len & (max_len - 1):
+        raise ValueError("max_len must be a power of two >= 2")
+    rounds = max_len.bit_length() - 1
+    r0 = checkpoint_partitioned(
+        token_rank_table(df, text_col, id_col, repartition=repartition)
+        .repartition(id_col, "pos")
+    )
+    out = r0.groupBy(id_col).agg((F.max("pos") + 1).alias("n_tokens"))
+    tables = prefix_doubling_ranks(
+        r0, rounds, id_col,
+        prune_unique=True, materialize_input=False, return_rounds=True,
+    )
+    for k, t in enumerate(tables, start=1):
+        col = f"dup_at_{1 << k}"
+        cnt = t.groupBy(id_col).agg(F.count(F.lit(1)).alias(col))
+        out = out.join(cnt, id_col, "left").withColumn(
+            col, F.coalesce(col, F.lit(0).cast("long"))
+        )
+    return out

@@ -4097,6 +4097,7 @@ _DRIVER_PRIORITY.extend([
     # shape-duplicate deferrals
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",
+    "q107_dup_length_profile",
 ])
 
 
@@ -4292,3 +4293,47 @@ def q106_bpe_token_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     merges = learn_bpe(docs, num_merges=_BPE_MERGES)
     return bpe_token_stats(docs, merges)
+
+
+_Q107_LENS = (2, 4, 8, 16)
+
+_Q107_ORACLE = f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ),
+    {",".join(f'''
+    gl{L} AS (
+      SELECT doc_id, array_to_string(w[i:i+{L - 1}], ' ') AS sub
+      FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, len(w) - {L - 1})) AS i
+            FROM norm WHERE len(w) >= {L})
+    ), dl{L} AS (
+      SELECT sub FROM (
+        SELECT sub, count(*) AS c FROM gl{L} GROUP BY sub
+      ) WHERE c >= 2
+    ), cl{L} AS (
+      SELECT doc_id, count(*) AS n FROM gl{L} JOIN dl{L} USING (sub)
+      GROUP BY doc_id
+    )''' for L in _Q107_LENS)}
+    SELECT n.doc_id, len(n.w) AS n_tokens,
+           {", ".join(f"coalesce(cl{L}.n, 0) AS dup_at_{L}" for L in _Q107_LENS)}
+    FROM norm n
+    {" ".join(f"LEFT JOIN cl{L} USING (doc_id)" for L in _Q107_LENS)}
+    """
+
+
+@register(
+    "q107_dup_length_profile",
+    _Q107_ORACLE,
+    doc="Duplicated-substring length distribution (the Lee et al. "
+    "2022 threshold-selection diagnostic): per doc, the number of "
+    "positions starting an exactly-duplicated full block of length "
+    "2/4/8/16 tokens — read straight off the pruned prefix-doubling "
+    "round tables (collision-free), one groupBy per length. The "
+    "oracle independently groups the raw substrings at each length.",
+    tags=("dedup", "text", "iterative"),
+)
+def q107_dup_length_profile(spark, sf_dir):
+    from .operators.suffix import dup_length_profile
+
+    return dup_length_profile(_t(spark, sf_dir, "documents"), max_len=16)

@@ -141,3 +141,32 @@ def test_randomized_corpora_match_bruteforce(spark):
             for r in exact_substring_duplicates(df, min_len=min_len).collect()
         }
         assert got == brute(docs, min_len), (trial, min_len, docs)
+
+
+def test_dup_length_profile_matches_bruteforce(spark):
+    from streaming_recommendation_spark.operators.suffix import (
+        dup_length_profile,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_at_2"], r["dup_at_4"], r["dup_at_8"])
+        for r in dup_length_profile(df, max_len=8).collect()
+    }
+    from collections import Counter
+
+    words = {i: t.split() for i, t in DOCS}
+    for i, w in words.items():
+        want = [len(w)]
+        for L in (2, 4, 8):
+            occ = Counter()
+            for j, ww in words.items():
+                for p in range(len(ww) - L + 1):
+                    occ[tuple(ww[p : p + L])] += 1
+            want.append(
+                sum(1 for p in range(len(w) - L + 1) if occ[tuple(w[p : p + L])] >= 2)
+            )
+        assert got[i] == tuple(want), (i, got[i], want)
+    # cumulative-in-length: longer dup counts never exceed shorter
+    for i, (n, d2, d4, d8) in got.items():
+        assert d2 >= d4 >= d8
