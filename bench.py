@@ -108,12 +108,28 @@ HEADLINE = [
     "q106_bpe_token_counts",
     # duplicated-substring length distribution off the doubling rounds
     "q107_dup_length_profile",
+    # native session_window, degree-oriented triangle counting,
+    # bigram-LM quality scoring, Morton-key layout profile
+    "q108_session_windows",
+    "q109_triangle_counts",
+    "q110_bigram_rarity",
+    "q111_zorder_profile",
+    # funnel / cohort analytics, temperature mixing, MMR re-rank
+    "q112_event_funnel",
+    "q113_cohort_retention",
+    "q114_mixing_weights",
+    "q115_mmr_rerank",
+    # lossless prefix-filtered Jaccard join + histogram-sketch quantiles
+    "q116_prefix_jaccard_dups",
+    "q117_histogram_quantiles",
+    "q118_hll_distinct",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
 # (driver-side iteration loops) — construction is charged for these
 ITERATIVE = {
     "q72_dedup_clusters",
+    "q109_triangle_counts",
     "q73_ivf_kmeans_knn",
     "q102_pagerank",
     "q104_exact_substring_dups",

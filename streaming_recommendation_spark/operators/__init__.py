@@ -1,12 +1,14 @@
 from .asof import asof_join, range_join
 from .bpe import bpe_token_stats, learn_bpe, segment_words
-from .dedup import banded_hamming_pairs, duplicate_ngram_spans
+from .dedup import banded_hamming_pairs, duplicate_ngram_spans, prefix_jaccard_pairs
 from .encode import dict_encode
-from .graph import pagerank_quantized
+from .graph import pagerank_quantized, triangle_counts
 from .grouped_pandas import ewma_by_key, ewma_by_key_sorted
 from .history import collect_history, last_n_events, sliding_window_samples, tail_slice
-from .metrics import binary_metrics, calibration_bins, ranking_metrics
+from .metrics import binary_metrics, calibration_bins, histogram_quantiles, ranking_metrics
+from .rerank import mmr_rerank
 from .sampling import bernoulli_by_activity, hash_split, negative_sample
+from .sketch import hll_distinct
 from .similarity import semantic_dedup
 from .skew import salted_join
 from .suffix import (
@@ -14,7 +16,7 @@ from .suffix import (
     exact_substring_duplicates,
     prefix_doubling_ranks,
 )
-from .text import bpe_merge_candidates, importance_weights, unigram_rarity
+from .text import bigram_rarity, bpe_merge_candidates, importance_weights, unigram_rarity
 from .topk import frequency_top_n, top_k_global, top_k_per_group
 
 __all__ = [
@@ -25,8 +27,10 @@ __all__ = [
     "segment_words",
     "banded_hamming_pairs",
     "duplicate_ngram_spans",
+    "prefix_jaccard_pairs",
     "dict_encode",
     "pagerank_quantized",
+    "triangle_counts",
     "ewma_by_key",
     "ewma_by_key_sorted",
     "collect_history",
@@ -35,10 +39,13 @@ __all__ = [
     "tail_slice",
     "binary_metrics",
     "calibration_bins",
+    "histogram_quantiles",
     "ranking_metrics",
+    "mmr_rerank",
     "bernoulli_by_activity",
     "hash_split",
     "negative_sample",
+    "hll_distinct",
     "semantic_dedup",
     "salted_join",
     "dup_length_profile",
@@ -46,6 +53,7 @@ __all__ = [
     "prefix_doubling_ranks",
     "bpe_merge_candidates",
     "importance_weights",
+    "bigram_rarity",
     "unigram_rarity",
     "frequency_top_n",
     "top_k_global",

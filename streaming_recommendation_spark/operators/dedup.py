@@ -708,3 +708,100 @@ def banded_hamming_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def prefix_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    repartition: int | bool | None = None,
+) -> DataFrame:
+    """Doc pairs with shingle-set Jaccard >= threshold (a < b) via
+    PREFIX FILTERING (the AllPairs algorithm, Bayardo et al. WWW'07)
+    — same exact output as :func:`ngram_jaccard_pairs` (the q36
+    oracle verifies both), with a candidate set that shrinks as the
+    threshold rises instead of exploding on common shingles.
+
+    Why: the plain inverted-index self-join materializes a candidate
+    pair for EVERY shared shingle; a boilerplate shingle in f docs
+    alone contributes f^2/2 pairs. Prefix filtering orders the vocab
+    by ascending document frequency (rarest first, canonical total
+    order) and indexes only each doc's first
+    ``p = s - ceil(t*s) + 1`` shingles in that order: two sets with
+    Jaccard >= t must overlap in >= t/(1+t)*(|A|+|B|) elements, so
+    skipping more than p-1 of a doc's rarest shingles cannot leave
+    enough overlap — any qualifying pair still collides on some
+    indexed prefix token (lossless). At t=0.8 the index holds ~20%
+    of each doc's shingles, and those are its RAREST ones — the
+    head-of-Zipf shingles that drive the quadratic blowup never
+    enter the join.
+
+    A length filter (t*|A| <= |B|) prunes candidates before the
+    exact verification join recomputes the full intersection for
+    surviving pairs only.
+
+    Scale shape: one vocab-sized groupBy for document frequencies, a
+    global rank over the vocab (zipWithIndex-free: dense row_number
+    over a Zipf-bounded table), the prefix self-join keyed on rare
+    shingles, then a verification join keyed on the candidate pair.
+    No full-index self-join ever forms.
+    """
+    sh = shingle_table(df, text_col, id_col, n, repartition=repartition)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    from pyspark.sql import Window
+
+    vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # canonical total order: (df asc, shingle asc). No global rank
+    # table is needed — the prefix selection only orders each doc's
+    # OWN shingles, so a doc-partitioned window over the joined
+    # document frequencies suffices (shuffle keyed by doc, no
+    # single-partition global sort anywhere).
+    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        sh.join(vocab, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("__df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .where(F.col("__pos") <= pref_len)
+        .select(id_col, "shingle", "sz")
+    )
+    pa = prefix.select(
+        F.col(id_col).alias("a"), F.col("shingle"), F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("b"), F.col("shingle"), F.col("sz").alias("sz_b")
+    )
+    cands = (
+        pa.join(pb, "shingle")
+        .where(
+            (F.col("a") < F.col("b"))
+            # length filter: t*max(sz) <= min(sz) is necessary for J >= t
+            & (F.lit(threshold) * F.greatest("sz_a", "sz_b")
+               <= F.least("sz_a", "sz_b"))
+        )
+        .select("a", "b", "sz_a", "sz_b")
+        .distinct()
+    )
+    # exact verification: full intersection for surviving pairs only
+    inter = (
+        cands.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )

@@ -116,3 +116,90 @@ def pagerank_quantized(
         if materialize:
             ranks = ranks.localCheckpoint()
     return ranks.select("node", "rank")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    materialize: bool = True,
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the compact-forward / MapReduce node-iterator++ algorithm,
+    Suri & Vassilvitskii, WWW'11).
+
+    Input: undirected edges in any direction, self-loops and
+    duplicates tolerated (canonicalized to a<b and deduped first).
+    Output: (node, n_triangles) for every node in >=1 triangle.
+
+    Scale shape — why orientation matters at 100 TB: the naive
+    wedge join (adjacency self-join on the center node) generates
+    sum(deg(v)^2) candidate wedges, which a single celebrity node
+    with deg 10^7 turns into 10^14 rows. Orienting every edge from
+    its lower-(degree, id) endpoint to the higher one caps every
+    out-degree at O(sqrt(m)), bounding total wedges by O(m^1.5) —
+    the Chiba-Nishizeki bound — independent of skew. The plan is
+    then: one degree aggregation, one wedge self-join keyed on the
+    (low-degree) center, one closing equi-join of wedge pairs
+    against the canonical edge set, and one final groupBy(node).
+    All shuffles are equi-keyed; nothing is quadratic in any
+    single node's degree.
+
+    Determinism: counts are integers; the output is unique per
+    node. The DuckDB oracle re-derives the same counts from the
+    orientation-free 3-way join (independent algorithm — q109).
+    """
+    und = (
+        edges.where(F.col(a) != F.col(b))
+        .select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .distinct()
+    )
+    if materialize:
+        und = checkpoint_partitioned(und.repartition("a", "b"))
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge from its lower-(deg, id) endpoint; ties break
+    # on id, and a<b already, so equal degrees orient a -> b
+    oriented = (
+        und.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("__da")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("__db")), "b")
+        .select(
+            F.when(
+                (F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    if materialize:
+        # the wedge stage self-joins `oriented` — without materializing
+        # it once, BOTH join legs recompute the two degree joins above;
+        # partitioning by the wedge key u lets the self-join reuse one
+        # layout with zero extra exchanges
+        oriented = checkpoint_partitioned(oriented.repartition("u"))
+    o1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
+    # wedges at the LOW-degree center u; canonical pair (v1 < v2 by id)
+    # closes iff it appears in the undirected edge set
+    wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
+    tri = wedges.join(
+        und,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+    ).select("u", "v1", "v2")
+    return (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -182,3 +182,79 @@ def calibration_bins(
         F.round(F.avg(score_col), 6).alias("mean_score"),
         F.round(F.avg(F.col(label_col).cast("double")), 6).alias("pos_rate"),
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    quantiles: list[tuple[int, int]] = ((1, 2), (19, 20), (99, 100)),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantiles from a fixed-width histogram sketch — the mergeable
+    one-pass shape for percentiles at 100 TB, where the exact
+    percentile (q15) needs a per-group sort of every value.
+
+    Two aggregation passes: (1) per-group min/max fixes the bin
+    width; (2) per-(group, bin) integer counts — map-side
+    combinable, so each executor ships at most ``n_bins`` partial
+    counts per group regardless of row count, and sketches merge by
+    addition (the same contract as t-digest/HDR histograms, with a
+    deterministic layout instead of a data-dependent one).
+
+    Each quantile (num, den) reports the LOWER EDGE of the first bin
+    whose cumulative count reaches ceil(num/den * n) — a value-space
+    answer within (max-min)/n_bins of the exact quantile.
+
+    Determinism: bin ids are per-row IEEE floor((v-min)/w) (scalar
+    arithmetic, no float aggregation), ranks are exact integer
+    ceil-divisions, and edges are single IEEE multiply-adds — the
+    whole sketch replays bit-for-bit in the q117 oracle.
+    """
+    gks = [F.col(c) for c in group_cols]
+    rng = df.groupBy(*gks).agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(value_col).alias("__n"),
+    )
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    binned = (
+        df.where(F.col(value_col).isNotNull())
+        .join(rng, group_cols)
+        .withColumn(
+            "__bin",
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+                F.least(
+                    F.floor((F.col(value_col) - F.col("__mn")) / w),
+                    F.lit(n_bins - 1),
+                )
+            ).cast("int"),
+        )
+        .groupBy(*gks, F.col("__bin"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    from pyspark.sql import Window
+
+    cum = binned.withColumn(
+        "__cum",
+        F.sum("__c").over(
+            Window.partitionBy(*group_cols)
+            .orderBy("__bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).join(rng, group_cols)
+    out_cols = list(group_cols) + [F.col("__n").alias("n")]
+    agg_cols = []
+    for num, den in quantiles:
+        rank = F.expr(f"({num} * __n + {den} - 1) div {den}")
+        edge = F.col("__mn") + F.min(
+            F.when(F.col("__cum") >= rank, F.col("__bin"))
+        ) * ((F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins)))
+        agg_cols.append(
+            F.round(edge, 6).alias(f"p{num * 100 // den}_lo")
+        )
+    return (
+        cum.groupBy(*gks, F.col("__n"), F.col("__mn"), F.col("__mx"))
+        .agg(*agg_cols)
+        .select(*out_cols, *[f"p{num * 100 // den}_lo" for num, den in quantiles])
+    )

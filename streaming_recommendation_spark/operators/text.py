@@ -381,3 +381,78 @@ def importance_weights(
             ).alias("importance_weight"),
         )
     )
+
+
+def bigram_rarity(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
+) -> DataFrame:
+    """Corpus-bigram LM quality score — the conditional-probability
+    (context-aware) companion of :func:`unigram_rarity`: rank docs by
+    how predictable each word is GIVEN its predecessor in this
+    corpus. A doc full of common words in unusual orders (shuffled /
+    template / spam text) scores high on the unigram filter but low
+    here — exactly the gap a real bigram-perplexity filter closes
+    (CCNet trains a 5-gram KenLM for the same reason).
+
+    Integer-exact discipline (same as unigram_rarity): a perplexity
+    needs log(), and libm log differs in final ULPs across engines,
+    so every kept statistic is an integer aggregate of corpus counts
+    — c(w1,w2) per bigram and the context total c(w1, *) — plus ONE
+    final rounded IEEE division, the mean conditional frequency
+    sum c(w1,w2) / sum c(w1,*). Docs with < 2 tokens have no bigrams
+    and drop out (same contract as the oracle's unnest).
+
+    Scale shape: one pass builds the bigram stream (doc-local
+    transform, no shuffle), one groupBy(bigram) builds the bigram LM
+    table and one groupBy(context word) the context-total table —
+    both Zipf-bounded far below corpus size; the score join shuffles
+    keyed by bigram, then one groupBy(doc). At 100 TB, floor the LM
+    table with a min-count and broadcast it; the head-word skew on
+    the shuffle-join path is AQE's skew-split case.
+    """
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    bg = (
+        spread(df, repartition)
+        .select(F.col(id_col), words.alias("__w"))
+        .where(F.size("__w") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1),"
+                    " i -> struct(element_at(__w, i) AS w1,"
+                    "             concat(element_at(__w, i), ' ',"
+                    "                    element_at(__w, i + 1)) AS bg))"
+                )
+            ).alias("__p"),
+        )
+        .select(F.col(id_col), F.col("__p.w1").alias("__w1"), F.col("__p.bg").alias("__bg"))
+    )
+    bg_counts = bg.groupBy("__bg").agg(F.count(F.lit(1)).alias("__bc"))
+    ctx_counts = bg.groupBy("__w1").agg(F.count(F.lit(1)).alias("__cc"))
+    return (
+        bg.join(bg_counts, "__bg")
+        .join(ctx_counts, "__w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__bc").alias("sum_bigram_tf"),
+            F.sum("__cc").alias("sum_context_tf"),
+            F.min("__bc").alias("min_bigram_count"),
+            F.sum((F.col("__bc") == 1).cast("int")).alias("n_hapax_bigrams"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_bigram_tf",
+            "sum_context_tf",
+            "min_bigram_count",
+            "n_hapax_bigrams",
+            F.round(F.col("sum_bigram_tf") / F.col("sum_context_tf"), 6).alias(
+                "mean_cond_freq"
+            ),
+        )
+    )

@@ -4337,3 +4337,604 @@ def q107_dup_length_profile(spark, sf_dir):
     from .operators.suffix import dup_length_profile
 
     return dup_length_profile(_t(spark, sf_dir, "documents"), max_len=16)
+
+
+@register(
+    "q108_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, value, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT min(ts)                       AS session_start,
+           max(ts) + INTERVAL 30 MINUTE  AS session_end,
+           user_id,
+           count(*)                      AS n_events,
+           round(sum(value), 6)          AS session_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Per-session boundaries + aggregates via Spark's NATIVE "
+    "session_window operator (state-store merge semantics; the same "
+    "30-min gap as q20, which only counts sessions via lag/cumsum). "
+    "Boundary pinned empirically: events exactly `gap` apart MERGE "
+    "(new session strictly greater), end = last event + gap — the "
+    "oracle re-derives windows with the gap/cumsum construction. "
+    "Streaming twin: streaming/pipeline.py session_window_activity.",
+    tags=("window", "agg", "streaming-twin"),
+)
+def q108_session_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("__sv"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            F.round("__sv", 6).alias("session_value"),
+        )
+    )
+
+
+@register(
+    "q109_triangle_counts",
+    """
+    WITH e0 AS (SELECT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    edges AS (
+      SELECT DISTINCT x.p AS a, y.p AS b
+      FROM e0 x JOIN e0 y ON x.o = y.o AND x.p < y.p
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+    GROUP BY node
+    """,
+    doc="Per-node triangle counts on the co-purchase graph (parts "
+    "sharing an order; bounded pairs/order since TPC-H orders hold "
+    "<=7 lines). Spark side runs the degree-ordered compact-forward "
+    "algorithm (operators/graph.py triangle_counts — wedge fan-out "
+    "capped at O(sqrt m) per node, total O(m^1.5) regardless of "
+    "skew); the oracle independently counts via the orientation-free "
+    "3-way id-ordered join.",
+    tags=("graph", "join", "agg"),
+)
+def q109_triangle_counts(spark, sf_dir):
+    from .operators.graph import triangle_counts
+
+    e = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+    )
+    return triangle_counts(pairs)
+
+
+@register(
+    "q110_bigram_rarity",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS bg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM norm WHERE len(w) >= 2)
+    ), bc AS (SELECT bg, count(*) AS bc FROM bg GROUP BY bg),
+    cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY w1),
+    s AS (SELECT doc_id, bc.bc, cc.cc FROM bg JOIN bc USING (bg) JOIN cc USING (w1))
+    SELECT doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(bc) AS BIGINT) AS sum_bigram_tf,
+           CAST(sum(cc) AS BIGINT) AS sum_context_tf,
+           min(bc) AS min_bigram_count,
+           CAST(sum(CASE WHEN bc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax_bigrams,
+           round(sum(bc) / sum(cc), 6) AS mean_cond_freq
+    FROM s GROUP BY doc_id
+    """,
+    doc="Corpus-bigram conditional-frequency quality score — the "
+    "context-aware companion of q95's unigram filter (the gap a real "
+    "bigram-perplexity filter closes: common words in unusual orders). "
+    "Integer corpus counts c(w1,w2) and c(w1,*) plus one rounded "
+    "division keep the ranking bit-identical across engines where "
+    "log-perplexity would hang on libm ULPs.",
+    tags=("text", "agg"),
+)
+def q110_bigram_rarity(spark, sf_dir):
+    return text.bigram_rarity(_t(spark, sf_dir, "documents"))
+
+
+def _zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """Engine-neutral SQL replay of layout.zorder_value: interleave
+    the low `bits` bits of each column with div/mod arithmetic."""
+    terms = []
+    k = len(cols)
+    for i, c in enumerate(cols):
+        for b in range(bits):
+            terms.append(
+                f"((({c} % {1 << bits}) // {1 << b}) % 2) * {1 << (b * k + i)}"
+            )
+    return "(" + "\n       + ".join(terms) + ")"
+
+
+@register(
+    "q111_zorder_profile",
+    f"""
+    WITH z AS (
+      SELECT l_partkey, l_suppkey,
+             {_zorder_sql(["l_partkey", "l_suppkey"])} AS zv
+      FROM lineitem
+    )
+    SELECT CAST(zv // 65536 AS BIGINT) AS z_bucket,
+           count(*)        AS n_rows,
+           min(l_partkey)  AS min_part,
+           max(l_partkey)  AS max_part,
+           min(l_suppkey)  AS min_supp,
+           max(l_suppkey)  AS max_supp
+    FROM z GROUP BY 1
+    """,
+    doc="Morton/Z-order clustering key (sources/layout.py "
+    "zorder_value / write_zordered — the multi-column data-skipping "
+    "layout Delta/Iceberg ship as OPTIMIZE ZORDER): bucket lineitem "
+    "by the top bits of the interleaved (l_partkey, l_suppkey) key "
+    "and profile per-bucket key ranges. Pure div/mod arithmetic so "
+    "the oracle replays the key bit-for-bit; the file-level min/max "
+    "pruning effect is asserted in tests/test_layout.py.",
+    tags=("layout", "agg"),
+)
+def q111_zorder_profile(spark, sf_dir):
+    from .sources.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("__z", zorder_value(["l_partkey", "l_suppkey"], bits=16))
+        .groupBy(F.expr("__z div 65536").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+    )
+
+
+# Added after the round-3 driver prefix was frozen; first driver rows
+# expected when the round-4 rotation puts them in the 50-entry window.
+@register(
+    "q112_event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts >= v.t AND e.ts <= v.t + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts >= c.t AND e.ts <= c.t + INTERVAL 24 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS stage, count(*) AS n_users FROM v
+    UNION ALL SELECT '2_click_within_24h', count(*) FROM c
+    UNION ALL SELECT '3_purchase_within_24h', count(*) FROM p
+    """,
+    doc="Sequential conversion funnel (view -> click -> purchase, "
+    "each step within 24h of the previous step's FIRST qualifying "
+    "event). Three per-user conditional-min aggregations chained by "
+    "equi-joins — every shuffle keyed on user_id, so at scale the "
+    "three stages co-partition and AQE collapses the later joins "
+    "onto the first exchange; no window scan over the full event "
+    "stream is needed.",
+    tags=("agg", "join", "analytics"),
+)
+def q112_event_funnel(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def step(prev, etype):
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(
+                (F.col("ts") >= F.col("t"))
+                & (F.col("ts") <= F.expr("t + interval 24 hours"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    c = step(v, "click")
+    p = step(c, "purchase")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+        for df, stage in [
+            (v, "1_view"),
+            (c, "2_click_within_24h"),
+            (p, "3_purchase_within_24h"),
+        ]
+    ]
+    out = counts[0]
+    for x in counts[1:]:
+        out = out.unionAll(x)
+    return out
+
+
+@register(
+    "q113_cohort_retention",
+    """
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events
+    ), f AS (
+      SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id
+    ), a AS (
+      SELECT DISTINCT w.user_id, f.cohort, w.wk
+      FROM w JOIN f USING (user_id)
+    )
+    SELECT cohort AS cohort_week,
+           CAST(date_diff('day', cohort, wk) // 7 AS INT) AS week_offset,
+           count(*) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention: users grouped by first-seen week, "
+    "distinct-active counts at each week offset. Two user-keyed "
+    "shuffles (first-seen agg, distinct) + one small cohort-keyed "
+    "agg; the (user, week) distinct is the only corpus-sized "
+    "shuffle and it is map-side combinable.",
+    tags=("agg", "window", "analytics"),
+)
+def q113_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    f = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    a = w.join(f, "user_id").select("user_id", "cohort", "wk").distinct()
+    return a.groupBy(
+        F.col("cohort").alias("cohort_week"),
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q114_mixing_weights",
+    """
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+             CAST(floor(sqrt(sum(n_chars)) * 1000000) AS BIGINT) AS temp_mass
+      FROM documents GROUP BY source
+    ), d AS (SELECT sum(temp_mass) AS denom FROM s)
+    SELECT source, n_docs, n_chars_total, temp_mass,
+           CAST((temp_mass * 1000000) // (SELECT denom FROM d) AS BIGINT)
+             AS weight_ppm
+    FROM s
+    """,
+    doc="Temperature-balanced source mixing weights (the mT5/XLM-R "
+    "corpus-balancing step, tau = 0.5): p_s proportional to "
+    "size_s^0.5, flattening the source distribution so head sources "
+    "stop drowning tail ones. Integer-exact discipline: sqrt is "
+    "IEEE-correctly-rounded (deterministic per scalar, unlike a "
+    "float SUM whose order varies), so floor(sqrt(n)*1e6) is a "
+    "stable integer mass; the normalizing denominator and the ppm "
+    "weights are then pure integer sums/divisions — bit-identical "
+    "on any engine, no float aggregation anywhere.",
+    tags=("agg", "curation"),
+)
+def q114_mixing_weights(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.floor(F.sqrt(F.sum("n_chars")) * 1000000)
+        .cast("long")
+        .alias("temp_mass"),
+    )
+    d = s.agg(F.sum("temp_mass").alias("__denom"))
+    return s.crossJoin(F.broadcast(d)).select(
+        "source",
+        "n_docs",
+        "n_chars_total",
+        "temp_mass",
+        F.expr("(temp_mass * 1000000) div __denom").alias("weight_ppm"),
+    )
+
+
+_DRIVER_PRIORITY.extend([
+    "q108_session_windows",
+    "q109_triangle_counts",
+    "q110_bigram_rarity",
+    "q111_zorder_profile",
+    "q112_event_funnel",
+    "q113_cohort_retention",
+    "q114_mixing_weights",
+    "q115_mmr_rerank",
+    "q116_prefix_jaccard_dups",
+    "q117_histogram_quantiles",
+    "q118_hll_distinct",
+])
+
+
+def _mmr_oracle(k: int = 5, n_users: int = 20, topk: int = 10) -> str:
+    """Unrolled greedy-MMR oracle: quantize, integer-dot relevance,
+    top-`topk` candidates, then `k` materialized selection rounds
+    (each round references the previous once — linear, not the
+    exponential blowup plain CTE inlining gives the BPE oracle)."""
+    dot = (
+        "CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        " z -> struct_extract(z, 1) * struct_extract(z, 2))) AS BIGINT)"
+    )
+    rounds = []
+    for r in range(2, k + 1):
+        src = "cand" if r == 2 else f"ms{r - 1}"
+        ms_expr = (
+            "s.sim" if r == 2 else "CASE WHEN s.sim > m.ms THEN s.sim ELSE m.ms END"
+        )
+        alias = "c" if r == 2 else "m"
+        rounds.append(f"""
+    ms{r} AS MATERIALIZED (
+      SELECT {alias}.user_id, {alias}.item_id, {alias}.rel, {ms_expr} AS ms
+      FROM {src} {alias}
+      JOIN sel{r - 1} t ON t.user_id = {alias}.user_id
+      JOIN sim s ON s.user_id = {alias}.user_id
+                AND s.i = {alias}.item_id AND s.j = t.item_id
+      WHERE {alias}.item_id <> t.item_id {"AND " + alias + ".rn > 1" if r == 2 else ""}
+    ), sel{r} AS MATERIALIZED (
+      SELECT user_id, item_id, CAST(7 * rel - 3 * ms AS BIGINT) AS mmr_score
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY 7 * rel - 3 * ms DESC, item_id ASC) AS rr
+            FROM ms{r})
+      WHERE rr = 1
+    )""")
+    finals = ["SELECT user_id, item_id, CAST(1 AS INT) AS position, mmr_score FROM sel1"]
+    finals += [
+        f"SELECT user_id, item_id, CAST({r} AS INT), mmr_score FROM sel{r}"
+        for r in range(2, k + 1)
+    ]
+    return f"""
+    WITH t AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS mx
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(x * (CASE WHEN mx > 0
+                         THEN 127.0::DOUBLE / mx::DOUBLE ELSE 0.0 END))
+                    AS BIGINT)) AS qv
+      FROM t
+    ), rel0 AS (
+      SELECT u.vec_id AS user_id, i.vec_id AS item_id, i.qv,
+             {dot.format(a="u.qv", b="i.qv")} AS rel
+      FROM (SELECT * FROM qz WHERE vec_id < {n_users}) u CROSS JOIN qz i
+    ), cand AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT user_id, item_id, qv, rel,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY rel DESC, item_id ASC) AS rn
+        FROM rel0
+      ) WHERE rn <= {topk}
+    ), sim AS MATERIALIZED (
+      SELECT a.user_id, a.item_id AS i, b.item_id AS j,
+             {dot.format(a="a.qv", b="b.qv")} AS sim
+      FROM cand a JOIN cand b USING (user_id)
+    ), sel1 AS MATERIALIZED (
+      SELECT user_id, item_id, CAST(rel * 10 AS BIGINT) AS mmr_score
+      FROM cand WHERE rn = 1
+    ),{",".join(rounds)}
+    {" UNION ALL ".join(finals)}
+    """
+
+
+@register(
+    "q115_mmr_rerank",
+    _mmr_oracle(),
+    doc="Maximal-Marginal-Relevance diversified re-ranking (Carbonell "
+    "& Goldstein 1998) — the standard post-recall diversity stage: "
+    "top-10 candidates per user by integer dot-product relevance over "
+    "int8-quantized vectors, then 5 greedy rounds of "
+    "7*rel - 3*max_sim_to_selected (lambda=0.7 as exact rational). "
+    "All-integer arithmetic end to end, so the per-user greedy argmax "
+    "is bit-deterministic and the oracle replays every round. Spark "
+    "side: declarative candidate gen (broadcast query side) + "
+    "applyInPandas greedy over the bounded per-user set — the "
+    "documented applyInPandas contract (operators/rerank.py).",
+    tags=("cascade", "similarity", "vector", "pandas-udf"),
+)
+def q115_mmr_rerank(spark, sf_dir):
+    from .operators.rerank import mmr_rerank
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = similarity.quantize_embeddings(emb, "embedding", "vec_id").select(
+        "vec_id", "qvec"
+    )
+    users = qz.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("user_id"), F.col("qvec").alias("uq")
+    )
+    rel = qz.crossJoin(F.broadcast(users)).select(
+        "user_id",
+        F.col("vec_id").alias("item_id"),
+        "qvec",
+        F.aggregate(
+            F.zip_with(
+                "uq", "qvec", lambda a, b: a.cast("bigint") * b.cast("bigint")
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    )
+    cand = topk.top_k_per_group(
+        rel, 10, ["user_id"], F.col("rel").desc(), F.col("item_id").asc()
+    )
+    return mmr_rerank(cand, k=5)
+
+
+@register(
+    "q116_prefix_jaccard_dups",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+      FROM sh x JOIN sh y USING (shingle)
+      WHERE x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT a, b, n_inter / (sa.sz + sb.sz - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a
+    JOIN sizes sb ON sb.doc_id = b
+    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
+    """,
+    doc="Same exact semantics as q36 (3-gram Jaccard >= 0.8 pairs) "
+    "computed with PREFIX FILTERING (AllPairs, Bayardo et al. "
+    "WWW'07): vocab ranked by ascending document frequency, only "
+    "each doc's s - ceil(t*s) + 1 rarest shingles enter the "
+    "self-join (lossless — any qualifying pair must collide on an "
+    "indexed prefix token), plus the t*max<=min length filter, then "
+    "exact verification on survivors. The head-of-Zipf shingles "
+    "that make the plain inverted index quadratic never enter the "
+    "join. Oracle: the orientation-free full-index derivation — "
+    "identical output proves the pruning lossless.",
+    tags=("dedup", "join"),
+)
+def q116_prefix_jaccard_dups(spark, sf_dir):
+    return dedup.prefix_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@register(
+    "q117_histogram_quantiles",
+    """
+    WITH rng AS (
+      SELECT event_type, min(value) AS mn, max(value) AS mx,
+             count(value) AS n
+      FROM events GROUP BY event_type
+    ), b AS (
+      SELECT e.event_type,
+             CASE WHEN r.mx = r.mn THEN 0
+                  ELSE CAST(least(floor((e.value - r.mn)
+                                        / ((r.mx - r.mn) / 256.0)), 255)
+                       AS INT) END AS bin
+      FROM events e JOIN rng r USING (event_type)
+      WHERE e.value IS NOT NULL
+    ), c AS (
+      SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, bin,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    ), sel AS (
+      SELECT cum.event_type,
+             min(CASE WHEN cum.cum >= (1 * r.n + 2 - 1) // 2
+                      THEN bin END) AS b50,
+             min(CASE WHEN cum.cum >= (19 * r.n + 20 - 1) // 20
+                      THEN bin END) AS b95,
+             min(CASE WHEN cum.cum >= (99 * r.n + 100 - 1) // 100
+                      THEN bin END) AS b99
+      FROM cum JOIN rng r USING (event_type)
+      GROUP BY 1
+    )
+    SELECT s.event_type, CAST(r.n AS BIGINT) AS n,
+           round(r.mn + b50 * ((r.mx - r.mn) / 256.0), 6) AS p50_lo,
+           round(r.mn + b95 * ((r.mx - r.mn) / 256.0), 6) AS p95_lo,
+           round(r.mn + b99 * ((r.mx - r.mn) / 256.0), 6) AS p99_lo
+    FROM sel s JOIN rng r USING (event_type)
+    """,
+    doc="Histogram-sketch quantiles (p50/p95/p99 per event type from "
+    "a 256-bin fixed-width histogram) — the mergeable one-pass "
+    "percentile shape for 100 TB, vs q15's exact-sort percentile: "
+    "each executor ships <= n_bins integer partial counts per group "
+    "and sketches merge by addition (the t-digest/HDR contract with "
+    "a deterministic layout). Bin ids are per-scalar IEEE floors and "
+    "ranks exact integer ceil-divisions, so the oracle replays the "
+    "sketch bit-for-bit.",
+    tags=("agg", "sketch", "window"),
+)
+def q117_histogram_quantiles(spark, sf_dir):
+    from .operators.metrics import histogram_quantiles
+
+    return histogram_quantiles(
+        _t(spark, sf_dir, "events"), "value", ["event_type"]
+    )
+
+
+@register(
+    "q118_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) AS hv
+      FROM events
+    ), b AS (
+      SELECT event_type, hv % 256 AS bucket, hv // 256 AS w FROM h
+    ), r AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 25
+                      ELSE strpos(lpad(bin(w), 24, '0'), '1') END) AS mj
+      FROM b GROUP BY 1, 2
+    ), g AS (SELECT DISTINCT event_type FROM events),
+    reg AS (
+      SELECT g.event_type, gs.i AS bucket, coalesce(r.mj, 0) AS mj
+      FROM g
+      CROSS JOIN (SELECT generate_series AS i FROM generate_series(0, 255)) gs
+      LEFT JOIN r ON r.event_type = g.event_type AND r.bucket = gs.i
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN mj > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS nonzero_registers,
+           CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT) AS z_scaled,
+           round(1579498136381.3938 / sum(1::BIGINT << (25 - mj)), 4)
+             AS hll_estimate
+    FROM reg GROUP BY 1
+    """,
+    doc="Deterministic HyperLogLog distinct-users-per-event-type "
+    "(p=8, md5-derived register hashes, INTEGER-scaled register sum "
+    "2^(25-M_j)) — the oracle-checkable answer to q57's rows-only "
+    "engine-private HLL++: every register, the exact integer Z, and "
+    "the single-division estimate replay bit-for-bit in DuckDB. "
+    "Mergeable-sketch shape: <= 256 (group, register, max-rho) "
+    "partials per group per executor; merge = register-wise max. "
+    "Raw-HLL estimate; small-range linear counting is a client-side "
+    "fix on the returned integers (determinism policy bans ln() in "
+    "oracle paths — applied in tests/test_sketch.py).",
+    tags=("agg", "sketch"),
+)
+def q118_hll_distinct(spark, sf_dir):
+    from .operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"), "user_id", ["event_type"])

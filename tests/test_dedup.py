@@ -352,3 +352,49 @@ def test_duplicate_ngram_spans_within_doc_mode(spark):
     assert by_tf[1].n_dup_grams == 2
     assert by_tf[1].n_dup_spans == 2 and by_tf[1].dup_tokens == 8
     assert by_tf[2].n_dup_grams == 0
+
+
+def test_prefix_jaccard_matches_inverted_index(spark):
+    """Prefix filtering must be LOSSLESS: identical pairs+scores to
+    the plain inverted-index join on the real corpus."""
+    from streaming_recommendation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    full = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    pref = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert full == pref and len(full) > 0
+
+
+def test_prefix_jaccard_synthetic_prunes_but_keeps(spark):
+    """Hand case: near-identical pair found, dissimilar pair pruned;
+    a boilerplate shingle shared by all docs never joins alone."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.dedup import (
+        prefix_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon eta"),
+            Row(doc_id=3, text="one two three four five six seven"),
+        ]
+    )
+    out = {(r.a, r.b): r.jaccard for r in
+           prefix_jaccard_pairs(docs, threshold=0.4, n=2).collect()}
+    assert set(out) == {(1, 2)}
+    # 2-gram shingles: doc1/doc2 share 4 of 5 each -> J = 4/6
+    assert abs(out[(1, 2)] - 4 / 6) < 1e-9

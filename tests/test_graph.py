@@ -1,0 +1,59 @@
+"""Triangle counting: exact counts on handmade graphs, brute-force
+parity on a random graph, and the degree-orientation wedge bound."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.graph import triangle_counts
+
+
+def _counts(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    return {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+
+def test_triangle_counts_k4(spark):
+    # K4: every vertex is in C(3,2)=3 triangles
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    assert _counts(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_handles_dups_loops_direction(spark):
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 2), (0, 1), (3, 0)]
+    # one triangle {0,1,2}; node 3 dangles, loop (2,2) ignored
+    assert _counts(spark, edges) == {0: 1, 1: 1, 2: 1}
+
+
+def test_triangle_counts_no_triangles(spark):
+    # a path and a star have no triangles -> empty result
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
+    assert _counts(spark, edges) == {}
+
+
+def test_triangle_counts_random_parity(spark):
+    rng = random.Random(7)
+    n = 30
+    edges = [(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.25]
+    eset = set(edges)
+    expect = {}
+    for x, y, z in itertools.combinations(range(n), 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for v in (x, y, z):
+                expect[v] = expect.get(v, 0) + 1
+    assert _counts(spark, edges) == expect
+
+
+def test_triangle_counts_star_skew_wedge_bound(spark):
+    """A hub of degree h with a pendant triangle: orientation must
+    point every spoke INTO the hub, so the hub contributes zero
+    wedges (the naive center-join would generate C(h,2))."""
+    h = 200
+    edges = [(0, i) for i in range(1, h + 1)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    assert {r.node: r.n_triangles for r in triangle_counts(df).collect()} == {
+        0: 1, 1: 1, 2: 1
+    }

@@ -186,3 +186,93 @@ def test_write_compacted_bounds_file_counts(spark, tmp_path):
         assert len(files) == 2, files
     # round-trip intact
     assert spark.read.parquet(packed).count() == 4000
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _per_file_span_fraction(spark, path, cols, domains):
+    """Mean fraction of each column's domain covered per output file —
+    the file-skipping proxy: a predicate on the column prunes a file
+    whose [min,max] misses it, so smaller spans = more pruning."""
+    import glob
+    import os
+
+    fracs = {c: [] for c in cols}
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) > 1
+    for f in files:
+        one = spark.read.parquet(f)
+        row = one.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).collect()[0]
+        for c, dom in zip(cols, domains):
+            fracs[c].append((row[f"hi_{c}"] - row[f"lo_{c}"]) / dom)
+    return {c: sum(v) / len(v) for c, v in fracs.items()}
+
+
+def test_zorder_value_bit_layout(spark):
+    from streaming_recommendation_spark.sources.layout import zorder_value
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (65536, 0)],
+        "x long, y long",
+    )
+    got = [r.z for r in df.select(zorder_value(["x", "y"]).alias("z")).collect()]
+
+    def ref(x, y):
+        z = 0
+        for b in range(16):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert got == [ref(x % 65536, y % 65536) for x, y in
+                   [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (65536, 0)]]
+
+
+def test_zorder_overflow_guard():
+    from streaming_recommendation_spark.sources.layout import zorder_value
+
+    with pytest.raises(ValueError):
+        zorder_value(["a", "b", "c", "d"], bits=16)
+
+
+def test_write_zordered_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering must tighten per-file min/max for BOTH
+    interleaved columns vs single-column range clustering (which is
+    perfect on its own column and useless on the other)."""
+    from streaming_recommendation_spark.sources.layout import write_zordered
+
+    li = load_table(spark, "lineitem", SF_DIR).select("l_partkey", "l_suppkey")
+    dom = li.agg(
+        (F.max("l_partkey") - F.min("l_partkey")).alias("dp"),
+        (F.max("l_suppkey") - F.min("l_suppkey")).alias("ds"),
+    ).collect()[0]
+    n_files = 16
+
+    z_path = str(tmp_path / "zordered")
+    write_zordered(li, z_path, ["l_partkey", "l_suppkey"], num_files=n_files)
+    z = _per_file_span_fraction(
+        spark, z_path, ["l_partkey", "l_suppkey"], [dom.dp, dom.ds]
+    )
+
+    r_path = str(tmp_path / "by_partkey")
+    (
+        li.repartitionByRange(n_files, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(r_path)
+    )
+    r = _per_file_span_fraction(
+        spark, r_path, ["l_partkey", "l_suppkey"], [dom.dp, dom.ds]
+    )
+
+    # single-column clustering: near-total span on the OTHER column
+    assert r["l_suppkey"] > 0.9
+    # z-order: materially tighter than 1.0 on BOTH columns
+    assert z["l_partkey"] < 0.5
+    assert z["l_suppkey"] < 0.5

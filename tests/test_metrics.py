@@ -103,3 +103,42 @@ def test_calibration_bins_exact(spark):
     assert out[0].n == 2 and out[0].n_pos == 1 and out[0].pos_rate == 0.5
     assert out[5].n == 1 and out[5].mean_score == 0.55
     assert out[9].n == 1  # score 1.0 in bin 9, not bin 10
+
+
+def test_histogram_quantiles_uniform(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.metrics import (
+        histogram_quantiles,
+    )
+
+    # 256 values 0..255 in one group: bin i holds exactly value i
+    rows = [Row(g="a", v=float(i)) for i in range(256)]
+    out = histogram_quantiles(
+        spark.createDataFrame(rows), "v", ["g"]
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 256
+    # ceil(0.5*256)=128 -> bin 127 edge = 127*(255/256)
+    assert abs(r.p50_lo - 127 * (255.0 / 256)) < 1e-6
+    assert abs(r.p95_lo - 243 * (255.0 / 256)) < 1e-6
+    assert abs(r.p99_lo - 253 * (255.0 / 256)) < 1e-6
+
+
+def test_histogram_quantiles_constant_and_groups(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.metrics import (
+        histogram_quantiles,
+    )
+
+    rows = [Row(g="c", v=5.0)] * 10 + [Row(g="u", v=float(i)) for i in range(100)]
+    out = {r.g: r for r in histogram_quantiles(
+        spark.createDataFrame(rows), "v", ["g"]
+    ).collect()}
+    assert out["c"].p50_lo == 5.0 and out["c"].p99_lo == 5.0
+    assert out["u"].n == 100
+    # sketch answer within one bin width of the exact quantile
+    w = 99.0 / 256
+    assert abs(out["u"].p95_lo - 94.05) <= w + 1e-6

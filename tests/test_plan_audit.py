@@ -604,3 +604,88 @@ def test_q106_bpe_apply_broadcast_segmentation(spark):
     assert a["n_broadcast_joins"] >= 1, a["plan"]
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q108_session_window_single_shuffle(run):
+    a = run("q108_session_windows")
+    # session_window aggregates in one user-keyed shuffle — no join,
+    # no second exchange for the window-merge
+    assert a["n_exchanges"] == 1
+    assert a["bnl_joins"] == 0
+
+
+def test_q109_triangles_all_equi_joins(run):
+    a = run("q109_triangle_counts")
+    # compact-forward: every join (degree attach, wedge, closing) is
+    # an equi join; a cartesian/BNL anywhere means the orientation
+    # got lost
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q111_zorder_single_agg_shuffle(run):
+    a = run("q111_zorder_profile")
+    # Morton key is map-side arithmetic; only the bucket groupBy
+    # shuffles
+    assert a["n_exchanges"] == 1
+    assert len(a["pushed_filters"]) == 0  # full-scan profile, no UDF
+
+
+def test_q112_funnel_user_keyed_only(run):
+    a = run("q112_event_funnel")
+    # chained per-user conditional-min stages: no BNL, no cartesian
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q115_mmr_candidate_gen_broadcasts_users(run):
+    a = run("q115_mmr_rerank")
+    # the bounded user side broadcasts into the corpus scan (as a
+    # broadcast nest — same accepted shape as q35's brute kNN); the
+    # corpus itself never shuffles for candidate generation — the
+    # only exchanges are the top-k window and the per-user rerank
+    assert a["bnl_joins"] >= 1 or a["n_broadcast_joins"] >= 1
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q116_prefix_jaccard_no_full_index_join(spark):
+    """The prefix index must be strictly smaller than the full
+    shingle table (that IS the algorithm), and the candidate pair
+    count must not exceed the full inverted-index join's."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.dedup import shingle_table
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    sh = shingle_table(docs, "text", "doc_id", 3)
+    full_rows = sh.count()
+    # rebuild the operator's prefix stage at t=0.8
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    pref_len = F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1
+    prefix_rows = (
+        sh.join(vocab, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "__pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("__df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .where(F.col("__pos") <= pref_len)
+        .count()
+    )
+    # at t=0.8 the index holds ~20% of each doc's shingles
+    assert prefix_rows < 0.3 * full_rows
+
+
+def test_q117_histogram_two_agg_passes(run):
+    a = run("q117_histogram_quantiles")
+    # range agg + bin counts + quantile agg — all keyed by the small
+    # group column; no BNL, no cartesian beyond the broadcast range join
+    assert a["bnl_joins"] == 0

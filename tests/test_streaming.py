@@ -345,3 +345,40 @@ def test_session_window_merges_close_events(spark, message_dir, tmp_path):
     q.awaitTermination(120)
     srows = spark.sql("SELECT * FROM sess").collect()
     assert {(r.user_id, r.n_profiles) for r in srows} == {("u1", 2), ("u2", 2)}
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Pins the native session_window merge rule the q108 oracle
+    replays: events EXACTLY `gap` apart merge (new session only when
+    the gap is strictly exceeded), and end = last event + gap."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),        # == gap -> merges
+        (1, t0 + dt.timedelta(minutes=60, seconds=1)),  # > gap -> new
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    got = sorted(
+        (
+            df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("session_window.start").alias("s"),
+                F.col("session_window.end").alias("e"),
+                "n",
+            )
+        ).collect(),
+        key=lambda r: r.s,
+    )
+    assert [(r.s, r.e, r.n) for r in got] == [
+        (t0, t0 + dt.timedelta(minutes=60), 2),
+        (
+            t0 + dt.timedelta(minutes=60, seconds=1),
+            t0 + dt.timedelta(minutes=90, seconds=1),
+            1,
+        ),
+    ]

@@ -169,3 +169,55 @@ def test_importance_weights_target_ratio(spark):
     assert out[2].corpus_tf_sum == 3 and out[2].target_tf_sum == 1
     # the target doc scores strictly higher
     assert out[1].importance_weight > out[2].importance_weight
+
+
+def test_bigram_rarity_counts(spark):
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.text import bigram_rarity
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),   # bigrams: "a b", "b a", "a b"
+            Row(doc_id=2, text="a b c"),     # bigrams: "a b", "b c"
+            Row(doc_id=3, text="solo"),      # < 2 tokens -> no output row
+        ]
+    )
+    out = {r.doc_id: r for r in bigram_rarity(df).collect()}
+    assert set(out) == {1, 2}
+    # corpus bigram counts: "a b"=3, "b a"=1, "b c"=1
+    # context counts: a*=3, b*=2
+    d1 = out[1]
+    assert d1.n_bigrams == 3
+    assert d1.sum_bigram_tf == 3 + 1 + 3
+    assert d1.sum_context_tf == 3 + 2 + 3
+    assert d1.min_bigram_count == 1 and d1.n_hapax_bigrams == 1
+    d2 = out[2]
+    assert d2.n_bigrams == 2
+    assert d2.sum_bigram_tf == 3 + 1
+    assert d2.sum_context_tf == 3 + 2
+    assert d2.n_hapax_bigrams == 1
+    # predictable-order doc 1 ranks above the hapax-heavier doc 2
+    assert d1.mean_cond_freq > d2.mean_cond_freq
+
+
+def test_bigram_vs_unigram_separates_shuffled_text(spark):
+    """The motivating case: identical unigram profile, different
+    word order -> unigram ties, bigram separates."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.text import (
+        bigram_rarity,
+        unigram_rarity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat sat the cat sat the cat sat"),
+            Row(doc_id=2, text="sat the the cat cat the sat sat cat"),
+        ]
+    )
+    uni = {r.doc_id: r.mean_token_tf for r in unigram_rarity(df).collect()}
+    assert uni[1] == uni[2]  # unigram filter cannot tell them apart
+    bi = {r.doc_id: r.mean_cond_freq for r in bigram_rarity(df).collect()}
+    assert bi[1] > bi[2]  # repeated word order is more predictable
