@@ -123,6 +123,14 @@ HEADLINE = [
     "q116_prefix_jaccard_dups",
     "q117_histogram_quantiles",
     "q118_hll_distinct",
+    # bloom-prefiltered decontamination, priority sampling, SCD2
+    "q119_bloom_decontamination",
+    "q120_priority_sample",
+    "q121_scd2_intervals",
+    # TPC-H completion: Q5 locality snowflake + Q6 pure-scan agg
+    "q122_local_supplier_volume",
+    "q123_forecast_revenue_change",
+    "q124_cms_heavy_hitters",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

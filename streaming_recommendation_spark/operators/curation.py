@@ -243,3 +243,134 @@ def pack_sequences(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("bin_tokens"),
     )
+
+
+BLOOM_BITS = 1 << 16  # default filter size (bits)
+BLOOM_HASHES = 3
+BLOOM_WORD = 62  # usable bits per int64 word — the sign and top bit
+#                  never carry filter state, so 1 << (pos % 62) stays
+#                  positive on every engine (no signed-shift wrap)
+
+
+def _bloom_positions(shingle, k: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS):
+    """k deterministic bit positions for a shingle: salted md5 hashes
+    mod m_bits — replayable in any SQL engine."""
+    from ..functions.hashing import det_hash_str
+
+    return [
+        det_hash_str(F.concat(shingle, F.lit(f"#{i}"))) % F.lit(m_bits)
+        for i in range(k)
+    ]
+
+
+def bloom_bitmap(
+    grams: DataFrame,
+    gram_col: str = "shingle",
+    k: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Bloom filter of a gram set as (word, bits) int64 rows:
+    word = pos div 62, bits = bit_or of 1 << (pos mod 62).
+    ``m_bits`` bits cost m_bits/62 rows ~ kilobytes per million
+    grams — always broadcastable."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(gram_col), k, m_bits)))
+    return (
+        grams.select(pos.alias("__pos"))
+        .select(
+            F.expr(f"__pos div {BLOOM_WORD}").alias("word"),
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {BLOOM_WORD} AS INT))").alias(
+                "__mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    k: int = BLOOM_HASHES,
+    m_bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """:func:`decontaminate` behind a BLOOM PREFILTER — the shape for
+    when the reference set's n-grams are too large to broadcast raw
+    (cross-corpus fuzzy dedup, web-scale blocklists): broadcast the
+    m_bits/62-word bitmap instead, probe every corpus gram map-side
+    (k integer hashes + a bitmap AND — no shuffle, no join against
+    the raw set), and send ONLY bloom-positive candidates into the
+    exact verification join. Bloom false positives cannot leak into
+    the verdict — verification is exact; they only cost verify-join
+    traffic, and the false-positive count is reported per doc so the
+    m/k sizing can be audited (q119).
+
+    Returns (id, n_ngrams, n_candidates, n_hits, n_false_positives,
+    contaminated) — n_hits/contaminated match :func:`decontaminate`
+    exactly on the same inputs (asserted in tests).
+
+    Every probe is integer arithmetic on md5-derived positions, so
+    the oracle replays bitmap construction AND probe bit-for-bit.
+    """
+    grams = shingle_table(corpus, text_col, id_col, n)
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("shingle")
+        )
+        .distinct()
+    )
+    bitmap = bloom_bitmap(bench, "shingle", k, m_bits)
+    probe = grams
+    for i, pos in enumerate(_bloom_positions(F.col("shingle"), k, m_bits)):
+        w = F.expr(f"__p{i} div {BLOOM_WORD}")
+        m = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__p{i} % {BLOOM_WORD} AS INT))")
+        probe = (
+            probe.withColumn(f"__p{i}", pos)
+            .join(
+                F.broadcast(
+                    bitmap.select(
+                        F.col("word").alias(f"__w{i}"), F.col("bits").alias(f"__b{i}")
+                    )
+                ),
+                w == F.col(f"__w{i}"),
+                "left",
+            )
+            .withColumn(
+                f"__pass{i}",
+                (F.coalesce(F.col(f"__b{i}"), F.lit(0)).bitwiseAND(m) != 0),
+            )
+            .drop(f"__p{i}", f"__w{i}", f"__b{i}")
+        )
+    all_pass = F.lit(True)
+    for i in range(k):
+        all_pass = all_pass & F.col(f"__pass{i}")
+    probed = probe.withColumn("__cand", all_pass).drop(
+        *[f"__pass{i}" for i in range(k)]
+    )
+    stats = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        F.sum(F.col("__cand").cast("int")).alias("n_candidates"),
+    )
+    # exact verification sees ONLY bloom-positive candidates — the
+    # whole point of the prefilter; no false negatives exist, so the
+    # inner join loses nothing
+    hits = (
+        probed.where(F.col("__cand"))
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__nh"))
+    )
+    return (
+        stats.join(hits, id_col, "left")
+        .withColumn("n_hits", F.coalesce(F.col("__nh"), F.lit(0)).cast("long"))
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_candidates",
+            "n_hits",
+            (F.col("n_candidates") - F.col("n_hits")).alias("n_false_positives"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

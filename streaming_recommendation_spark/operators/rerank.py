@@ -74,7 +74,8 @@ def mmr_rerank(
         # * 127^2 * dim) but far from int64 edges: negation/multiplying
         # by small constants stays exact, unlike iinfo.min which wraps
         NEG = -(10**15)
-        max_sim = np.zeros(n, dtype=np.int64)  # overwritten before first use
+        max_sim = None  # set from the FIRST pick's raw sims — seeding
+        #               with zeros would clamp negative dot products
         sel, scores = [], []
         for pos in range(kk):
             if pos == 0:
@@ -93,7 +94,7 @@ def mmr_rerank(
             sel.append(best)
             scores.append(int(cand_score[best]))
             sims = vecs @ vecs[best]
-            max_sim = np.maximum(max_sim, sims)
+            max_sim = sims if max_sim is None else np.maximum(max_sim, sims)
         return pd.DataFrame(
             {
                 user_col: pdf[user_col].iloc[0],

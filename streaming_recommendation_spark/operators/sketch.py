@@ -112,3 +112,72 @@ def hll_distinct(
             F.round(est, 4).alias("hll_estimate"),
         )
     )
+
+
+def _cms_slots(key_col: str, width: int, depth: int):
+    """array<struct<row,slot>> of a key's depth deterministic slots —
+    ONE pass over the input builds every sketch row (a depth-way
+    unionAll would rescan the stream per row)."""
+    from ..functions.hashing import det_hash_str
+
+    return F.array(*[
+        F.struct(
+            F.lit(d).alias("row"),
+            (det_hash_str(
+                F.concat(F.col(key_col).cast("string"), F.lit(f"@{d}"))
+            ) % F.lit(width)).cast("long").alias("slot"),
+        )
+        for d in range(depth)
+    ])
+
+
+def cms_counts(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan 2005) with
+    deterministic md5-derived row hashes — frequency estimates with
+    one-sided error (estimate >= true count, overshoot <= N/width
+    w.p. 1 - (1/2)^depth), built as ``depth * width`` integer
+    counters per group.
+
+    Returns the sketch TABLE (group..., row, slot, c) — mergeable by
+    addition, the shape that ships between executors. Pair with
+    :func:`cms_estimate` to probe it. Every counter is an integer
+    sum over deterministic slots, so the full sketch replays
+    bit-for-bit in SQL (q124).
+    """
+    gks = list(group_cols or [])
+    return (
+        df.select(*gks, F.explode(_cms_slots(key_col, width, depth)).alias("p"))
+        .select(*gks, F.col("p.row"), F.col("p.slot"))
+        .groupBy(*gks, "row", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    group_cols: list[str] | None = None,
+    width: int = 256,
+    depth: int = 3,
+) -> DataFrame:
+    """Probe a :func:`cms_counts` sketch: for each key (x group),
+    estimate = min over rows of the counter at that row's slot.
+    Missing counters are 0 (the key never hashed there)."""
+    gks = list(group_cols or [])
+    all_probes = (
+        keys.select(key_col, *gks,
+                    F.explode(_cms_slots(key_col, width, depth)).alias("p"))
+        .select(key_col, *gks, F.col("p.row"), F.col("p.slot"))
+    )
+    return (
+        all_probes.join(sketch, gks + ["row", "slot"], "left")
+        .groupBy(key_col, *gks)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )

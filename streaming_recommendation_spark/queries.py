@@ -4683,6 +4683,12 @@ _DRIVER_PRIORITY.extend([
     "q116_prefix_jaccard_dups",
     "q117_histogram_quantiles",
     "q118_hll_distinct",
+    "q119_bloom_decontamination",
+    "q120_priority_sample",
+    "q121_scd2_intervals",
+    "q122_local_supplier_volume",
+    "q123_forecast_revenue_change",
+    "q124_cms_heavy_hitters",
 ])
 
 
@@ -4938,3 +4944,323 @@ def q118_hll_distinct(spark, sf_dir):
     from .operators.sketch import hll_distinct
 
     return hll_distinct(_t(spark, sf_dir, "events"), "user_id", ["event_type"])
+
+
+@register(
+    "q119_bloom_decontamination",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_WORDS} AS w FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(generate_series(1, len(w) - 4),
+                                      i -> array_to_string(w[i:i+4], ' '))
+             END AS gs
+      FROM norm
+    ), cg AS (
+      SELECT DISTINCT doc_id, g
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+    ), bg AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0)
+    ), bpos AS (
+      SELECT CAST(concat('0x', substr(md5(bg.g || '#' || CAST(i.i AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 65536 AS p
+      FROM bg CROSS JOIN (SELECT generate_series AS i
+                          FROM generate_series(0, 2)) i
+    ), bitmap AS (
+      SELECT p // 62 AS word,
+             bit_or(1::BIGINT << CAST(p % 62 AS INT)) AS bits
+      FROM bpos GROUP BY 1
+    ), cp AS (
+      SELECT cg.doc_id, cg.g,
+             CAST(concat('0x', substr(md5(cg.g || '#' || CAST(i.i AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 65536 AS p
+      FROM cg CROSS JOIN (SELECT generate_series AS i
+                          FROM generate_series(0, 2)) i
+    ), pr AS (
+      SELECT cp.doc_id, cp.g,
+             bool_and((coalesce(b.bits, 0)
+                       & (1::BIGINT << CAST(cp.p % 62 AS INT))) <> 0) AS cand
+      FROM cp LEFT JOIN bitmap b ON b.word = cp.p // 62
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT doc_id, count(*) AS n_ngrams,
+             CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_candidates
+      FROM pr GROUP BY 1
+    ), hits AS (
+      SELECT pr.doc_id, count(*) AS nh
+      FROM pr JOIN bg ON bg.g = pr.g WHERE pr.cand GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_ngrams, s.n_candidates,
+           CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hits,
+           CAST(s.n_candidates - coalesce(h.nh, 0) AS BIGINT)
+             AS n_false_positives,
+           coalesce(h.nh, 0) > 0 AS contaminated
+    FROM stats s LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="q89's decontamination behind a BLOOM PREFILTER — the shape "
+    "for reference sets too large to broadcast raw (cross-corpus "
+    "dedup, web-scale blocklists): a 65536-bit / 3-hash filter "
+    "(kilobytes) broadcasts instead of the gram set, every corpus "
+    "gram probes it MAP-SIDE (salted md5 positions, 62 usable bits "
+    "per int64 word so no signed-shift wrap on any engine), and only "
+    "bloom-positive candidates enter the exact verify join. "
+    "Verification is exact, so false positives cost only join "
+    "traffic — and are REPORTED per doc (n_false_positives) so m/k "
+    "sizing is auditable. contaminated/n_hits match q89 exactly.",
+    tags=("text", "dedup", "sketch", "join"),
+)
+def q119_bloom_decontamination(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    return curation.bloom_decontaminate(corpus, benchmark, n=5)
+
+
+@register(
+    "q120_priority_sample",
+    """
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             n_chars / ((((doc_id * 2654435761) % 4294967296) + 1)
+                        / 4294967296.0) AS priority
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(priority, 6) AS priority
+    FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 100
+    """,
+    doc="Weighted sampling without replacement via PRIORITY SAMPLING "
+    "(Duffield-Lund-Thorup, JACM 2007): priority = weight / u with u "
+    "a deterministic per-key uniform in (0,1] (Knuth hash + 1, so "
+    "u > 0 always); keep the top-k priorities. Inclusion probability "
+    "tracks weight (size-biased doc sampling by n_chars), the whole "
+    "draw is one TakeOrderedAndProject — per-partition k-heaps, k "
+    "rows to the driver, no sort, no per-group state — and every "
+    "priority is a single IEEE division the oracle replays exactly.",
+    tags=("sampling", "topk"),
+)
+def q120_priority_sample(spark, sf_dir):
+    from .functions.hashing import det_hash_long
+
+    docs = _t(spark, sf_dir, "documents")
+    u = (det_hash_long("doc_id") + F.lit(1)) / F.lit(4294967296.0)
+    pr = docs.select("doc_id", "n_chars", (F.col("n_chars") / u).alias("__p"))
+    return (
+        topk.top_k_global(pr, 100, F.col("__p").desc(), F.col("doc_id").asc())
+        .select("doc_id", "n_chars", F.round("__p", 6).alias("priority"))
+    )
+
+
+@register(
+    "q121_scd2_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER w AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, rn_all - rn_type AS island,
+             min(ts) AS valid_from, min(event_id) AS first_event_id,
+             count(*) AS n_events
+      FROM o GROUP BY 1, 2, 3
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, first_event_id)
+             AS valid_to,
+           first_event_id, n_events
+    FROM runs
+    """,
+    doc="SCD2 interval build (gaps-and-islands): collapse each user's "
+    "consecutive same-event_type runs into validity intervals "
+    "[valid_from, valid_to) with valid_to = the next run's start "
+    "(NULL = current). Spark side detects run starts with lag + "
+    "cumsum; the oracle independently derives islands from the "
+    "row_number-difference trick — two different derivations, one "
+    "answer. All windows are user-keyed: one shuffle, no joins — the "
+    "warehouse dimension-versioning pattern at event-log scale.",
+    tags=("window", "analytics"),
+)
+def q121_scd2_intervals(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "__new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__run",
+        F.sum("__new_run").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = marked.groupBy("user_id", "event_type", "__run").agg(
+        F.min("ts").alias("valid_from"),
+        F.min("event_id").alias("first_event_id"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "first_event_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "first_event_id",
+        "n_events",
+    )
+
+
+@register(
+    "q122_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 (local supplier volume): the 6-table snowflake with "
+    "the customer-nation = supplier-nation LOCALITY constraint — the "
+    "one TPC-H join tree where a fact-to-fact predicate rides on two "
+    "different dimension paths. Catalyst broadcasts every dimension "
+    "and evaluates the locality equality inside the supplier "
+    "broadcast join; only lineitem-orders shuffles. Completes the "
+    "TPC-H shapes expressible on the testdata schema (Q12/Q19-full "
+    "need l_shipmode/l_shipinstruct, which the driver tables omit).",
+    tags=("join", "agg", "tpch"),
+)
+def q122_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q123_forecast_revenue_change",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-06-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 (forecasting revenue change): the pure-scan "
+    "conditional aggregate — zero joins, zero shuffles past the "
+    "1-row partial-agg merge; exists to pin that ALL THREE predicates "
+    "reach the parquet reader (PushedFilters plan-asserted) and the "
+    "whole query stays in one WholeStageCodegen span.",
+    tags=("agg", "filter", "tpch"),
+)
+def q123_forecast_revenue_change(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-06-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q124_cms_heavy_hitters",
+    """
+    WITH k AS (
+      SELECT user_id, count(*) AS exact_count FROM events GROUP BY 1
+    ), top AS (
+      SELECT * FROM k ORDER BY exact_count DESC, user_id ASC LIMIT 20
+    ), ds AS (SELECT generate_series AS d FROM generate_series(0, 2)),
+    slots AS (
+      SELECT d.d AS row,
+             CAST(concat('0x', substr(md5(CAST(e.user_id AS VARCHAR)
+                                          || '@' || CAST(d.d AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 256 AS slot
+      FROM events e CROSS JOIN ds d
+    ), cms AS (
+      SELECT row, slot, count(*) AS c FROM slots GROUP BY 1, 2
+    ), probe AS (
+      SELECT t.user_id, t.exact_count, d.d AS row,
+             CAST(concat('0x', substr(md5(CAST(t.user_id AS VARCHAR)
+                                          || '@' || CAST(d.d AS VARCHAR)),
+                                      1, 8)) AS BIGINT) % 256 AS slot
+      FROM top t CROSS JOIN ds d
+    )
+    SELECT p.user_id, p.exact_count,
+           CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_count,
+           CAST(min(coalesce(c.c, 0)) - p.exact_count AS BIGINT)
+             AS overestimate
+    FROM probe p LEFT JOIN cms c USING (row, slot)
+    GROUP BY 1, 2
+    """,
+    doc="Count-Min sketch frequency audit (Cormode-Muthukrishnan): "
+    "build a 3x256 deterministic-hash CMS of per-user event counts, "
+    "probe the exact top-20 heavy hitters, and report estimate vs "
+    "truth — overestimate is CMS's one-sided error, made bit-exact "
+    "(and hence oracle-checkable) by the md5 row hashes. The sketch "
+    "table is depth*width integer counters regardless of stream "
+    "size and merges by addition — the bounded-memory frequency "
+    "shape for 100 TB streams, vs the exact groupBy whose state is "
+    "O(distinct keys).",
+    tags=("agg", "sketch", "topk"),
+)
+def q124_cms_heavy_hitters(spark, sf_dir):
+    from .operators.sketch import cms_counts, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = topk.top_k_global(
+        exact, 20, F.col("exact_count").desc(), F.col("user_id").asc()
+    )
+    sketch = cms_counts(ev, "user_id")
+    est = cms_estimate(sketch, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
+    )

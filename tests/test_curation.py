@@ -111,3 +111,50 @@ def test_packing_bins_conserve_tokens(spark):
         per.setdefault(b.source, []).append(b.bin_id)
     for ids in per.values():
         assert sorted(ids) == list(range(len(ids)))
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    """Bloom prefilter + exact verify must reproduce decontaminate's
+    verdicts and hit counts exactly (no false negatives, FPs verified
+    away)."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.curation import (
+        bloom_decontaminate,
+        decontaminate,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    exact = {r.doc_id: (r.n_hits, r.contaminated)
+             for r in decontaminate(corpus, bench, n=5).collect()}
+    bloom = {r.doc_id: (r.n_hits, r.contaminated)
+             for r in bloom_decontaminate(corpus, bench, n=5).collect()}
+    assert exact == bloom
+
+
+def test_bloom_false_positives_counted_not_leaked(spark):
+    """A deliberately tiny filter (64 bits) saturates and produces
+    false positives — they must show up in n_false_positives and
+    NEVER flip contamination verdicts."""
+    from pyspark.sql import Row
+
+    from streaming_recommendation_spark.operators.curation import (
+        bloom_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"unique{i} alpha beta gamma delta") for i in range(1, 40)]
+    )
+    # ~60 bench words -> ~56 5-grams x 3 hashes saturate 64 bits
+    bench_text = " ".join(f"bench{i}" for i in range(60))
+    bench = spark.createDataFrame([Row(doc_id=0, text=bench_text)])
+    out = bloom_decontaminate(corpus, bench, n=5, m_bits=64).collect()
+    # nothing actually collides on 5-grams -> zero hits everywhere
+    assert all(r.n_hits == 0 and not r.contaminated for r in out)
+    # but the saturated 64-bit filter must fire false positives
+    assert sum(r.n_false_positives for r in out) > 0

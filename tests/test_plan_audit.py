@@ -689,3 +689,43 @@ def test_q117_histogram_two_agg_passes(run):
     # range agg + bin counts + quantile agg — all keyed by the small
     # group column; no BNL, no cartesian beyond the broadcast range join
     assert a["bnl_joins"] == 0
+
+
+def test_q119_bloom_probe_broadcasts(run):
+    a = run("q119_bloom_decontamination")
+    # 3 bitmap-word probes + the exact verify all broadcast; the
+    # corpus side never shuffles for the probe
+    assert a["n_broadcast_joins"] >= 3
+    assert a["bnl_joins"] == 0
+
+
+def test_q120_priority_sample_take_ordered(run):
+    a = run("q120_priority_sample")
+    # one TakeOrderedAndProject, no shuffle at all
+    assert a["has_take_ordered"]
+    assert a["n_exchanges"] == 0
+
+
+def test_q121_scd2_user_keyed(run):
+    a = run("q121_scd2_intervals")
+    # run-detection window, run aggregation, interval window — all
+    # keyed by user(+run); no joins anywhere
+    assert a["bnl_joins"] == 0
+    assert a["n_sortmerge_joins"] == 0
+    assert a["n_exchanges"] <= 3
+
+
+def test_q122_q5_dimensions_broadcast(run):
+    a = run("q122_local_supplier_volume")
+    # supplier/nation/region/customer broadcast; only fact tables
+    # shuffle — Q5's locality predicate must not force an SMJ chain
+    assert a["n_broadcast_joins"] >= 3
+    assert a["bnl_joins"] == 0
+
+
+def test_q123_q6_full_pushdown_no_join(run):
+    a = run("q123_forecast_revenue_change")
+    assert any("l_shipdate" in p for p in a["pushed_filters"])
+    assert any("l_discount" in p for p in a["pushed_filters"])
+    assert any("l_quantity" in p for p in a["pushed_filters"])
+    assert a["n_exchanges"] <= 1  # 1-row partial-agg merge only

@@ -83,3 +83,18 @@ def test_mmr_rejects_bad_lambda():
         mmr_rerank(None, lambda_num=0)
     with pytest.raises(ValueError):
         mmr_rerank(None, lambda_num=11, lambda_den=10)
+
+
+def test_mmr_negative_similarity_not_clamped(spark):
+    """max-sim to the selected set can be NEGATIVE (anti-correlated
+    vectors) and must enter the score as-is: item 12 (sim -100 to the
+    top pick) should beat item 11 (sim 0) despite lower relevance."""
+    df = _df(spark, [
+        (1, 10, 100, [10, 0]),
+        (1, 11, 96, [0, 10]),    # orthogonal: max_sim 0
+        (1, 12, 90, [-10, 0]),   # anti-correlated: max_sim -100
+    ])
+    rows = sorted(mmr_rerank(df, k=2).collect(), key=lambda r: r.position)
+    # scores: 11 -> 7*96 - 3*0 = 672 ; 12 -> 7*90 - 3*(-100) = 930
+    assert [r.item_id for r in rows] == [10, 12]
+    assert rows[1].mmr_score == 930

@@ -61,3 +61,39 @@ def test_hll_merge_is_register_max(spark):
         spark.createDataFrame(rb + ra + ra), "k", ["g"]
     ).collect()[0]
     assert both.z_scaled == again.z_scaled
+
+
+def test_cms_one_sided_error(spark):
+    """CMS never underestimates; a deliberately narrow sketch
+    (width 16, 200 keys) must overestimate somewhere, and exactly by
+    the colliding keys' mass."""
+    from streaming_recommendation_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    rows = [Row(k=i % 200) for i in range(5000)]  # each key 25x
+    df = spark.createDataFrame(rows)
+    sketch = cms_counts(df, "k", width=16, depth=3)
+    keys = df.select("k").distinct()
+    est = {r.k: r.cms_count for r in
+           cms_estimate(sketch, keys, "k", width=16, depth=3).collect()}
+    assert all(v >= 25 for v in est.values())  # one-sided
+    assert any(v > 25 for v in est.values())   # width 16 must collide
+    # every estimate is a multiple of the uniform key mass
+    assert all(v % 25 == 0 for v in est.values())
+
+
+def test_cms_exact_when_wide(spark):
+    from streaming_recommendation_spark.operators.sketch import (
+        cms_counts,
+        cms_estimate,
+    )
+
+    rows = [Row(k=i) for i in range(30) for _ in range(i + 1)]
+    df = spark.createDataFrame(rows)
+    sketch = cms_counts(df, "k", width=4096, depth=3)
+    est = {r.k: r.cms_count for r in cms_estimate(
+        sketch, df.select("k").distinct(), "k", width=4096, depth=3
+    ).collect()}
+    assert est == {i: i + 1 for i in range(30)}
