@@ -131,6 +131,9 @@ HEADLINE = [
     "q122_local_supplier_volume",
     "q123_forecast_revenue_change",
     "q124_cms_heavy_hitters",
+    # one-pass multi-column ANALYZE + KMV audience-overlap sketch
+    "q125_column_profile",
+    "q126_kmv_set_stats",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -8,7 +8,7 @@ from .history import collect_history, last_n_events, sliding_window_samples, tai
 from .metrics import binary_metrics, calibration_bins, histogram_quantiles, ranking_metrics
 from .rerank import mmr_rerank
 from .sampling import bernoulli_by_activity, hash_split, negative_sample
-from .sketch import cms_counts, cms_estimate, hll_distinct
+from .sketch import cms_counts, cms_estimate, hll_distinct, kmv_set_stats
 from .similarity import semantic_dedup
 from .skew import salted_join
 from .suffix import (
@@ -48,6 +48,7 @@ __all__ = [
     "hll_distinct",
     "cms_counts",
     "cms_estimate",
+    "kmv_set_stats",
     "semantic_dedup",
     "salted_join",
     "dup_length_profile",

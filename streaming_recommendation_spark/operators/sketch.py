@@ -84,9 +84,11 @@ def hll_distinct(
         .groupBy(*gks, F.col("__bucket"))
         .agg(F.max("__rho").alias("__mj"))
     )
-    # every group needs all m registers (empty ones contribute 2^(W+1))
+    # every group needs all m registers (empty ones contribute
+    # 2^(W+1)); group keys come from the m-bounded register table,
+    # not a second scan of the corpus
     full = (
-        df.select(*gks)
+        regs.select(*group_cols)
         .distinct()
         .crossJoin(
             F.broadcast(
@@ -180,4 +182,83 @@ def cms_estimate(
         all_probes.join(sketch, gks + ["row", "slot"], "left")
         .groupBy(key_col, *gks)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )
+
+
+def kmv_set_stats(
+    a: DataFrame,
+    b: DataFrame,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values sketch comparison of two key sets (Bar-Yossef
+    et al. 2002 / Beyer et al. SIGMOD'07): distinct-count estimates
+    for A, B, A|B plus a Jaccard/intersection estimate, all from the
+    k smallest deterministic hash values of each side.
+
+    Where HLL (hll_distinct) only counts, KMV supports SET ALGEBRA:
+    the union sketch is the k smallest of the merged minima, and the
+    fraction of merged minima present in both sketches estimates
+    Jaccard — so intersection size falls out without ever joining
+    the raw sets. Sketches are k int64s regardless of set size.
+
+    Determinism: the Knuth multiplicative hash is a BIJECTION on
+    [0, 2^32) (odd multiplier mod 2^32), so distinct keys never
+    collide, minima are unique, and every estimate is one IEEE
+    division over exact integers — bit-identical on any engine
+    (q126 replays it in SQL).
+
+    Estimator: ndv ~ (k-1) * 2^32 / kth_min; exact count when a side
+    has fewer than k distinct keys (the sketch IS the set).
+    """
+    from ..functions.hashing import det_hash_long
+
+    def sketch(df, name):
+        return (
+            df.select(det_hash_long(key_col).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+            .select(F.col("hv").alias(name))
+        )
+
+    ska, skb = sketch(a, "ha"), sketch(b, "hb")
+    merged = (
+        ska.select(F.col("ha").alias("hv"))
+        .unionAll(skb.select(F.col("hb").alias("hv")))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+    in_both = (
+        merged.join(ska, merged["hv"] == ska["ha"], "left_semi")
+        .join(skb, F.col("hv") == skb["hb"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    M = float(1 << 32)
+
+    def est(cnt, mx):
+        return F.when(cnt < k, cnt.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(M) / mx
+        )
+
+    stats_a = ska.agg(F.count(F.lit(1)).alias("ca"), F.max("ha").alias("ma"))
+    stats_b = skb.agg(F.count(F.lit(1)).alias("cb"), F.max("hb").alias("mb"))
+    stats_m = merged.agg(
+        F.count(F.lit(1)).alias("cm"), F.max("hv").alias("mm")
+    )
+    return (
+        stats_a.crossJoin(stats_b)
+        .crossJoin(stats_m)
+        .crossJoin(in_both)
+        .select(
+            F.round(est(F.col("ca"), F.col("ma")), 4).alias("ndv_a_est"),
+            F.round(est(F.col("cb"), F.col("mb")), 4).alias("ndv_b_est"),
+            F.round(est(F.col("cm"), F.col("mm")), 4).alias("union_est"),
+            F.round(F.col("n_both") / F.col("cm"), 4).alias("jaccard_est"),
+            F.round(
+                (F.col("n_both") / F.col("cm")) * est(F.col("cm"), F.col("mm")),
+                4,
+            ).alias("intersection_est"),
+        )
     )

@@ -4689,6 +4689,8 @@ _DRIVER_PRIORITY.extend([
     "q122_local_supplier_volume",
     "q123_forecast_revenue_change",
     "q124_cms_heavy_hitters",
+    "q125_column_profile",
+    "q126_kmv_set_stats",
 ])
 
 
@@ -5264,3 +5266,109 @@ def q124_cms_heavy_hitters(spark, sf_dir):
         "cms_count",
         (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+_Q125_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "q125_column_profile",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count(*) AS n_rows,
+           CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           min({c}) AS min_val, max({c}) AS max_val,
+           round(avg({c}), 4) AS mean_val
+    FROM lineitem"""
+        for c in _Q125_COLS
+    ),
+    doc="ANALYZE-style column profiling (the stats a cost-based "
+    "optimizer ingests): per-column row/null/exact-NDV/min/max/mean "
+    "for lineitem's measure columns, all in ONE aggregation pass — "
+    "Catalyst plans the multi-distinct via a single Expand + "
+    "two-stage aggregate, so the table is scanned once no matter how "
+    "many columns are profiled (vs one scan per column in a naive "
+    "ANALYZE loop). Output unpivoted to (column, stats) rows.",
+    tags=("agg", "stats"),
+)
+def q125_column_profile(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _Q125_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.round(F.avg(c), 4).alias(f"__av_{c}"),
+        ]
+    row = li.agg(*aggs)
+    cols = F.array(*[
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_val"),
+            F.col(f"__mx_{c}").alias("max_val"),
+            F.col(f"__av_{c}").alias("mean_val"),
+        )
+        for c in _Q125_COLS
+    ])
+    return row.select(F.explode(cols).alias("p")).select("p.*")
+
+
+@register(
+    "q126_kmv_set_stats",
+    """
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    ska AS (SELECT (user_id * 2654435761) % 4294967296 AS hv
+            FROM a ORDER BY 1 LIMIT 64),
+    skb AS (SELECT (user_id * 2654435761) % 4294967296 AS hv
+            FROM b ORDER BY 1 LIMIT 64),
+    mrg AS (SELECT DISTINCT hv FROM
+              (SELECT hv FROM ska UNION ALL SELECT hv FROM skb)
+            ORDER BY 1 LIMIT 64),
+    sa AS (SELECT count(*) AS c, max(hv) AS m FROM ska),
+    sb AS (SELECT count(*) AS c, max(hv) AS m FROM skb),
+    sm AS (SELECT count(*) AS c, max(hv) AS m FROM mrg),
+    nb AS (SELECT count(*) AS c FROM mrg
+           WHERE hv IN (SELECT hv FROM ska)
+             AND hv IN (SELECT hv FROM skb))
+    SELECT
+      round(CASE WHEN sa.c < 64 THEN CAST(sa.c AS DOUBLE)
+                 ELSE 63.0 * 4294967296.0 / sa.m END, 4) AS ndv_a_est,
+      round(CASE WHEN sb.c < 64 THEN CAST(sb.c AS DOUBLE)
+                 ELSE 63.0 * 4294967296.0 / sb.m END, 4) AS ndv_b_est,
+      round(CASE WHEN sm.c < 64 THEN CAST(sm.c AS DOUBLE)
+                 ELSE 63.0 * 4294967296.0 / sm.m END, 4) AS union_est,
+      round(nb.c / CAST(sm.c AS DOUBLE), 4) AS jaccard_est,
+      round((nb.c / CAST(sm.c AS DOUBLE))
+            * CASE WHEN sm.c < 64 THEN CAST(sm.c AS DOUBLE)
+                   ELSE 63.0 * 4294967296.0 / sm.m END, 4)
+        AS intersection_est
+    FROM sa, sb, sm, nb
+    """,
+    doc="KMV (k-minimum-values) distinct sketch with SET ALGEBRA "
+    "(Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07): NDV "
+    "estimates for viewers, purchasers, their union, plus "
+    "Jaccard/intersection — from two 64-int64 sketches, no raw-set "
+    "join anywhere. Complements q118's HLL (counts only) — this is "
+    "how audience-overlap queries run at 100 TB. The Knuth hash is "
+    "a bijection mod 2^32, so minima are collision-free and every "
+    "estimate is one IEEE division over exact integers.",
+    tags=("agg", "sketch"),
+)
+def q126_kmv_set_stats(spark, sf_dir):
+    from .operators.sketch import kmv_set_stats
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_type") == "view").select("user_id")
+    b = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_stats(a, b, "user_id", k=64)

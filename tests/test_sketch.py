@@ -97,3 +97,30 @@ def test_cms_exact_when_wide(spark):
         sketch, df.select("k").distinct(), "k", width=4096, depth=3
     ).collect()}
     assert est == {i: i + 1 for i in range(30)}
+
+
+def test_kmv_set_stats_partial_overlap(spark):
+    from streaming_recommendation_spark.operators.sketch import kmv_set_stats
+
+    a = spark.createDataFrame([Row(k=i) for i in range(1000)])
+    b = spark.createDataFrame([Row(k=i) for i in range(500, 2000)])
+    r = kmv_set_stats(a, b, "k", k=64).collect()[0]
+    # truth: |A|=1000, |B|=1500, |A|B|=2000, J=500/2000=0.25
+    assert abs(r.ndv_a_est - 1000) / 1000 < 0.4   # k=64 -> ~12.5% sigma
+    assert abs(r.ndv_b_est - 1500) / 1500 < 0.4
+    assert abs(r.union_est - 2000) / 2000 < 0.4
+    assert 0.05 < r.jaccard_est < 0.5
+    assert 100 < r.intersection_est < 1000
+
+
+def test_kmv_exact_below_k(spark):
+    from streaming_recommendation_spark.operators.sketch import kmv_set_stats
+
+    a = spark.createDataFrame([Row(k=i) for i in range(10)])
+    b = spark.createDataFrame([Row(k=i) for i in range(5, 15)])
+    r = kmv_set_stats(a, b, "k", k=64).collect()[0]
+    # sketches ARE the sets: everything exact
+    assert r.ndv_a_est == 10.0 and r.ndv_b_est == 10.0
+    assert r.union_est == 15.0
+    assert abs(r.jaccard_est - 5 / 15) < 1e-4  # output rounds to 4dp
+    assert abs(r.intersection_est - 5.0) < 1e-9
