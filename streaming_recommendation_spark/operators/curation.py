@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import det_unit
+from ..functions.hashing import det_hash_str, det_unit
 from .dedup import normalize_text, shingle_table, word_shingles
 
 
@@ -255,8 +255,6 @@ BLOOM_WORD = 62  # usable bits per int64 word — the sign and top bit
 def _bloom_positions(shingle, k: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS):
     """k deterministic bit positions for a shingle: salted md5 hashes
     mod m_bits — replayable in any SQL engine."""
-    from ..functions.hashing import det_hash_str
-
     return [
         det_hash_str(F.concat(shingle, F.lit(f"#{i}"))) % F.lit(m_bits)
         for i in range(k)

@@ -748,6 +748,15 @@ def prefix_jaccard_pairs(
     shingles, then a verification join keyed on the candidate pair.
     No full-index self-join ever forms.
     """
+    # the shingle table feeds four plan legs (sizes, vocab, the
+    # prefix build, and both sides of the verification join).
+    # MEASURED tradeoff at sf0.1: leaving it lazy (exchange reuse
+    # dedupes the identical shuffles) beats checkpoint_partitioned
+    # materialization 3.3 s vs 3.7 s — recompute is cheaper than the
+    # write at local corpus scale, the same conclusion as
+    # similarity.semantic_dedup's persist experiment. At 100 TB,
+    # write the shingle table once (sources/layout.write_bucketed on
+    # "shingle") and pass it in pre-bucketed instead.
     sh = shingle_table(df, text_col, id_col, n, repartition=repartition)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     from pyspark.sql import Window

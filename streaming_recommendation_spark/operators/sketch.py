@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import det_hash_str
+from ..functions.hashing import det_hash_long, det_hash_str
 
 HASH_BITS = 32
 
@@ -120,8 +120,6 @@ def _cms_slots(key_col: str, width: int, depth: int):
     """array<struct<row,slot>> of a key's depth deterministic slots —
     ONE pass over the input builds every sketch row (a depth-way
     unionAll would rescan the stream per row)."""
-    from ..functions.hashing import det_hash_str
-
     return F.array(*[
         F.struct(
             F.lit(d).alias("row"),
@@ -208,11 +206,15 @@ def kmv_set_stats(
     division over exact integers — bit-identical on any engine
     (q126 replays it in SQL).
 
+    PRECONDITION: keys must lie in [0, 2^32) — the bijection (and
+    with it every claim above) breaks for keys congruent mod 2^32,
+    which would silently merge in the sketch. For 64-bit id spaces
+    (snowflake ids, >4B users) swap det_hash_long for a 64-bit
+    cross-engine hash before trusting the estimates.
+
     Estimator: ndv ~ (k-1) * 2^32 / kth_min; exact count when a side
     has fewer than k distinct keys (the sketch IS the set).
     """
-    from ..functions.hashing import det_hash_long
-
     def sketch(df, name):
         return (
             df.select(det_hash_long(key_col).alias("hv"))

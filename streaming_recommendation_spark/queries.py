@@ -564,7 +564,7 @@ def q19_clean_prices(spark, sf_dir):
     """
     WITH marked AS (
       SELECT user_id, ts,
-             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -4345,7 +4345,7 @@ def q107_dup_length_profile(spark, sf_dir):
     WITH marked AS (
       SELECT user_id, ts, value, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4473,8 +4473,12 @@ def _zorder_sql(cols: list[str], bits: int = 16) -> str:
     k = len(cols)
     for i, c in enumerate(cols):
         for b in range(bits):
+            m = 1 << bits
+            # pmod-equivalent: plain % is negative for negative inputs
+            # in ANSI SQL, Spark's pmod is not
             terms.append(
-                f"((({c} % {1 << bits}) // {1 << b}) % 2) * {1 << (b * k + i)}"
+                f"(((({c} % {m} + {m}) % {m}) // {1 << b}) % 2)"
+                f" * {1 << (b * k + i)}"
             )
     return "(" + "\n       + ".join(terms) + ")"
 
@@ -5028,11 +5032,14 @@ def q119_bloom_decontamination(spark, sf_dir):
     WITH pr AS (
       SELECT doc_id, n_chars,
              n_chars / ((((doc_id * 2654435761) % 4294967296) + 1)
-                        / 4294967296.0) AS priority
+                        / 4294967296.0) AS p_raw
       FROM documents
     )
-    SELECT doc_id, n_chars, round(priority, 6) AS priority
-    FROM pr ORDER BY priority DESC, doc_id ASC LIMIT 100
+    -- order by the RAW priority: aliasing the rounded value as
+    -- "priority" and ordering by it would tie-break on the rounded
+    -- figure while Spark's top_k_global orders unrounded
+    SELECT doc_id, n_chars, round(p_raw, 6) AS priority
+    FROM pr ORDER BY p_raw DESC, doc_id ASC LIMIT 100
     """,
     doc="Weighted sampling without replacement via PRIORITY SAMPLING "
     "(Duffield-Lund-Thorup, JACM 2007): priority = weight / u with u "
