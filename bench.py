@@ -134,6 +134,7 @@ HEADLINE = [
     # one-pass multi-column ANALYZE + KMV audience-overlap sketch
     "q125_column_profile",
     "q126_kmv_set_stats",
+    "q127_decayed_popularity",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4695,6 +4695,7 @@ _DRIVER_PRIORITY.extend([
     "q124_cms_heavy_hitters",
     "q125_column_profile",
     "q126_kmv_set_stats",
+    "q127_decayed_popularity",
 ])
 
 
@@ -5379,3 +5380,61 @@ def q126_kmv_set_stats(spark, sf_dir):
     a = ev.where(F.col("event_type") == "view").select("user_id")
     b = ev.where(F.col("event_type") == "purchase").select("user_id")
     return kmv_set_stats(a, b, "user_id", k=64)
+
+
+@register(
+    "q127_decayed_popularity",
+    """
+    WITH mx AS (SELECT max(o_orderdate) AS mo FROM orders),
+    w AS (
+      SELECT l_partkey,
+             1::BIGINT << (40 - least(CAST(date_diff('day', o_orderdate,
+                                           (SELECT mo FROM mx)) // 7
+                                           AS INT), 40)) AS wt
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), pop AS (
+      SELECT l_partkey, CAST(sum(wt) AS BIGINT) AS pop_scaled
+      FROM w GROUP BY 1
+    )
+    SELECT l_partkey, pop_scaled,
+           round(pop_scaled / 1099511627776.0, 8) AS popularity
+    FROM pop ORDER BY pop_scaled DESC, l_partkey ASC LIMIT 20
+    """,
+    doc="Recency-decayed item popularity (the candidate-generation "
+    "prior every recsys keeps warm): each purchase contributes "
+    "2^-age_weeks (weekly half-life), so a part's score halves per "
+    "idle week. EXACT-DYADIC decay: weights are integer-scaled "
+    "powers of two (shiftleft, age capped at 40 half-lives), so the "
+    "popularity sum is an exact BIGINT no matter the aggregation "
+    "order — no float pow(), no cross-engine drift — and one final "
+    "division restores the unit scale. One join + one groupBy + a "
+    "top-20 TakeOrderedAndProject; the max-date lookup is a 1-row "
+    "broadcast.",
+    tags=("agg", "topk", "analytics"),
+)
+def q127_decayed_popularity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("__mo"))
+    w = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "l_partkey",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT),"
+                " 40 - least(CAST(datediff(__mo, o_orderdate) div 7 AS INT),"
+                "            40))"
+            ).alias("wt"),
+        )
+    )
+    pop = w.groupBy("l_partkey").agg(F.sum("wt").alias("pop_scaled"))
+    return topk.top_k_global(
+        pop, 20, F.col("pop_scaled").desc(), F.col("l_partkey").asc()
+    ).select(
+        "l_partkey",
+        "pop_scaled",
+        F.round(F.col("pop_scaled") / F.lit(float(1 << 40)), 8).alias(
+            "popularity"
+        ),
+    )
