@@ -135,6 +135,7 @@ HEADLINE = [
     "q125_column_profile",
     "q126_kmv_set_stats",
     "q127_decayed_popularity",
+    "q128_event_transitions",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4696,6 +4696,7 @@ _DRIVER_PRIORITY.extend([
     "q125_column_profile",
     "q126_kmv_set_stats",
     "q127_decayed_popularity",
+    "q128_event_transitions",
 ])
 
 
@@ -5437,4 +5438,80 @@ def q127_decayed_popularity(spark, sf_dir):
         F.round(F.col("pop_scaled") / F.lit(float(1 << 40)), 8).alias(
             "popularity"
         ),
+    )
+
+
+@register(
+    "q128_event_transitions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    ), pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id, sid
+                                    ORDER BY ts, event_id) AS to_type
+      FROM sess
+    ), t AS (
+      SELECT from_type, to_type, count(*) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           round(n_transitions / sum(n_transitions)
+                   OVER (PARTITION BY from_type), 6) AS p_transition
+    FROM t
+    """,
+    doc="Within-session Markov transition matrix over event types "
+    "(the next-event prior behind sequence recommenders): 30-min "
+    "sessions (q20's gap rule), consecutive-pair counts, and "
+    "row-normalized transition probabilities. All windows user- or "
+    "session-keyed plus one 25-row normalization window; the "
+    "probability is a single rounded division over exact integer "
+    "counts.",
+    tags=("window", "agg", "analytics"),
+)
+def q128_event_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "__new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    w2 = Window.partitionBy("user_id", "__sid").orderBy("ts", "event_id")
+    pairs = sess.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w2).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    t = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wn = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wn), 6
+        ).alias("p_transition"),
     )
