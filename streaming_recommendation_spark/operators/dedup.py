@@ -446,6 +446,7 @@ def connected_components(
     src: str = "a",
     dst: str = "b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = the
     minimum node id of its connected component.
@@ -484,7 +485,9 @@ def connected_components(
     labels = (
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         # label each neighbor-list entry carries, then the per-node min
         msgs = (
             sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
@@ -510,7 +513,109 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 30,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star
+    rounds — component = the minimum node id, same contract as
+    ``connected_components``.
+
+    Kiveris et al., "Connected Components in MapReduce and Beyond"
+    (SoCC'14), Algorithm 2 (the Alternating algorithm):
+
+      * large-star(u): every neighbor v > u re-attaches to
+        m = min(N(u) + {u})              -> emit (v, m)
+      * small-star(u): orient edges to the larger endpoint; every
+        smaller neighbor AND u itself attach to m = min of the
+        smaller neighbors                -> emit (l, m) + (u, m)
+
+    Both steps preserve connectivity and monotonically shrink node
+    labels; the alternation converges in O(log^2 n) rounds on ANY
+    graph — including diameter-Theta(|V|) chains where min-label
+    propagation (``connected_components``) needs a round PER HOP.
+    tests/test_dedup.py pins exactly that: a 64-node chain resolves
+    in <=8 alternating rounds vs 60+ propagation rounds.
+
+    Scale notes: each half-step is one groupBy (min per node) plus
+    one co-keyed join — the same single-shuffle shape as a
+    propagation round, and the edge multiset never grows (large-star
+    emits only v>u edges, small-star only re-parents). Lineage is
+    truncated per round with ``localCheckpoint``. Use this variant
+    when cluster chains can be long (transitive near-dup chains,
+    entity resolution); ``connected_components`` keeps a better
+    constant factor for shallow LSH-cluster graphs.
+    """
+    # Parent-edge multiset, kept as distinct (u, v) pairs with u != v.
+    cur = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    # every node ever seen (components of isolated post-contraction
+    # roots are recovered at the end)
+    all_nodes = (
+        cur.select(F.col("u").alias("node"))
+        .union(cur.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iter):
+        rounds += 1
+        # -------- large-star: (v, m) for every neighbor v > u --------
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("__mn"))
+            .select("u", F.least("__mn", "u").alias("m"))
+        )
+        large = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # -------- small-star: orient to larger endpoint, re-parent ---
+        oriented = large.select(
+            F.greatest("u", "v").alias("g"), F.least("u", "v").alias("l")
+        )
+        smins = oriented.groupBy("g").agg(F.min("l").alias("m"))
+        small = (
+            oriented.join(smins, "g")
+            .where(F.col("l") != F.col("m"))
+            .select(F.col("l").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("g").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the round was a no-op (star edges reproduce
+        # themselves through both half-steps)
+        if small.count() == cur.count() and small.subtract(cur).count() == 0:
+            cur = small
+            break
+        cur = small
+    if stats is not None:
+        stats["rounds"] = rounds
+    # final edges are (child, root-min); roots/isolated map to self
+    return (
+        all_nodes.join(cur.withColumnRenamed("u", "node"), "node", "left")
+        .select(
+            "node", F.coalesce("v", "node").alias("component")
+        )
+    )
 
 
 def dedup_clusters(
@@ -767,7 +872,21 @@ def prefix_jaccard_pairs(
     # OWN shingles, so a doc-partitioned window over the joined
     # document frequencies suffices (shuffle keyed by doc, no
     # single-partition global sort anywhere).
-    pref_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    # prefix length p = s - ceil(t*s) + 1 in EXACT integer arithmetic:
+    # float ceil(lit(t)*s) can land one ULP above an exact-integer
+    # t*s and overshoot, shortening the prefix below the AllPairs
+    # bound (ADVICE r3). The decimal the caller wrote (str(threshold))
+    # becomes an exact rational num/den; ceil(num*s/den) is then
+    # (num*s + den - 1) div den — integer-exact in any engine.
+    from fractions import Fraction
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    pref_len = (
+        F.col("sz")
+        - F.expr(f"(({num} * sz + {den - 1}) div {den})")
+        + 1
+    )
     prefix = (
         sh.join(vocab, "shingle")
         .join(sizes, id_col)

@@ -54,8 +54,13 @@ def mmr_rerank(
     """
     if not 0 < lambda_num <= lambda_den:
         raise ValueError("need 0 < lambda_num <= lambda_den")
+    # derive id column types from the input instead of hardcoding
+    # long: string / int32 id columns would otherwise hit a runtime
+    # schema mismatch or silent coercion (ADVICE r3)
+    in_fields = {f.name: f.dataType.simpleString() for f in candidates.schema}
     out_schema = (
-        f"{user_col} long, {item_col} long, position int, mmr_score long"
+        f"{user_col} {in_fields[user_col]}, {item_col} {in_fields[item_col]}, "
+        "position int, mmr_score long"
     )
     comp = lambda_den - lambda_num
 
@@ -65,7 +70,12 @@ def mmr_rerank(
             [rel_col, item_col], ascending=[False, True]
         ).reset_index(drop=True)
         rel = pdf[rel_col].to_numpy(dtype=np.int64)
-        items = pdf[item_col].to_numpy(dtype=np.int64)
+        # keep the item ids in their native dtype (string ids etc.);
+        # ranking bookkeeping below is positional. item_rank is the
+        # item-ascending order as an int array so np.lexsort never
+        # sees a non-numeric dtype.
+        items = pdf[item_col].to_numpy()
+        item_rank = pdf[item_col].rank(method="dense").to_numpy(np.int64)
         vecs = np.array([np.asarray(v, dtype=np.int64) for v in pdf[vec_col]])
         n = len(pdf)
         kk = min(k, n)
@@ -88,7 +98,7 @@ def mmr_rerank(
             # position 0 that IS the tie-break; for later rounds equal
             # scores resolve to the larger-rel (then smaller-id) row,
             # so re-sort explicitly by (score desc, item asc):
-            order = np.lexsort((items, -cand_score))
+            order = np.lexsort((item_rank, -cand_score))
             best = order[0]
             picked[best] = True
             sel.append(best)

@@ -208,16 +208,31 @@ def kmv_set_stats(
 
     PRECONDITION: keys must lie in [0, 2^32) — the bijection (and
     with it every claim above) breaks for keys congruent mod 2^32,
-    which would silently merge in the sketch. For 64-bit id spaces
-    (snowflake ids, >4B users) swap det_hash_long for a 64-bit
-    cross-engine hash before trusting the estimates.
+    which would silently merge in the sketch. ENFORCED in-plan: an
+    out-of-range key raises at execution (map-side ``raise_error``,
+    no extra scan) instead of silently biasing every estimate
+    (ADVICE r3). For 64-bit id spaces (snowflake ids, >4B users)
+    swap det_hash_long for a 64-bit cross-engine hash.
 
     Estimator: ndv ~ (k-1) * 2^32 / kth_min; exact count when a side
     has fewer than k distinct keys (the sketch IS the set).
     """
     def sketch(df, name):
+        checked = F.when(
+            (F.col(key_col).cast("long") < 0)
+            | (F.col(key_col).cast("long") >= F.lit(1 << 32)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"kmv_set_stats: {key_col} outside [0, 2^32) "
+                        "breaks the hash bijection: "
+                    ),
+                    F.col(key_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col(key_col).cast("long"))
         return (
-            df.select(det_hash_long(key_col).alias("hv"))
+            df.select(det_hash_long(checked).alias("hv"))
             .distinct()
             .orderBy("hv")
             .limit(k)

@@ -2431,11 +2431,18 @@ def q56_inter_event_gaps(spark, sf_dir):
 
 @register(
     "q57_approx_distinct",
-    None,  # sketch implementations differ across engines by design;
-    # accuracy vs exact asserted in tests/test_oracle.py::test_approx_distinct
+    None,  # PERMANENTLY rows-only BY DESIGN: Spark's HLL++ register
+    # layout is engine-private, so no cross-engine oracle can replay
+    # it bit-for-bit. Verification is split across two twins instead:
+    # (a) the within-5%-of-exact accuracy invariant in
+    # tests/test_oracle.py::test_approx_distinct, and (b)
+    # q118_hll_distinct — the deterministic md5-register HyperLogLog
+    # (operators/sketch.py) computing the SAME distinct-users-per-
+    # event_type answer with a full DuckDB oracle. q118 is this
+    # query's driver-verified correctness twin.
     doc="approx_count_distinct (HLL++) per event_type; within-5%-of-"
-    "exact invariant tested.",
-    tags=("agg", "approx"),
+    "exact invariant tested; oracle-checked twin = q118_hll_distinct.",
+    tags=("agg", "approx", "oracle-twin:q118_hll_distinct"),
 )
 def q57_approx_distinct(spark, sf_dir):
     return (
@@ -4035,69 +4042,65 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-3 driver-gate prefix: the 50 registry queries with no green
-# CORRECTNESS row in rounds 1-2 (q20's oracle-type fix, this round's
-# new q94b/q103/q104, and everything past the r2 50-entry cutoff
-# except r1-green q49/q51). q57 (rows-only), q85 and q86 (shape-
-# duplicates of driver-green q23 / q03+q08+q11 window coverage) wait
-# for round 4.
+# Round-4 driver-gate prefix (VERDICT r3 action #1): every registry
+# query that has never had a driver-verified CORRECTNESS row —
+# q105-q128 (registered after the r3 prefix froze), the deliberately
+# deferred q85/q86, and this round's new q129 — then backfill the
+# OLDEST green rows (q49/q51 from r1, then q01-q22) to round out 50.
+# With this rotation cumulative driver coverage reaches every oracle-
+# bearing query; q57 stays rows-only by design (see its registry doc:
+# q118 is its oracle-checked deterministic twin).
 _DRIVER_PRIORITY.extend([
-    "q20_sessionization",
-    "q94b_duplicate_ngram_spans_occurrences",
-    "q103_cascade_lsh_recall",
-    "q104_exact_substring_dups",
-    "q45_lsh_knn",
-    "q46_train_data_etl",
-    "q47_ranking_metrics",
-    "q48_binary_metrics",
-    "q50_embedding_near_dups",
-    "q52_customer_order_outer",
-    "q53_distinct_suppliers_per_part",
-    "q54_string_functions",
-    "q55_running_revenue",
-    "q56_inter_event_gaps",
-    "q58_parts_above_avg_price",
-    "q59_orders_of_top_spenders",
-    "q60_cube_order_stats",
-    "q61_shipping_volume_between_nations",
-    "q62_region_market_share",
-    "q63_lineitems_by_quantity_band",
-    "q64_brand_revenue_ratio",
-    "q72_dedup_clusters",
-    "q73_ivf_kmeans_knn",
-    "q74_min_cost_supplier",
-    "q75_order_count_distribution",
-    "q76_important_parts",
-    "q77_top_revenue_supplier",
-    "q78_supplier_part_counts",
-    "q79_large_volume_orders",
-    "q80_disjunctive_revenue",
-    "q81_heavy_shippers_of_red_parts",
-    "q82_nation_year_profit",
-    "q83_returned_item_customers",
-    "q84_corpus_curation",
-    "q87_grouping_sets_events",
-    "q88_embedding_quantization",
-    "q89_decontamination",
-    "q90_repetition_filters",
-    "q91_domain_quota",
-    "q92_doc_chunking",
-    "q93_sequence_packing",
-    "q94_duplicate_ngram_spans",
-    "q95_unigram_rarity",
-    "q96_semantic_dedup",
-    "q97_bpe_merge_candidates",
-    "q98_importance_weights",
-    "q99_calibration_bins",
-    "q100_ewma_engagement",
-    "q101_image_phash",
-    "q102_pagerank",
-    # below the 50-entry driver cap this round (first rows expected in
-    # round 4): the BPE trainer/applier pair, then the rows-only and
-    # shape-duplicate deferrals
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",
     "q107_dup_length_profile",
+    "q108_session_windows",
+    "q109_triangle_counts",
+    "q110_bigram_rarity",
+    "q111_zorder_profile",
+    "q112_event_funnel",
+    "q113_cohort_retention",
+    "q114_mixing_weights",
+    "q115_mmr_rerank",
+    "q116_prefix_jaccard_dups",
+    "q117_histogram_quantiles",
+    "q118_hll_distinct",
+    "q119_bloom_decontamination",
+    "q120_priority_sample",
+    "q121_scd2_intervals",
+    "q122_local_supplier_volume",
+    "q123_forecast_revenue_change",
+    "q124_cms_heavy_hitters",
+    "q125_column_profile",
+    "q126_kmv_set_stats",
+    "q127_decayed_popularity",
+    "q128_event_transitions",
+    "q85_rollup_nation_year",
+    "q86_rank_battery",
+    "q129_largestar_components",
+    "q49_normalized_edges",
+    "q51_priority_with_late_lineitem",
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_customers_no_orders",
+    "q05_parts_in_lineitem",
+    "q06_distinct_users",
+    "q07_dedup_pairs",
+    "q08_top_active_users",
+    "q09_minmax_scaled_price",
+    "q10_user_histories",
+    "q11_last5_events",
+    "q12_asof_last_event",
+    "q13_range_join_counts",
+    "q14_sliding_window_samples",
+    "q15_p95_value_by_type",
+    "q16_hash_split_users",
+    "q17_activity_sampled_users",
+    "q18_negative_samples",
+    "q19_clean_prices",
+    "q21_hourly_event_counts",
+    "q22_part_degree",
 ])
 
 
@@ -4552,49 +4555,62 @@ def q111_zorder_profile(spark, sf_dir):
     """,
     doc="Sequential conversion funnel (view -> click -> purchase, "
     "each step within 24h of the previous step's FIRST qualifying "
-    "event). Three per-user conditional-min aggregations chained by "
-    "equi-joins — every shuffle keyed on user_id, so at scale the "
-    "three stages co-partition and AQE collapses the later joins "
-    "onto the first exchange; no window scan over the full event "
-    "stream is needed.",
-    tags=("agg", "join", "analytics"),
+    "event). SINGLE-PASS plan (ADVICE r3: the old three-legged union "
+    "re-scanned events ~6x): one scan, one user_id shuffle, then "
+    "three chained conditional-min WINDOWS over the same partition "
+    "key (no re-exchange between them — each stage's timestamp "
+    "feeds the next stage's predicate inside the same partition), "
+    "a per-user rollup, and a stack() unpivot of one 3-counter row. "
+    "The oracle keeps the independent chained-join derivation.",
+    tags=("agg", "window", "analytics"),
 )
 def q112_event_funnel(spark, sf_dir):
+    from pyspark.sql import Window
+
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-
-    def step(prev, etype):
-        return (
-            ev.where(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .where(
-                (F.col("ts") >= F.col("t"))
-                & (F.col("ts") <= F.expr("t + interval 24 hours"))
-            )
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "t_v",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
         )
-
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t"))
+        .withColumn(
+            "t_c",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("t_v"))
+                    & (F.col("ts") <= F.expr("t_v + interval 24 hours")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_p",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t_c"))
+                    & (F.col("ts") <= F.expr("t_c + interval 24 hours")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = step(v, "click")
-    p = step(c, "purchase")
-    counts = [
-        df.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(stage).alias("stage"), "n_users"
-        )
-        for df, stage in [
-            (v, "1_view"),
-            (c, "2_click_within_24h"),
-            (p, "3_purchase_within_24h"),
-        ]
-    ]
-    out = counts[0]
-    for x in counts[1:]:
-        out = out.unionAll(x)
-    return out
+    per_user = staged.groupBy("user_id").agg(
+        F.first("t_v").alias("t_v"),
+        F.first("t_c").alias("t_c"),
+        F.first("t_p").alias("t_p"),
+    )
+    counters = per_user.agg(
+        F.count("t_v").alias("nv"),
+        F.count("t_c").alias("nc"),
+        F.count("t_p").alias("np"),
+    )
+    return counters.selectExpr(
+        "stack(3, '1_view', nv, '2_click_within_24h', nc, "
+        "'3_purchase_within_24h', np) AS (stage, n_users)"
+    )
 
 
 @register(
@@ -4675,29 +4691,8 @@ def q114_mixing_weights(spark, sf_dir):
     )
 
 
-_DRIVER_PRIORITY.extend([
-    "q108_session_windows",
-    "q109_triangle_counts",
-    "q110_bigram_rarity",
-    "q111_zorder_profile",
-    "q112_event_funnel",
-    "q113_cohort_retention",
-    "q114_mixing_weights",
-    "q115_mmr_rerank",
-    "q116_prefix_jaccard_dups",
-    "q117_histogram_quantiles",
-    "q118_hll_distinct",
-    "q119_bloom_decontamination",
-    "q120_priority_sample",
-    "q121_scd2_intervals",
-    "q122_local_supplier_volume",
-    "q123_forecast_revenue_change",
-    "q124_cms_heavy_hitters",
-    "q125_column_profile",
-    "q126_kmv_set_stats",
-    "q127_decayed_popularity",
-    "q128_event_transitions",
-])
+# (round-4: q108-q128 moved into the single authoritative prefix
+# above; non-priority queries follow registration order.)
 
 
 def _mmr_oracle(k: int = 5, n_users: int = 20, topk: int = 10) -> str:
@@ -5514,4 +5509,60 @@ def q128_event_transitions(spark, sf_dir):
         F.round(
             F.col("n_transitions") / F.sum("n_transitions").over(wn), 6
         ).alias("p_transition"),
+    )
+
+
+@register(
+    "q129_largestar_components",
+    """
+    WITH RECURSIVE lagged AS (
+      SELECT c_custkey AS b,
+             lag(c_custkey) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS a
+      FROM customer
+    ),
+    edges AS (SELECT a, b FROM lagged WHERE a IS NOT NULL),
+    sym AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION SELECT b, a FROM edges
+    ),
+    reach(u, r) AS (
+      SELECT u, v AS r FROM sym
+      UNION
+      SELECT s.u, reach.r FROM sym s JOIN reach ON reach.u = s.v
+    )
+    SELECT c.c_custkey AS node,
+           coalesce(m.comp, c.c_custkey) AS component
+    FROM customer c
+    LEFT JOIN (SELECT u, least(min(r), u) AS comp FROM reach GROUP BY u) m
+      ON m.u = c.c_custkey
+    """,
+    doc="Connected components via the ALTERNATING large-star/small-star "
+    "algorithm (Kiveris et al., SoCC'14) — O(log^2 n) rounds on ANY "
+    "graph, vs the O(diameter) min-label propagation behind q72. The "
+    "input graph is ADVERSARIAL for propagation by construction: "
+    "consecutive custkeys within each nation form ~25 long chains "
+    "(diameter ~ |V|/25), which the alternation resolves in <=8 rounds "
+    "where propagation would need one round per hop "
+    "(tests/test_dedup.py::test_star_beats_propagation_on_chains pins "
+    "the round counts). Oracle: transitive closure by recursive CTE "
+    "over the same lag-derived edges — independent of the algorithm. "
+    "Each half-step is one min-groupBy plus one co-keyed join "
+    "(single-shuffle), and the edge multiset never grows, so round "
+    "cost is bounded by the input edge count at any scale.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q129_largestar_components(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = cust.select(
+        F.col("c_custkey").alias("b"), F.lag("c_custkey").over(w).alias("a")
+    ).where(F.col("a").isNotNull())
+    labels = dedup.connected_components_star(edges, src="a", dst="b")
+    return (
+        cust.select(F.col("c_custkey").alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
     )

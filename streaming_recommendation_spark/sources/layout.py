@@ -185,6 +185,13 @@ def write_zordered(
     what makes the parquet footer stats selective for predicates on
     ANY of the interleaved columns (asserted against a row-order
     baseline in tests/test_layout.py).
+
+    NULL handling: a z-order column that is entirely NULL has no
+    min/max and raises ``ValueError`` (clustering on it is a caller
+    bug); rows with a NULL in any z-order column get quantized cell
+    0 for that column — they cluster at the low end of the curve
+    rather than producing NULL Morton keys that all collapse into
+    one pseudo-file (ADVICE r3).
     """
     from pyspark.sql import functions as F
 
@@ -197,12 +204,20 @@ def write_zordered(
     qcols = []
     for c in zorder_cols:
         lo, hi = stats[f"lo_{c}"], stats[f"hi_{c}"]
+        if lo is None or hi is None:
+            raise ValueError(
+                f"z-order column {c!r} is entirely NULL — it carries no "
+                "ordering information; drop it from zorder_cols"
+            )
         span = (hi - lo) or 1.0
         qc = f"__q_{c}"
         quantized = quantized.withColumn(
             qc,
-            F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * grid).cast(
-                "long"
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * grid
+                ).cast("long"),
+                F.lit(0),
             ),
         )
         qcols.append(qc)

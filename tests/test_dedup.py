@@ -204,6 +204,80 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_star_components_match_propagation(spark):
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # same fixture as the propagation test: chain, triangle, pair
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a", "b"],
+    )
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == want
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_star_beats_propagation_on_chains(spark):
+    """The VERDICT-r3 gap: min-label propagation needs one round PER
+    HOP, so a diameter-63 chain blows past practical round budgets;
+    the alternating large-star/small-star rounds (Kiveris et al.)
+    resolve it in O(log^2 n) — single digits here."""
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["a", "b"]
+    )
+    star_stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain, stats=star_stats).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+    assert star_stats["rounds"] <= 8, star_stats
+
+    prop_stats: dict = {}
+    prop = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            chain, max_iter=12, stats=prop_stats
+        ).collect()
+    }
+    # propagation spent its full 12-round budget and STILL hasn't
+    # converged (labels move one hop per round on a chain)
+    assert prop_stats["rounds"] == 12
+    assert prop != got
+    assert star_stats["rounds"] < prop_stats["rounds"]
+
+
+def test_star_components_isolated_nodes_and_self_loops(spark):
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    # self-loop only node 5; normal pair (7, 8)
+    edges = spark.createDataFrame([(5, 5), (7, 8)], ["a", "b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    # self-loop edges are dropped, so 5 never enters the node set —
+    # same contract as connected_components (nodes come from edges)
+    assert got == {7: 7, 8: 7}
+
+
 def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
     from streaming_recommendation_spark.operators.dedup import dedup_clusters
 

@@ -276,3 +276,27 @@ def test_write_zordered_prunes_both_columns(spark, tmp_path):
     # z-order: materially tighter than 1.0 on BOTH columns
     assert z["l_partkey"] < 0.5
     assert z["l_suppkey"] < 0.5
+
+
+def test_write_zordered_null_column_handling(spark, tmp_path):
+    """ADVICE r3: an all-NULL z-order column raises (no ordering
+    info); partially-NULL columns map NULL rows to cell 0 instead of
+    producing NULL Morton keys."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.sources.layout import write_zordered
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"),
+        F.lit(None).cast("long").alias("all_null"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("some_null"),
+    )
+    with _pytest.raises(ValueError, match="entirely NULL"):
+        write_zordered(df, str(tmp_path / "z1"), ["x", "all_null"], num_files=2)
+
+    # partial NULLs: write succeeds and every row survives round-trip
+    write_zordered(df, str(tmp_path / "z2"), ["x", "some_null"], num_files=2)
+    back = spark.read.parquet(str(tmp_path / "z2"))
+    assert back.count() == 100
+    assert back.where(F.col("some_null").isNull()).count() == 10

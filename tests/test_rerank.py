@@ -98,3 +98,26 @@ def test_mmr_negative_similarity_not_clamped(spark):
     # scores: 11 -> 7*96 - 3*0 = 672 ; 12 -> 7*90 - 3*(-100) = 930
     assert [r.item_id for r in rows] == [10, 12]
     assert rows[1].mmr_score == 930
+
+
+def test_mmr_string_ids_schema_derived(spark):
+    """ADVICE r3: output id types must follow the input schema, not a
+    hardcoded long — string user/item ids round-trip unchanged."""
+    df = spark.createDataFrame(
+        [
+            ("u1", "itemA", 100, [10, 0]),
+            ("u1", "itemB", 90, [10, 0]),
+            ("u1", "itemC", 80, [0, 10]),
+        ],
+        "user_id string, item_id string, rel long, qvec array<int>",
+    )
+    out = mmr_rerank(df, k=2).collect()
+    assert {f.name: f.dataType.simpleString() for f in
+            mmr_rerank(df, k=2).schema} == {
+        "user_id": "string", "item_id": "string",
+        "position": "int", "mmr_score": "bigint",
+    }
+    by_pos = {r.position: r for r in out}
+    assert by_pos[1].item_id == "itemA" and by_pos[1].user_id == "u1"
+    # diversity: itemC (orthogonal) beats near-clone itemB at pos 2
+    assert by_pos[2].item_id == "itemC"

@@ -124,3 +124,19 @@ def test_kmv_exact_below_k(spark):
     assert r.union_est == 15.0
     assert abs(r.jaccard_est - 5 / 15) < 1e-4  # output rounds to 4dp
     assert abs(r.intersection_est - 5.0) < 1e-9
+
+
+def test_kmv_rejects_out_of_range_keys(spark):
+    """ADVICE r3: keys outside [0, 2^32) break the hash bijection —
+    the sketch must fail loudly, not silently merge congruent keys."""
+    import pytest
+
+    from streaming_recommendation_spark.operators.sketch import kmv_set_stats
+
+    a = spark.createDataFrame([Row(k=1), Row(k=(1 << 32) + 1)])
+    b = spark.createDataFrame([Row(k=2)])
+    with pytest.raises(Exception, match="kmv_set_stats"):
+        kmv_set_stats(a, b, "k", k=8).collect()
+    neg = spark.createDataFrame([Row(k=-5)])
+    with pytest.raises(Exception, match="kmv_set_stats"):
+        kmv_set_stats(neg, b, "k", k=8).collect()
