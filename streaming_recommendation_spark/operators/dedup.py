@@ -624,6 +624,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     src: str = "a",
     dst: str = "b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Resolve near-dup candidate PAIRS into duplicate CLUSTERS:
     (doc_id, cluster_id, is_canonical) for EVERY document.
@@ -634,8 +635,18 @@ def dedup_clusters(
     minimum doc id (deterministic, so an oracle can replay it);
     is_canonical marks the kept representative. Docs in no pair are
     their own singleton cluster.
+
+    ``algorithm``: "propagation" (min-label, O(diameter) rounds —
+    best constant factor on shallow LSH-cluster graphs) or "star"
+    (alternating large-star/small-star, O(log^2 n) rounds — use when
+    transitive chains can be long, e.g. entity resolution).
     """
-    cc = connected_components(pairs, src, dst)
+    if algorithm == "star":
+        cc = connected_components_star(pairs, src, dst)
+    elif algorithm == "propagation":
+        cc = connected_components(pairs, src, dst)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return (
         df.select(id_col)
         .join(cc, F.col(id_col) == F.col("node"), "left")

@@ -262,6 +262,53 @@ def test_star_beats_propagation_on_chains(spark):
     assert star_stats["rounds"] < prop_stats["rounds"]
 
 
+@pytest.mark.parametrize("seed", [7, 91])
+def test_star_components_match_union_find_bruteforce(spark, seed):
+    """Randomized parity: the distributed star rounds must agree with
+    a driver-side union-find on arbitrary graphs (mixed chain/star/
+    clique shapes arise naturally from random edges)."""
+    import random
+
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(70)
+    ]
+    # driver-side union-find ground truth
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    touched = set()
+    for a, b in edges:
+        if a != b:
+            touched.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in touched}
+    # component id must be the minimum member: path-compress fully
+    comp_min: dict = {}
+    for x in touched:
+        comp_min.setdefault(find(x), set()).add(x)
+    want = {x: min(comp_min[find(x)]) for x in touched}
+
+    df = spark.createDataFrame(edges, ["a", "b"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df).collect()
+    }
+    assert got == want
+
+
 def test_star_components_isolated_nodes_and_self_loops(spark):
     from streaming_recommendation_spark.operators.dedup import (
         connected_components_star,
@@ -298,6 +345,11 @@ def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
     # the transitive member 3 landed with 1 even though (1,3) was
     # never an LSH candidate pair
     assert {r["doc_id"] for r in by_cluster[1]} == {1, 2, 3}
+    # the star algorithm resolves identical clusters
+    star_rows = dedup_clusters(docs, pairs, algorithm="star").collect()
+    assert sorted(map(tuple, star_rows)) == sorted(map(tuple, rows))
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        dedup_clusters(docs, pairs, algorithm="bogus")
 
 
 def test_duplicate_ngram_spans_full_and_zero_coverage(spark, docs):

@@ -633,7 +633,23 @@ def test_q111_zorder_single_agg_shuffle(run):
 
 def test_q112_funnel_user_keyed_only(run):
     a = run("q112_event_funnel")
-    # chained per-user conditional-min stages: no BNL, no cartesian
+    # SINGLE-PASS (ADVICE r3): exactly one events scan feeding the
+    # three chained conditional-min windows — the old three-legged
+    # union re-scanned events ~6x
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", a["plan"])) == 1
+    # no joins at all anymore; one user_id exchange drives windows +
+    # partial-agg rollup, then the scalar stack()
+    assert a["bnl_joins"] == 0
+    assert a["n_broadcast_joins"] == 0 and a["n_sortmerge_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q129_star_components_no_cartesian(run):
+    a = run("q129_largestar_components")
+    # the star rounds are min-groupBy + equi-join only; any
+    # cartesian/BNL means an orientation predicate was lost
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
 
