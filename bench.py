@@ -176,6 +176,9 @@ def main() -> None:
 
     qs = queries()
     timings: dict[str, float] = {}
+    # fail fast on a short-id collision BEFORE burning the ~100 s run
+    shorts = {n.split("_", 1)[0] for n in HEADLINE}
+    assert len(shorts) == len(HEADLINE), "short query ids must be unique"
     ordered = [n for n in HEADLINE if n in ITERATIVE] + [
         n for n in HEADLINE if n not in ITERATIVE
     ]
@@ -209,7 +212,6 @@ def main() -> None:
             fh, indent=1,
         )
     short = {n.split("_", 1)[0]: t for n, t in timings.items()}
-    assert len(short) == len(timings), "short query ids must be unique"
     # the one-line summary is the LAST stdout line (driver contract)
     print(
         json.dumps(

@@ -554,6 +554,15 @@ def connected_components_star(
     entity resolution); ``connected_components`` keeps a better
     constant factor for shallow LSH-cluster graphs.
     """
+    # every node ever seen — INCLUDING nodes whose only edges are
+    # self-loops, so the node universe matches connected_components
+    # (self-loops carry no connectivity but do introduce the node)
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     # Parent-edge multiset, kept as distinct (u, v) pairs with u != v.
     cur = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -561,16 +570,11 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    # every node ever seen (components of isolated post-contraction
-    # roots are recovered at the end)
-    all_nodes = (
-        cur.select(F.col("u").alias("node"))
-        .union(cur.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     rounds = 0
+    converged = cur.count() == 0
     for _ in range(max_iter):
+        if converged:
+            break
         rounds += 1
         # -------- large-star: (v, m) for every neighbor v > u --------
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -605,8 +609,20 @@ def connected_components_star(
         # themselves through both half-steps)
         if small.count() == cur.count() and small.subtract(cur).count() == 0:
             cur = small
+            converged = True
             break
         cur = small
+    if not converged:
+        # mid-contraction `cur` can hold SEVERAL parents per child —
+        # returning it would silently fan the final join out into
+        # conflicting (node, component) rows. With O(log^2 n)
+        # convergence, exhausting max_iter means something is deeply
+        # wrong (or max_iter was set absurdly low) — fail loudly.
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter (the alternation needs O(log^2 n) "
+            "rounds, so this indicates a pathological input)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # final edges are (child, root-min); roots/isolated map to self
@@ -887,11 +903,15 @@ def prefix_jaccard_pairs(
     # float ceil(lit(t)*s) can land one ULP above an exact-integer
     # t*s and overshoot, shortening the prefix below the AllPairs
     # bound (ADVICE r3). The decimal the caller wrote (str(threshold))
-    # becomes an exact rational num/den; ceil(num*s/den) is then
+    # becomes a rational num/den; ceil(num*s/den) is then
     # (num*s + den - 1) div den — integer-exact in any engine.
+    # limit_denominator bounds num so num*sz stays far from int64
+    # even for thresholds like 2/3 whose repr yields a 16-digit
+    # numerator (it recovers the intended 2/3 exactly); num <= 10^6
+    # keeps num*sz exact for any sz < 9*10^12 shingles.
     from fractions import Fraction
 
-    frac = Fraction(str(threshold))
+    frac = Fraction(str(threshold)).limit_denominator(1_000_000)
     num, den = frac.numerator, frac.denominator
     pref_len = (
         F.col("sz")

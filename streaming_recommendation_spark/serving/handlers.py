@@ -46,43 +46,21 @@ from ..functions.hashing import KNUTH, MOD32
 from ..operators.history import collect_history
 
 
-class ReplayService:
-    def __init__(
-        self,
-        behavior: DataFrame,
-        kv: dict[str, str] | None = None,
-        max_history: int = 50,
-        fanout_min: int = 30,
-        fanout_max: int = 60,
-        collect_depth: int | None = -1,
-    ):
-        if collect_depth == -1:
-            collect_depth = 4 * max_history
-        hist = collect_history(
-            behavior, "user_id", "timestamp", "item_id", max_len=collect_depth
-        ).collect()
-        # serving index: user -> ([ts...], [item...]) time-sorted
-        self.index = {
-            r.user_id: (
-                [h["ts"] for h in r.history],
-                [h["item"] for h in r.history],
-            )
-            for r in hist
-        }
-        self.users = sorted(self.index)
-        self.kv = kv if kv is not None else {}
-        self.max_history = max_history
-        self.fanout_min = fanout_min
-        self.fanout_max = fanout_max
+class _ServingCore:
+    """Shared handler logic for both lookup strategies. Subclasses
+    establish ``kv``, ``users``, ``max_history``, ``fanout_min``,
+    ``fanout_max`` in ``__init__`` and implement ``recent_history``;
+    everything else (fan-out, profile send, recommendation lookup) is
+    strategy-independent."""
+
+    kv: dict[str, str]
+    users: list
+    max_history: int
+    fanout_min: int
+    fanout_max: int
 
     def recent_history(self, user_id: str, timestamp: int) -> list[str]:
-        """bisect_right parity with the reference (inclusive ts <= T,
-        last max_history items)."""
-        if user_id not in self.index:
-            return []
-        tss, items = self.index[user_id]
-        idx = bisect.bisect_right(tss, timestamp)
-        return [str(x) for x in items[max(0, idx - self.max_history) : idx]]
+        raise NotImplementedError
 
     def _fanout_users(self, seed_key: str) -> list[str]:
         """Deterministic replacement for the reference's random 30-60
@@ -138,6 +116,48 @@ class ReplayService:
         }
 
 
+class ReplayService(_ServingCore):
+    """Collected-mode service: the bounded driver-side per-user index
+    (see module docstring for the collect_depth contract)."""
+
+    def __init__(
+        self,
+        behavior: DataFrame,
+        kv: dict[str, str] | None = None,
+        max_history: int = 50,
+        fanout_min: int = 30,
+        fanout_max: int = 60,
+        collect_depth: int | None = -1,
+    ):
+        if collect_depth == -1:
+            collect_depth = 4 * max_history
+        hist = collect_history(
+            behavior, "user_id", "timestamp", "item_id", max_len=collect_depth
+        ).collect()
+        # serving index: user -> ([ts...], [item...]) time-sorted
+        self.index = {
+            r.user_id: (
+                [h["ts"] for h in r.history],
+                [h["item"] for h in r.history],
+            )
+            for r in hist
+        }
+        self.users = sorted(self.index)
+        self.kv = kv if kv is not None else {}
+        self.max_history = max_history
+        self.fanout_min = fanout_min
+        self.fanout_max = fanout_max
+
+    def recent_history(self, user_id: str, timestamp: int) -> list[str]:
+        """bisect_right parity with the reference (inclusive ts <= T,
+        last max_history items)."""
+        if user_id not in self.index:
+            return []
+        tss, items = self.index[user_id]
+        idx = bisect.bisect_right(tss, timestamp)
+        return [str(x) for x in items[max(0, idx - self.max_history) : idx]]
+
+
 def build_kv_history_index(
     behavior: DataFrame,
     sink,
@@ -174,6 +194,12 @@ def build_kv_history_index(
     posexplode into snapshots — no driver collect anywhere; KV volume
     is O(events x max_history) strings, the standard serving-cache
     materialization.
+
+    Contract: ``ts_col`` must be an integer epoch (the reference's
+    key format embeds it verbatim and the version lists are bisected
+    as JSON numbers); convert timestamp columns with
+    ``unix_timestamp``/``epoch_us`` first, and probe with the same
+    unit.
     """
     if collect_depth == -1:
         collect_depth = 4 * max_history
@@ -212,8 +238,13 @@ def build_kv_history_index(
             F.array_distinct(F.transform(F.col("history"), lambda h: h["ts"]))
         ).alias("value"),
     )
+    # pool keeps the NATIVE id type (ints stay JSON numbers): the
+    # collected mode sorts native ids, so a string-cast pool would
+    # fan out to different users for numeric ids (lexicographic
+    # '10' < '2') and `u != user_id` would never match — breaking
+    # the documented response parity
     pool = (
-        hist.select(F.col(user_col).cast("string").alias("u"))
+        hist.select(F.col(user_col).alias("u"))
         .orderBy("u")
         .limit(pool_size)
         .agg(F.to_json(F.sort_array(F.collect_list("u"))).alias("value"))
@@ -225,13 +256,16 @@ def build_kv_history_index(
     )
 
 
-class KvReplayService(ReplayService):
-    """``ReplayService`` with the per-user history index EXTERNALIZED
+class KvReplayService(_ServingCore):
+    """Serving handlers with the per-user history index EXTERNALIZED
     to the KV store (built by :func:`build_kv_history_index`). Driver
     memory is O(pool_size) + O(one response) regardless of user count
     — the collected mode's O(users x collect_depth) ceiling is gone.
-    Handlers are inherited; only the history lookup changes (two KV
-    GETs). Responses are identical to the collected mode
+    History lookup is two KV GETs (version list + one snapshot);
+    recommendation lookup prefers a ``recommendation_versions:{u}``
+    version list (two GETs) when the recommendation writer maintains
+    one, falling back to the reference-parity key scan otherwise.
+    Responses are identical to the collected mode
     (tests/test_serving.py::test_kv_mode_matches_collected_mode).
     """
 
@@ -242,8 +276,6 @@ class KvReplayService(ReplayService):
         fanout_min: int = 30,
         fanout_max: int = 60,
     ):
-        # deliberately NOT calling super().__init__ — no behavior
-        # DataFrame, no driver-side index
         self.kv = kv
         pool = kv.get("serving:user_pool")
         self.users = json.loads(pool) if pool else []
@@ -262,8 +294,30 @@ class KvReplayService(ReplayService):
         snap = self.kv.get(f"user_profile:{user_id}:{versions[idx - 1]}")
         return json.loads(snap) if snap else []
 
+    def get_recommendation(self, user_id: str, timestamp: int) -> dict:
+        """Two-GET path when ``recommendation_versions:{u}`` exists:
+        the scan fallback iterates EVERY key, and after
+        build_kv_history_index the store holds O(events) profile
+        snapshots — a full keyspace walk per request is the exact
+        driver-shaped cost this class removes for history."""
+        vraw = self.kv.get(f"recommendation_versions:{user_id}")
+        if vraw is None:
+            return super().get_recommendation(user_id, timestamp)
+        versions = json.loads(vraw)
+        idx = bisect.bisect_right(versions, timestamp)
+        if idx == 0:
+            return {"user_id": user_id, "recommendation": [], "timestamp": None}
+        ts = versions[idx - 1]
+        return {
+            "user_id": user_id,
+            "timestamp": ts,
+            "recommendation": json.loads(
+                self.kv[f"recommendation_result:{user_id}:{ts}"]
+            ),
+        }
 
-def build_app(service: ReplayService):
+
+def build_app(service: _ServingCore):
     """Import-gated FastAPI wrapper with the reference's routes."""
     try:
         from fastapi import FastAPI  # type: ignore[import-not-found]

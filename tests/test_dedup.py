@@ -294,12 +294,9 @@ def test_star_components_match_union_find_bruteforce(spark, seed):
             ra, rb = find(a), find(b)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
+    # union-by-min keeps the smaller root, so find(x) IS the
+    # component minimum
     want = {x: find(x) for x in touched}
-    # component id must be the minimum member: path-compress fully
-    comp_min: dict = {}
-    for x in touched:
-        comp_min.setdefault(find(x), set()).add(x)
-    want = {x: min(comp_min[find(x)]) for x in touched}
 
     df = spark.createDataFrame(edges, ["a", "b"])
     got = {
@@ -311,6 +308,7 @@ def test_star_components_match_union_find_bruteforce(spark, seed):
 
 def test_star_components_isolated_nodes_and_self_loops(spark):
     from streaming_recommendation_spark.operators.dedup import (
+        connected_components,
         connected_components_star,
     )
 
@@ -320,9 +318,34 @@ def test_star_components_isolated_nodes_and_self_loops(spark):
         r["node"]: r["component"]
         for r in connected_components_star(edges).collect()
     }
-    # self-loop edges are dropped, so 5 never enters the node set —
-    # same contract as connected_components (nodes come from edges)
-    assert got == {7: 7, 8: 7}
+    # self-loops carry no connectivity but DO introduce the node —
+    # the node universe must match connected_components exactly
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == want == {5: 5, 7: 7, 8: 7}
+
+
+def test_star_components_raises_on_exhausted_rounds(spark):
+    """Mid-contraction edge sets can hold conflicting parents; on
+    max_iter exhaustion the operator must fail loudly rather than
+    return duplicate (node, component) rows."""
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(63)], ["a", "b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(chain, max_iter=2).collect()
+    # an empty / all-self-loop edge set converges in zero rounds
+    loops = spark.createDataFrame([(1, 1), (2, 2)], ["a", "b"])
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(loops, stats=stats).collect()
+    }
+    assert got == {1: 1, 2: 2} and stats["rounds"] == 0
 
 
 def test_dedup_clusters_keeps_one_canonical_per_cluster(spark):
@@ -501,6 +524,34 @@ def test_prefix_jaccard_matches_inverted_index(spark):
         for r in prefix_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert full == pref and len(full) > 0
+
+
+def test_prefix_jaccard_repeating_decimal_threshold(spark):
+    """threshold=2/3 reprs to a 16-digit numerator; the exact-integer
+    prefix arithmetic must recover the intended rational (via
+    limit_denominator) instead of overflowing num*sz — and stay
+    lossless vs the inverted index."""
+    from fractions import Fraction
+
+    from streaming_recommendation_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_jaccard_pairs,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    assert Fraction(str(2 / 3)).limit_denominator(1_000_000) == Fraction(2, 3)
+    docs = load_table(spark, "documents", SF_DIR)
+    full = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(docs, threshold=2 / 3).collect()
+    }
+    pref = {
+        (r.a, r.b): round(r.jaccard, 9)
+        for r in prefix_jaccard_pairs(docs, threshold=2 / 3).collect()
+    }
+    assert full == pref
 
 
 def test_prefix_jaccard_synthetic_prunes_but_keeps(spark):

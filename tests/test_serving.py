@@ -171,3 +171,66 @@ def test_kv_mode_driver_memory_is_pool_bounded(spark, tmp_path):
     assert len(svc.users) == 8  # pool-bounded, not user-count-bounded
     # history lookups still exact for users outside the pool
     assert svc.recent_history("u040", 1040) == ["i40"]
+
+
+def test_kv_mode_numeric_ids_parity(spark, tmp_path):
+    """Numeric user/item ids: the fan-out pool must keep the NATIVE
+    id type (lexicographic '10' < '2' would reorder the pool and
+    str-vs-int comparison would break target-user exclusion)."""
+    from streaming_recommendation_spark.serving import (
+        KvReplayService,
+        build_kv_history_index,
+    )
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    rows = [
+        Row(user_id=u, item_id=u * 1000 + i, timestamp=1000 + i * 10)
+        for u in [1, 2, 10, 11]
+        for i in range(4)
+    ]
+    behavior = spark.createDataFrame(rows)
+    collected = ReplayService(
+        behavior, max_history=3, fanout_min=2, fanout_max=3
+    )
+    assert collected.users == [1, 2, 10, 11]  # native numeric sort
+    sink = JsonlDirSink(str(tmp_path / "kvnum"))
+    build_kv_history_index(behavior, sink, max_history=3)
+    kv_svc = KvReplayService(
+        sink.read_all(), max_history=3, fanout_min=2, fanout_max=3
+    )
+    assert kv_svc.users == [1, 2, 10, 11]
+    for u in [1, 2, 10, 11, 99]:
+        for t in [999, 1000, 1015, 1030, 9999]:
+            assert kv_svc.recent_history(u, t) == collected.recent_history(
+                u, t
+            ), (u, t)
+    assert collected.send_profiles(10, 1025) == kv_svc.send_profiles(10, 1025)
+    new1 = {k for k in collected.kv if k.endswith(":1025")}
+    new2 = {k for k in kv_svc.kv if k.endswith(":1025")}
+    assert new1 == new2
+
+
+def test_kv_recommendation_versions_fast_path(spark, tmp_path):
+    """With a recommendation_versions list the kv service answers in
+    two GETs and must agree with the scan fallback / collected mode."""
+    from streaming_recommendation_spark.serving import KvReplayService
+
+    store = {
+        "recommendation_result:u9:100": json.dumps(["x"]),
+        "recommendation_result:u9:200": json.dumps(["y", "z"]),
+        "recommendation_versions:u9": json.dumps([100, 200]),
+    }
+    svc = KvReplayService(dict(store), max_history=3)
+    # fallback-only twin (no versions list)
+    scan_store = {k: v for k, v in store.items() if "versions" not in k}
+    scan_svc = KvReplayService(scan_store, max_history=3)
+    for t in [50, 100, 150, 200, 999]:
+        assert svc.get_recommendation("u9", t) == scan_svc.get_recommendation(
+            "u9", t
+        )
+    assert svc.get_recommendation("u9", 150) == {
+        "user_id": "u9", "timestamp": 100, "recommendation": ["x"],
+    }
+    assert svc.get_recommendation("u9", 50) == {
+        "user_id": "u9", "recommendation": [], "timestamp": None,
+    }
