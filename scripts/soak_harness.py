@@ -1,0 +1,81 @@
+"""File-stream soak: measured throughput of the full ingest pipeline
+(parse -> watermark dedup -> versioned KV writes on executors)
+WITHOUT a Kafka broker — the broker leg itself stays untested in this
+container (no broker binary / connector jars; see BASELINE.md).
+
+This measures everything DOWNSTREAM of the source: the reference's
+own >= 50 profiles/sec target covers Kafka -> parse -> Redis, and the
+parse/dedup/sink stages are the compute; a real broker adds network
+ingress, not plan work. The number is labeled as harness throughput,
+never as the broker soak. Run:
+  python scripts/soak_harness.py [n_messages] [n_files]
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(n: int, n_files: int) -> None:
+    from streaming_recommendation_spark.session import get_spark
+    from streaming_recommendation_spark.streaming.pipeline import profile_pipeline
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    spark = get_spark(app_name="soak-harness")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_ts = 1_700_000_000
+    work = tempfile.mkdtemp(prefix="soak_")
+    msg_dir = f"{work}/msgs"
+    import os
+
+    os.makedirs(msg_dir)
+    per = n // n_files
+    # distinct (user, ts) pairs so the watermark dedup keeps all n —
+    # the sink write count then audits end-to-end delivery
+    for f in range(n_files):
+        with open(f"{msg_dir}/batch{f:04d}.txt", "w") as fh:
+            for i in range(per):
+                k = f * per + i
+                fh.write(
+                    json.dumps(
+                        {
+                            "user_id": f"u{k % 5000}",
+                            "history_items": [f"i{k % 97}", f"i{(k + 1) % 97}"],
+                            "timestamp": base_ts + k,
+                        }
+                    )
+                    + "\n"
+                )
+    total = per * n_files
+    sink = JsonlDirSink(f"{work}/kv")
+    raw = spark.readStream.text(msg_dir)
+    t0 = time.perf_counter()
+    q = profile_pipeline(raw, sink, checkpoint_dir=f"{work}/ckpt")
+    q.awaitTermination(600)
+    wall = time.perf_counter() - t0
+    written = len(sink.read_all())
+    shutil.rmtree(work, ignore_errors=True)
+    assert written == total, (written, total)
+    print(
+        json.dumps(
+            {
+                "metric": "harness_profiles_per_sec",
+                "value": round(total / wall, 1),
+                "unit": "profiles/sec",
+                "n_profiles": total,
+                "wall_sec": round(wall, 2),
+                "note": "file-stream harness (no broker): parse+dedup+sink only",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    nf = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    main(n, nf)

@@ -681,7 +681,8 @@ def test_q116_prefix_jaccard_no_full_index_join(spark):
 
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    pref_len = F.col("sz") - F.ceil(F.lit(0.8) * F.col("sz")) + 1
+    # same exact-integer prefix bound the operator uses (t = 4/5)
+    pref_len = F.col("sz") - F.expr("((4 * sz + 4) div 5)") + 1
     prefix_rows = (
         sh.join(vocab, "shingle")
         .join(sizes, "doc_id")
