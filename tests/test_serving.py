@@ -234,3 +234,51 @@ def test_kv_recommendation_versions_fast_path(spark, tmp_path):
     assert svc.get_recommendation("u9", 50) == {
         "user_id": "u9", "recommendation": [], "timestamp": None,
     }
+
+
+def test_kv_mode_on_real_events_table(spark, tmp_path):
+    """Integration on the driver's events table: timestamp columns
+    convert to integer epochs (the documented ts_col contract), and
+    the kv mode stays response-identical to the collected mode on
+    real long-typed ids at real scale."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.serving import (
+        KvReplayService,
+        build_kv_history_index,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    from .conftest import SF_DIR
+
+    behavior = load_table(spark, "events", SF_DIR).select(
+        "user_id",
+        F.unix_timestamp("ts").alias("timestamp"),
+        F.col("event_id").alias("item_id"),
+    )
+    collected = ReplayService(behavior, max_history=5, fanout_min=2, fanout_max=3)
+    sink = JsonlDirSink(str(tmp_path / "kvev"))
+    build_kv_history_index(behavior, sink, max_history=5)
+    kv_svc = KvReplayService(
+        sink.read_all(), max_history=5, fanout_min=2, fanout_max=3
+    )
+    assert kv_svc.users == collected.users  # native long ids, same order
+
+    lo, hi = behavior.agg(
+        F.min("timestamp"), F.max("timestamp")
+    ).first()
+    probe_ts = [lo - 1, lo, (lo + hi) // 2, hi, hi + 100]
+    users = collected.users[:10] + [-1]
+    n_checked = 0
+    for u in users:
+        for t in probe_ts:
+            assert kv_svc.recent_history(u, t) == collected.recent_history(
+                u, t
+            ), (u, t)
+            n_checked += 1
+    assert n_checked == 55
+    # handler-level parity on a real user at a mid-stream instant
+    mid = (lo + hi) // 2
+    u0 = collected.users[0]
+    assert collected.send_profiles(u0, mid) == kv_svc.send_profiles(u0, mid)
