@@ -56,8 +56,17 @@ def main(n: int, n_files: int) -> None:
     raw = spark.readStream.text(msg_dir)
     t0 = time.perf_counter()
     q = profile_pipeline(raw, sink, checkpoint_dir=f"{work}/ckpt")
-    q.awaitTermination(600)
+    finished = q.awaitTermination(600)
     wall = time.perf_counter() - t0
+    if not finished:
+        # stop BEFORE tearing down dirs under a live query, and make
+        # the failure read as what it is (timeout, not data loss)
+        q.stop()
+        shutil.rmtree(work, ignore_errors=True)
+        raise RuntimeError(
+            f"soak did not finish within 600 s ({total} messages); "
+            "reduce n_messages or raise the timeout"
+        )
     written = len(sink.read_all())
     shutil.rmtree(work, ignore_errors=True)
     assert written == total, (written, total)

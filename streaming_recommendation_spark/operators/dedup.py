@@ -545,9 +545,10 @@ def connected_components_star(
     Each round additionally applies a pointer-jump (Shiloach-Vishkin
     shortcutting: re-point every edge to its target's own minimum
     parent), which halves tree heights and cuts measured round
-    counts ~2x on chain graphs. tests/test_dedup.py pins exactly
-    that: a 64-node chain resolves in <=8 rounds (vs 60+ propagation
-    rounds), per-nation 600-chains in 6.
+    counts ~2x on chain graphs. tests/test_dedup.py pins a 64-node
+    chain resolving in <=8 rounds (vs 60+ propagation rounds); the
+    600-node per-nation chains of q129 measured 11 -> 6 rounds with
+    the jump (bench note, NOTES_ROUND5.md).
 
     Scale notes: each half-step is one groupBy (min per node) plus
     one co-keyed join — the same single-shuffle shape as a

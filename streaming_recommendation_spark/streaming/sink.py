@@ -32,9 +32,19 @@ class JsonlDirSink:
 
     def write_pairs(self, pairs: Iterable[tuple[str, str]]) -> None:
         import json
+        import time
 
         os.makedirs(self.path, exist_ok=True)
-        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        # monotonic ns prefix so read_all's filename sort resolves
+        # last-write-wins in WRITE order across batches — a pure
+        # random uuid name made cross-batch upserts of the same key
+        # pick a nondeterministic winner (within a batch each key is
+        # written by exactly one partition, so intra-batch ties can't
+        # happen). Real Redis SET has true last-write semantics; the
+        # test double must too.
+        fname = os.path.join(
+            self.path, f"part-{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
+        )
         buf = [json.dumps({"key": k, "value": v}) for k, v in pairs]
         if buf:
             with open(fname, "w") as f:

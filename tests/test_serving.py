@@ -282,3 +282,49 @@ def test_kv_mode_on_real_events_table(spark, tmp_path):
     mid = (lo + hi) // 2
     u0 = collected.users[0]
     assert collected.send_profiles(u0, mid) == kv_svc.send_profiles(u0, mid)
+
+
+def test_kv_index_incremental_affected_user_rebuild(spark, tmp_path):
+    """Incremental maintenance pattern: when a delta of new events
+    arrives, rebuilding the index for AFFECTED USERS ONLY (semi-join
+    filter) over the idempotent last-write-wins store yields the
+    same kv state as a full rebuild — no touch of unaffected users'
+    keys, no global recompute."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.serving import build_kv_history_index
+    from streaming_recommendation_spark.streaming.sink import JsonlDirSink
+
+    old = [
+        Row(user_id=u, item_id=f"{u}-i{i}", timestamp=1000 + i * 10)
+        for u in ["a", "b", "c"]
+        for i in range(3)
+    ]
+    delta = [Row(user_id="b", item_id="b-new", timestamp=2000)]
+    full = spark.createDataFrame(old + delta)
+
+    # ground truth: full rebuild over everything
+    s_full = JsonlDirSink(str(tmp_path / "kv_full"))
+    build_kv_history_index(full, s_full, max_history=3, pool_size=2)
+    want = s_full.read_all()
+
+    # incremental: initial build on old, then affected-users-only
+    # rebuild from the updated full table
+    s_inc = JsonlDirSink(str(tmp_path / "kv_inc"))
+    build_kv_history_index(spark.createDataFrame(old), s_inc, max_history=3,
+                           pool_size=2)
+    affected = spark.createDataFrame(delta).select("user_id").distinct()
+    build_kv_history_index(
+        full.join(affected, "user_id", "left_semi"),
+        s_inc,
+        max_history=3,
+        pool_size=2,
+    )
+    got = s_inc.read_all()
+    # the incremental pass rewrites the (tiny, bounded) pool key too;
+    # with pool_size=2 the affected-only pool would shrink to the
+    # delta's users — a full-pool refresh stays a separate cheap pass
+    # at scale, so compare everything EXCEPT the pool key
+    want.pop("serving:user_pool")
+    got.pop("serving:user_pool")
+    assert got == want
