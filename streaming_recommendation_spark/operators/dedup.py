@@ -513,6 +513,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent truncation would split one real cluster into several
+        # cluster_ids (multiple "canonical" survivors) — the same
+        # loud-failure contract as connected_components_star. Chains
+        # deeper than max_iter are exactly what the star variant is
+        # for.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(min-label propagation needs one round per hop of graph "
+            "diameter); raise max_iter or use connected_components_star / "
+            "dedup_clusters(algorithm='star') for long-chain graphs"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     return labels.select("node", F.col("label").alias("component"))
@@ -576,7 +588,8 @@ def connected_components_star(
         .localCheckpoint()
     )
     rounds = 0
-    converged = cur.count() == 0
+    cur_count = cur.count()
+    converged = cur_count == 0
     for _ in range(max_iter):
         if converged:
             break
@@ -632,12 +645,15 @@ def connected_components_star(
             .localCheckpoint()
         )
         # converged when the round was a no-op (star edges reproduce
-        # themselves through both half-steps)
-        if small.count() == cur.count() and small.subtract(cur).count() == 0:
+        # themselves through both half-steps); cur's count is carried
+        # from the previous round — no job re-launch
+        small_count = small.count()
+        if small_count == cur_count and small.subtract(cur).count() == 0:
             cur = small
             converged = True
             break
         cur = small
+        cur_count = small_count
     if not converged:
         # mid-contraction `cur` can hold SEVERAL parents per child —
         # returning it would silently fan the final join out into

@@ -265,8 +265,14 @@ class KvReplayService(_ServingCore):
     recommendation lookup prefers a ``recommendation_versions:{u}``
     version list (two GETs) when the recommendation writer maintains
     one, falling back to the reference-parity key scan otherwise.
-    Responses are identical to the collected mode
-    (tests/test_serving.py::test_kv_mode_matches_collected_mode).
+    Responses are identical to the collected mode PROVIDED the user
+    count fits ``pool_size`` (tests/test_serving.py::
+    test_kv_mode_matches_collected_mode); beyond that the fan-out
+    universe is deliberately the bounded pool — the collected mode's
+    all-user list is exactly the driver-memory ceiling this class
+    removes — so fan-out picks (and only fan-out picks) can differ.
+    Point-in-time history and recommendation responses are identical
+    at any scale.
     """
 
     def __init__(
@@ -305,16 +311,21 @@ class KvReplayService(_ServingCore):
             return super().get_recommendation(user_id, timestamp)
         versions = json.loads(vraw)
         idx = bisect.bisect_right(versions, timestamp)
-        if idx == 0:
-            return {"user_id": user_id, "recommendation": [], "timestamp": None}
-        ts = versions[idx - 1]
-        return {
-            "user_id": user_id,
-            "timestamp": ts,
-            "recommendation": json.loads(
-                self.kv[f"recommendation_result:{user_id}:{ts}"]
-            ),
-        }
+        # a listed version can lack its result key (TTL'd result, or
+        # the writer updated the list before the result landed) —
+        # degrade to the next-older version like a store scan would,
+        # never KeyError
+        while idx > 0:
+            ts = versions[idx - 1]
+            raw = self.kv.get(f"recommendation_result:{user_id}:{ts}")
+            if raw is not None:
+                return {
+                    "user_id": user_id,
+                    "timestamp": ts,
+                    "recommendation": json.loads(raw),
+                }
+            idx -= 1
+        return {"user_id": user_id, "recommendation": [], "timestamp": None}
 
 
 def build_app(service: _ServingCore):

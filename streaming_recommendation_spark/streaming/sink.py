@@ -35,13 +35,17 @@ class JsonlDirSink:
         import time
 
         os.makedirs(self.path, exist_ok=True)
-        # monotonic ns prefix so read_all's filename sort resolves
+        # wall-clock ns prefix so read_all's filename sort resolves
         # last-write-wins in WRITE order across batches — a pure
         # random uuid name made cross-batch upserts of the same key
         # pick a nondeterministic winner (within a batch each key is
         # written by exactly one partition, so intra-batch ties can't
         # happen). Real Redis SET has true last-write semantics; the
-        # test double must too.
+        # test double must too. time_ns is wall-clock, not strictly
+        # monotonic: an NTP step-back between batches could still
+        # reorder — acceptable for a same-machine test double whose
+        # batches are seconds apart (monotonic_ns has per-process
+        # epochs, useless across executor processes).
         fname = os.path.join(
             self.path, f"part-{time.time_ns():020d}-{uuid.uuid4().hex}.jsonl"
         )

@@ -248,18 +248,14 @@ def test_star_beats_propagation_on_chains(spark):
     assert got == {i: 0 for i in range(64)}
     assert star_stats["rounds"] <= 8, star_stats
 
-    prop_stats: dict = {}
-    prop = {
-        r["node"]: r["component"]
-        for r in connected_components(
-            chain, max_iter=12, stats=prop_stats
-        ).collect()
-    }
-    # propagation spent its full 12-round budget and STILL hasn't
-    # converged (labels move one hop per round on a chain)
-    assert prop_stats["rounds"] == 12
-    assert prop != got
-    assert star_stats["rounds"] < prop_stats["rounds"]
+    # propagation moves labels one hop per round, so a 12-round
+    # budget on a diameter-63 chain CANNOT converge — and rather than
+    # silently returning a split cluster it now fails loudly
+    # (agreement of the two algorithms when both converge is pinned
+    # by test_star_components_match_propagation and the union-find
+    # parity tests)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=12)
 
 
 @pytest.mark.parametrize("seed", [7, 91])

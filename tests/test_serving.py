@@ -328,3 +328,28 @@ def test_kv_index_incremental_affected_user_rebuild(spark, tmp_path):
     want.pop("serving:user_pool")
     got.pop("serving:user_pool")
     assert got == want
+
+
+def test_kv_recommendation_missing_result_degrades(spark):
+    """A listed version whose result key is absent (TTL'd / partial
+    write) must degrade to the next-older version, never KeyError."""
+    from streaming_recommendation_spark.serving import KvReplayService
+
+    svc = KvReplayService(
+        {
+            "recommendation_versions:u9": json.dumps([100, 200]),
+            "recommendation_result:u9:100": json.dumps(["x"]),
+            # :200 result missing
+        },
+        max_history=3,
+    )
+    assert svc.get_recommendation("u9", 250) == {
+        "user_id": "u9", "timestamp": 100, "recommendation": ["x"],
+    }
+    # all results missing -> empty response
+    bare = KvReplayService(
+        {"recommendation_versions:u9": json.dumps([100])}, max_history=3
+    )
+    assert bare.get_recommendation("u9", 250) == {
+        "user_id": "u9", "recommendation": [], "timestamp": None,
+    }
