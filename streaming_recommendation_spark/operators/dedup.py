@@ -486,7 +486,12 @@ def connected_components(
         sym.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
     rounds = 0
-    for _ in range(max_iter):
+    # max_iter + 1: detecting the fixpoint costs one extra
+    # changed==0 confirmation round after the last label actually
+    # moves, so a graph converging in exactly max_iter propagation
+    # rounds must not be charged for the confirmation (ADVICE r4 —
+    # previously the effective budget was max_iter - 1).
+    for _ in range(max_iter + 1):
         rounds += 1
         # label each neighbor-list entry carries, then the per-node min
         msgs = (
@@ -590,7 +595,11 @@ def connected_components_star(
     rounds = 0
     cur_count = cur.count()
     converged = cur_count == 0
-    for _ in range(max_iter):
+    # max_iter + 1 for the same reason as connected_components: the
+    # no-op detection fires one round AFTER the last productive
+    # contraction, and that confirmation round must not be charged
+    # against the budget (ADVICE r4).
+    for _ in range(max_iter + 1):
         if converged:
             break
         rounds += 1
@@ -984,9 +993,14 @@ def prefix_jaccard_pairs(
         pa.join(pb, "shingle")
         .where(
             (F.col("a") < F.col("b"))
-            # length filter: t*max(sz) <= min(sz) is necessary for J >= t
-            & (F.lit(threshold) * F.greatest("sz_a", "sz_b")
-               <= F.least("sz_a", "sz_b"))
+            # length filter: t*max(sz) <= min(sz) is necessary for
+            # J >= t — stated with the SAME num/den rational as the
+            # prefix bound (num*max <= den*min) so one exact
+            # threshold governs prefix, length filter, and verify
+            # (ADVICE r4: float t here vs rational t in the prefix
+            # were two slightly different numbers).
+            & (F.lit(num) * F.greatest("sz_a", "sz_b")
+               <= F.lit(den) * F.least("sz_a", "sz_b"))
         )
         .select("a", "b", "sz_a", "sz_b")
         .distinct()
@@ -1003,6 +1017,12 @@ def prefix_jaccard_pairs(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
-        .where(F.col("jaccard") >= threshold)
+        # verify in the same exact rational arithmetic as the prefix
+        # bound: inter/union >= num/den <=> den*inter >= num*union
+        # (union > 0). One threshold, three stages (ADVICE r4).
+        .where(
+            F.lit(den) * F.col("inter")
+            >= F.lit(num) * (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .select("a", "b", "jaccard")
     )

@@ -209,28 +209,43 @@ def kmv_set_stats(
     PRECONDITION: keys must lie in [0, 2^32) — the bijection (and
     with it every claim above) breaks for keys congruent mod 2^32,
     which would silently merge in the sketch. ENFORCED in-plan: an
-    out-of-range key raises at execution (map-side ``raise_error``,
-    no extra scan) instead of silently biasing every estimate
-    (ADVICE r3). For 64-bit id spaces (snowflake ids, >4B users)
-    swap det_hash_long for a 64-bit cross-engine hash.
+    out-of-range or non-castable (cast-to-NULL) key raises at
+    execution (map-side ``raise_error``, no extra scan) instead of
+    silently biasing every estimate (ADVICE r3, r4). NULL keys are
+    EXCLUDED before sketching — COUNT(DISTINCT) semantics — so they
+    can neither raise nor enter the minima. For 64-bit id spaces
+    (snowflake ids, >4B users) swap det_hash_long for a 64-bit
+    cross-engine hash.
 
     Estimator: ndv ~ (k-1) * 2^32 / kth_min; exact count when a side
     has fewer than k distinct keys (the sketch IS the set).
     """
     def sketch(df, name):
+        # NULLs excluded up front (COUNT(DISTINCT) semantics); after
+        # the filter a NULL cast can only mean a non-castable key, so
+        # the guard covers it — previously a non-numeric string cast
+        # to NULL, made the range predicate NULL, and fell through to
+        # the otherwise branch into the sketch (ADVICE r4).
+        df = df.where(F.col(key_col).isNotNull())
+        # try_cast (not cast): under ANSI mode a malformed string
+        # would throw inside cast itself with a generic message;
+        # try_cast -> NULL routes it into the guard's raise_error so
+        # the failure names the operator and the offending value.
+        cast_key = F.col(key_col).try_cast("long")
         checked = F.when(
-            (F.col(key_col).cast("long") < 0)
-            | (F.col(key_col).cast("long") >= F.lit(1 << 32)),
+            cast_key.isNull()
+            | (cast_key < 0)
+            | (cast_key >= F.lit(1 << 32)),
             F.raise_error(
                 F.concat(
                     F.lit(
-                        f"kmv_set_stats: {key_col} outside [0, 2^32) "
-                        "breaks the hash bijection: "
+                        f"kmv_set_stats: {key_col} non-castable or "
+                        "outside [0, 2^32) breaks the hash bijection: "
                     ),
                     F.col(key_col).cast("string"),
                 )
             ).cast("long"),
-        ).otherwise(F.col(key_col).cast("long"))
+        ).otherwise(cast_key)
         return (
             df.select(det_hash_long(checked).alias("hv"))
             .distinct()

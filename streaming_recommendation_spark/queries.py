@@ -4824,7 +4824,7 @@ def q115_mmr_rerank(spark, sf_dir):
     FROM inter
     JOIN sizes sa ON sa.doc_id = a
     JOIN sizes sb ON sb.doc_id = b
-    WHERE n_inter / (sa.sz + sb.sz - n_inter) >= 0.8
+    WHERE 5 * n_inter >= 4 * (sa.sz + sb.sz - n_inter)
     """,
     doc="Same exact semantics as q36 (3-gram Jaccard >= 0.8 pairs) "
     "computed with PREFIX FILTERING (AllPairs, Bayardo et al. "

@@ -571,3 +571,36 @@ def test_prefix_jaccard_synthetic_prunes_but_keeps(spark):
     assert set(out) == {(1, 2)}
     # 2-gram shingles: doc1/doc2 share 4 of 5 each -> J = 4/6
     assert abs(out[(1, 2)] - 4 / 6) < 1e-9
+
+
+def test_components_exact_budget_convergence(spark):
+    """ADVICE r4: the changed==0 confirmation round must not be
+    charged against max_iter — a graph converging in exactly
+    max_iter propagation rounds succeeds, for both algorithms."""
+    from streaming_recommendation_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # chain 0-1-...-6: min-label propagation moves one hop per round,
+    # so the fixpoint needs exactly 6 (= diameter) productive rounds
+    chain = spark.createDataFrame([(i, i + 1) for i in range(6)], ["a", "b"])
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=6, stats=stats).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
+
+    # star variant: measure the productive round count, then re-run
+    # with max_iter set to exactly that — must not raise
+    probe: dict = {}
+    connected_components_star(chain, stats=probe).collect()
+    tight: dict = {}
+    got2 = {
+        r["node"]: r["component"]
+        for r in connected_components_star(
+            chain, max_iter=probe["rounds"], stats=tight
+        ).collect()
+    }
+    assert got2 == {i: 0 for i in range(7)}

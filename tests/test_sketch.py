@@ -140,3 +140,32 @@ def test_kmv_rejects_out_of_range_keys(spark):
     neg = spark.createDataFrame([Row(k=-5)])
     with pytest.raises(Exception, match="kmv_set_stats"):
         kmv_set_stats(neg, b, "k", k=8).collect()
+
+
+def test_kmv_null_and_noncastable_keys(spark):
+    """ADVICE r4: NULL keys are excluded (COUNT(DISTINCT) semantics)
+    and a non-null key that casts to NULL (non-numeric string) raises
+    — previously both made the range guard predicate NULL and slipped
+    into the sketch as NULL minima."""
+    import pytest
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from streaming_recommendation_spark.operators.sketch import kmv_set_stats
+
+    int_schema = StructType([StructField("k", IntegerType(), True)])
+    a = spark.createDataFrame([(1,), (2,), (None,), (3,)], int_schema)
+    b = spark.createDataFrame([(2,), (None,), (3,), (4,)], int_schema)
+    r = kmv_set_stats(a, b, "k", k=64).collect()[0]
+    # NULLs excluded: A={1,2,3}, B={2,3,4}, exact below k
+    assert r.ndv_a_est == 3.0 and r.ndv_b_est == 3.0
+    assert r.union_est == 4.0
+    assert abs(r.intersection_est - 2.0) < 1e-9
+
+    str_schema = StructType([StructField("k", StringType(), True)])
+    bad = spark.createDataFrame([("7",), ("not-a-number",)], str_schema)
+    ok = spark.createDataFrame([("9",)], str_schema)
+    with pytest.raises(Exception, match="kmv_set_stats"):
+        kmv_set_stats(bad, ok, "k", k=8).collect()
+    # castable strings are fine (and NULL-free after exclusion)
+    r2 = kmv_set_stats(ok, ok, "k", k=8).collect()[0]
+    assert r2.ndv_a_est == 1.0 and r2.union_est == 1.0
