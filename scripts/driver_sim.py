@@ -2,7 +2,9 @@
 queries() entry vs its oracle_sql() (row count + schema + canonical
 value compare), plus a pandas-dtype-kind parity check (the driver
 hashes through pandas). Writes SELFCHECK.json. Run:
-  python scripts/driver_sim.py [sf_dir] [out_json]
+  python scripts/driver_sim.py [sf_dir] [out_json] [--only q105,q106]
+(--only: comma-separated name prefixes; skips SELFCHECK rewrite unless
+ every query runs)
 """
 from __future__ import annotations
 
@@ -39,7 +41,7 @@ def canon_rows(columns, rows):
     return sorted((tuple(canon(r[i]) for i in order) for r in rows), key=repr)
 
 
-def main(sf_dir, out_path):
+def main(sf_dir, out_path, only=None):
     spark = get_spark(app_name="driver-sim")
     smoke = E.entry(spark).collect()
     print(f"entry smoke: {len(smoke)} rows", flush=True)
@@ -53,7 +55,12 @@ def main(sf_dir, out_path):
     oracles = E.oracle_sql()
     out = {}
     n_bad = 0
-    for name, fn in E.queries().items():
+    selected = {
+        name: fn
+        for name, fn in E.queries().items()
+        if only is None or any(name.startswith(p) for p in only)
+    }
+    for name, fn in selected.items():
         rec = {"rows_match": None, "schema_match": None, "hash_match": None,
                "dtype_match": None, "spark_rows": None, "oracle_rows": None,
                "err": None}
@@ -93,12 +100,22 @@ def main(sf_dir, out_path):
         print(f"{name}: {'OK' if ok else 'FAIL ' + str({k: v for k, v in rec.items() if v not in (True, None)})}",
               flush=True)
         out[name] = rec
-    json.dump(out, open(out_path, "w"), indent=1)
-    print(f"done: {len(out)} queries, {n_bad} failing -> {out_path}", flush=True)
+    if only is None:
+        json.dump(out, open(out_path, "w"), indent=1)
+        dest = out_path
+    else:
+        dest = "(subset run, SELFCHECK not rewritten)"
+    print(f"done: {len(out)} queries, {n_bad} failing -> {dest}", flush=True)
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out = sys.argv[2] if len(sys.argv) > 2 else "SELFCHECK.json"
-    raise SystemExit(main(sf, out))
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        args = args[:i] + args[i + 2:]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out = args[1] if len(args) > 1 else "SELFCHECK.json"
+    raise SystemExit(main(sf, out, only))

@@ -112,34 +112,147 @@ def learn_bpe(
     min_freq: int = 2,
     repartition: int | bool | None = None,
     return_counts: bool = False,
+    batch_size: int = 64,
+    strategy: str = "exact",
+    stats: dict | None = None,
 ) -> list[tuple[str, str]] | list[tuple[str, str, int]]:
-    """Exact BPE training: returns the ranked merge list
-    [(a, b), ...] (or [(a, b, weighted_count), ...] with
-    ``return_counts``). Stops early when the best pair's weighted
-    count drops below ``min_freq``. Each round costs one vocab-table
-    pass + one driver row (the argmax) — the driver never holds the
-    vocab.
+    """BPE training: returns the ranked merge list [(a, b), ...] (or
+    [(a, b, weighted_count), ...] with ``return_counts``). Stops
+    early when the best pair's weighted count drops below
+    ``min_freq``.
+
+    BATCHED merge selection (``batch_size`` candidates per round):
+    one merge per Spark job caps the trainer at toy vocab sizes — a
+    real 32k-merge vocab would mean 32k pair-count jobs plus a
+    checkpoint each. Each round collects the top ``batch_size``
+    candidate rows (count desc, pair asc — still one TakeOrdered,
+    driver holds <= batch_size rows, never the vocab) and accepts
+    several per round. Two strategies:
+
+    ``strategy="exact"`` (default) accepts a PREFIX of the candidate
+    list that is PROVABLY identical to running Sennrich's greedy
+    loop one merge at a time:
+
+      * accept candidates in rank order while they are pairwise
+        symbol-DISJOINT — applying a merge cannot change the count of
+        any pair sharing no symbol with it, so each accepted
+        candidate's count is exactly what sequential recomputation
+        would see;
+      * STOP at the first overlap / end of the list, and retain only
+        accepted candidates whose count is STRICTLY greater than the
+        stopping candidate's count (``stop_cnt``). Every non-accepted
+        pair has count <= stop_cnt, counts of existing pairs only
+        decrease under merging, and a pair newly created by an
+        accepted (non-self) merge inherits count <= some existing
+        overlapping pair's count <= stop_cnt — so each retained
+        candidate strictly dominates every other pair at its
+        sequential step, tie-breaks never fire, and batched output ==
+        sequential output (pinned by test_bpe.py parity vs the
+        pure-Python Sennrich reference, batch_size 1 vs 64);
+      * a SELF-pair merge (a, a) closes the batch after itself: its
+        odd-run leftovers create pairs like (aa, a) whose counts are
+        NOT bounded by any pre-existing non-accepted pair, so nothing
+        after it may be batch-accepted this round;
+      * the round's rank-1 candidate is always retained (it IS the
+        sequential argmax), guaranteeing progress.
+
+    Exact batching wins only where top counts are strictly separated;
+    in tie-dense regimes (char-stage natural text) it degenerates
+    toward one merge per round — strict greedy order is inherently
+    sequential there (measured: 89 merges in 78 rounds on the sf0.01
+    documents corpus, NOTES_ROUND5.md).
+
+    ``strategy="parallel"`` is the standard parallel-BPE
+    approximation for production vocab builds: accept EVERY
+    pairwise-disjoint candidate in the top-``batch_size`` (skip
+    overlapping ones and keep scanning), so rounds ~
+    num_merges / batch_size. It is deterministic and lossless but
+    deliberately NOT order-equivalent to Sennrich's sequential
+    greedy — a skipped overlapping pair whose count only partially
+    decayed, or a pair newly created mid-batch, can outrank a
+    batched candidate under sequential recomputation (driver-side
+    experiment: 200/200 random corpora diverge, NOTES_ROUND5.md) —
+    the divergence trades merge ORDER, not segmentation
+    losslessness or vocab quality (token-count inflation vs exact:
+    measured 5.5% at a tiny 40-merge budget, shrinking toward 0 as
+    the merge budget approaches vocab saturation; pinned <10% in
+    test_bpe.py). Measured: 89 merges in 13 rounds
+    / 9.4 s at sf0.01 vs 78 rounds / 20.3 s exact (the 64-cap never
+    fills on this tiny corpus — the disjoint set above min_freq
+    runs out first; on a real corpus rounds ~ num_merges /
+    batch_size).
+
+    ``stats['rounds']`` reports the round count.
     """
+    if strategy not in ("exact", "parallel"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
     wf = checkpoint_partitioned(
         word_frequency_table(df, text_col, repartition).withColumn(
             "__seg", _init_seg(F.col("__word"))
         )
     )
+    k = max(1, batch_size)
     merges: list = []
-    for _ in range(num_merges):
+    rounds = 0
+    while len(merges) < num_merges:
+        rounds += 1
         top = (
             _pair_counts(wf)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
-            .limit(1)
+            .limit(k)
             .collect()
         )
         if not top or top[0]["cnt"] < min_freq:
             break
-        a, b = top[0]["pair"].split(" ")
-        merges.append((a, b, int(top[0]["cnt"])) if return_counts else (a, b))
-        wf = checkpoint_partitioned(
-            wf.withColumn("__seg", _apply_merge(F.col("__seg"), a, b))
-        )
+        truncated = len(top) == k
+        remaining = num_merges - len(merges)
+        accepted: list[tuple[str, str, int]] = []
+        symbols: set[str] = set()
+        if strategy == "parallel":
+            for row in top:
+                cnt = int(row["cnt"])
+                if cnt < min_freq:
+                    break
+                a, b = row["pair"].split(" ")
+                if a in symbols or b in symbols:
+                    continue  # skip-and-continue: overlap only blocks itself
+                accepted.append((a, b, cnt))
+                symbols.add(a)
+                symbols.add(b)
+                if len(accepted) == remaining:
+                    break
+            retained = accepted
+        else:
+            stop_cnt: int | None = None
+            for idx, row in enumerate(top):
+                cnt = int(row["cnt"])
+                a, b = row["pair"].split(" ")
+                if cnt < min_freq or a in symbols or b in symbols:
+                    stop_cnt = cnt
+                    break
+                accepted.append((a, b, cnt))
+                symbols.add(a)
+                symbols.add(b)
+                if a == b or len(accepted) == remaining:
+                    # self-merge leftovers aren't bounded by non-accepted
+                    # counts; merge-budget reached — close the batch, the
+                    # next candidate (if any) sets the retention bar
+                    if idx + 1 < len(top):
+                        stop_cnt = int(top[idx + 1]["cnt"])
+                    break
+            if stop_cnt is None:
+                # ran off the end of the candidate list: unseen pairs can
+                # tie the last collected count only if the list was
+                # truncated; a complete list means no other pairs exist
+                stop_cnt = int(top[-1]["cnt"]) if truncated else -1
+            retained = [m for m in accepted if m[2] > stop_cnt] or accepted[:1]
+        seg = F.col("__seg")
+        for a, b, _cnt in retained:
+            seg = _apply_merge(seg, a, b)
+        merges.extend(m if return_counts else (m[0], m[1]) for m in retained)
+        wf = checkpoint_partitioned(wf.withColumn("__seg", seg))
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges
 
 
