@@ -5566,3 +5566,60 @@ def q129_largestar_components(spark, sf_dir):
         .join(labels, "node", "left")
         .select("node", F.coalesce("component", "node").alias("component"))
     )
+
+
+@register(
+    "q130_skewed_salted_join",
+    """
+    WITH ev AS (
+      SELECT CASE WHEN user_id % 10 < 3 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)          AS n_events,
+           round(sum(value), 6)              AS sum_value,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_keys
+    FROM ev JOIN customer ON c_custkey = k
+    GROUP BY c_mktsegment
+    """,
+    doc="Adversarial skew stress (VERDICT r4 #3): a power-law join key "
+    "is derived IN-QUERY — every user_id with user_id % 10 < 3 "
+    "collapses onto key 0, so one key carries ~30% of all events "
+    "(SURVEY §4 names power-law users/items as the 100 TB risk). The "
+    "join runs through operators/skew.salted_join: the hot key's rows "
+    "are split across 32 salt buckets by a deterministic row hash while "
+    "the dimension side replicates per salt, so no reducer sees more "
+    "than ~1/32nd of the hot key (buckets >= shuffle partitions, the "
+    "measured balance guidance in the test). Output must be IDENTICAL to the "
+    "plain equi-join (the oracle is the unsalted join) — salting is "
+    "pure physical redistribution. The partition-balance bound (max "
+    "task <= 2x median under a forced shuffle) is pinned by "
+    "tests/test_skew_als.py::test_salted_join_bounds_partition_skew.",
+    tags=("join", "skew", "scale"),
+)
+def q130_skewed_salted_join(spark, sf_dir):
+    from .operators.skew import salted_join
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.when(F.col("user_id") % 10 < 3, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .cast("long")
+            .alias("k"),
+            "value",
+        )
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    return (
+        salted_join(ev, cust, on="k", salt_buckets=32)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.count_distinct("k").alias("n_keys"),
+        )
+    )
