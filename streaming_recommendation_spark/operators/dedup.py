@@ -418,6 +418,26 @@ def banded_signature_table(
     )
 
 
+def lsh_candidates_from_signatures(
+    new_sigs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate (new_id, existing_id) pairs from two
+    banded_signature_table frames — the join leg shared by
+    incremental_lsh_candidates and the streaming ingest pipeline
+    (which hashes each micro-batch exactly once and passes the
+    signatures here instead of re-deriving them)."""
+    new_banded = new_sigs.select(F.col(id_col).alias("new_id"), "band", "bucket")
+    existing = index.select(F.col(id_col).alias("existing_id"), "band", "bucket")
+    return (
+        new_banded.join(existing, ["band", "bucket"])
+        .where(F.col("new_id") != F.col("existing_id"))
+        .select("new_id", "existing_id")
+        .distinct()
+    )
+
+
 def incremental_lsh_candidates(
     new_docs: DataFrame,
     index: DataFrame,
@@ -431,14 +451,8 @@ def incremental_lsh_candidates(
     persisted banded_signature_table. Only the new batch is hashed."""
     new_banded = banded_signature_table(
         new_docs, num_hashes, bands, text_col, id_col, n
-    ).select(F.col(id_col).alias("new_id"), "band", "bucket")
-    existing = index.select(F.col(id_col).alias("existing_id"), "band", "bucket")
-    return (
-        new_banded.join(existing, ["band", "bucket"])
-        .where(F.col("new_id") != F.col("existing_id"))
-        .select("new_id", "existing_id")
-        .distinct()
     )
+    return lsh_candidates_from_signatures(new_banded, index, id_col)
 
 
 def connected_components(

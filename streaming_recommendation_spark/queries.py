@@ -5623,3 +5623,54 @@ def q130_skewed_salted_join(spark, sf_dir):
             F.count_distinct("k").alias("n_keys"),
         )
     )
+
+
+@register(
+    "q131_incremental_lsh_dedup",
+    f"""
+    WITH {_SHINGLE_CTE},
+    params(i, a, b) AS (VALUES {_Q37_PARAMS}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * hv + b) % {dedup.MH_PRIME}) AS mh
+      FROM hashed CROSS JOIN params
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key,
+             CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch
+      FROM sig GROUP BY doc_id, i // 4
+    )
+    SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+    FROM bands n JOIN bands e USING (band, band_key)
+    WHERE n.doc_id != e.doc_id AND n.batch >= e.batch
+    """,
+    doc="Batch twin of the STREAMING ingest-dedup pipeline "
+    "(streaming/dedup.py, VERDICT r4 #6): documents arrive in two "
+    "batches (doc_id < 250, then the rest); each batch is minhashed "
+    "ONCE and joined against the signature index as of its arrival — "
+    "cross-batch candidate pairs point backwards in arrival order, "
+    "within-batch pairs surface in both orientations (new vs an index "
+    "that already contains the batch's own signatures). The oracle "
+    "replays the full signature matrix in SQL (same md5 shingle hash "
+    "and Carter-Wegman coefficients as q37) with the arrival-order "
+    "predicate batch(new) >= batch(existing). "
+    "tests/test_streaming_dedup.py pins the actual foreachBatch "
+    "pipeline's 2-batch output == this twin bit-for-bit.",
+    tags=("dedup", "streaming-twin"),
+)
+def q131_incremental_lsh_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    idx0 = dedup.banded_signature_table(b0)
+    c0 = dedup.lsh_candidates_from_signatures(idx0, idx0)
+    idx1 = idx0.unionByName(dedup.banded_signature_table(b1))
+    c1 = dedup.incremental_lsh_candidates(b1, idx1)
+    # new_id sets of the two calls are disjoint (batch membership), so
+    # plain union keeps the result distinct without another shuffle
+    return c0.unionByName(c1)

@@ -10,6 +10,11 @@ from .pipeline import (
     sliding_window_activity,
     versioned_profile_records,
 )
+from .dedup import (
+    dedup_ingest_batch,
+    dedup_ingest_pipeline,
+    read_candidates,
+)
 from .sink import JsonlDirSink, RedisSink, foreach_batch_writer
 
 __all__ = [
@@ -23,6 +28,9 @@ __all__ = [
     "session_window_activity",
     "sliding_window_activity",
     "versioned_profile_records",
+    "dedup_ingest_batch",
+    "dedup_ingest_pipeline",
+    "read_candidates",
     "JsonlDirSink",
     "RedisSink",
     "foreach_batch_writer",

@@ -1,0 +1,155 @@
+"""Streaming incremental near-dup detection: continuous-ingest LSH
+dedup as a foreachBatch pipeline (VERDICT r4 #6).
+
+The batch operator family (operators/dedup.py: minhash signatures ->
+banded buckets -> candidate join) already has the right incremental
+shape: the banded signature table IS the dedup state, and a new
+batch only ever needs (a) its own signatures and (b) one equi-join
+against the stored index. This module runs that loop under
+Structured Streaming:
+
+  per micro-batch (batch_df, batch_id):
+    1. hash the batch ONCE -> banded signatures (cost ~ |batch| x
+       bands, never ~ |corpus|);
+    2. candidates = batch signatures vs (stored index minus any
+       partial rows from a failed attempt of THIS batch) + own
+       signatures — so cross-batch pairs point backwards in arrival
+       order and within-batch pairs surface in both orientations;
+    3. write candidates and signatures to parquet directories
+       PARTITIONED BY batch_id with dynamic partition overwrite — a
+       retried batch overwrites exactly its own partition, making
+       the whole pipeline idempotent under at-least-once foreachBatch
+       semantics (same effectively-once contract as the profile
+       pipeline's versioned keys).
+
+The index directory doubles as the serving artifact: at 100 TB it
+would be written bucketed by `bucket` (sources/layout.write_bucketed)
+so the candidate join co-locates without a shuffle; the parquet
+append-by-partition here is the local-filesystem stand-in.
+
+Batch twin: q131_incremental_lsh_dedup replays the same arrival
+order as two batch calls over `documents` and is oracle-checked;
+tests/test_streaming_dedup.py pins the streaming output ==
+batch-twin output bit-for-bit across a 2-batch carry plus a
+restart-idempotence check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    banded_signature_table,
+    lsh_candidates_from_signatures,
+)
+
+_SIG_SCHEMA = "doc_id bigint, band int, bucket string, batch_id bigint"
+_CAND_SCHEMA = "new_id bigint, existing_id bigint, batch_id bigint"
+
+
+def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except Exception:
+        # first batch: directory does not exist yet
+        return spark.createDataFrame([], schema)
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    candidates_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """One micro-batch of the ingest loop (also directly callable for
+    batch backfills — the streaming pipeline is just this under
+    foreachBatch)."""
+    spark = batch_df.sparkSession
+    new_sigs = banded_signature_table(
+        batch_df, num_hashes, bands, text_col, id_col, n
+    ).persist()
+    try:
+        stored = _read_or_empty(spark, index_dir, _SIG_SCHEMA).where(
+            # a failed earlier attempt of THIS batch may have written a
+            # partial partition; exclude it so the retry recomputes
+            # from its own (complete) signatures
+            F.col("batch_id") != F.lit(batch_id)
+        ).select(id_col, "band", "bucket")
+        index = stored.unionByName(new_sigs)
+        cands = lsh_candidates_from_signatures(new_sigs, index, id_col)
+        (
+            cands.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(candidates_dir)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(batch_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(index_dir)
+        )
+    finally:
+        new_sigs.unpersist()
+
+
+def dedup_ingest_pipeline(
+    doc_stream: DataFrame,
+    index_dir: str,
+    candidates_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Start the streaming ingest-dedup query over a document stream
+    (columns: ``id_col``, ``text_col``). Returns the StreamingQuery.
+
+    State = the signature index directory, NOT the state store: the
+    index must outlive the query (it is the corpus-wide dedup
+    artifact other jobs join against), so it lives in storage keyed
+    by batch_id for idempotence, and the checkpoint only tracks
+    source offsets.
+    """
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(
+            batch_df,
+            batch_id,
+            index_dir,
+            candidates_dir,
+            num_hashes,
+            bands,
+            text_col,
+            id_col,
+            n,
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_candidates(spark: SparkSession, candidates_dir: str) -> DataFrame:
+    """All candidate pairs emitted so far: (new_id, existing_id,
+    batch_id). Distinct across batches is NOT applied — each row
+    records which batch surfaced the pair."""
+    return spark.read.schema(_CAND_SCHEMA).parquet(candidates_dir)

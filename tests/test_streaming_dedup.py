@@ -1,0 +1,140 @@
+"""Streaming incremental LSH dedup (streaming/dedup.py): 2-batch
+carry must match the batch twin bit-for-bit, retries must be
+idempotent, restarts must be no-ops (VERDICT r4 #6)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.dedup import (
+    banded_signature_table,
+    incremental_lsh_candidates,
+    lsh_candidates_from_signatures,
+)
+from streaming_recommendation_spark.streaming.dedup import (
+    dedup_ingest_batch,
+    dedup_ingest_pipeline,
+    read_candidates,
+)
+
+# controlled near-dup structure: exact dup pairs within batch 0
+# (1, 2), across batches (3, 13), and within batch 1 (11, 12);
+# the other docs are distinct enough that 3-gram minhash separates
+# them (asserted via the batch operator itself, not assumed)
+BATCH0 = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),
+    (3, "distributed streaming dedup keeps the signature index as state"),
+    (4, "completely unrelated text about spark shuffle partitions and joins"),
+]
+BATCH1 = [
+    (11, "watermarks bound the state store while idempotent sinks retry safely"),
+    (12, "watermarks bound the state store while idempotent sinks retry safely"),
+    (13, "distributed streaming dedup keeps the signature index as state"),
+    (14, "another unrelated document about broadcast joins and bucketing"),
+]
+DOC_SCHEMA = "doc_id bigint, text string"
+
+
+def _batch_twin(spark):
+    """Same arrival-order semantics as q131, over the fixture docs."""
+    b0 = spark.createDataFrame(BATCH0, DOC_SCHEMA)
+    b1 = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+    idx0 = banded_signature_table(b0)
+    c0 = lsh_candidates_from_signatures(idx0, idx0)
+    idx1 = idx0.unionByName(banded_signature_table(b1))
+    c1 = incremental_lsh_candidates(b1, idx1)
+    return c0.unionByName(c1)
+
+
+@pytest.fixture()
+def doc_dir(tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    for name, batch, age in (("b0.jsonl", BATCH0, 200), ("b1.jsonl", BATCH1, 100)):
+        p = d / name
+        p.write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t}) for i, t in batch
+            )
+            + "\n"
+        )
+        # file-source batch order follows modification time: pin it
+        now = p.stat().st_mtime
+        os.utime(p, (now - age, now - age))
+    return str(d)
+
+
+def test_streaming_matches_batch_twin(spark, doc_dir, tmp_path):
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # forces the 2-batch carry
+        .json(doc_dir)
+    )
+    q = dedup_ingest_pipeline(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        candidates_dir=str(tmp_path / "cands"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    cands = read_candidates(spark, str(tmp_path / "cands"))
+    assert cands.select("batch_id").distinct().count() == 2  # real carry
+
+    got = {
+        (r["new_id"], r["existing_id"])
+        for r in cands.select("new_id", "existing_id").collect()
+    }
+    want = {
+        (r["new_id"], r["existing_id"]) for r in _batch_twin(spark).collect()
+    }
+    assert got == want
+    # the structure we designed in: within-batch both orientations,
+    # cross-batch backwards only
+    assert {(1, 2), (2, 1), (11, 12), (12, 11), (13, 3)} <= got
+    assert (3, 13) not in got
+
+    # batch attribution: batch-0 rows never reference batch-1 docs
+    b0_ids = {i for i, _ in BATCH0}
+    first = min(r["batch_id"] for r in cands.select("batch_id").collect())
+    for r in cands.where(F.col("batch_id") == first).collect():
+        assert r["new_id"] in b0_ids and r["existing_id"] in b0_ids
+
+
+def test_retry_same_batch_is_idempotent(spark, tmp_path):
+    b0 = spark.createDataFrame(BATCH0, DOC_SCHEMA)
+    index_dir = str(tmp_path / "index")
+    cands_dir = str(tmp_path / "cands")
+    dedup_ingest_batch(b0, 0, index_dir, cands_dir)
+    once = sorted(
+        map(tuple, read_candidates(spark, cands_dir).collect())
+    )
+    idx_once = spark.read.parquet(index_dir).count()
+    # simulate foreachBatch redelivery of the SAME batch id
+    dedup_ingest_batch(b0, 0, index_dir, cands_dir)
+    assert sorted(map(tuple, read_candidates(spark, cands_dir).collect())) == once
+    assert spark.read.parquet(index_dir).count() == idx_once
+
+
+def test_restart_without_new_data_is_noop(spark, doc_dir, tmp_path):
+    kw = dict(
+        index_dir=str(tmp_path / "index"),
+        candidates_dir=str(tmp_path / "cands"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    stream = spark.readStream.schema(DOC_SCHEMA).json(doc_dir)
+    dedup_ingest_pipeline(stream, **kw).awaitTermination(180)
+    before = sorted(
+        map(tuple, read_candidates(spark, kw["candidates_dir"]).collect())
+    )
+    stream2 = spark.readStream.schema(DOC_SCHEMA).json(doc_dir)
+    dedup_ingest_pipeline(stream2, **kw).awaitTermination(180)
+    after = sorted(
+        map(tuple, read_candidates(spark, kw["candidates_dir"]).collect())
+    )
+    assert before == after
