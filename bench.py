@@ -138,6 +138,9 @@ HEADLINE = [
     "q128_event_transitions",
     # round-4: alternating large-star/small-star connected components
     "q129_largestar_components",
+    # round-5: salted-join skew stress + incremental LSH dedup twin
+    "q130_skewed_salted_join",
+    "q131_incremental_lsh_dedup",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

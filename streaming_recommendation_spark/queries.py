@@ -4042,65 +4042,68 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-4 driver-gate prefix (VERDICT r3 action #1): every registry
-# query that has never had a driver-verified CORRECTNESS row —
-# q105-q128 (registered after the r3 prefix froze), the deliberately
-# deferred q85/q86, and this round's new q129 — then backfill the
-# OLDEST green rows (q49/q51 from r1, then q01-q22) to round out 50.
-# With this rotation cumulative driver coverage reaches every oracle-
-# bearing query; q57 stays rows-only by design (see its registry doc:
-# q118 is its oracle-checked deterministic twin).
+# Round-5 driver-gate prefix (VERDICT r4 #1 — staleness rotation,
+# now a steady-state policy: lead with never-verified queries, then
+# the rows whose last EXTERNAL green is oldest). This round: the two
+# new queries (q130 skew stress, q131 streaming-dedup batch twin),
+# then all 28 rows whose last driver-verified green is round 2
+# (q23-q44/q65-q71 family), then the 20 registration-oldest of the
+# round-3 cohort. The remaining r3 rows and the r4 cohort rotate in
+# next round, keeping every query's newest external row <= 2 rounds
+# old.
 _DRIVER_PRIORITY.extend([
-    "q105_bpe_learned_merges",
-    "q106_bpe_token_counts",
-    "q107_dup_length_profile",
-    "q108_session_windows",
-    "q109_triangle_counts",
-    "q110_bigram_rarity",
-    "q111_zorder_profile",
-    "q112_event_funnel",
-    "q113_cohort_retention",
-    "q114_mixing_weights",
-    "q115_mmr_rerank",
-    "q116_prefix_jaccard_dups",
-    "q117_histogram_quantiles",
-    "q118_hll_distinct",
-    "q119_bloom_decontamination",
-    "q120_priority_sample",
-    "q121_scd2_intervals",
-    "q122_local_supplier_volume",
-    "q123_forecast_revenue_change",
-    "q124_cms_heavy_hitters",
-    "q125_column_profile",
-    "q126_kmv_set_stats",
-    "q127_decayed_popularity",
-    "q128_event_transitions",
-    "q85_rollup_nation_year",
-    "q86_rank_battery",
-    "q129_largestar_components",
-    "q49_normalized_edges",
-    "q51_priority_with_late_lineitem",
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_customers_no_orders",
-    "q05_parts_in_lineitem",
-    "q06_distinct_users",
-    "q07_dedup_pairs",
-    "q08_top_active_users",
-    "q09_minmax_scaled_price",
-    "q10_user_histories",
-    "q11_last5_events",
-    "q12_asof_last_event",
-    "q13_range_join_counts",
-    "q14_sliding_window_samples",
-    "q15_p95_value_by_type",
-    "q16_hash_split_users",
-    "q17_activity_sampled_users",
-    "q18_negative_samples",
-    "q19_clean_prices",
-    "q21_hourly_event_counts",
-    "q22_part_degree",
+    "q130_skewed_salted_join",
+    "q131_incremental_lsh_dedup",
+    # --- last external green: round 2 ---
+    "q30_token_stats",
+    "q31_exact_dedup",
+    "q32_doc_fingerprints",
+    "q33_language_id",
+    "q34_quality_scores",
+    "q35_knn_brute_force",
+    "q36_ngram_jaccard_dups",
+    "q37_minhash_lsh_pairs",
+    "q23_rollup_revenue",
+    "q24_event_type_pivot",
+    "q25_viewers_never_purchased",
+    "q26_union_distinct_keys",
+    "q27_dict_encode_users",
+    "q28_precision_at_5",
+    "q29_mean_vector_by_label",
+    "q38_profile_kv_records",
+    "q40_cascade_recommend",
+    "q41_sliding_windows_batch",
+    "q42_image_features",
+    "q43_video_frame_sample",
+    "q44_simhash",
+    "q65_simhash_near_dups",
+    "q66_ivf_knn",
+    "q67_pii_scrub",
+    "q68_tfidf_top_terms",
+    "q69_small_quantity_revenue",
+    "q70_rich_segments_no_orders",
+    "q71_multi_supplier_orders",
+    # --- last external green: round 3 (oldest 20 by registration) ---
+    "q20_sessionization",
+    "q72_dedup_clusters",
+    "q73_ivf_kmeans_knn",
+    "q45_lsh_knn",
+    "q46_train_data_etl",
+    "q47_ranking_metrics",
+    "q48_binary_metrics",
+    "q50_embedding_near_dups",
+    "q52_customer_order_outer",
+    "q53_distinct_suppliers_per_part",
+    "q54_string_functions",
+    "q55_running_revenue",
+    "q56_inter_event_gaps",
+    "q58_parts_above_avg_price",
+    "q59_orders_of_top_spenders",
+    "q60_cube_order_stats",
+    "q61_shipping_volume_between_nations",
+    "q62_region_market_share",
+    "q63_lineitems_by_quantity_band",
+    "q64_brand_revenue_ratio",
 ])
 
 
