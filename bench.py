@@ -138,9 +138,12 @@ HEADLINE = [
     "q128_event_transitions",
     # round-4: alternating large-star/small-star connected components
     "q129_largestar_components",
-    # round-5: salted-join skew stress + incremental LSH dedup twin
+    # round-5: salted-join skew stress, incremental LSH dedup twin,
+    # mergeable-sketch streaming twins
     "q130_skewed_salted_join",
     "q131_incremental_lsh_dedup",
+    "q132_mergeable_hll_twin",
+    "q133_mergeable_cms_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -45,26 +45,20 @@ def hll_constants(p: int) -> tuple[int, float]:
     return m, alpha
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     key_col: str,
     group_cols: list[str],
     p: int = 8,
 ) -> DataFrame:
-    """Per-group deterministic-HLL distinct estimate.
-
-    Returns (group..., nonzero_registers, z_scaled, hll_estimate)
-    where ``z_scaled`` is the exact integer register sum above and
-    ``hll_estimate`` rounds the single IEEE division to 4 decimals.
-
-    The estimate is RAW HLL. The standard small-range correction
-    (linear counting, m * ln(m / empty) below 2.5m) needs ln(),
-    which this repo's determinism policy bans from oracle-checked
-    paths (libm ULP drift); it is a client-side fix on two of the
-    returned integers — applied and accuracy-tested in
-    tests/test_sketch.py, NOT inside the oracle-checked plan.
-    """
-    m, alpha = hll_constants(p)
+    """The HLL STATE: (group..., __bucket, __mj) sparse register
+    table — <= 2^p rows per group regardless of input size, and
+    MERGEABLE: union two register tables and take the per-(group,
+    bucket) max to get the registers of the concatenated inputs
+    (max(max(A), max(B)) == max(A ++ B)). This is what a streaming
+    pipeline persists between micro-batches (streaming/sketches.py);
+    :func:`hll_from_registers` finalizes it into the estimate."""
+    m, _alpha = hll_constants(p)
     W = HASH_BITS - p
     h = det_hash_str(F.col(key_col).cast("string"))
     gks = [F.col(c) for c in group_cols]
@@ -79,11 +73,33 @@ def hll_distinct(
         .otherwise(F.instr(F.lpad(F.bin(F.col("__w")), W, "0"), "1"))
         .cast("int")
     )
-    regs = (
+    return (
         hashed.withColumn("__rho", rho)
         .groupBy(*gks, F.col("__bucket"))
         .agg(F.max("__rho").alias("__mj"))
     )
+
+
+def merge_hll_registers(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Register-wise max merge — exact: the merged registers equal
+    the registers of the concatenated inputs."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__bucket")
+        .agg(F.max("__mj").alias("__mj"))
+    )
+
+
+def hll_from_registers(
+    regs: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Finalize a (merged) register table into the estimate row(s):
+    (group..., nonzero_registers, z_scaled, hll_estimate)."""
+    m, alpha = hll_constants(p)
+    W = HASH_BITS - p
+    gks = [F.col(c) for c in group_cols]
     # every group needs all m registers (empty ones contribute
     # 2^(W+1)); group keys come from the m-bounded register table,
     # not a second scan of the corpus
@@ -92,7 +108,7 @@ def hll_distinct(
         .distinct()
         .crossJoin(
             F.broadcast(
-                df.sparkSession.range(m).select(F.col("id").alias("__bucket"))
+                regs.sparkSession.range(m).select(F.col("id").alias("__bucket"))
             )
         )
         .join(regs, group_cols + ["__bucket"], "left")
@@ -113,6 +129,32 @@ def hll_distinct(
             "z_scaled",
             F.round(est, 4).alias("hll_estimate"),
         )
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Per-group deterministic-HLL distinct estimate.
+
+    Returns (group..., nonzero_registers, z_scaled, hll_estimate)
+    where ``z_scaled`` is the exact integer register sum and
+    ``hll_estimate`` rounds the single IEEE division to 4 decimals.
+    Composition of :func:`hll_registers` (the mergeable state) and
+    :func:`hll_from_registers` (the finalizer).
+
+    The estimate is RAW HLL. The standard small-range correction
+    (linear counting, m * ln(m / empty) below 2.5m) needs ln(),
+    which this repo's determinism policy bans from oracle-checked
+    paths (libm ULP drift); it is a client-side fix on two of the
+    returned integers — applied and accuracy-tested in
+    tests/test_sketch.py, NOT inside the oracle-checked plan.
+    """
+    return hll_from_registers(
+        hll_registers(df, key_col, group_cols, p), group_cols, p
     )
 
 

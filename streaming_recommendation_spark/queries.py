@@ -4054,6 +4054,8 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 _DRIVER_PRIORITY.extend([
     "q130_skewed_salted_join",
     "q131_incremental_lsh_dedup",
+    "q132_mergeable_hll_twin",
+    "q133_mergeable_cms_twin",
     # --- last external green: round 2 ---
     "q30_token_stats",
     "q31_exact_dedup",
@@ -4102,8 +4104,6 @@ _DRIVER_PRIORITY.extend([
     "q60_cube_order_stats",
     "q61_shipping_volume_between_nations",
     "q62_region_market_share",
-    "q63_lineitems_by_quantity_band",
-    "q64_brand_revenue_ratio",
 ])
 
 
@@ -5677,3 +5677,74 @@ def q131_incremental_lsh_dedup(spark, sf_dir):
     # new_id sets of the two calls are disjoint (batch membership), so
     # plain union keeps the result distinct without another shuffle
     return c0.unionByName(c1)
+
+
+@register(
+    "q132_mergeable_hll_twin",
+    _REGISTRY["q118_hll_distinct"].oracle,
+    doc="Merge-exactness twin of the STREAMING HLL pipeline "
+    "(streaming/sketches.py): events split into two arrival batches "
+    "(even/odd event_id), each batch reduced to its own register "
+    "table (the constant-size state a streaming sketch persists), "
+    "merged by per-(group, bucket) register MAX, then finalized. "
+    "Must equal q118's single-pass answer BIT-FOR-BIT — max-merge is "
+    "exact, which is the property the foreachBatch loop relies on; "
+    "the oracle is therefore q118's full register replay, verbatim. "
+    "tests/test_streaming_sketches.py pins the actual streaming "
+    "pipeline (multi-batch carry + retry) against the single-pass "
+    "batch answer.",
+    tags=("agg", "sketch", "streaming-twin"),
+)
+def q132_mergeable_hll_twin(spark, sf_dir):
+    from .operators.sketch import (
+        hll_from_registers,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = merge_hll_registers(
+        hll_registers(a, "user_id", ["event_type"]),
+        hll_registers(b, "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    return hll_from_registers(merged, ["event_type"])
+
+
+@register(
+    "q133_mergeable_cms_twin",
+    _REGISTRY["q124_cms_heavy_hitters"].oracle,
+    doc="Merge-exactness twin of the STREAMING CMS pipeline "
+    "(streaming/sketches.py): two arrival batches (even/odd "
+    "event_id) each build a partial 3x256 Count-Min sketch, merged "
+    "by counter-wise SUM, then the exact top-20 heavy hitters probe "
+    "the merged sketch. Must equal q124's single-pass answer "
+    "bit-for-bit (counter sums are associative). Oracle = q124's "
+    "full sketch replay, verbatim.",
+    tags=("agg", "sketch", "streaming-twin", "topk"),
+)
+def q133_mergeable_cms_twin(spark, sf_dir):
+    from .operators.sketch import cms_counts, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_counts(a, "user_id")
+        .unionByName(cms_counts(b, "user_id"))
+        .groupBy("row", "slot")
+        .agg(F.sum("c").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = topk.top_k_global(
+        exact, 20, F.col("exact_count").desc(), F.col("user_id").asc()
+    )
+    est = cms_estimate(merged, top.select("user_id"), "user_id")
+    return top.join(est, "user_id").select(
+        "user_id",
+        "exact_count",
+        "cms_count",
+        (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
+    )

@@ -16,6 +16,13 @@ from .dedup import (
     read_candidates,
 )
 from .sink import JsonlDirSink, RedisSink, foreach_batch_writer
+from .sketches import (
+    CmsStreamSketch,
+    HllStreamSketch,
+    read_sketch_state,
+    sketch_ingest_batch,
+    sketch_stream_pipeline,
+)
 
 __all__ = [
     "CLICK_SCHEMA",
@@ -31,6 +38,11 @@ __all__ = [
     "dedup_ingest_batch",
     "dedup_ingest_pipeline",
     "read_candidates",
+    "CmsStreamSketch",
+    "HllStreamSketch",
+    "read_sketch_state",
+    "sketch_ingest_batch",
+    "sketch_stream_pipeline",
     "JsonlDirSink",
     "RedisSink",
     "foreach_batch_writer",

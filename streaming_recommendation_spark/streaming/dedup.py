@@ -49,10 +49,15 @@ _CAND_SCHEMA = "new_id bigint, existing_id bigint, batch_id bigint"
 
 
 def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(path)
-    except Exception:
-        # first batch: directory does not exist yet
+    except AnalysisException:
+        # first batch: directory does not exist yet. ONLY the missing-
+        # path analysis error falls through to empty — a corrupt or
+        # unreadable index must fail loudly, not silently restart the
+        # dedup state from scratch.
         return spark.createDataFrame([], schema)
 
 
@@ -83,9 +88,12 @@ def dedup_ingest_batch(
         ).select(id_col, "band", "bucket")
         index = stored.unionByName(new_sigs)
         cands = lsh_candidates_from_signatures(new_sigs, index, id_col)
+        # writes stay partition-parallel (no coalesce-to-1): at scale
+        # both tables are large and a single-task write would serialize
+        # the batch; dynamic partition overwrite keys idempotence off
+        # batch_id, not off file layout
         (
             cands.withColumn("batch_id", F.lit(batch_id))
-            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
@@ -93,7 +101,6 @@ def dedup_ingest_batch(
         )
         (
             new_sigs.withColumn("batch_id", F.lit(batch_id))
-            .repartition(1)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")

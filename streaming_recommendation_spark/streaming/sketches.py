@@ -1,0 +1,229 @@
+"""Streaming mergeable sketches: bounded-state cardinality (HLL) and
+frequency (CMS) over an unbounded stream, as foreachBatch pipelines.
+
+Why this shape: exact streaming distinct/frequency state is
+O(distinct keys) — unbounded. The sketch state is CONSTANT-size
+(HLL: <= 2^p registers per group; CMS: depth x width counters per
+group) no matter how much data flows, and both merge associatively:
+
+  HLL merge = per-(group, bucket) register MAX  (idempotent too)
+  CMS merge = per-(group, row, slot) counter SUM
+
+Per micro-batch the pipeline computes the batch's partial sketch
+(one pass over the batch only), merges it with the stored state, and
+writes the result as a NEW VERSION under ``state_dir/v=<batch_id>``:
+
+  * versioned state makes redelivery idempotent for BOTH merge
+    semantics — a retried batch re-reads the PREVIOUS version and
+    recomputes its own, so the non-idempotent CMS addition is never
+    applied twice (overwriting v=<batch_id> replaces the partial
+    attempt);
+  * each version is a full state snapshot, cheap because the state
+    is sketch-sized (KBs), not data-sized; older versions are pruned
+    beyond a retention window.
+
+Batch twins (oracle-checked): q132_mergeable_hll_twin and
+q133_mergeable_cms_twin split `events` in two, run the same
+partial-merge-finalize path, and must equal the single-pass q118 /
+q124 answers bit-for-bit — pinning merge EXACTNESS, the property the
+streaming loop relies on. tests/test_streaming_sketches.py pins the
+actual foreachBatch pipeline against the single-pass batch answer
+across a multi-batch carry plus retry idempotence.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.sketch import (
+    cms_counts,
+    hll_from_registers,
+    hll_registers,
+    merge_hll_registers,
+)
+
+_V_RE = re.compile(r"^v=(\d+)$")
+
+
+def _versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        m = _V_RE.match(name)
+        if m and os.path.isdir(os.path.join(state_dir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _latest_before(state_dir: str, batch_id: int) -> int | None:
+    prior = [v for v in _versions(state_dir) if v < batch_id]
+    return prior[-1] if prior else None
+
+
+def _prune(state_dir: str, batch_id: int, keep: int) -> None:
+    import shutil
+
+    for v in _versions(state_dir):
+        if v < batch_id and v <= batch_id - keep:
+            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
+
+
+def _write_version(state: DataFrame, state_dir: str, batch_id: int) -> None:
+    state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={batch_id}"))
+
+
+class HllStreamSketch:
+    """Per-group streaming distinct-count state. ``group_schema``
+    overrides the DDL for non-string group columns (default: every
+    group column is a string)."""
+
+    def __init__(
+        self,
+        key_col: str,
+        group_cols: list[str],
+        p: int = 8,
+        group_schema: str | None = None,
+    ):
+        self.key_col = key_col
+        self.group_cols = list(group_cols)
+        self.p = p
+        self.group_schema = group_schema
+
+    def schema(self) -> str:
+        gks = self.group_schema or ", ".join(
+            f"{c} string" for c in self.group_cols
+        )
+        return f"{gks}, __bucket bigint, __mj int"
+
+    def partial(self, batch_df: DataFrame) -> DataFrame:
+        return hll_registers(batch_df, self.key_col, self.group_cols, self.p)
+
+    def merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return merge_hll_registers(a, b, self.group_cols)
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        return hll_from_registers(state, self.group_cols, self.p)
+
+
+class CmsStreamSketch:
+    """Per-group streaming frequency state."""
+
+    def __init__(
+        self,
+        key_col: str,
+        group_cols: list[str] | None = None,
+        width: int = 256,
+        depth: int = 3,
+        group_schema: str | None = None,
+    ):
+        self.key_col = key_col
+        self.group_cols = list(group_cols or [])
+        self.width = width
+        self.depth = depth
+        self.group_schema = group_schema
+
+    def schema(self) -> str:
+        gks = (
+            self.group_schema + ", "
+            if self.group_schema
+            else "".join(f"{c} string, " for c in self.group_cols)
+        )
+        return f"{gks}row int, slot bigint, c bigint"
+
+    def partial(self, batch_df: DataFrame) -> DataFrame:
+        return cms_counts(
+            batch_df, self.key_col, self.group_cols, self.width, self.depth
+        )
+
+    def merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        return (
+            a.unionByName(b)
+            .groupBy(*self.group_cols, "row", "slot")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    def estimate(self, spark: SparkSession, state_dir: str, keys: DataFrame) -> DataFrame:
+        from ..operators.sketch import cms_estimate
+
+        return cms_estimate(
+            read_sketch_state(spark, state_dir, self.schema()),
+            keys,
+            self.key_col,
+            self.group_cols,
+            self.width,
+            self.depth,
+        )
+
+
+def sketch_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sketch,
+    state_dir: str,
+    keep_versions: int = 3,
+) -> None:
+    """One micro-batch: partial -> merge with the latest PRIOR
+    version -> write v=<batch_id> (full snapshot, sketch-sized).
+    Directly callable for batch backfills."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    part = sketch.partial(batch_df)
+    prev_v = _latest_before(state_dir, batch_id)
+    if prev_v is None:
+        merged = part
+    else:
+        try:
+            prev = spark.read.schema(sketch.schema()).parquet(
+                os.path.join(state_dir, f"v={prev_v}")
+            )
+        except AnalysisException:
+            raise RuntimeError(
+                f"sketch state v={prev_v} under {state_dir} is unreadable; "
+                "refusing to silently restart the sketch from empty"
+            )
+        merged = sketch.merge(prev, part)
+    _write_version(merged, state_dir, batch_id)
+    _prune(state_dir, batch_id, keep_versions)
+
+
+def sketch_stream_pipeline(
+    stream: DataFrame,
+    sketch,
+    state_dir: str,
+    checkpoint_dir: str,
+    keep_versions: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Run a mergeable sketch over a stream; returns the
+    StreamingQuery. Query the state any time with
+    :func:`read_sketch_state` + the sketch's finalize/estimate."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sketch_ingest_batch(batch_df, batch_id, sketch, state_dir, keep_versions)
+
+    writer = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sketch_state(
+    spark: SparkSession, state_dir: str, schema: str
+) -> DataFrame:
+    """The latest state snapshot (empty frame if nothing ingested)."""
+    vs = _versions(state_dir)
+    if not vs:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        os.path.join(state_dir, f"v={vs[-1]}")
+    )

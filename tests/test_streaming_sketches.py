@@ -1,0 +1,142 @@
+"""Streaming mergeable sketches (streaming/sketches.py): multi-batch
+carry must equal the single-pass batch sketch bit-for-bit; retries
+must be idempotent for BOTH merge semantics (max and sum)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.sketch import (
+    cms_counts,
+    hll_distinct,
+)
+from streaming_recommendation_spark.streaming.sketches import (
+    CmsStreamSketch,
+    HllStreamSketch,
+    read_sketch_state,
+    sketch_ingest_batch,
+    sketch_stream_pipeline,
+)
+
+EV_SCHEMA = "event_type string, user_id bigint"
+
+
+def _events(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        (F.col("id") % 57).alias("user_id"),
+    )
+
+
+@pytest.fixture()
+def event_files(tmp_path):
+    d = tmp_path / "ev"
+    d.mkdir()
+    for fi, (lo, hi) in enumerate(((0, 400), (400, 800), (800, 1200))):
+        p = d / f"f{fi}.json"
+        p.write_text(
+            "\n".join(
+                json.dumps({"event_type": f"t{k % 3}", "user_id": k % 57})
+                for k in range(lo, hi)
+            )
+            + "\n"
+        )
+        now = p.stat().st_mtime
+        os.utime(p, (now - 300 + fi * 100, now - 300 + fi * 100))
+    return str(d)
+
+
+def test_hll_stream_matches_single_pass(spark, event_files, tmp_path):
+    sketch = HllStreamSketch("user_id", ["event_type"],
+                             group_schema="event_type string")
+    stream = (
+        spark.readStream.schema(EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(event_files)
+    )
+    q = sketch_stream_pipeline(
+        stream, sketch, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    # a real multi-batch carry happened
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+
+    got = sorted(
+        map(
+            tuple,
+            sketch.finalize(
+                read_sketch_state(spark, str(tmp_path / "state"), sketch.schema())
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, hll_distinct(_events(spark, 0, 1200), "user_id",
+                                ["event_type"]).collect())
+    )
+    assert got == want  # bit-for-bit vs the single-pass sketch
+
+
+def test_cms_stream_matches_single_pass_and_retry(spark, tmp_path):
+    sketch = CmsStreamSketch("user_id")
+    state = str(tmp_path / "state")
+    b0, b1 = _events(spark, 0, 500), _events(spark, 500, 1000)
+    sketch_ingest_batch(b0, 0, sketch, state)
+    sketch_ingest_batch(b1, 1, sketch, state)
+    # redelivery of batch 1: the SUM merge must not double-count
+    sketch_ingest_batch(b1, 1, sketch, state)
+
+    got = sorted(
+        map(tuple, read_sketch_state(spark, state, sketch.schema()).collect())
+    )
+    want = sorted(
+        map(tuple, cms_counts(_events(spark, 0, 1000), "user_id").collect())
+    )
+    assert got == want
+
+    keys = spark.createDataFrame([(k,) for k in range(0, 57, 7)], "user_id bigint")
+    est = {
+        r["user_id"]: r["cms_count"]
+        for r in sketch.estimate(spark, state, keys).collect()
+    }
+    exact = {
+        r["user_id"]: r["c"]
+        for r in _events(spark, 0, 1000)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    for k, v in est.items():
+        assert v >= exact[k]  # CMS one-sided error
+
+
+def test_version_pruning_keeps_retry_window(spark, tmp_path):
+    sketch = HllStreamSketch("user_id", ["event_type"],
+                             group_schema="event_type string")
+    state = str(tmp_path / "state")
+    for b in range(6):
+        sketch_ingest_batch(
+            _events(spark, b * 100, (b + 1) * 100), b, sketch, state, keep_versions=3
+        )
+    vs = sorted(
+        int(n.split("=")[1]) for n in os.listdir(state) if n.startswith("v=")
+    )
+    assert vs == [3, 4, 5]  # pruned, but the redelivery window survives
+    # retry of the newest batch after pruning still merges from v=4
+    sketch_ingest_batch(_events(spark, 500, 600), 5, sketch, state, keep_versions=3)
+    got = sorted(
+        map(
+            tuple,
+            sketch.finalize(
+                read_sketch_state(spark, state, sketch.schema())
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, hll_distinct(_events(spark, 0, 600), "user_id",
+                                ["event_type"]).collect())
+    )
+    assert got == want
