@@ -243,3 +243,95 @@ def test_learn_bpe_rejects_unknown_strategy(spark):
     df = spark.createDataFrame(DOCS, "doc_id long, text string")
     with pytest.raises(ValueError, match="strategy"):
         learn_bpe(df, num_merges=2, strategy="bogus")
+
+
+def test_exact_batch_acceptance_rule_fuzz():
+    """Driver-side fuzz of the exact-strategy acceptance rule (no
+    Spark): a pure-Python mirror of operators/bpe.py's disjoint-
+    prefix + strict-retention logic must equal sequential Sennrich on
+    randomized corpora across alphabet sizes, min_freqs, and batch
+    sizes — 400 trials (a 3000-trial sweep at build time found 0
+    mismatches; this pins the rule against regressions cheaply)."""
+    import random
+
+    def pair_counts(wf):
+        pc = Counter()
+        for syms, f in wf.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        return pc
+
+    def apply(wf, a, b):
+        new = {}
+        for syms, f in wf.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        return new
+
+    def seq(wf0, n, mf):
+        wf, merges = dict(wf0), []
+        while len(merges) < n:
+            pc = pair_counts(wf)
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], " ".join(kv[0])))
+            if best[1] < mf:
+                break
+            merges.append(best[0])
+            wf = apply(wf, *best[0])
+        return merges
+
+    def batched(wf0, n, mf, K):
+        wf, merges = dict(wf0), []
+        while len(merges) < n:
+            allc = sorted(
+                pair_counts(wf).items(), key=lambda kv: (-kv[1], " ".join(kv[0]))
+            )
+            top = allc[:K]
+            if not top or top[0][1] < mf:
+                break
+            truncated = len(top) == K
+            remaining = n - len(merges)
+            accepted, symbols, stop_cnt = [], set(), None
+            for idx, ((a, b), cnt) in enumerate(top):
+                if cnt < mf or a in symbols or b in symbols:
+                    stop_cnt = cnt
+                    break
+                accepted.append((a, b, cnt))
+                symbols |= {a, b}
+                if a == b or len(accepted) == remaining:
+                    if idx + 1 < len(top):
+                        stop_cnt = top[idx + 1][1]
+                    break
+            if stop_cnt is None:
+                stop_cnt = top[-1][1] if truncated else -1
+            retained = [m for m in accepted if m[2] > stop_cnt] or accepted[:1]
+            for a, b, _ in retained:
+                wf = apply(wf, a, b)
+            merges.extend((a, b) for a, b, _ in retained)
+        return merges
+
+    rng = random.Random(0)
+    alphabets = ["ab", "abc", "abcd", "abcdefgh"]
+    for trial in range(400):
+        alpha = alphabets[trial % len(alphabets)]
+        docs = [
+            " ".join(
+                "".join(rng.choice(alpha) for _ in range(rng.randint(1, 8)))
+                for _ in range(rng.randint(1, 15))
+            )
+            for _ in range(rng.randint(1, 12))
+        ]
+        wf0 = {tuple(w): f for w, f in py_word_freq(
+            list(enumerate(docs))).items()}
+        n = rng.choice([3, 6, 10, 25])
+        mf = rng.choice([1, 1, 2, 3])
+        K = rng.choice([2, 4, 8, 64])
+        assert batched(wf0, n, mf, K) == seq(wf0, n, mf), (trial, docs, n, mf, K)
