@@ -746,3 +746,38 @@ def test_q123_q6_full_pushdown_no_join(run):
     assert any("l_discount" in p for p in a["pushed_filters"])
     assert any("l_quantity" in p for p in a["pushed_filters"])
     assert a["n_exchanges"] <= 1  # 1-row partial-agg merge only
+
+
+def test_q130_salted_join_no_cartesian(run):
+    """Salting is pure physical redistribution: the join stays
+    equi-keyed on (k, salt) — never a Cartesian/BNL — and at sf the
+    dimension side broadcasts (the forced-shuffle shape is pinned in
+    test_skew_als with broadcast disabled)."""
+    a = run("q130_skewed_salted_join")
+    assert a["bnl_joins"] == 0
+    assert a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a[
+        "n_shuffled_hash_joins"
+    ] >= 1
+
+
+def test_q131_incremental_dedup_equi_only(run):
+    """The candidate generation is an equi-join on (band, bucket) —
+    signatures never cross-product, and the arrival-order predicate
+    rides the join, not a filter over a Cartesian."""
+    a = run("q131_incremental_lsh_dedup")
+    assert a["bnl_joins"] == 0
+
+
+def test_q132_hll_merge_register_bounded(run):
+    """The merged-register finalize touches register-table-sized
+    inputs only: the single CrossJoin in the plan is the broadcast of
+    the 256-row register id frame (m-bounded), never corpus-sized."""
+    a = run("q132_mergeable_hll_twin")
+    assert a["bnl_joins"] <= 1  # the broadcast range(m) fill
+    assert "range (0, 256" in a["plan"].lower() or "range(0, 256" in a["plan"].lower()
+
+
+def test_q133_cms_merge_no_cartesian(run):
+    a = run("q133_mergeable_cms_twin")
+    assert a["bnl_joins"] == 0
+    assert a["has_take_ordered"]  # exact top-20 via distributed heaps
