@@ -227,3 +227,73 @@ def test_sliding_window_reference_parity_knobs(spark):
             )
         for u in expect:
             assert sorted(got.get(u, [])) == expect[u], (strategy, u)
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_equals_plain_join_randomized(spark, how):
+    """Property: salting is pure physical redistribution — for every
+    supported join type, salted_join == plain join on random data
+    with hot keys, unmatched keys on both sides, and NULL keys."""
+    from streaming_recommendation_spark.operators.skew import salted_join
+
+    rng = random.Random(42 + len(how))
+    big_rows = [
+        (
+            rng.choice([0, 0, 0, 1, 2, 3, 4, 5, 99, None]),  # 0 is hot; 99 unmatched
+            rng.randint(0, 1000),
+        )
+        for _ in range(400)
+    ]
+    small_rows = [(k, f"dim{k}") for k in [0, 1, 2, 3, 4, 5, 77]]
+    big = spark.createDataFrame(big_rows, "k int, payload int")
+    small = spark.createDataFrame(small_rows, "k int, tag string")
+
+    got = sorted(map(tuple, salted_join(big, small, "k", 4, how).collect()), key=repr)
+    want = sorted(map(tuple, big.join(small, "k", how).collect()), key=repr)
+    assert got == want
+
+
+def test_hll_register_merge_exact_on_random_splits(spark):
+    """Property: merging per-split register tables (any split count)
+    equals the single-pass registers — the invariant the streaming
+    sketch pipeline relies on."""
+    from streaming_recommendation_spark.operators.sketch import (
+        hll_distinct,
+        hll_from_registers,
+        hll_registers,
+        merge_hll_registers,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randint(0, 2)}", rng.randint(0, 5000)) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    # random 3-way split by a hash nobody else uses
+    parts = [
+        df.where(F.abs(F.xxhash64("k", "g") % 3) == i) for i in range(3)
+    ]
+    merged = hll_registers(parts[0], "k", ["g"])
+    for p in parts[1:]:
+        merged = merge_hll_registers(merged, hll_registers(p, "k", ["g"]), ["g"])
+    got = sorted(map(tuple, hll_from_registers(merged, ["g"]).collect()))
+    want = sorted(map(tuple, hll_distinct(df, "k", ["g"]).collect()))
+    assert got == want
+
+
+def test_cms_counter_merge_exact_on_random_splits(spark):
+    from streaming_recommendation_spark.operators.sketch import cms_counts
+
+    rng = random.Random(11)
+    rows = [(rng.randint(0, 300),) for _ in range(4000)]
+    df = spark.createDataFrame(rows, "k long")
+    parts = [df.where(F.abs(F.xxhash64("k") % 4) == i) for i in range(4)]
+    merged = None
+    for p in parts:
+        c = cms_counts(p, "k")
+        merged = c if merged is None else (
+            merged.unionByName(c).groupBy("row", "slot").agg(
+                F.sum("c").alias("c")
+            )
+        )
+    got = sorted(map(tuple, merged.collect()))
+    want = sorted(map(tuple, cms_counts(df, "k").collect()))
+    assert got == want
