@@ -144,6 +144,7 @@ HEADLINE = [
     "q131_incremental_lsh_dedup",
     "q132_mergeable_hll_twin",
     "q133_mergeable_cms_twin",
+    "q134_incremental_scd2_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4056,6 +4056,7 @@ _DRIVER_PRIORITY.extend([
     "q131_incremental_lsh_dedup",
     "q132_mergeable_hll_twin",
     "q133_mergeable_cms_twin",
+    "q134_incremental_scd2_twin",
     # --- last external green: round 2 ---
     "q30_token_stats",
     "q31_exact_dedup",
@@ -4103,7 +4104,6 @@ _DRIVER_PRIORITY.extend([
     "q59_orders_of_top_spenders",
     "q60_cube_order_stats",
     "q61_shipping_volume_between_nations",
-    "q62_region_market_share",
 ])
 
 
@@ -5748,3 +5748,31 @@ def q133_mergeable_cms_twin(spark, sf_dir):
         "cms_count",
         (F.col("cms_count") - F.col("exact_count")).alias("overestimate"),
     )
+
+
+@register(
+    "q134_incremental_scd2_twin",
+    _REGISTRY["q121_scd2_intervals"].oracle,
+    doc="Merge-equivalence twin of the STREAMING SCD2 dimension "
+    "maintenance (streaming/scd2.py): events split into two arrival "
+    "batches at 2024-01-16; batch 0 builds the interval state "
+    "(operators/scd2.scd2_intervals), batch 1 merges through "
+    "scd2_apply_batch — each affected key's OPEN run is compressed "
+    "to one weighted pseudo-row and re-islanded with the new rows, "
+    "closed intervals pass through untouched (cost ~ |batch|, never "
+    "~ |history|). The finalized state must equal q121's full "
+    "rebuild BIT-FOR-BIT (oracle = q121's SQL verbatim). "
+    "Out-of-order arrivals RAISE in-plan against the stored "
+    "(last_ts, last_event_id) frontier rather than silently "
+    "mis-counting; the disk-backed bucket-versioned pipeline is "
+    "pinned separately in tests/test_streaming_scd2.py.",
+    tags=("window", "analytics", "streaming-twin"),
+)
+def q134_incremental_scd2_twin(spark, sf_dir):
+    from .operators.scd2 import scd2_apply_batch, scd2_finalize, scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    state0 = scd2_intervals(ev.where(F.col("ts") < cut))
+    merged = scd2_apply_batch(state0, ev.where(F.col("ts") >= cut))
+    return scd2_finalize(merged)

@@ -15,6 +15,7 @@ from .dedup import (
     dedup_ingest_pipeline,
     read_candidates,
 )
+from .scd2 import Scd2Stream
 from .sink import JsonlDirSink, RedisSink, foreach_batch_writer
 from .sketches import (
     CmsStreamSketch,
@@ -43,6 +44,7 @@ __all__ = [
     "read_sketch_state",
     "sketch_ingest_batch",
     "sketch_stream_pipeline",
+    "Scd2Stream",
     "JsonlDirSink",
     "RedisSink",
     "foreach_batch_writer",

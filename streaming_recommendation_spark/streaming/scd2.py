@@ -1,0 +1,197 @@
+"""Streaming SCD2 dimension maintenance: CDC change records ->
+continuously-maintained validity-interval table, as a foreachBatch
+pipeline over ``operators/scd2.scd2_apply_batch``.
+
+Storage layout — per-BUCKET versioned state:
+
+    state_dir/v=<batch_id>/bucket=<hash(key) % n_buckets>/...
+
+Each batch computes the merged intervals for its AFFECTED buckets
+only and writes them under its own version — one write job, sized by
+the touched buckets, never the whole dimension. The current state of
+bucket b is its NEWEST version dir; a retried batch re-reads versions
+strictly BEFORE its batch_id and fully overwrites its own version
+dir, so redelivery is idempotent (same versioned-state argument as
+streaming/sketches.py, applied per bucket because SCD2 state is
+data-sized where a sketch is constant-sized). Superseded bucket dirs
+outside the redelivery window are pruned.
+
+At warehouse scale this layout is the local-filesystem stand-in for
+a table format's MERGE (Delta/Iceberg row-level upsert) — the plan
+shape (merge cost ~ |batch| + |affected open intervals|) is the part
+that transfers; the q121-shape batch twin q134 pins the merge step
+itself against the full-rebuild oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.scd2 import scd2_apply_batch, scd2_intervals
+
+_V_RE = re.compile(r"^v=(\d+)$")
+_B_RE = re.compile(r"^bucket=(\d+)$")
+
+
+def _state_schema(key_type: str, value_type: str, ts_type: str, id_type: str,
+                  key_col: str, value_col: str) -> str:
+    return (
+        f"{key_col} {key_type}, {value_col} {value_type}, "
+        f"valid_from {ts_type}, valid_to {ts_type}, "
+        f"first_event_id {id_type}, n_events bigint, "
+        f"last_ts {ts_type}, last_event_id {id_type}, bucket int"
+    )
+
+
+def _versions(state_dir: str) -> list[int]:
+    if not os.path.isdir(state_dir):
+        return []
+    return sorted(
+        int(m.group(1))
+        for m in (_V_RE.match(n) for n in os.listdir(state_dir))
+        if m
+    )
+
+
+def _live_buckets(state_dir: str, before: int) -> dict[int, int]:
+    """bucket -> newest version (< before) containing it."""
+    live: dict[int, int] = {}
+    for v in _versions(state_dir):
+        if v >= before:
+            continue
+        vdir = os.path.join(state_dir, f"v={v}")
+        for name in os.listdir(vdir):
+            m = _B_RE.match(name)
+            if m:
+                live[int(m.group(1))] = v
+    return live
+
+
+class Scd2Stream:
+    """Configuration + state access for one streamed SCD2 dimension."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        key_col: str = "user_id",
+        value_col: str = "event_type",
+        ts_col: str = "ts",
+        id_col: str = "event_id",
+        n_buckets: int = 16,
+        schema_types: tuple[str, str, str, str] = (
+            "bigint", "string", "bigint", "bigint"
+        ),
+        keep_versions: int = 3,
+    ):
+        self.state_dir = state_dir
+        self.key_col = key_col
+        self.value_col = value_col
+        self.ts_col = ts_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self.schema_types = schema_types
+        self.keep_versions = keep_versions
+
+    def _schema(self) -> str:
+        kt, vt, tt, it = self.schema_types
+        return _state_schema(kt, vt, tt, it, self.key_col, self.value_col)
+
+    def _bucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def read_state(
+        self, spark: SparkSession, before: int | None = None, buckets=None
+    ) -> DataFrame:
+        """Current intervals (newest version per bucket), optionally
+        restricted to a bucket subset."""
+        live = _live_buckets(
+            self.state_dir, before if before is not None else 1 << 62
+        )
+        if buckets is not None:
+            live = {b: v for b, v in live.items() if b in buckets}
+        if not live:
+            return spark.createDataFrame([], self._schema()).drop("bucket")
+        by_version: dict[int, list[int]] = {}
+        for b, v in live.items():
+            by_version.setdefault(v, []).append(b)
+        parts = []
+        for v, bs in sorted(by_version.items()):
+            parts.append(
+                spark.read.schema(self._schema())
+                .parquet(os.path.join(self.state_dir, f"v={v}"))
+                .where(F.col("bucket").isin(bs))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("bucket")
+
+    def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Merge one batch of change records; write affected buckets
+        as v=<batch_id>. Directly callable for backfills."""
+        spark = batch_df.sparkSession
+        affected = sorted(
+            r["b"]
+            for r in batch_df.select(
+                self._bucket(F.col(self.key_col)).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return
+        state = self.read_state(spark, before=batch_id, buckets=set(affected))
+        merged = scd2_apply_batch(
+            state, batch_df, self.key_col, self.value_col, self.ts_col, self.id_col
+        )
+        vdir = os.path.join(self.state_dir, f"v={batch_id}")
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)  # failed earlier attempt of THIS batch
+        (
+            merged.withColumn("bucket", self._bucket(F.col(self.key_col)))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(vdir)
+        )
+        self._prune(batch_id)
+
+    def _prune(self, batch_id: int) -> None:
+        live = _live_buckets(self.state_dir, batch_id + 1)
+        for v in _versions(self.state_dir):
+            if v > batch_id - self.keep_versions:
+                continue
+            vdir = os.path.join(self.state_dir, f"v={v}")
+            for name in os.listdir(vdir):
+                m = _B_RE.match(name)
+                if m and live.get(int(m.group(1)), v) > v:
+                    shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+            if not any(_B_RE.match(n) for n in os.listdir(vdir)):
+                shutil.rmtree(vdir, ignore_errors=True)
+
+    def pipeline(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ):
+        """Run the maintenance loop over a change-record stream."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest_batch(batch_df, batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+__all__ = ["Scd2Stream", "scd2_apply_batch", "scd2_intervals"]
