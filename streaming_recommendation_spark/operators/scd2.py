@@ -146,12 +146,15 @@ def scd2_apply_batch(
     guarded = (
         batch.select(key_col, value_col, ts_col, id_col)
         .join(
-            F.broadcast(
-                pseudo.select(
-                    key_col,
-                    F.col("last_ts").alias("__f_ts"),
-                    F.col("last_event_id").alias("__f_id"),
-                )
+            # no broadcast hint: the frontier frame is sized by the
+            # batch's DISTINCT keys — often broadcastable (AQE will),
+            # but a wide batch can carry millions of keys and a forced
+            # broadcast would pin the driver; the equi shuffle is the
+            # scale-safe default
+            pseudo.select(
+                key_col,
+                F.col("last_ts").alias("__f_ts"),
+                F.col("last_event_id").alias("__f_id"),
             ),
             key_col,
             "left",
