@@ -145,6 +145,7 @@ HEADLINE = [
     "q132_mergeable_hll_twin",
     "q133_mergeable_cms_twin",
     "q134_incremental_scd2_twin",
+    "q135_incremental_ivf_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

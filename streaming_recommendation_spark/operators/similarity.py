@@ -271,6 +271,26 @@ def ivf_knn(
         "__cvec",
         1,
     )
+    return ivf_knn_from_index(
+        c, landmarks, queries, k, n_probe, vec_col, query_id_col
+    )
+
+
+def ivf_knn_from_index(
+    index: DataFrame,
+    landmarks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The probe/score tail of :func:`ivf_knn` over a PRE-ASSIGNED
+    cell index (neighbor_id, __cvec, __lid) — the shape a
+    continuously-maintained vector index persists (streaming/
+    vectors.py): assignment is a per-row pure function of the fixed
+    landmark table, so batch-incremental index builds equal the
+    single-pass build exactly (pinned by q135)."""
     q = ivf_assign(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         landmarks,
@@ -280,7 +300,7 @@ def ivf_knn(
     )
     # the probed-query side is |queries| x n_probe rows — broadcast it
     # so the corpus-wide cell join never sort-merges the big side
-    scored = c.join(F.broadcast(q), "__lid").select(
+    scored = index.join(F.broadcast(q), "__lid").select(
         query_id_col,
         "neighbor_id",
         cosine_similarity("__qvec", "__cvec").alias("score"),

@@ -4057,6 +4057,7 @@ _DRIVER_PRIORITY.extend([
     "q132_mergeable_hll_twin",
     "q133_mergeable_cms_twin",
     "q134_incremental_scd2_twin",
+    "q135_incremental_ivf_twin",
     # --- last external green: round 2 ---
     "q30_token_stats",
     "q31_exact_dedup",
@@ -4103,7 +4104,6 @@ _DRIVER_PRIORITY.extend([
     "q58_parts_above_avg_price",
     "q59_orders_of_top_spenders",
     "q60_cube_order_stats",
-    "q61_shipping_volume_between_nations",
 ])
 
 
@@ -5752,6 +5752,7 @@ def q133_mergeable_cms_twin(spark, sf_dir):
 
 @register(
     "q134_incremental_scd2_twin",
+    "q135_incremental_ivf_twin",
     _REGISTRY["q121_scd2_intervals"].oracle,
     doc="Merge-equivalence twin of the STREAMING SCD2 dimension "
     "maintenance (streaming/scd2.py): events split into two arrival "
@@ -5776,3 +5777,40 @@ def q134_incremental_scd2_twin(spark, sf_dir):
     state0 = scd2_intervals(ev.where(F.col("ts") < cut))
     merged = scd2_apply_batch(state0, ev.where(F.col("ts") >= cut))
     return scd2_finalize(merged)
+
+
+@register(
+    "q135_incremental_ivf_twin",
+    _REGISTRY["q66_ivf_knn"].oracle,
+    doc="Build-equivalence twin of the STREAMING vector index "
+    "(streaming/vectors.py): the IVF cell index is built in two "
+    "arrival batches (even/odd vec_id) against the FIXED full-corpus "
+    "landmark set, then probed with ivf_knn_from_index — because "
+    "cell assignment is a per-row pure function of the broadcast "
+    "landmarks, the batch-incremental index equals the single-pass "
+    "build and the ANN answer must equal q66 BIT-FOR-BIT (oracle = "
+    "q66's SQL verbatim). This is what makes continuous embedding "
+    "ingest sound: indexing a batch never touches the stored corpus; "
+    "centroid refresh is an offline rebuild decision, enforced "
+    "loudly by the pipeline (missing landmarks raise).",
+    tags=("similarity", "vector", "streaming-twin"),
+)
+def q135_incremental_ivf_twin(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    landmarks = similarity.ivf_landmarks(emb, 16)
+    parts = [
+        emb.where(F.col("vec_id") % 2 == i).select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("__cvec"),
+        )
+        for i in (0, 1)
+    ]
+    index = similarity.ivf_assign(
+        parts[0], landmarks, "neighbor_id", "__cvec", 1
+    ).unionByName(
+        similarity.ivf_assign(parts[1], landmarks, "neighbor_id", "__cvec", 1)
+    )
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_knn_from_index(index, landmarks, qdf, k=10, n_probe=3)

@@ -17,6 +17,7 @@ from .dedup import (
 )
 from .scd2 import Scd2Stream
 from .sink import JsonlDirSink, RedisSink, foreach_batch_writer
+from .vectors import VectorIndexStream
 from .sketches import (
     CmsStreamSketch,
     HllStreamSketch,
@@ -45,6 +46,7 @@ __all__ = [
     "sketch_ingest_batch",
     "sketch_stream_pipeline",
     "Scd2Stream",
+    "VectorIndexStream",
     "JsonlDirSink",
     "RedisSink",
     "foreach_batch_writer",

@@ -1,0 +1,101 @@
+"""Streaming IVF vector index (streaming/vectors.py): multi-batch
+ingest must answer ANN queries identically to the single-pass
+ivf_knn; retries idempotent; missing landmarks fail loudly."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.similarity import ivf_knn
+from streaming_recommendation_spark.streaming.vectors import VectorIndexStream
+
+
+def _corpus(spark, n=300, dim=16):
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * 131 + i), F.lit(1000)) / 500.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_streamed_index_answers_match_single_pass(spark, tmp_path):
+    corpus = _corpus(spark)
+    vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
+    vix.init_landmarks(corpus, num_landmarks=8)
+    for b in range(3):
+        vix.ingest_batch(corpus.where(F.col("vec_id") % 3 == b), b)
+    # redelivery of the last batch
+    vix.ingest_batch(corpus.where(F.col("vec_id") % 3 == 2), 2)
+
+    queries = corpus.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, vix.ann_query(spark, queries, k=5, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_knn(corpus, queries, k=5, num_landmarks=8, n_probe=2).collect(),
+        )
+    )
+    assert got == want
+    # index row count audits the retry idempotence
+    assert vix.read_index(spark).count() == 300
+
+
+def test_streaming_query_end_to_end(spark, tmp_path):
+    import json
+    import os
+
+    corpus = _corpus(spark, n=120, dim=8)
+    rows = corpus.collect()
+    d = tmp_path / "vecs"
+    d.mkdir()
+    for fi in range(2):
+        p = d / f"b{fi}.jsonl"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+                for r in rows[fi * 60 : (fi + 1) * 60]
+            )
+            + "\n"
+        )
+        now = p.stat().st_mtime
+        os.utime(p, (now - 200 + fi * 100, now - 200 + fi * 100))
+    vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
+    vix.init_landmarks(corpus, num_landmarks=4)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = vix.pipeline(stream, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 2
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, vix.ann_query(spark, queries, k=4, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_knn(corpus, queries, k=4, num_landmarks=4, n_probe=2).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_missing_landmarks_raise(spark, tmp_path):
+    vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
+    with pytest.raises(RuntimeError, match="landmarks missing"):
+        vix.ingest_batch(_corpus(spark, n=10), 0)
