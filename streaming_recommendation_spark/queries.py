@@ -5752,7 +5752,6 @@ def q133_mergeable_cms_twin(spark, sf_dir):
 
 @register(
     "q134_incremental_scd2_twin",
-    "q135_incremental_ivf_twin",
     _REGISTRY["q121_scd2_intervals"].oracle,
     doc="Merge-equivalence twin of the STREAMING SCD2 dimension "
     "maintenance (streaming/scd2.py): events split into two arrival "
