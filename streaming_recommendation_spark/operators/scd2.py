@@ -123,51 +123,71 @@ def scd2_apply_batch(
     """Merge one batch of change records into an SCD2 state table
     (both in ``scd2_intervals`` column shape) — returns the new
     state. Pure plan, no side effects."""
+    # LINEAGE DISCIPLINE: this function unavoidably combines state
+    # rows with state-derived rebuilt rows, and an earlier version
+    # that ALSO unioned a pseudo-row branch with a batch branch that
+    # JOINED that same pseudo lineage (for the order guard) produced
+    # a miscompiled composite plan — each branch evaluated correctly
+    # alone, but the single-action union dropped the pseudo rows and
+    # resurrected unfiltered state rows (caught by the randomized
+    # split fuzz in tests/test_streaming_scd2.py). The structure
+    # below keeps every state consumer a SINGLE linear pass:
+    # `untouched` is one flag-join filter (no self-union), and the
+    # order-guard frontier rides the union as columns instead of a
+    # join back into the pseudo branch.
     keys = batch.select(key_col).distinct()
-    affected_open = state.join(keys, key_col, "left_semi").where(
-        F.col("valid_to").isNull()
+    hit = keys.withColumn("__hit", F.lit(True))
+    untouched = (
+        state.join(hit, key_col, "left")
+        .where(~(F.col("__hit").isNotNull() & F.col("valid_to").isNull()))
+        .drop("__hit")
     )
-    untouched = state.join(keys, key_col, "left_anti").unionByName(
-        state.join(keys, key_col, "left_semi").where(F.col("valid_to").isNotNull())
-    )
-    # the open run, compressed to one weighted pseudo-row
-    pseudo = affected_open.select(
-        key_col,
-        F.col(value_col),
-        F.col("valid_from").alias(ts_col),
-        F.col("first_event_id").alias(id_col),
-        F.col("n_events").alias("__w"),
-        "last_ts",
-        "last_event_id",
-    )
-    # ORDER GUARD: a batch row at or before its key's processed
-    # frontier cannot be merged into a compressed run — raise on the
-    # executor rather than mis-count (see module docstring)
-    guarded = (
-        batch.select(key_col, value_col, ts_col, id_col)
-        .join(
-            # no broadcast hint: the frontier frame is sized by the
-            # batch's DISTINCT keys — often broadcastable (AQE will),
-            # but a wide batch can carry millions of keys and a forced
-            # broadcast would pin the driver; the equi shuffle is the
-            # scale-safe default
-            pseudo.select(
-                key_col,
-                F.col("last_ts").alias("__f_ts"),
-                F.col("last_event_id").alias("__f_id"),
-            ),
+    ts_type = dict(batch.dtypes)[ts_col]
+    id_type = dict(batch.dtypes)[id_col]
+    # the open run, compressed to one weighted pseudo-row; its
+    # processed frontier travels as (__f_ts, __f_id)
+    pseudo = (
+        state.join(keys, key_col, "left_semi")
+        .where(F.col("valid_to").isNull())
+        .select(
             key_col,
-            "left",
+            F.col(value_col),
+            F.col("valid_from").alias(ts_col),
+            F.col("first_event_id").alias(id_col),
+            F.col("n_events").alias("__w"),
+            F.col("last_ts").alias("__f_ts"),
+            F.col("last_event_id").alias("__f_id"),
         )
+    )
+    batch_rows = batch.select(
+        key_col,
+        value_col,
+        ts_col,
+        id_col,
+        F.lit(1).cast("bigint").alias("__w"),
+        F.lit(None).cast(ts_type).alias("__f_ts"),
+        F.lit(None).cast(id_type).alias("__f_id"),
+    )
+    unioned = pseudo.unionByName(batch_rows)
+    # ORDER GUARD: per key there is at most ONE pseudo row, so the
+    # key-window max recovers its frontier on every row; a batch row
+    # at or before that frontier cannot be merged into a compressed
+    # run — raise on the executor rather than mis-count (see module
+    # docstring). The window shares the island windows' key shuffle.
+    wk = Window.partitionBy(key_col)
+    combined = (
+        unioned.withColumn("__fr_ts", F.max("__f_ts").over(wk))
+        .withColumn("__fr_id", F.max("__f_id").over(wk))
         .withColumn(
             "__ok",
             F.when(
-                F.col("__f_ts").isNotNull()
+                F.col("__f_ts").isNull()  # batch rows only
+                & F.col("__fr_ts").isNotNull()
                 & (
-                    (F.col(ts_col) < F.col("__f_ts"))
+                    (F.col(ts_col) < F.col("__fr_ts"))
                     | (
-                        (F.col(ts_col) == F.col("__f_ts"))
-                        & (F.col(id_col) <= F.col("__f_id"))
+                        (F.col(ts_col) == F.col("__fr_ts"))
+                        & (F.col(id_col) <= F.col("__fr_id"))
                     )
                 ),
                 F.raise_error(
@@ -184,15 +204,8 @@ def scd2_apply_batch(
             ).otherwise(F.lit(True)),
         )
         .where(F.col("__ok"))
-        .select(
-            key_col,
-            value_col,
-            ts_col,
-            id_col,
-            F.lit(1).cast("bigint").alias("__w"),
-        )
+        .select(key_col, value_col, ts_col, id_col, "__w")
     )
-    combined = pseudo.drop("last_ts", "last_event_id").unionByName(guarded)
     rebuilt = _islands(combined, key_col, value_col, ts_col, id_col, "__w")
     w = Window.partitionBy(key_col).orderBy("valid_from", "first_event_id")
     rebuilt_iv = rebuilt.select(

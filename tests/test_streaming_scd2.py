@@ -137,3 +137,40 @@ def test_prune_keeps_unsuperseded_buckets(spark, tmp_path):
     rows = {r["user_id"]: r for r in dim.read_state(spark).collect()}
     assert 3 in rows and rows[3]["event_type"] == "view"
     assert rows[1]["event_type"] == "t5"
+
+
+def test_randomized_splits_match_full_rebuild(spark):
+    """Fuzz the merge step: random event sequences (heavy same-value
+    runs, shared keys, interleaved ts) split at random ordered cut
+    points — incremental application across 2-4 batches must equal
+    the full rebuild exactly, whatever the cuts."""
+    import random
+
+    for seed in (3, 17, 52, 71, 104):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for ts in range(1, 120):
+            for _ in range(rng.randint(0, 2)):
+                rows.append(
+                    (rng.randint(1, 6), rng.choice(["a", "b", "c"]), ts, eid)
+                )
+                eid += 1
+        full = spark.createDataFrame(rows, SCHEMA)
+        want = sorted(
+            map(tuple, scd2_finalize(scd2_intervals(full)).collect()), key=repr
+        )
+        cuts = sorted(rng.sample(range(10, 110), rng.randint(1, 3)))
+        bounds = [0] + cuts + [1000]
+        state = None
+        for i in range(len(bounds) - 1):
+            chunk = [r for r in rows if bounds[i] <= r[2] < bounds[i + 1]]
+            if not chunk:
+                continue
+            bdf = spark.createDataFrame(chunk, SCHEMA)
+            state = (
+                scd2_intervals(bdf)
+                if state is None
+                else scd2_apply_batch(state, bdf)
+            )
+        got = sorted(map(tuple, scd2_finalize(state).collect()), key=repr)
+        assert got == want, (seed, cuts)
