@@ -138,3 +138,68 @@ def test_restart_without_new_data_is_noop(spark, doc_dir, tmp_path):
         map(tuple, read_candidates(spark, kw["candidates_dir"]).collect())
     )
     assert before == after
+
+
+def test_randomized_incremental_equals_single_plan(spark):
+    """Anti-miscompile check (lesson from the scd2 fuzz): the
+    incremental two-call composition (q131's shape — a self-join of
+    idx0 unioned with a candidates-vs-grown-index call) must equal a
+    STRUCTURALLY DIFFERENT single-plan derivation — one banded table
+    over all docs, self-joined with the arrival-order predicate — on
+    randomized corpora with seeded duplicates."""
+    import random
+
+    for seed in (5, 29):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(400)]
+        texts = {}
+        docs = []
+        for i in range(40):
+            if i >= 8 and rng.random() < 0.3:
+                src = rng.randrange(0, i)  # duplicate an earlier doc
+                docs.append((i, texts[src]))
+                texts[i] = texts[src]
+            else:
+                t = " ".join(rng.choice(vocab) for _ in range(25))
+                docs.append((i, t))
+                texts[i] = t
+        cut = rng.randint(10, 30)
+        df = spark.createDataFrame(docs, DOC_SCHEMA)
+        b0 = df.where(F.col("doc_id") < cut)
+        b1 = df.where(F.col("doc_id") >= cut)
+
+        idx0 = banded_signature_table(b0)
+        c0 = lsh_candidates_from_signatures(idx0, idx0)
+        c1 = incremental_lsh_candidates(
+            b1, idx0.unionByName(banded_signature_table(b1))
+        )
+        got = {
+            (r["new_id"], r["existing_id"])
+            for r in c0.unionByName(c1).collect()
+        }
+
+        banded = banded_signature_table(df)
+        n = banded.select(
+            F.col("doc_id").alias("new_id"),
+            "band",
+            "bucket",
+            F.when(F.col("doc_id") < cut, 0).otherwise(1).alias("nb"),
+        )
+        e = banded.select(
+            F.col("doc_id").alias("existing_id"),
+            "band",
+            "bucket",
+            F.when(F.col("doc_id") < cut, 0).otherwise(1).alias("eb"),
+        )
+        want = {
+            (r["new_id"], r["existing_id"])
+            for r in n.join(e, ["band", "bucket"])
+            .where(
+                (F.col("new_id") != F.col("existing_id"))
+                & (F.col("nb") >= F.col("eb"))
+            )
+            .select("new_id", "existing_id")
+            .distinct()
+            .collect()
+        }
+        assert got == want, (seed, cut)
