@@ -163,33 +163,37 @@ def test_randomized_incremental_equals_single_plan(spark):
                 t = " ".join(rng.choice(vocab) for _ in range(25))
                 docs.append((i, t))
                 texts[i] = t
-        cut = rng.randint(10, 30)
+        # THREE arrival batches (deeper composition than q131's two)
+        cuts = sorted(rng.sample(range(8, 36), 2))
         df = spark.createDataFrame(docs, DOC_SCHEMA)
-        b0 = df.where(F.col("doc_id") < cut)
-        b1 = df.where(F.col("doc_id") >= cut)
+        batches = [
+            df.where(F.col("doc_id") < cuts[0]),
+            df.where((F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1])),
+            df.where(F.col("doc_id") >= cuts[1]),
+        ]
+        idx = banded_signature_table(batches[0])
+        parts = [lsh_candidates_from_signatures(idx, idx)]
+        for b in batches[1:]:
+            idx = idx.unionByName(banded_signature_table(b))
+            parts.append(incremental_lsh_candidates(b, idx))
+        out = parts[0]
+        for pdf in parts[1:]:
+            out = out.unionByName(pdf)
+        got = {(r["new_id"], r["existing_id"]) for r in out.collect()}
 
-        idx0 = banded_signature_table(b0)
-        c0 = lsh_candidates_from_signatures(idx0, idx0)
-        c1 = incremental_lsh_candidates(
-            b1, idx0.unionByName(banded_signature_table(b1))
+        arrival = (
+            F.when(F.col("doc_id") < cuts[0], 0)
+            .when(F.col("doc_id") < cuts[1], 1)
+            .otherwise(2)
         )
-        got = {
-            (r["new_id"], r["existing_id"])
-            for r in c0.unionByName(c1).collect()
-        }
-
         banded = banded_signature_table(df)
         n = banded.select(
-            F.col("doc_id").alias("new_id"),
-            "band",
-            "bucket",
-            F.when(F.col("doc_id") < cut, 0).otherwise(1).alias("nb"),
+            F.col("doc_id").alias("new_id"), "band", "bucket",
+            arrival.alias("nb"),
         )
         e = banded.select(
-            F.col("doc_id").alias("existing_id"),
-            "band",
-            "bucket",
-            F.when(F.col("doc_id") < cut, 0).otherwise(1).alias("eb"),
+            F.col("doc_id").alias("existing_id"), "band", "bucket",
+            arrival.alias("eb"),
         )
         want = {
             (r["new_id"], r["existing_id"])
@@ -202,4 +206,4 @@ def test_randomized_incremental_equals_single_plan(spark):
             .distinct()
             .collect()
         }
-        assert got == want, (seed, cut)
+        assert got == want, (seed, cuts)

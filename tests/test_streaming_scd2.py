@@ -174,3 +174,38 @@ def test_randomized_splits_match_full_rebuild(spark):
             )
         got = sorted(map(tuple, scd2_finalize(state).collect()), key=repr)
         assert got == want, (seed, cuts)
+
+
+def test_randomized_disk_pipeline_matches_full_rebuild(spark, tmp_path):
+    """End-to-end randomized pin for the DISK path: random event
+    sequences through Scd2Stream.ingest_batch across random ordered
+    cuts (state read back from parquet each batch) must equal the
+    full rebuild."""
+    import random
+
+    for seed in (8, 23):
+        rng = random.Random(seed)
+        rows, eid = [], 0
+        for ts in range(1, 90):
+            for _ in range(rng.randint(0, 2)):
+                rows.append(
+                    (rng.randint(1, 5), rng.choice(["a", "b", "c"]), ts, eid)
+                )
+                eid += 1
+        full = spark.createDataFrame(rows, SCHEMA)
+        want = sorted(
+            map(tuple, scd2_finalize(scd2_intervals(full)).collect()), key=repr
+        )
+        cuts = sorted(rng.sample(range(5, 85), rng.randint(2, 4)))
+        bounds = [0] + cuts + [1000]
+        dim = Scd2Stream(str(tmp_path / f"state{seed}"), n_buckets=4)
+        b = 0
+        for i in range(len(bounds) - 1):
+            chunk = [r for r in rows if bounds[i] <= r[2] < bounds[i + 1]]
+            if chunk:
+                dim.ingest_batch(spark.createDataFrame(chunk, SCHEMA), b)
+                b += 1
+        got = sorted(
+            map(tuple, scd2_finalize(dim.read_state(spark)).collect()), key=repr
+        )
+        assert got == want, (seed, cuts)
