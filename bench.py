@@ -146,6 +146,7 @@ HEADLINE = [
     "q133_mergeable_cms_twin",
     "q134_incremental_scd2_twin",
     "q135_incremental_ivf_twin",
+    "q136_stratified_priority_sample",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4058,6 +4058,7 @@ _DRIVER_PRIORITY.extend([
     "q133_mergeable_cms_twin",
     "q134_incremental_scd2_twin",
     "q135_incremental_ivf_twin",
+    "q136_stratified_priority_sample",
     # --- last external green: round 2 ---
     "q30_token_stats",
     "q31_exact_dedup",
@@ -4103,7 +4104,6 @@ _DRIVER_PRIORITY.extend([
     "q56_inter_event_gaps",
     "q58_parts_above_avg_price",
     "q59_orders_of_top_spenders",
-    "q60_cube_order_stats",
 ])
 
 
@@ -5813,3 +5813,61 @@ def q135_incremental_ivf_twin(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_knn_from_index(index, landmarks, qdf, k=10, n_probe=3)
+
+
+@register(
+    "q136_stratified_priority_sample",
+    """
+    WITH w AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), pr AS (
+      SELECT event_type, user_id, n_events,
+             n_events / ((CAST(concat('0x',
+                 substr(md5(event_type || '#' || CAST(user_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) + 1) / 4294967296.0) AS p_raw
+      FROM w
+    ), r AS (
+      SELECT event_type, user_id, n_events, p_raw,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY p_raw DESC, user_id ASC) AS rn
+      FROM pr
+    )
+    SELECT event_type, user_id, n_events, round(p_raw, 6) AS priority
+    FROM r WHERE rn <= 10
+    """,
+    doc="STRATIFIED weighted sampling without replacement: an "
+    "independent Duffield-Lund-Thorup priority draw PER STRATUM "
+    "(event_type), 10 users each, weight = activity count — the "
+    "per-group twin of q120's global draw, and the per-source "
+    "training-data sampling shape (each domain/language keeps its "
+    "own quota; a global draw would let one stratum starve the "
+    "rest). Weight is an INTEGER count and u a deterministic md5 "
+    "rational, so each priority is one IEEE division replayed "
+    "exactly by the oracle. Per group the draw is a WindowGroupLimit "
+    "(rank <= k short-circuits in the partial aggregation, no full "
+    "sort) — one shuffle on the stratum key at any scale.",
+    tags=("sampling", "topk", "window"),
+)
+def q136_stratified_priority_sample(spark, sf_dir):
+    from .functions.hashing import det_hash_str
+
+    ev = _t(spark, sf_dir, "events")
+    w = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    u = (
+        det_hash_str(
+            F.concat(F.col("event_type"), F.lit("#"), F.col("user_id").cast("string"))
+        )
+        + F.lit(1)
+    ) / F.lit(4294967296.0)
+    pr = w.withColumn("__p", F.col("n_events") / u)
+    return (
+        topk.top_k_per_group(
+            pr, 10, ["event_type"], F.col("__p").desc(), F.col("user_id").asc()
+        )
+        .select(
+            "event_type", "user_id", "n_events", F.round("__p", 6).alias("priority")
+        )
+    )

@@ -781,3 +781,11 @@ def test_q133_cms_merge_no_cartesian(run):
     a = run("q133_mergeable_cms_twin")
     assert a["bnl_joins"] == 0
     assert a["has_take_ordered"]  # exact top-20 via distributed heaps
+
+
+def test_q136_stratified_sample_window_group_limit(run):
+    """The per-stratum draw short-circuits via WindowGroupLimit — no
+    per-group full sort — and shuffles only on the stratum key."""
+    a = run("q136_stratified_priority_sample")
+    assert a["has_window_group_limit"]
+    assert a["bnl_joins"] == 0
