@@ -53,12 +53,14 @@ def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
     try:
         return spark.read.schema(schema).parquet(path)
-    except AnalysisException:
+    except AnalysisException as e:
         # first batch: directory does not exist yet. ONLY the missing-
         # path analysis error falls through to empty — a corrupt or
         # unreadable index must fail loudly, not silently restart the
-        # dedup state from scratch.
-        return spark.createDataFrame([], schema)
+        # dedup state from scratch (ADVICE r5).
+        if e.getCondition() == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def dedup_ingest_batch(

@@ -161,7 +161,16 @@ class Scd2Stream:
         self._prune(batch_id)
 
     def _prune(self, batch_id: int) -> None:
-        live = _live_buckets(self.state_dir, batch_id + 1)
+        # Versions committed strictly BEFORE the current batch are the
+        # only ones that may supersede: the in-flight batch's own
+        # v=<batch_id> write is not yet checkpoint-committed, so if it
+        # counted as live here we could delete the only committed copy
+        # of a bucket it touched — an at-least-once redelivery of this
+        # batch (crash before checkpoint commit) would then merge
+        # against empty state and silently lose the bucket's history.
+        # Pruning of versions this batch supersedes happens on the NEXT
+        # successful batch, when v=<batch_id> is known committed.
+        live = _live_buckets(self.state_dir, batch_id)
         for v in _versions(self.state_dir):
             if v > batch_id - self.keep_versions:
                 continue

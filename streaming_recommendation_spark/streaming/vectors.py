@@ -133,11 +133,39 @@ class VectorIndexStream:
         k: int = 10,
         n_probe: int = 3,
         query_id_col: str = "query_id",
+        latest_only: bool = False,
     ) -> DataFrame:
         """Approximate top-k against the stored index; the probe join
-        filter on __lid prunes unprobed cell partitions off disk."""
+        filter on __lid prunes unprobed cell partitions off disk.
+
+        CONTRACT (ADVICE r5): ingest is APPEND-ONLY — each batch is
+        expected to carry NEW vec_ids. Re-ingesting an existing id in
+        a later batch leaves both the stale and the new copy in the
+        index, and the default query path can return duplicate/stale
+        neighbor rows for that id. ``latest_only=True`` dedups by
+        neighbor_id keeping the max batch_id BEFORE scoring, so only
+        the newest copy of each vector competes for the top-k — at
+        the cost of a full-index aggregate that defeats cell-partition
+        pruning (a global view is unavoidable because an updated
+        vector may have moved cells). In production that dedup is a
+        periodic COMPACTION job, not a per-query pass; use
+        ``latest_only`` as the pre-compaction fallback.
+        """
+        index = self.read_index(spark)
+        if latest_only:
+            index = index.groupBy("neighbor_id").agg(
+                F.max_by(
+                    F.struct("__cvec", "__lid"), F.col("batch_id")
+                ).alias("__s")
+            ).select(
+                "neighbor_id",
+                F.col("__s.__cvec").alias("__cvec"),
+                F.col("__s.__lid").alias("__lid"),
+            )
+        else:
+            index = index.drop("batch_id")
         return ivf_knn_from_index(
-            self.read_index(spark).drop("batch_id"),
+            index,
             self._landmarks(spark),
             queries,
             k,

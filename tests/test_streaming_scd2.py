@@ -139,6 +139,52 @@ def test_prune_keeps_unsuperseded_buckets(spark, tmp_path):
     assert rows[1]["event_type"] == "t5"
 
 
+def test_redelivery_after_prune_window_keeps_history(spark, tmp_path):
+    """ADVICE r5 (high): _prune must only treat versions committed
+    strictly BEFORE the current batch as superseding. Scenario: user
+    A's bucket is written only at batch 0, untouched through batches
+    1..4 (other buckets), touched again at batch 5 — then batch 5 is
+    REDELIVERED (crash before checkpoint commit). If batch 5's own
+    in-flight version counted as superseding, its _prune would delete
+    the v=0 copy (0 <= 5 - keep_versions) and the redelivery would
+    merge against empty state, losing A's closed interval."""
+    state = str(tmp_path / "state")
+    dim = Scd2Stream(state, n_buckets=4, keep_versions=3)
+    # pick filler users whose bucket differs from user 3's bucket
+    b_of = {
+        r["u"]: r["b"]
+        for r in spark.range(1, 40)
+        .select(
+            F.col("id").alias("u"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(4)).cast("int").alias("b"),
+        )
+        .collect()
+    }
+    a = 3
+    fillers = [u for u, b in b_of.items() if b != b_of[a]][:5]
+    assert len(fillers) == 5
+    dim.ingest_batch(
+        spark.createDataFrame([(a, "view", 10, 1), (a, "click", 20, 2)], SCHEMA), 0
+    )
+    for i, u in enumerate(fillers[:4], start=1):
+        dim.ingest_batch(
+            spark.createDataFrame([(int(u), "x", 100 + i, 10 + i)], SCHEMA), i
+        )
+    b5 = spark.createDataFrame([(a, "buy", 200, 50)], SCHEMA)
+    dim.ingest_batch(b5, 5)
+    dim.ingest_batch(b5, 5)  # at-least-once redelivery of batch 5
+    got = sorted(
+        map(
+            tuple,
+            scd2_finalize(dim.read_state(spark))
+            .where(F.col("user_id") == a)
+            .select("event_type", "valid_from", "valid_to")
+            .collect(),
+        )
+    )
+    assert got == [("buy", 200, None), ("click", 20, 200), ("view", 10, 20)]
+
+
 def test_randomized_splits_match_full_rebuild(spark):
     """Fuzz the merge step: random event sequences (heavy same-value
     runs, shared keys, interleaved ts) split at random ordered cut

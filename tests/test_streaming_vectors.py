@@ -95,6 +95,36 @@ def test_streaming_query_end_to_end(spark, tmp_path):
     assert got == want
 
 
+def test_latest_only_dedups_reingested_ids(spark, tmp_path):
+    """ADVICE r5 (low): ingest is append-only, so re-ingesting an
+    existing vec_id leaves both copies in the index. latest_only=True
+    must keep only the max-batch_id copy per neighbor_id before
+    scoring — even when the updated vector MOVED cells."""
+    corpus = _corpus(spark, n=60, dim=8)
+    vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
+    vix.init_landmarks(corpus, num_landmarks=4)
+    vix.ingest_batch(corpus, 0)
+    # batch 1 re-ingests id 7 with id 42's vector (likely a different cell)
+    updated = (
+        corpus.where(F.col("vec_id") == 42)
+        .select(F.lit(7).alias("vec_id"), "embedding")
+    )
+    vix.ingest_batch(updated, 1)
+    assert vix.read_index(spark).where(F.col("neighbor_id") == 7).count() == 2
+
+    queries = corpus.where(F.col("vec_id") == 42).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = vix.ann_query(
+        spark, queries, k=60, n_probe=4, latest_only=True
+    ).collect()
+    ranks = {r["neighbor_id"]: r["rank"] for r in got}
+    assert len(ranks) == len(got)  # no duplicate neighbor rows
+    # id 7's surviving copy is id 42's vector -> cosine 1.0, tied with
+    # 42 itself; the tie breaks by neighbor_id asc, so 7 ranks first
+    assert ranks[7] == 1 and ranks[42] == 2
+
+
 def test_missing_landmarks_raise(spark, tmp_path):
     vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
     with pytest.raises(RuntimeError, match="landmarks missing"):
