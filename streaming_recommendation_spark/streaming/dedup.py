@@ -48,19 +48,9 @@ _SIG_SCHEMA = "doc_id bigint, band int, bucket string, batch_id bigint"
 _CAND_SCHEMA = "new_id bigint, existing_id bigint, batch_id bigint"
 
 
-def _read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.schema(schema).parquet(path)
-    except AnalysisException as e:
-        # first batch: directory does not exist yet. ONLY the missing-
-        # path analysis error falls through to empty — a corrupt or
-        # unreadable index must fail loudly, not silently restart the
-        # dedup state from scratch (ADVICE r5).
-        if e.getCondition() == "PATH_NOT_FOUND":
-            return spark.createDataFrame([], schema)
-        raise
+from .state import read_or_empty as _read_or_empty  # noqa: E402 — ADVICE r5:
+# only a genuinely absent first-batch directory maps to empty state;
+# any other analysis failure reading the signature index re-raises.
 
 
 def dedup_ingest_batch(

@@ -26,16 +26,12 @@ itself against the full-rebuild oracle.
 from __future__ import annotations
 
 import os
-import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.scd2 import scd2_apply_batch, scd2_intervals
-
-_V_RE = re.compile(r"^v=(\d+)$")
-_B_RE = re.compile(r"^bucket=(\d+)$")
+from .state import live_buckets, prune_buckets, write_version
 
 
 def _state_schema(key_type: str, value_type: str, ts_type: str, id_type: str,
@@ -46,30 +42,6 @@ def _state_schema(key_type: str, value_type: str, ts_type: str, id_type: str,
         f"first_event_id {id_type}, n_events bigint, "
         f"last_ts {ts_type}, last_event_id {id_type}, bucket int"
     )
-
-
-def _versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
-    return sorted(
-        int(m.group(1))
-        for m in (_V_RE.match(n) for n in os.listdir(state_dir))
-        if m
-    )
-
-
-def _live_buckets(state_dir: str, before: int) -> dict[int, int]:
-    """bucket -> newest version (< before) containing it."""
-    live: dict[int, int] = {}
-    for v in _versions(state_dir):
-        if v >= before:
-            continue
-        vdir = os.path.join(state_dir, f"v={v}")
-        for name in os.listdir(vdir):
-            m = _B_RE.match(name)
-            if m:
-                live[int(m.group(1))] = v
-    return live
 
 
 class Scd2Stream:
@@ -109,7 +81,7 @@ class Scd2Stream:
     ) -> DataFrame:
         """Current intervals (newest version per bucket), optionally
         restricted to a bucket subset."""
-        live = _live_buckets(
+        live = live_buckets(
             self.state_dir, before if before is not None else 1 << 62
         )
         if buckets is not None:
@@ -149,38 +121,18 @@ class Scd2Stream:
         merged = scd2_apply_batch(
             state, batch_df, self.key_col, self.value_col, self.ts_col, self.id_col
         )
-        vdir = os.path.join(self.state_dir, f"v={batch_id}")
-        if os.path.isdir(vdir):
-            shutil.rmtree(vdir)  # failed earlier attempt of THIS batch
-        (
-            merged.withColumn("bucket", self._bucket(F.col(self.key_col)))
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(vdir)
+        write_version(
+            merged.withColumn("bucket", self._bucket(F.col(self.key_col))),
+            self.state_dir,
+            batch_id,
+            partition_by=["bucket"],
         )
-        self._prune(batch_id)
-
-    def _prune(self, batch_id: int) -> None:
-        # Versions committed strictly BEFORE the current batch are the
-        # only ones that may supersede: the in-flight batch's own
-        # v=<batch_id> write is not yet checkpoint-committed, so if it
-        # counted as live here we could delete the only committed copy
-        # of a bucket it touched — an at-least-once redelivery of this
-        # batch (crash before checkpoint commit) would then merge
-        # against empty state and silently lose the bucket's history.
-        # Pruning of versions this batch supersedes happens on the NEXT
-        # successful batch, when v=<batch_id> is known committed.
-        live = _live_buckets(self.state_dir, batch_id)
-        for v in _versions(self.state_dir):
-            if v > batch_id - self.keep_versions:
-                continue
-            vdir = os.path.join(self.state_dir, f"v={v}")
-            for name in os.listdir(vdir):
-                m = _B_RE.match(name)
-                if m and live.get(int(m.group(1)), v) > v:
-                    shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
-            if not any(_B_RE.match(n) for n in os.listdir(vdir)):
-                shutil.rmtree(vdir, ignore_errors=True)
+        # prune_buckets only treats versions committed strictly BEFORE
+        # this batch as superseding — the in-flight v=<batch_id> is not
+        # yet checkpoint-committed, so deleting what it supersedes here
+        # would lose a bucket's history on redelivery (ADVICE r5 high);
+        # that pruning happens on the NEXT successful batch instead.
+        prune_buckets(self.state_dir, batch_id, self.keep_versions)
 
     def pipeline(
         self,

@@ -33,8 +33,6 @@ across a multi-batch carry plus retry idempotence.
 
 from __future__ import annotations
 
-import os
-import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -45,36 +43,7 @@ from ..operators.sketch import (
     hll_registers,
     merge_hll_registers,
 )
-
-_V_RE = re.compile(r"^v=(\d+)$")
-
-
-def _versions(state_dir: str) -> list[int]:
-    if not os.path.isdir(state_dir):
-        return []
-    out = []
-    for name in os.listdir(state_dir):
-        m = _V_RE.match(name)
-        if m and os.path.isdir(os.path.join(state_dir, name)):
-            out.append(int(m.group(1)))
-    return sorted(out)
-
-
-def _latest_before(state_dir: str, batch_id: int) -> int | None:
-    prior = [v for v in _versions(state_dir) if v < batch_id]
-    return prior[-1] if prior else None
-
-
-def _prune(state_dir: str, batch_id: int, keep: int) -> None:
-    import shutil
-
-    for v in _versions(state_dir):
-        if v < batch_id and v <= batch_id - keep:
-            shutil.rmtree(os.path.join(state_dir, f"v={v}"), ignore_errors=True)
-
-
-def _write_version(state: DataFrame, state_dir: str, batch_id: int) -> None:
-    state.write.mode("overwrite").parquet(os.path.join(state_dir, f"v={batch_id}"))
+from .state import latest_before, prune_snapshots, version_dir, versions, write_version
 
 
 class HllStreamSketch:
@@ -174,13 +143,13 @@ def sketch_ingest_batch(
 
     spark = batch_df.sparkSession
     part = sketch.partial(batch_df)
-    prev_v = _latest_before(state_dir, batch_id)
+    prev_v = latest_before(state_dir, batch_id)
     if prev_v is None:
         merged = part
     else:
         try:
             prev = spark.read.schema(sketch.schema()).parquet(
-                os.path.join(state_dir, f"v={prev_v}")
+                version_dir(state_dir, prev_v)
             )
         except AnalysisException:
             raise RuntimeError(
@@ -188,8 +157,12 @@ def sketch_ingest_batch(
                 "refusing to silently restart the sketch from empty"
             )
         merged = sketch.merge(prev, part)
-    _write_version(merged, state_dir, batch_id)
-    _prune(state_dir, batch_id, keep_versions)
+    write_version(merged, state_dir, batch_id)
+    # prune_snapshots protects the newest version strictly before this
+    # batch — it is the redelivery input if this batch's checkpoint
+    # commit never lands (matters for keep_versions=1 and for gapped
+    # backfill batch_ids; same invariant as Scd2Stream's prune).
+    prune_snapshots(state_dir, batch_id, keep_versions)
 
 
 def sketch_stream_pipeline(
@@ -221,9 +194,7 @@ def read_sketch_state(
     spark: SparkSession, state_dir: str, schema: str
 ) -> DataFrame:
     """The latest state snapshot (empty frame if nothing ingested)."""
-    vs = _versions(state_dir)
+    vs = versions(state_dir)
     if not vs:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        os.path.join(state_dir, f"v={vs[-1]}")
-    )
+    return spark.read.schema(schema).parquet(version_dir(state_dir, vs[-1]))

@@ -1,0 +1,144 @@
+"""Shared versioned-state machinery for the streaming modules.
+
+One implementation of the version-directory contract that
+``streaming/scd2.py``, ``streaming/sketches.py`` and
+``streaming/dedup.py`` previously each carried privately (VERDICT r5
+hygiene #5):
+
+    state_dir/v=<batch_id>/...          (full-snapshot states)
+    state_dir/v=<batch_id>/bucket=<b>/  (per-bucket states)
+
+The invariants every consumer relies on:
+
+  * a batch writes ONLY under its own ``v=<batch_id>`` and fully
+    overwrites it, so an at-least-once redelivery replaces its own
+    partial attempt (idempotence);
+  * a batch READS only versions strictly before its batch_id, so the
+    in-flight write never feeds its own input;
+  * pruning may delete a version only when a version committed
+    STRICTLY BEFORE the current batch supersedes it — the in-flight
+    batch's own not-yet-checkpoint-committed version never counts
+    (ADVICE r5 high): otherwise a crash-before-commit redelivery
+    finds its input deleted and silently restarts from empty.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+_V_RE = re.compile(r"^v=(\d+)$")
+_B_RE = re.compile(r"^bucket=(\d+)$")
+
+
+def version_dir(state_dir: str, v: int) -> str:
+    return os.path.join(state_dir, f"v={v}")
+
+
+def versions(state_dir: str) -> list[int]:
+    """Sorted batch_ids with a version directory under state_dir."""
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for name in os.listdir(state_dir):
+        m = _V_RE.match(name)
+        if m and os.path.isdir(os.path.join(state_dir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def latest_before(state_dir: str, batch_id: int) -> int | None:
+    prior = [v for v in versions(state_dir) if v < batch_id]
+    return prior[-1] if prior else None
+
+
+def write_version(
+    state: DataFrame, state_dir: str, batch_id: int, partition_by=None
+) -> None:
+    """Write v=<batch_id>, fully replacing any partial earlier attempt
+    of the SAME batch (partitioned writes only overwrite partitions
+    present in the new data, so the stale dir is removed first)."""
+    vdir = version_dir(state_dir, batch_id)
+    if partition_by:
+        if os.path.isdir(vdir):
+            shutil.rmtree(vdir)
+        state.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
+    else:
+        state.write.mode("overwrite").parquet(vdir)
+
+
+def prune_snapshots(state_dir: str, batch_id: int, keep: int) -> None:
+    """Retention for FULL-SNAPSHOT states (every version is the whole
+    state): drop versions older than the retention window — except the
+    newest version strictly before batch_id, which is the redelivery
+    input of the in-flight batch and must survive until a LATER batch
+    proves batch_id committed. (With contiguous batch_ids and keep >= 2
+    this protection never triggers; it is what makes keep=1 and gapped
+    backfill ids safe.)"""
+    prior = [v for v in versions(state_dir) if v < batch_id]
+    protect = max(prior) if prior else None
+    for v in prior:
+        if v <= batch_id - keep and v != protect:
+            shutil.rmtree(version_dir(state_dir, v), ignore_errors=True)
+
+
+def live_buckets(state_dir: str, before: int) -> dict[int, int]:
+    """bucket -> newest version (< before) containing it, for
+    per-bucket states laid out as v=<id>/bucket=<b>/."""
+    live: dict[int, int] = {}
+    for v in versions(state_dir):
+        if v >= before:
+            continue
+        for name in os.listdir(version_dir(state_dir, v)):
+            m = _B_RE.match(name)
+            if m:
+                live[int(m.group(1))] = v
+    return live
+
+
+def prune_buckets(state_dir: str, batch_id: int, keep: int) -> None:
+    """Retention for PER-BUCKET states: a bucket directory may be
+    dropped only when a version committed strictly before batch_id
+    holds a newer copy of that bucket (the in-flight v=<batch_id>
+    never supersedes — ADVICE r5 high)."""
+    live = live_buckets(state_dir, batch_id)
+    for v in versions(state_dir):
+        if v > batch_id - keep:
+            continue
+        vdir = version_dir(state_dir, v)
+        for name in os.listdir(vdir):
+            m = _B_RE.match(name)
+            if m and live.get(int(m.group(1)), v) > v:
+                shutil.rmtree(os.path.join(vdir, name), ignore_errors=True)
+        if not any(_B_RE.match(n) for n in os.listdir(vdir)):
+            shutil.rmtree(vdir, ignore_errors=True)
+
+
+def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read a parquet state directory; ONLY a genuinely absent path
+    (first batch) maps to an empty frame — any other analysis failure
+    re-raises so corrupt state fails loudly instead of silently
+    restarting from scratch (ADVICE r5)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.schema(schema).parquet(path)
+    except AnalysisException as e:
+        if e.getCondition() == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], schema)
+        raise
+
+
+__all__ = [
+    "versions",
+    "version_dir",
+    "latest_before",
+    "write_version",
+    "prune_snapshots",
+    "live_buckets",
+    "prune_buckets",
+    "read_or_empty",
+]

@@ -140,3 +140,32 @@ def test_version_pruning_keeps_retry_window(spark, tmp_path):
                                 ["event_type"]).collect())
     )
     assert got == want
+
+
+def test_keep_versions_1_redelivery_is_safe(spark, tmp_path):
+    """prune_snapshots must protect the newest version strictly before
+    the in-flight batch: with keep_versions=1, batch 1's prune would
+    otherwise delete v=0 while v=1 is not yet checkpoint-committed, so
+    a redelivery of batch 1 would merge against empty state and drop
+    batch 0's contribution (same invariant as the SCD2 prune fix)."""
+    state = str(tmp_path / "state")
+    sketch = CmsStreamSketch("user_id", ["event_type"],
+                             group_schema="event_type string")
+    sketch_ingest_batch(_events(spark, 0, 200), 0, sketch, state,
+                        keep_versions=1)
+    sketch_ingest_batch(_events(spark, 200, 400), 1, sketch, state,
+                        keep_versions=1)
+    # crash before checkpoint commit -> batch 1 redelivered
+    sketch_ingest_batch(_events(spark, 200, 400), 1, sketch, state,
+                        keep_versions=1)
+    got = sorted(
+        map(tuple, read_sketch_state(spark, state, sketch.schema()).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            cms_counts(_events(spark, 0, 400), "user_id", ["event_type"],
+                       sketch.width, sketch.depth).collect(),
+        )
+    )
+    assert got == want
