@@ -35,11 +35,18 @@ def _salt_expr(columns: list[str], salt_buckets: int) -> Column:
     byte-identical (every duplicate lands in one salt bucket and the
     skew survives — VERDICT r5 blemish #2), so a per-row
     disambiguator (``monotonically_increasing_id``) is mixed in. The
-    ordinal is position-dependent, not content-stable, but that is
-    safe here: the small side is replicated to ALL salts, so the join
-    RESULT is identical whatever salt a row draws — the salt only
-    steers physical distribution. A task retry that re-draws salts
-    changes which reducer processes a row, never the output.
+    ordinal is position-dependent, not content-stable; LOGICALLY that
+    is safe (the small side is replicated to ALL salts, so the join
+    result is identical whatever salt a row draws), but it carries
+    the standard nondeterministic-salt caveat: the shuffle key is not
+    stable across recomputation, so correctness under shuffle-fetch
+    failure relies on Spark's indeterminate-stage rollback
+    (``monotonically_increasing_id`` is flagged nondeterministic, so
+    a fetch failure re-runs the whole map stage rather than a
+    subset) — the same contract ``rand()``-based salting depends on,
+    not a stronger per-task guarantee. Where the input has a stable
+    unique key, prefer passing it in ``columns`` and dropping the
+    ordinal for a fully deterministic salt.
     """
     return F.pmod(
         F.xxhash64(*[F.col(c) for c in columns], F.monotonically_increasing_id()),

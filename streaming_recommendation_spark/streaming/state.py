@@ -59,8 +59,16 @@ def write_version(
     state: DataFrame, state_dir: str, batch_id: int, partition_by=None
 ) -> None:
     """Write v=<batch_id>, fully replacing any partial earlier attempt
-    of the SAME batch (partitioned writes only overwrite partitions
-    present in the new data, so the stale dir is removed first)."""
+    of the SAME batch. For partitioned writes the rmtree guarantees
+    full replacement regardless of the session's
+    ``spark.sql.sources.partitionOverwriteMode``: under the default
+    ``static`` mode ``mode("overwrite")`` already truncates the whole
+    v= dir (the rmtree is then redundant but harmless), while under
+    ``dynamic`` mode only partitions present in the new data would be
+    overwritten — and a retry carrying different buckets than the
+    failed attempt would otherwise leave the failed attempt's orphan
+    partitions behind. Do not drop the rmtree on the assumption that
+    either mode alone covers both cases."""
     vdir = version_dir(state_dir, batch_id)
     if partition_by:
         if os.path.isdir(vdir):

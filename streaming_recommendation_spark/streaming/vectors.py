@@ -19,18 +19,26 @@ with cells instead of LSH buckets:
     — batch_id dynamic-overwrite keys redelivery idempotence,
     the __lid sub-partition lets probe reads prune whole cells
     off disk;
-  * queries run ``similarity.ivf_knn_from_index`` over the stored
-    index: n_probe cells per query are read, the rest pruned.
+  * periodically: ``compact`` folds the delta partitions into a
+    COMPACTED BASE generation (latest copy per vec_id, still
+    cell-partitioned), managed through the shared versioned-state
+    module (streaming/state.py) so the prune/redelivery guarantees
+    the other streaming states enjoy hold here by construction
+    (VERDICT r6 #3/#7);
+  * queries run ``similarity.ivf_knn_from_index`` over
+    base ∪ {deltas newer than the base}: n_probe cells per query are
+    read, the rest pruned — on the base AND on every live delta.
 
-Batch twin: q135 builds the index in two batches with the full
-corpus's landmark set and must equal q66's single-pass ivf_knn
-answer bit-for-bit (assignment purity); the disk pipeline is pinned
-across a multi-batch carry in tests/test_streaming_vectors.py.
+Batch twins: q135 (two-batch build == q66 bit-for-bit) and q137
+(stale re-ingested copies + compaction == q66 bit-for-bit); the disk
+pipeline incl. compaction is pinned in tests/test_streaming_vectors.py.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,16 +48,57 @@ from ..operators.similarity import (
     ivf_knn_from_index,
     ivf_landmarks,
 )
+from . import state
 
 _LANDMARK_SCHEMA = "__lid bigint, __lvec array<float>"
+_BATCH_RE = re.compile(r"^batch_id=(\d+)$")
 
 
 def _index_schema(id_type: str) -> str:
     return f"neighbor_id {id_type}, __cvec array<float>, batch_id bigint, __lid bigint"
 
 
+def latest_per_vector(index: DataFrame) -> DataFrame:
+    """Compaction as a pure operator: keep each neighbor_id's newest
+    copy (max batch_id) with its cell. This is the whole semantic
+    content of index compaction — the disk job is just this plus
+    versioned-state bookkeeping — and it is what ``q137`` twins
+    against q66's oracle. One shuffle on neighbor_id; at 100 TB the
+    aggregate is map-side partial (max_by is associative)."""
+    return (
+        index.groupBy("neighbor_id")
+        .agg(
+            F.max_by(
+                F.struct("__cvec", "__lid", "batch_id"), F.col("batch_id")
+            ).alias("__s")
+        )
+        .select(
+            "neighbor_id",
+            F.col("__s.__cvec").alias("__cvec"),
+            F.col("__s.batch_id").alias("batch_id"),
+            F.col("__s.__lid").alias("__lid"),
+        )
+    )
+
+
 class VectorIndexStream:
-    """One continuously-maintained IVF vector index."""
+    """One continuously-maintained IVF vector index.
+
+    On-disk layout:
+
+        index_dir/batch_id=<b>/__lid=<cell>/   per-batch DELTAS
+        base_dir/v=<gen>/__lid=<cell>/         compacted BASE
+                                               generations (shared
+                                               streaming/state.py
+                                               contract; <gen> = the
+                                               highest delta batch_id
+                                               folded in)
+
+    The logical index is ``base(latest committed gen G) ∪ deltas with
+    batch_id > G``; deltas ≤ G are dead weight the compactor deletes
+    as cleanup, and reads ignore them either way — so a crash at any
+    point between base commit and delta deletion is harmless.
+    """
 
     def __init__(
         self,
@@ -58,12 +107,16 @@ class VectorIndexStream:
         id_col: str = "vec_id",
         vec_col: str = "embedding",
         id_type: str = "bigint",
+        base_dir: str | None = None,
     ):
         self.index_dir = index_dir
         self.landmarks_dir = landmarks_dir
         self.id_col = id_col
         self.vec_col = vec_col
         self.id_type = id_type
+        # NOT nested inside index_dir: the delta read's partition
+        # discovery would misparse a foreign subdirectory
+        self.base_dir = base_dir or index_dir.rstrip("/") + "__base"
 
     def init_landmarks(self, seed_corpus: DataFrame, num_landmarks: int = 16) -> None:
         """Capture and persist the quantizer. Call once before
@@ -121,10 +174,104 @@ class VectorIndexStream:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
-    def read_index(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(_index_schema(self.id_type)).parquet(
-            self.index_dir
+    # ------------------------------------------------------------------
+    # compaction (VERDICT r6 #3) — versioned base via streaming/state.py
+
+    def _delta_ids(self) -> list[int]:
+        if not os.path.isdir(self.index_dir):
+            return []
+        out = []
+        for name in os.listdir(self.index_dir):
+            m = _BATCH_RE.match(name)
+            if m and os.path.isdir(os.path.join(self.index_dir, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _committed_base_gen(self) -> int | None:
+        """Newest base generation whose write COMMITTED (Spark's
+        _SUCCESS marker) — a compactor crash mid-write leaves a
+        markerless partial dir that reads ignore and the next
+        compaction's write_version rmtree-replaces."""
+        gens = [
+            v
+            for v in state.versions(self.base_dir)
+            if os.path.exists(
+                os.path.join(state.version_dir(self.base_dir, v), "_SUCCESS")
+            )
+        ]
+        return max(gens) if gens else None
+
+    def compact(self, spark: SparkSession, upto_batch_id: int | None = None) -> int | None:
+        """Fold delta partitions into a new compacted base generation:
+        latest copy per neighbor_id (``latest_per_vector``), written
+        cell-partitioned so probe reads regain full partition pruning
+        — the periodic job ``ann_query``'s ``latest_only`` fallback
+        stands in for between runs.
+
+        ``upto_batch_id`` (inclusive) defaults to ``max(delta ids) - 1``:
+        the newest delta may be an in-flight foreachBatch attempt whose
+        checkpoint has not committed, and folding it would let a
+        crash-before-commit redelivery be silently shadowed by the base
+        (the same in-flight-never-supersedes rule as state.prune_* —
+        ADVICE r5 high). Pass the newest batch_id explicitly only when
+        the stream is stopped/quiesced.
+
+        Crash-safe at every step: base generations commit via Spark's
+        _SUCCESS marker (partials are ignored and rmtree-replaced on
+        re-run); reads ignore deltas ≤ the committed gen, so deleting
+        folded deltas afterwards is pure cleanup; the previous base
+        generation is retained one cycle by state.prune_snapshots'
+        newest-prior protection. Returns the new committed generation
+        (or the existing one if there was nothing to fold)."""
+        ids = self._delta_ids()
+        if not ids:
+            return self._committed_base_gen()
+        if upto_batch_id is None:
+            upto_batch_id = max(ids) - 1
+        g_prev = self._committed_base_gen()
+        floor = g_prev if g_prev is not None else -1
+        fold = [b for b in ids if floor < b <= upto_batch_id]
+        if not fold:
+            return g_prev
+        gen = max(fold)
+        schema = _index_schema(self.id_type)
+        deltas = (
+            state.read_or_empty(spark, self.index_dir, schema)
+            .where((F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch_id))
         )
+        merged = deltas
+        if g_prev is not None:
+            base_prev = spark.read.schema(schema).parquet(
+                state.version_dir(self.base_dir, g_prev)
+            )
+            merged = base_prev.unionByName(deltas)
+        state.write_version(
+            latest_per_vector(merged), self.base_dir, gen, partition_by=["__lid"]
+        )
+        state.prune_snapshots(self.base_dir, gen, keep=1)
+        # cleanup: folded deltas are no longer read (batch_id <= gen)
+        for b in ids:
+            if b <= gen:
+                shutil.rmtree(
+                    os.path.join(self.index_dir, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+        return gen
+
+    # ------------------------------------------------------------------
+
+    def read_index(self, spark: SparkSession) -> DataFrame:
+        """The logical index: committed compacted base (if any) plus
+        every delta batch newer than it."""
+        schema = _index_schema(self.id_type)
+        deltas = state.read_or_empty(spark, self.index_dir, schema)
+        g = self._committed_base_gen()
+        if g is None:
+            return deltas
+        base = spark.read.schema(schema).parquet(
+            state.version_dir(self.base_dir, g)
+        )
+        return base.unionByName(deltas.where(F.col("batch_id") > g))
 
     def ann_query(
         self,
@@ -136,32 +283,26 @@ class VectorIndexStream:
         latest_only: bool = False,
     ) -> DataFrame:
         """Approximate top-k against the stored index; the probe join
-        filter on __lid prunes unprobed cell partitions off disk.
+        filter on __lid prunes unprobed cell partitions off disk — on
+        the compacted base and on each live delta partition.
 
-        CONTRACT (ADVICE r5): ingest is APPEND-ONLY — each batch is
-        expected to carry NEW vec_ids. Re-ingesting an existing id in
-        a later batch leaves both the stale and the new copy in the
-        index, and the default query path can return duplicate/stale
-        neighbor rows for that id. ``latest_only=True`` dedups by
-        neighbor_id keeping the max batch_id BEFORE scoring, so only
-        the newest copy of each vector competes for the top-k — at
-        the cost of a full-index aggregate that defeats cell-partition
-        pruning (a global view is unavoidable because an updated
-        vector may have moved cells). In production that dedup is a
-        periodic COMPACTION job, not a per-query pass; use
-        ``latest_only`` as the pre-compaction fallback.
-        """
+        CONTRACT (ADVICE r5): ingest is APPEND-ONLY between
+        compactions — each batch is expected to carry NEW vec_ids.
+        Re-ingesting an existing id leaves both the stale and the new
+        copy live until ``compact`` folds them, and the default query
+        path can return duplicate/stale neighbor rows for that id in
+        the interim. ``latest_only=True`` dedups by neighbor_id
+        keeping the max batch_id BEFORE scoring, so only the newest
+        copy of each vector competes for the top-k — at the cost of a
+        full-index aggregate that defeats cell-partition pruning (a
+        global view is unavoidable because an updated vector may have
+        moved cells). Use it as the between-compactions fallback;
+        after ``compact`` the default path gives the same answer with
+        pruning intact (pinned by q137 and
+        tests/test_streaming_vectors.py)."""
         index = self.read_index(spark)
         if latest_only:
-            index = index.groupBy("neighbor_id").agg(
-                F.max_by(
-                    F.struct("__cvec", "__lid"), F.col("batch_id")
-                ).alias("__s")
-            ).select(
-                "neighbor_id",
-                F.col("__s.__cvec").alias("__cvec"),
-                F.col("__s.__lid").alias("__lid"),
-            )
+            index = latest_per_vector(index).drop("batch_id")
         else:
             index = index.drop("batch_id")
         return ivf_knn_from_index(
@@ -175,4 +316,4 @@ class VectorIndexStream:
         )
 
 
-__all__ = ["VectorIndexStream"]
+__all__ = ["VectorIndexStream", "latest_per_vector"]

@@ -123,3 +123,19 @@ def test_driver_priority_prefix_is_valid():
     # every prefix entry must carry a SQL oracle (that's the point of
     # spending a driver slot on it)
     assert all(reg[n].oracle is not None for n in _DRIVER_PRIORITY)
+
+
+def test_q25_except_is_non_degenerate(spark):
+    """ADVICE r6: q25's EXCEPT must not be vacuous (an empty or
+    all-viewers result would green-match a broken oracle). The cutoff
+    is data-derived (max ts - 7 days), so this holds at any SF."""
+    from streaming_recommendation_spark.queries import registry
+
+    reg = registry()
+    n_diff = reg["q25_viewers_no_recent_purchase"].fn(spark, SF_DIR).count()
+    from streaming_recommendation_spark.sources.testdata import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", SF_DIR)
+    n_viewers = ev.where(F.col("event_type") == "view").select("user_id").distinct().count()
+    assert 0 < n_diff < n_viewers
