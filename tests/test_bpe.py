@@ -335,3 +335,58 @@ def test_exact_batch_acceptance_rule_fuzz():
         mf = rng.choice([1, 1, 2, 3])
         K = rng.choice([2, 4, 8, 64])
         assert batched(wf0, n, mf, K) == seq(wf0, n, mf), (trial, docs, n, mf, K)
+
+
+def test_delta_count_mode_matches_full(spark):
+    """count_mode='delta' maintains the pair-count table incrementally;
+    it must be BIT-EXACT with per-round full recounting — same merges,
+    same counts, both strategies, including multi-round tie-dense
+    chains and early min_freq stops."""
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for strategy in ("exact", "parallel"):
+        for num_merges in (3, 10):
+            full = learn_bpe(
+                df, num_merges=num_merges, strategy=strategy, return_counts=True
+            )
+            delta = learn_bpe(
+                df,
+                num_merges=num_merges,
+                strategy=strategy,
+                return_counts=True,
+                count_mode="delta",
+            )
+            assert delta == full, (strategy, num_merges)
+    # sequential (batch_size=1) exercises one-merge rounds where the
+    # delta table carries across many updates
+    assert learn_bpe(df, num_merges=8, batch_size=1, count_mode="delta") == py_learn(
+        DOCS, 8
+    )
+
+
+def test_delta_count_mode_randomized(spark):
+    """Randomized corpora: delta == full == pure-Python reference."""
+    import random
+
+    rng = random.Random(77)
+    for trial in range(4):
+        docs = [
+            (
+                i,
+                " ".join(
+                    "".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+                    for _ in range(rng.randint(3, 12))
+                ),
+            )
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = learn_bpe(df, num_merges=6, batch_size=1, count_mode="delta")
+        assert got == py_learn(docs, 6), docs
+
+
+def test_learn_bpe_rejects_unknown_count_mode(spark):
+    import pytest
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    with pytest.raises(ValueError, match="count_mode"):
+        learn_bpe(df, num_merges=2, count_mode="incremental")
