@@ -211,38 +211,99 @@ def histogram_quantiles(
     ceil-divisions, and edges are single IEEE multiply-adds — the
     whole sketch replays bit-for-bit in the q117 oracle.
     """
-    gks = [F.col(c) for c in group_cols]
-    rng = df.groupBy(*gks).agg(
+    layout = histogram_layout(df, value_col, group_cols)
+    bins = histogram_bins(df, layout, value_col, group_cols, n_bins)
+    return histogram_from_bins(bins, layout, group_cols, quantiles, n_bins)
+
+
+def histogram_layout(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Per-group (``__mn``, ``__mx``): the FIXED bin layout every
+    partial histogram must share — the sketch-family analogue of the
+    IVF landmark table (streaming/vectors.py): partials built against
+    different layouts cannot merge, so a streaming histogram captures
+    the layout ONCE from a seed corpus and keeps it."""
+    return df.groupBy(*[F.col(c) for c in group_cols]).agg(
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
-        F.count(value_col).alias("__n"),
     )
+
+
+def histogram_bins(
+    df: DataFrame,
+    layout: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 256,
+) -> DataFrame:
+    """Per-(group, bin) integer counts under the given layout — the
+    mergeable partial state. Values outside the layout's range (a
+    streaming batch after layout capture) clamp to the edge bins, the
+    standard fixed-layout histogram behavior; when the layout comes
+    from the same data (the one-pass batch path) the clamp is
+    provably a no-op."""
+    gks = [F.col(c) for c in group_cols]
     w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
-    binned = (
+    return (
         df.where(F.col(value_col).isNotNull())
-        .join(rng, group_cols)
+        .join(layout, group_cols)
         .withColumn(
             "__bin",
             F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-                F.least(
-                    F.floor((F.col(value_col) - F.col("__mn")) / w),
-                    F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor((F.col(value_col) - F.col("__mn")) / w),
+                        F.lit(n_bins - 1),
+                    ),
                 )
             ).cast("int"),
         )
         .groupBy(*gks, F.col("__bin"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+
+
+def merge_histogram_bins(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Histogram merge = per-(group, bin) count SUM (associative;
+    retry safety comes from the versioned-snapshot state, same as
+    CMS)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "__bin")
+        .agg(F.sum("__c").alias("__c"))
+    )
+
+
+def histogram_from_bins(
+    bins: DataFrame,
+    layout: DataFrame,
+    group_cols: list[str],
+    quantiles: list[tuple[int, int]] = ((1, 2), (19, 20), (99, 100)),
+    n_bins: int = 256,
+) -> DataFrame:
+    """Finalize: quantile lower edges from merged bin counts. ``n``
+    is derived from the bins (sum of counts == count of non-null
+    values), so the mergeable state is exactly (group, bin, count)."""
+    gks = [F.col(c) for c in group_cols]
+    n = bins.groupBy(*gks).agg(F.sum("__c").alias("__n"))
     from pyspark.sql import Window
 
-    cum = binned.withColumn(
-        "__cum",
-        F.sum("__c").over(
-            Window.partitionBy(*group_cols)
-            .orderBy("__bin")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).join(rng, group_cols)
+    cum = (
+        bins.withColumn(
+            "__cum",
+            F.sum("__c").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__bin")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(layout, group_cols)
+        .join(n, group_cols)
+    )
     out_cols = list(group_cols) + [F.col("__n").alias("n")]
     agg_cols = []
     for num, den in quantiles:

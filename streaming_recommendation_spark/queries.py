@@ -4075,6 +4075,7 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
     "q137_compacted_ivf_twin",
+    "q138_mergeable_histogram_twin",
     # --- last external green: round 3 (full cohort, 35 rows) ---
     "q60_cube_order_stats",
     "q61_shipping_volume_between_nations",
@@ -4290,14 +4291,20 @@ _Q106_ORACLE = f"""
     "sequential replace (control-char-wrapped symbols make replace "
     "exactly the greedy tokenizer merge, self-pair runs included). "
     "The oracle unrolls all 8 rounds in SQL — training itself is "
-    "driver-checked, not just application.",
+    "driver-checked, not just application. Runs count_mode='delta' "
+    "(incremental pair-count maintenance, bit-exact with full "
+    "recounting by construction) so the externally-gated row also "
+    "verifies the delta path end-to-end.",
     tags=("text", "tokenizer", "iterative"),
 )
 def q105_bpe_learned_merges(spark, sf_dir):
     from .operators.bpe import learn_bpe
 
     merges = learn_bpe(
-        _t(spark, sf_dir, "documents"), num_merges=_BPE_MERGES, return_counts=True
+        _t(spark, sf_dir, "documents"),
+        num_merges=_BPE_MERGES,
+        return_counts=True,
+        count_mode="delta",
     )
     return spark.createDataFrame(
         [(i + 1, a, b, c) for i, (a, b, c) in enumerate(merges)],
@@ -4320,7 +4327,7 @@ def q106_bpe_token_counts(spark, sf_dir):
     from .operators.bpe import bpe_token_stats, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, num_merges=_BPE_MERGES)
+    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
     return bpe_token_stats(docs, merges)
 
 
@@ -5950,3 +5957,41 @@ def q137_compacted_ivf_twin(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_knn_from_index(index, landmarks, qdf, k=10, n_probe=3)
+
+
+@register(
+    "q138_mergeable_histogram_twin",
+    _REGISTRY["q117_histogram_quantiles"].oracle,
+    doc="Merge-exactness twin of the STREAMING fixed-layout histogram "
+    "(streaming/sketches.py HistogramStreamSketch): events split into "
+    "two arrival batches (even/odd event_id), each reduced to its own "
+    "per-(group, bin) count table under the FULL corpus's bin layout "
+    "(the fixed layout a streaming histogram captures at init — same "
+    "fixed-quantizer contract as q135's landmarks), merged by "
+    "per-bin count SUM, then finalized. Must equal q117's single-pass "
+    "answer BIT-FOR-BIT — bin assignment is a per-row pure function "
+    "of the broadcast layout and integer counts sum exactly, which is "
+    "what makes the foreachBatch quantile loop sound; the oracle is "
+    "q117's full 256-bin replay, verbatim. The live pipeline "
+    "(multi-batch carry + retry idempotence under the versioned-"
+    "snapshot state) is pinned in tests/test_streaming_sketches.py.",
+    tags=("agg", "sketch", "streaming-twin"),
+)
+def q138_mergeable_histogram_twin(spark, sf_dir):
+    from .operators.metrics import (
+        histogram_bins,
+        histogram_from_bins,
+        histogram_layout,
+        merge_histogram_bins,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    layout = histogram_layout(ev, "value", ["event_type"])
+    a = histogram_bins(
+        ev.where(F.col("event_id") % 2 == 0), layout, "value", ["event_type"]
+    )
+    b = histogram_bins(
+        ev.where(F.col("event_id") % 2 == 1), layout, "value", ["event_type"]
+    )
+    merged = merge_histogram_bins(a, b, ["event_type"])
+    return histogram_from_bins(merged, layout, ["event_type"])

@@ -1,13 +1,16 @@
-"""Streaming mergeable sketches: bounded-state cardinality (HLL) and
-frequency (CMS) over an unbounded stream, as foreachBatch pipelines.
+"""Streaming mergeable sketches: bounded-state cardinality (HLL),
+frequency (CMS), and quantiles (fixed-layout histogram) over an
+unbounded stream, as foreachBatch pipelines.
 
-Why this shape: exact streaming distinct/frequency state is
-O(distinct keys) — unbounded. The sketch state is CONSTANT-size
-(HLL: <= 2^p registers per group; CMS: depth x width counters per
-group) no matter how much data flows, and both merge associatively:
+Why this shape: exact streaming distinct/frequency/quantile state is
+O(distinct keys) or O(rows) — unbounded. The sketch state is
+CONSTANT-size (HLL: <= 2^p registers per group; CMS: depth x width
+counters per group; histogram: <= n_bins counts per group) no matter
+how much data flows, and all three merge associatively:
 
   HLL merge = per-(group, bucket) register MAX  (idempotent too)
   CMS merge = per-(group, row, slot) counter SUM
+  histogram merge = per-(group, bin) count SUM
 
 Per micro-batch the pipeline computes the batch's partial sketch
 (one pass over the batch only), merges it with the stored state, and
@@ -126,6 +129,61 @@ class CmsStreamSketch:
             self.group_cols,
             self.width,
             self.depth,
+        )
+
+
+class HistogramStreamSketch:
+    """Per-group streaming quantile state: a fixed-layout 256-bin
+    histogram (operators/metrics.py histogram_* family). The bin
+    LAYOUT (per-group min/max) is captured ONCE from a seed corpus —
+    same fixed-quantizer contract as the IVF landmark table
+    (streaming/vectors.py): partials built against different layouts
+    cannot merge, so the constructor takes the layout frame and the
+    caller persists it next to the state (re-derive per batch and the
+    sketch silently splits). Batch values outside the seed range
+    clamp to the edge bins (standard HDR-histogram behavior).
+
+    Merge = per-(group, bin) count SUM — non-idempotent like CMS,
+    made retry-safe by the versioned-snapshot state the shared
+    ingest loop writes."""
+
+    def __init__(
+        self,
+        value_col: str,
+        group_cols: list[str],
+        layout: DataFrame,
+        n_bins: int = 256,
+        group_schema: str | None = None,
+    ):
+        self.value_col = value_col
+        self.group_cols = list(group_cols)
+        self.layout = layout
+        self.n_bins = n_bins
+        self.group_schema = group_schema
+
+    def schema(self) -> str:
+        gks = self.group_schema or ", ".join(
+            f"{c} string" for c in self.group_cols
+        )
+        return f"{gks}, __bin int, __c bigint"
+
+    def partial(self, batch_df: DataFrame) -> DataFrame:
+        from ..operators.metrics import histogram_bins
+
+        return histogram_bins(
+            batch_df, self.layout, self.value_col, self.group_cols, self.n_bins
+        )
+
+    def merge(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        from ..operators.metrics import merge_histogram_bins
+
+        return merge_histogram_bins(a, b, self.group_cols)
+
+    def finalize(self, state: DataFrame) -> DataFrame:
+        from ..operators.metrics import histogram_from_bins
+
+        return histogram_from_bins(
+            state, self.layout, self.group_cols, n_bins=self.n_bins
         )
 
 

@@ -161,9 +161,19 @@ class VectorIndexStream:
         stream: DataFrame,
         checkpoint_dir: str,
         trigger_available_now: bool = True,
+        compact_every: int | None = None,
     ):
+        """Start the ingest query. ``compact_every=N`` runs the
+        periodic compaction job in-stream after every Nth batch —
+        safe while live because ``compact()``'s default never folds
+        the newest delta (this very batch, whose checkpoint has not
+        committed yet); a redelivery re-runs a no-op compact and
+        rewrites only its own delta partitions."""
+
         def process(batch_df: DataFrame, batch_id: int) -> None:
             self.ingest_batch(batch_df, batch_id)
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                self.compact(batch_df.sparkSession)
 
         writer = (
             stream.writeStream.foreachBatch(process)

@@ -169,3 +169,74 @@ def test_keep_versions_1_redelivery_is_safe(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_histogram_stream_matches_single_pass_and_retry(spark, tmp_path):
+    """Fixed-layout histogram sketch: a 3-batch carry (plus a
+    redelivered middle batch — sum-merge is non-idempotent, the
+    versioned state must absorb it) finalizes to exactly the
+    single-pass histogram_quantiles answer, layout shared."""
+    from streaming_recommendation_spark.operators.metrics import (
+        histogram_layout,
+        histogram_quantiles,
+    )
+    from streaming_recommendation_spark.streaming.sketches import (
+        HistogramStreamSketch,
+    )
+
+    def vals(spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias(
+                "event_type"
+            ),
+            (F.pmod(F.xxhash64("id"), F.lit(10000)) / 7.0).alias("value"),
+        )
+
+    full = vals(spark, 0, 1200)
+    layout = histogram_layout(full, "value", ["event_type"])
+    sketch = HistogramStreamSketch(
+        "value", ["event_type"], layout, group_schema="event_type string"
+    )
+    state = str(tmp_path / "state")
+    for b, (lo, hi) in enumerate(((0, 400), (400, 800), (800, 1200))):
+        sketch_ingest_batch(vals(spark, lo, hi), b, sketch, state)
+    # redelivery of batch 1: recomputes from v=0, overwrites v=1 —
+    # but v=2 is already the latest, so state is unchanged going
+    # forward; redeliver the LAST batch too (the real retry case)
+    sketch_ingest_batch(vals(spark, 800, 1200), 2, sketch, state)
+
+    got = sorted(
+        map(
+            tuple,
+            sketch.finalize(
+                read_sketch_state(spark, state, sketch.schema())
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            histogram_quantiles(full, "value", ["event_type"]).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_histogram_out_of_layout_values_clamp(spark, tmp_path):
+    """A batch value outside the seed layout's range clamps to the
+    edge bin instead of producing an out-of-range (negative) bin."""
+    from streaming_recommendation_spark.operators.metrics import (
+        histogram_bins,
+    )
+
+    layout = spark.createDataFrame(
+        [("a", 10.0, 20.0)], "g string, __mn double, __mx double"
+    )
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 15.0), ("a", 99.0)], "g string, v double"
+    )
+    bins = {
+        r["__bin"]: r["__c"]
+        for r in histogram_bins(df, layout, "v", ["g"], n_bins=256).collect()
+    }
+    assert bins[0] == 1 and bins[255] == 1 and bins[128] == 1

@@ -252,3 +252,57 @@ def test_compact_is_rerunnable_and_incremental(spark, tmp_path):
     import streaming_recommendation_spark.streaming.state as state
 
     assert state.versions(vix.base_dir) == [1, 2]
+
+
+def test_pipeline_with_periodic_compaction(spark, tmp_path):
+    """compact_every runs the compaction job in-stream: after the run
+    the index is base + a newest-delta tail (never fully folded while
+    live), answers unchanged vs the single-pass build."""
+    import json
+    import os
+
+    corpus = _corpus(spark, n=120, dim=8)
+    rows = corpus.collect()
+    d = tmp_path / "vecs"
+    d.mkdir()
+    for fi in range(3):
+        p = d / f"b{fi}.jsonl"
+        p.write_text(
+            "\n".join(
+                json.dumps({"vec_id": r["vec_id"], "embedding": r["embedding"]})
+                for r in rows[fi * 40 : (fi + 1) * 40]
+            )
+            + "\n"
+        )
+        now = p.stat().st_mtime
+        os.utime(p, (now - 300 + fi * 100, now - 300 + fi * 100))
+    vix = VectorIndexStream(str(tmp_path / "index"), str(tmp_path / "lm"))
+    vix.init_landmarks(corpus, num_landmarks=4)
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = vix.pipeline(stream, str(tmp_path / "ckpt"), compact_every=1)
+    q.awaitTermination(180)
+
+    import streaming_recommendation_spark.streaming.state as state
+
+    assert state.versions(vix.base_dir), "no base generation written"
+    assert vix._committed_base_gen() == 1  # batch 2 protected as delta
+    assert vix._delta_ids() == [2]
+    assert vix.read_index(spark).count() == 120
+
+    queries = corpus.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        map(tuple, vix.ann_query(spark, queries, k=4, n_probe=2).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_knn(corpus, queries, k=4, num_landmarks=4, n_probe=2).collect(),
+        )
+    )
+    assert got == want
