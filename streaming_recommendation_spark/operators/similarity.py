@@ -30,7 +30,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity, dot
+from ..functions.vectors import cosine_from_norms, cosine_similarity, dot, l2_norm
 from .topk import top_k_per_group
 
 
@@ -46,13 +46,17 @@ def knn_brute_force(
     """Exact top-k neighbors per query. Returns
     (query_id, neighbor_id, rank) — ranks are float-free so results
     are stable under FP reassociation differences across engines."""
+    # norms once per ROW (scan stage), not per pair: the pair-stage
+    # cosine collapses to a single dot (cosine_from_norms docstring)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec")
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
+    ).withColumn("__qn", l2_norm("__qvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cn", l2_norm("__cvec"))
     scored = c.join(F.broadcast(q), how="cross")
     sim = (
-        cosine_similarity("__qvec", "__cvec")
+        cosine_from_norms("__qvec", "__cvec", "__qn", "__cn")
         if metric == "cosine"
         else dot("__qvec", "__cvec")
     )
@@ -142,10 +146,12 @@ def lsh_knn(
         _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
     ]
 
-    def bucketed(df, idc, vc):
-        return df.select(
+    def bucketed(df, idc, vc, nc):
+        # norm once per row BEFORE the per-table explode
+        return df.withColumn(nc, l2_norm(vc)).select(
             F.col(idc),
             F.col(vc),
+            F.col(nc),
             F.posexplode(
                 F.array(*[srp_bucket(F.col(vc), planes) for planes in tables])
             ).alias("__table", "__bucket"),
@@ -155,20 +161,22 @@ def lsh_knn(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")),
         "neighbor_id",
         "__cvec",
+        "__cn",
     )
     q = bucketed(
         queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec")),
         query_id_col,
         "__qvec",
+        "__qn",
     )
     scored = (
         c.join(F.broadcast(q), ["__table", "__bucket"])
-        .select(query_id_col, "neighbor_id", "__qvec", "__cvec")
+        .select(query_id_col, "neighbor_id", "__qvec", "__cvec", "__qn", "__cn")
         .dropDuplicates([query_id_col, "neighbor_id"])
         .select(
             query_id_col,
             "neighbor_id",
-            cosine_similarity("__qvec", "__cvec").alias("score"),
+            cosine_from_norms("__qvec", "__cvec", "__qn", "__cn").alias("score"),
         )
     )
     return top_k_per_group(
@@ -297,13 +305,20 @@ def ivf_knn_from_index(
         query_id_col,
         "__qvec",
         n_probe,
-    )
+    ).withColumn("__qn", l2_norm("__qvec"))
     # the probed-query side is |queries| x n_probe rows — broadcast it
-    # so the corpus-wide cell join never sort-merges the big side
-    scored = index.join(F.broadcast(q), "__lid").select(
-        query_id_col,
-        "neighbor_id",
-        cosine_similarity("__qvec", "__cvec").alias("score"),
+    # so the corpus-wide cell join never sort-merges the big side;
+    # corpus norms are computed once per row in the scan stage so the
+    # per-pair cosine is a single dot (a probed cell's rows pair with
+    # EVERY query probing it — per-pair savings dominate)
+    scored = (
+        index.withColumn("__cn", l2_norm("__cvec"))
+        .join(F.broadcast(q), "__lid")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_from_norms("__qvec", "__cvec", "__qn", "__cn").alias("score"),
+        )
     )
     return top_k_per_group(
         scored,
@@ -362,24 +377,37 @@ def embedding_near_dups(
     tables = [
         _hyperplanes(dim, num_planes, seed + 1000 * t) for t in range(num_tables)
     ]
-    bucketed = corpus.select(
+    bucketed = corpus.withColumn("__n", l2_norm(vec_col)).select(
         F.col(id_col),
         F.col(vec_col),
+        F.col("__n"),
         F.posexplode(
             F.array(*[srp_bucket(F.col(vec_col), planes) for planes in tables])
         ).alias("__table", "__bucket"),
     )
     a = bucketed.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("__va"), "__table", "__bucket"
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        "__table",
+        "__bucket",
     )
     b = bucketed.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("__vb"), "__table", "__bucket"
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__table",
+        "__bucket",
     )
     return (
         a.join(b, ["__table", "__bucket"])
         .where(F.col("a") < F.col("b"))
         .dropDuplicates(["a", "b"])
-        .select("a", "b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .select(
+            "a",
+            "b",
+            cosine_from_norms("__va", "__vb", "__na", "__nb").alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 
@@ -509,11 +537,15 @@ def ivf_kmeans_knn(
         query_id_col,
         "__qvec",
         n_probe,
-    )
-    scored = c.join(F.broadcast(q), "__lid").select(
-        query_id_col,
-        "neighbor_id",
-        cosine_similarity("__qvec", "__cvec").alias("score"),
+    ).withColumn("__qn", l2_norm("__qvec"))
+    scored = (
+        c.withColumn("__cn", l2_norm("__cvec"))
+        .join(F.broadcast(q), "__lid")
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_from_norms("__qvec", "__cvec", "__qn", "__cn").alias("score"),
+        )
     )
     return top_k_per_group(
         scored,
@@ -601,16 +633,23 @@ def semantic_dedup(
         vec_col,
         n_probe=1,
     )
-    a = cells.select(
-        F.col(id_col).alias("__a"), F.col(vec_col).alias("__va"), "__lid"
+    with_norm = cells.withColumn("__n", l2_norm(vec_col))
+    a = with_norm.select(
+        F.col(id_col).alias("__a"),
+        F.col(vec_col).alias("__va"),
+        F.col("__n").alias("__na"),
+        "__lid",
     )
-    b = cells.select(
-        F.col(id_col).alias("__b"), F.col(vec_col).alias("__vb"), "__lid"
+    b = with_norm.select(
+        F.col(id_col).alias("__b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "__lid",
     )
     dropped = (
         a.join(b, "__lid")
         .where(F.col("__a") < F.col("__b"))
-        .where(cosine_similarity("__va", "__vb") >= threshold)
+        .where(cosine_from_norms("__va", "__vb", "__na", "__nb") >= threshold)
         .select(F.col("__b").alias(id_col))
         .distinct()
         .withColumn("__drop", F.lit(1))

@@ -28,7 +28,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt_expr(columns: list[str], salt_buckets: int) -> Column:
+def _salt_expr(
+    columns: list[str], salt_buckets: int, deterministic: bool = False
+) -> Column:
     """Big-side salt: row-content hash mixed with a per-row ordinal.
 
     The content hash alone has NO entropy when a hot key's rows are
@@ -48,10 +50,10 @@ def _salt_expr(columns: list[str], salt_buckets: int) -> Column:
     unique key, prefer passing it in ``columns`` and dropping the
     ordinal for a fully deterministic salt.
     """
-    return F.pmod(
-        F.xxhash64(*[F.col(c) for c in columns], F.monotonically_increasing_id()),
-        F.lit(salt_buckets),
-    ).cast("int")
+    parts = [F.col(c) for c in columns]
+    if not deterministic:
+        parts.append(F.monotonically_increasing_id())
+    return F.pmod(F.xxhash64(*parts), F.lit(salt_buckets)).cast("int")
 
 
 def salted_join(
@@ -60,10 +62,21 @@ def salted_join(
     on: str,
     salt_buckets: int = 8,
     how: str = "inner",
+    unique_rows: bool = False,
 ) -> DataFrame:
     """Equi-join with the big side's hot keys split across
     ``salt_buckets`` reducers. Output columns = big's + small's
     (minus the duplicate key), same as ``big.join(small, on, how)``.
+
+    ``unique_rows=True`` declares that no two big-side rows are
+    byte-identical across ALL columns (e.g. a unique id rides along)
+    — the salt then drops the per-row ordinal and becomes a pure
+    content hash: fully DETERMINISTIC under recomputation (no
+    indeterminate-stage reliance, the ADVICE r6 caveat), while still
+    spreading a hot key's rows because the distinguishing column
+    feeds the hash. Leave it False when duplicates are possible:
+    content-only salting would send byte-identical duplicates of a
+    hot key to one bucket and the skew survives.
 
     Only inner/left/left_semi/left_anti are supported: the small side
     is replicated once per salt, so a right/full outer join would
@@ -79,7 +92,9 @@ def salted_join(
             "small-side rows are replicated per salt and would "
             "duplicate in outer results; use AQE skew handling instead"
         )
-    b = big.withColumn("__salt", _salt_expr(big.columns, salt_buckets))
+    b = big.withColumn(
+        "__salt", _salt_expr(big.columns, salt_buckets, deterministic=unique_rows)
+    )
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("int"))

@@ -48,6 +48,21 @@ def get_spark(
         # Keep driver results small; operators must never collect() big data.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # File-scan split slack: when a scan's total (estimated) bytes
+        # are small, default packing yields exactly defaultParallelism
+        # splits — zero slack, so a split whose rows carry more
+        # downstream work than average (e.g. a hot IVF cell paired
+        # with many probes) becomes the stage straggler. Asking for
+        # 4x cores only shrinks splits when the scan is SMALL
+        # (maxSplitBytes = min(maxPartitionBytes, max(openCost,
+        # total/minPartitionNum))); at 100 TB splits are capped by
+        # maxPartitionBytes and this is a no-op. Measured on the
+        # compacted ANN base (36 MB, 1024 files): probe-query
+        # straggler 20 s -> ~5 s with the finer splits.
+        .config(
+            "spark.sql.files.minPartitionNum",
+            str(4 * int(os.environ.get("SPARK_GRAFT_CPUS", "32"))),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Managed-table warehouse outside the repo (bucketed tables)
         .config(

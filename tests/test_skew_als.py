@@ -198,3 +198,31 @@ def test_salted_join_spreads_byte_identical_hot_rows(spark):
     )
     want = sorted(map(tuple, big.join(small, "k").collect()), key=repr)
     assert got == want
+
+
+def test_salted_join_unique_rows_deterministic_and_spreads(spark):
+    """unique_rows=True: salt is a pure content hash — recomputing
+    the same frame draws identical salts (deterministic), rows of a
+    hot key still spread across buckets (the unique id feeds the
+    hash), and the join equals the plain join."""
+    from streaming_recommendation_spark.operators.skew import (
+        _salt_expr,
+        salted_join,
+    )
+
+    big = spark.range(2000).select(
+        F.lit("hot").alias("k"), F.col("id").alias("row_id")
+    )
+    small = spark.createDataFrame([("hot", 1)], "k string, v int")
+
+    got = salted_join(big, small, "k", salt_buckets=8, unique_rows=True)
+    want = big.join(small, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    salts = big.select(
+        "row_id", _salt_expr(["k", "row_id"], 8, deterministic=True).alias("s")
+    )
+    a = {r["row_id"]: r["s"] for r in salts.collect()}
+    b = {r["row_id"]: r["s"] for r in salts.collect()}  # recompute
+    assert a == b
+    assert len(set(a.values())) == 8  # hot key spreads across buckets
