@@ -147,6 +147,13 @@ HEADLINE = [
     "q134_incremental_scd2_twin",
     "q135_incremental_ivf_twin",
     "q136_stratified_priority_sample",
+    # round-7: ANN compaction twin, mergeable-histogram twin,
+    # item-item co-occurrence CF
+    "q137_compacted_ivf_twin",
+    "q138_mergeable_histogram_twin",
+    "q139_itemcf_cosine",
+    "q140_itemcf_topk",
+    "q141_incremental_itemcf_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

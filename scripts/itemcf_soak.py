@@ -1,0 +1,118 @@
+"""Streaming item-CF soak: N interaction micro-batches through
+streaming/itemcf.py, measuring PER-BATCH wall time as windows and
+pair counts accumulate.
+
+The scale claim under test: per-batch cost is ~ |affected users| x
+C(cap, 2) pair-diff rows + the touched buckets' rewrite, NOT
+~ |accumulated pairs| or ~ |all users|. The stream keeps a fixed
+per-batch user count while total users/pairs grow, and every batch
+both ADDS and RETRACTS pairs (each user's new interactions evict old
+window items — the signed-delta path, not the append-only one). A
+super-linear trend would mean the fold re-derives history. Run:
+  python scripts/itemcf_soak.py [n_batches] [users_per_batch]
+Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(n_batches: int, per_batch_users: int) -> None:
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.session import get_spark
+    from streaming_recommendation_spark.streaming.itemcf import ItemCfStream
+
+    spark = get_spark(app_name="itemcf-soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="itemcf_soak_")
+    cap = 20
+    items_per_user = 8  # per batch; > cap/2 so evictions start early
+
+    def batch_frame(b: int):
+        # users cycle through 4 cohorts so each batch touches a fixed
+        # user count while TOTAL users span 4x that; recency strictly
+        # increases with batch (per-user in-order, frontier-safe);
+        # item ids drift with the batch so windows churn (evictions)
+        cohort = b % 4
+        users = spark.range(
+            cohort * per_batch_users, (cohort + 1) * per_batch_users
+        ).select(F.col("id").alias("user_id"))
+        return users.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(items_per_user - 1))).alias(
+                "__k"
+            ),
+        ).select(
+            "user_id",
+            # per-user item stream drifts with batch; modest overlap
+            # across users so pairs repeat (counts > 1)
+            (
+                F.pmod(
+                    F.xxhash64(F.col("user_id") * 7 + F.col("__k") + b * 3),
+                    F.lit(500),
+                )
+            ).alias("item_id"),
+            (F.lit(b * 1000) + F.col("__k")).alias("ts"),
+        )
+
+    cf = ItemCfStream(
+        f"{work}/state",
+        max_items=cap,
+        n_user_buckets=16,
+        n_pair_buckets=16,
+    )
+    times = []
+    for b in range(n_batches):
+        df = batch_frame(b).persist()
+        df.count()
+        t0 = time.time()
+        cf.ingest_batch(df, b)
+        times.append(round(time.time() - t0, 2))
+        df.unpersist()
+
+    windows = cf.read_windows(spark).count()
+    pairs = cf.read_pair_counts(spark)
+    n_pairs = pairs.where(F.col("pair_users") > 0).count()
+    n_tombstones = pairs.where(F.col("pair_users") == 0).count()
+    t0 = time.time()
+    top = cf.similarity(spark, "cosine", min_pair_users=2).count()
+    t_query = round(time.time() - t0, 2)
+
+    # steady state begins when the first cohort RETURNS (batch 4 with
+    # 4 cohorts): batches 0-3 are insert-only (no stored windows to
+    # merge, nothing to retract) and read ~30% cheaper — comparing
+    # them against loaded batches would report churn cost as growth.
+    steady = times[4:] if n_batches > 8 else times
+    early = sum(steady[1:4]) / 3 if len(steady) >= 4 else steady[-1]
+    late = sum(times[-3:]) / 3
+    print(
+        json.dumps(
+            {
+                "metric": "itemcf_soak",
+                "n_batches": n_batches,
+                "users_per_batch": per_batch_users,
+                "interactions_per_batch": per_batch_users * items_per_user,
+                "per_batch_sec": times,
+                "flatness_late_over_early": round(late / early, 2),
+                "window_rows": windows,
+                "positive_pairs": n_pairs,
+                "zero_tombstones": n_tombstones,
+                "similarity_rows_min2": top,
+                "similarity_query_sec": t_query,
+            }
+        )
+    )
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    m = int(sys.argv[2]) if len(sys.argv) > 2 else 5000
+    main(n, m)

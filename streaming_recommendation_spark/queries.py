@@ -4067,13 +4067,17 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # round-3-stale cohort (q60-q64, q74-q84, q87-q104 incl. q94b — 35
 # rows whose newest external green is round 3), then the
 # registration-oldest of the round-4 cohort (q105-...). The remaining
-# round-4 rows (q119-q129) rotate in next round, reaching the steady
+# round-4 rows (q115-q129, after the 5 new-this-round entries pushed
+# q115-q119 past slot 50) rotate in next round, reaching the steady
 # state where no query's newest external green is older than 2
 # rounds. New queries registered this round are inserted at the HEAD
 # of this list at their registration site; the gate takes the first
 # 50, so the tail entries here are the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
+    "q139_itemcf_cosine",
+    "q140_itemcf_topk",
+    "q141_incremental_itemcf_twin",
     "q137_compacted_ivf_twin",
     "q138_mergeable_histogram_twin",
     # --- last external green: round 3 (full cohort, 35 rows) ---
@@ -5995,3 +5999,182 @@ def q138_mergeable_histogram_twin(spark, sf_dir):
     )
     merged = merge_histogram_bins(a, b, ["event_type"])
     return histogram_from_bins(merged, layout, ["event_type"])
+
+
+_ITEMCF_CAPPED = """
+    dedup AS (
+      SELECT l_suppkey AS u, l_partkey AS i, max(l_shipdate) AS rec
+      FROM lineitem GROUP BY 1, 2
+    ),
+    capped AS (
+      SELECT u, i FROM (
+        SELECT u, i,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY rec DESC, i ASC) AS rn
+        FROM dedup
+      ) WHERE rn <= 20
+    ),
+    cooc AS (
+      SELECT x.i AS item_a, y.i AS item_b, count(*) AS pair_users
+      FROM capped x JOIN capped y ON x.u = y.u AND x.i < y.i
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    cnt AS (SELECT i, count(*) AS users FROM capped GROUP BY 1)
+"""
+
+
+@register(
+    "q139_itemcf_cosine",
+    f"""
+    WITH {_ITEMCF_CAPPED}
+    SELECT item_a, item_b, pair_users,
+           round(pair_users / sqrt(ca.users * cb.users), 6) AS cosine
+    FROM cooc
+    JOIN cnt ca ON cooc.item_a = ca.i
+    JOIN cnt cb ON cooc.item_b = cb.i
+    """,
+    doc="Item-item neighborhood CF (operators/itemcf.py) — the "
+    "classic co-occurrence recall the reference's model-based paths "
+    "(embedding recall, LightGCN/ALS factors) lack: suppliers as "
+    "users, parts as items, each user's history deduped and capped "
+    "to the 20 most recent items (the 100TB lever — pair volume is "
+    "<= |users| * C(cap,2) by construction; WindowGroupLimit keeps "
+    "the cap a per-partition k-heap). Pairs expand JVM-side from a "
+    "bounded sorted array (nested transform+slice+flatten — one "
+    "user-shuffle + one pair-shuffle, never a self-join that "
+    "re-materializes histories), then cosine = pair / "
+    "sqrt(users_a * users_b) over counts from the SAME capped "
+    "universe. The oracle re-derives via an independent plain "
+    "self-join. min 2 shared users.",
+    tags=("recsys", "agg", "join"),
+)
+def q139_itemcf_cosine(spark, sf_dir):
+    from .operators import itemcf
+
+    li = _t(spark, sf_dir, "lineitem")
+    capped = itemcf.capped_histories(
+        li, "l_suppkey", "l_partkey", "l_shipdate", max_items=20
+    )
+    cooc = itemcf.item_cooccurrence(capped, "l_suppkey", "l_partkey")
+    cnt = itemcf.item_counts(capped, "l_partkey")
+    sim = itemcf.item_similarity(cooc, cnt, "cosine", min_pair_users=2)
+    return sim.select(
+        "item_a", "item_b", "pair_users", F.round("score", 6).alias("cosine")
+    )
+
+
+@register(
+    "q140_itemcf_topk",
+    f"""
+    WITH {_ITEMCF_CAPPED},
+    sym AS (
+      SELECT item_a AS item_id, item_b AS neighbor_id,
+             pair_users / sqrt(ca.users * cb.users) AS score
+      FROM cooc
+      JOIN cnt ca ON cooc.item_a = ca.i
+      JOIN cnt cb ON cooc.item_b = cb.i
+      UNION ALL
+      SELECT item_b, item_a, pair_users / sqrt(ca.users * cb.users)
+      FROM cooc
+      JOIN cnt ca ON cooc.item_a = ca.i
+      JOIN cnt cb ON cooc.item_b = cb.i
+    )
+    SELECT item_id, neighbor_id, rank FROM (
+      SELECT item_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY item_id
+                                     ORDER BY score DESC,
+                                              neighbor_id ASC) AS INT)
+               AS rank
+      FROM sym
+    ) WHERE rank <= 5
+    """,
+    doc="Each item's top-5 CF neighbors (operators/itemcf.py "
+    "itemcf_topk): q139's similarity symmetrized (both orientations "
+    "of the once-stored a<b pairs) then per-item top-k via "
+    "WindowGroupLimit — rank-only output is float-free (the cosine "
+    "is one sqrt + one division over exact integers, bit-stable "
+    "across engines, and ties break by neighbor ascending) so the "
+    "serving artifact an item-CF recall stage ships is deterministic.",
+    tags=("recsys", "window", "topk"),
+)
+def q140_itemcf_topk(spark, sf_dir):
+    from .operators import itemcf
+
+    li = _t(spark, sf_dir, "lineitem")
+    capped = itemcf.capped_histories(
+        li, "l_suppkey", "l_partkey", "l_shipdate", max_items=20
+    )
+    cooc = itemcf.item_cooccurrence(capped, "l_suppkey", "l_partkey")
+    cnt = itemcf.item_counts(capped, "l_partkey")
+    sim = itemcf.item_similarity(cooc, cnt, "cosine", min_pair_users=2)
+    return itemcf.itemcf_topk(sim, k=5)
+
+
+@register(
+    "q141_incremental_itemcf_twin",
+    _REGISTRY["q139_itemcf_cosine"].oracle,
+    doc="Delta-maintenance twin of the STREAMING item-CF pipeline "
+    "(streaming/itemcf.py): lineitem split into two arrival batches "
+    "at l_shipdate 1995-01-01 (per-user in-order — the frontier "
+    "contract ingest_batch enforces with a raise), batch 0 reduced "
+    "to its capped windows + pair counts (the state a streaming "
+    "item-CF persists), batch 1 folded exactly as ingest_batch "
+    "does: windows re-capped over (stored windows  merge  batch) — "
+    "sound because a max-recency merge only raises ranks, so "
+    "topN(topN(H) merge B) == topN(H merge B) under in-order "
+    "arrival — then SIGNED pair deltas (+new pairs, -pairs "
+    "retracted by window eviction; co-occurrence under a recency "
+    "cap is non-monotone, unlike the HLL/CMS/histogram sum-merges) "
+    "applied to the stored counts by one outer-join sum. Must equal "
+    "q139's single-pass answer BIT-FOR-BIT (oracle = q139's SQL "
+    "verbatim). The disk legs — per-bucket versioned state, retry "
+    "idempotence, out-of-order raise, all-zero-bucket tombstones "
+    "(a vanished bucket dir would resurrect stale counts) — are "
+    "pinned in tests/test_streaming_itemcf.py.",
+    tags=("recsys", "streaming-twin", "agg"),
+)
+def q141_incremental_itemcf_twin(spark, sf_dir):
+    from .operators import itemcf
+    from .operators.itemcf import user_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_suppkey", "l_partkey", "l_shipdate"]
+    b0 = li.where(F.col("l_shipdate") < "1995-01-01").select(*cols)
+    b1 = li.where(F.col("l_shipdate") >= "1995-01-01").select(*cols)
+    w0 = itemcf.capped_histories(
+        b0, "l_suppkey", "l_partkey", "l_shipdate",
+        max_items=20, keep_recency=True,
+    )
+    counts0 = itemcf.item_cooccurrence(w0, "l_suppkey", "l_partkey")
+    w1 = itemcf.capped_histories(
+        w0.unionByName(b1), "l_suppkey", "l_partkey", "l_shipdate",
+        max_items=20, keep_recency=True,
+    )
+    p0 = user_pairs(w0, "l_suppkey", "l_partkey")
+    p1 = user_pairs(w1, "l_suppkey", "l_partkey")
+    added = p1.join(p0, ["l_suppkey", "item_a", "item_b"], "left_anti")
+    removed = p0.join(p1, ["l_suppkey", "item_a", "item_b"], "left_anti")
+    deltas = (
+        added.select("item_a", "item_b", F.lit(1).alias("__d"))
+        .unionByName(removed.select("item_a", "item_b", F.lit(-1).alias("__d")))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+    counts1 = (
+        counts0.join(deltas, ["item_a", "item_b"], "full_outer")
+        .select(
+            "item_a",
+            "item_b",
+            (
+                F.coalesce(F.col("pair_users"), F.lit(0))
+                + F.coalesce(F.col("__delta"), F.lit(0))
+            ).alias("pair_users"),
+        )
+        .where(F.col("pair_users") > 0)
+    )
+    cnt = itemcf.item_counts(w1, "l_partkey")
+    sim = itemcf.item_similarity(counts1, cnt, "cosine", min_pair_users=2)
+    return sim.select(
+        "item_a", "item_b", "pair_users", F.round("score", 6).alias("cosine")
+    )

@@ -1,0 +1,102 @@
+"""Item-item co-occurrence CF (operators/itemcf.py): correctness vs a
+naive self-join re-derivation, cap semantics, both normalizations,
+and the top-k symmetry/determinism contract."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators import itemcf
+
+
+def _interactions(spark):
+    # u1: a,b,c  u2: a,b  u3: a,d  (recency = ts; duplicate (u1,a))
+    rows = [
+        Row(u=1, i="a", ts=10),
+        Row(u=1, i="a", ts=3),  # dup interaction, keeps max ts
+        Row(u=1, i="b", ts=9),
+        Row(u=1, i="c", ts=8),
+        Row(u=2, i="a", ts=5),
+        Row(u=2, i="b", ts=4),
+        Row(u=3, i="a", ts=2),
+        Row(u=3, i="d", ts=1),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_capped_histories_dedups_and_caps_by_recency(spark):
+    df = _interactions(spark)
+    capped = itemcf.capped_histories(df, "u", "i", "ts", max_items=2)
+    got = sorted((r.u, r.i) for r in capped.collect())
+    # u1 keeps its 2 most recent items (a@10, b@9 — c@8 dropped)
+    assert got == [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "d")]
+
+
+def test_cooccurrence_matches_naive_self_join(spark):
+    df = _interactions(spark)
+    capped = itemcf.capped_histories(df, "u", "i", "ts", max_items=10)
+    got = {
+        (r.item_a, r.item_b): r.pair_users
+        for r in itemcf.item_cooccurrence(capped, "u", "i").collect()
+    }
+    x = capped.alias("x")
+    y = capped.alias("y")
+    naive = (
+        x.join(y, (F.col("x.u") == F.col("y.u")) & (F.col("x.i") < F.col("y.i")))
+        .groupBy(F.col("x.i").alias("a"), F.col("y.i").alias("b"))
+        .count()
+    )
+    want = {(r.a, r.b): r["count"] for r in naive.collect()}
+    assert got == want == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1, ("a", "d"): 1}
+
+
+def test_similarity_formulas(spark):
+    df = _interactions(spark)
+    capped = itemcf.capped_histories(df, "u", "i", "ts", max_items=10)
+    cooc = itemcf.item_cooccurrence(capped, "u", "i")
+    cnt = itemcf.item_counts(capped, "i")
+    cos = {
+        (r.item_a, r.item_b): r.score
+        for r in itemcf.item_similarity(cooc, cnt, "cosine").collect()
+    }
+    # users per item: a=3, b=2, c=1, d=1
+    assert math.isclose(cos[("a", "b")], 2 / math.sqrt(3 * 2))
+    assert math.isclose(cos[("a", "c")], 1 / math.sqrt(3 * 1))
+    jac = {
+        (r.item_a, r.item_b): r.score
+        for r in itemcf.item_similarity(cooc, cnt, "jaccard").collect()
+    }
+    assert math.isclose(jac[("a", "b")], 2 / (3 + 2 - 2))
+    assert math.isclose(jac[("b", "c")], 1 / (2 + 1 - 1))
+
+
+def test_min_pair_users_filters(spark):
+    df = _interactions(spark)
+    capped = itemcf.capped_histories(df, "u", "i", "ts", max_items=10)
+    cooc = itemcf.item_cooccurrence(capped, "u", "i")
+    cnt = itemcf.item_counts(capped, "i")
+    sim = itemcf.item_similarity(cooc, cnt, "cosine", min_pair_users=2)
+    assert [(r.item_a, r.item_b) for r in sim.collect()] == [("a", "b")]
+
+
+def test_topk_symmetric_ranked_and_bounded(spark):
+    df = _interactions(spark)
+    capped = itemcf.capped_histories(df, "u", "i", "ts", max_items=10)
+    cooc = itemcf.item_cooccurrence(capped, "u", "i")
+    cnt = itemcf.item_counts(capped, "i")
+    sim = itemcf.item_similarity(cooc, cnt, "cosine")
+    out = itemcf.itemcf_topk(sim, k=2).collect()
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r.item_id, []).append((r.rank, r.neighbor_id))
+    # every stored a<b pair surfaced in BOTH orientations
+    assert set(by_item) == {"a", "b", "c", "d"}
+    assert all(len(v) <= 2 for v in by_item.values())
+    # a's neighbors: b (2/sqrt(6)=.816) then c=d (1/sqrt(3)=.577,
+    # tie broken by neighbor asc -> c)
+    assert sorted(by_item["a"]) == [(1, "b"), (2, "c")]
+    # d's only neighbor is a
+    assert by_item["d"] == [(1, "a")]

@@ -789,3 +789,31 @@ def test_q136_stratified_sample_window_group_limit(run):
     a = run("q136_stratified_priority_sample")
     assert a["has_window_group_limit"]
     assert a["bnl_joins"] == 0
+
+
+def test_q139_itemcf_no_self_join_no_cartesian(run):
+    """Pairs expand JVM-side from the bounded per-user array: the
+    plan has the history cap's WindowGroupLimit, no Cartesian/BNL,
+    and no sort-merge self-join of the interaction table (the only
+    joins are the two item-count normalization joins)."""
+    a = run("q139_itemcf_cosine")
+    assert a["has_window_group_limit"]  # the max_items cap
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q140_itemcf_topk_window_group_limit(run):
+    a = run("q140_itemcf_topk")
+    assert a["has_window_group_limit"]  # cap AND the per-item top-k
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q141_incremental_itemcf_no_cartesian(run):
+    """The delta fold is anti-joins on (user, pair) + one outer-join
+    sum — bounded-array pair expansion everywhere, never a cartesian
+    or a nested-loop join."""
+    a = run("q141_incremental_itemcf_twin")
+    assert a["has_window_group_limit"]  # both caps (w0 and w1)
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
