@@ -78,9 +78,7 @@ def main(n_batches: int, per_batch_users: int) -> None:
         df.unpersist()
 
     windows = cf.read_windows(spark).count()
-    pairs = cf.read_pair_counts(spark)
-    n_pairs = pairs.where(F.col("pair_users") > 0).count()
-    n_tombstones = pairs.where(F.col("pair_users") == 0).count()
+    n_pairs = cf.read_pair_counts(spark).where(F.col("pair_users") > 0).count()
     t0 = time.time()
     top = cf.similarity(spark, "cosine", min_pair_users=2).count()
     t_query = round(time.time() - t0, 2)
@@ -89,9 +87,10 @@ def main(n_batches: int, per_batch_users: int) -> None:
     # 4 cohorts): batches 0-3 are insert-only (no stored windows to
     # merge, nothing to retract) and read ~30% cheaper — comparing
     # them against loaded batches would report churn cost as growth.
-    steady = times[4:] if n_batches > 8 else times
-    early = sum(steady[1:4]) / 3 if len(steady) >= 4 else steady[-1]
-    late = sum(times[-3:]) / 3
+    # Both ends of the flatness ratio come from the steady slice.
+    steady = times[4:] if n_batches > 8 else times[1:]
+    early = sum(steady[:3]) / 3 if len(steady) >= 6 else steady[0]
+    late = sum(steady[-3:]) / 3 if len(steady) >= 3 else steady[-1]
     print(
         json.dumps(
             {
@@ -103,7 +102,6 @@ def main(n_batches: int, per_batch_users: int) -> None:
                 "flatness_late_over_early": round(late / early, 2),
                 "window_rows": windows,
                 "positive_pairs": n_pairs,
-                "zero_tombstones": n_tombstones,
                 "similarity_rows_min2": top,
                 "similarity_query_sec": t_query,
             }

@@ -118,6 +118,48 @@ def item_cooccurrence(
     )
 
 
+def pair_deltas(
+    old_windows: DataFrame,
+    new_windows: DataFrame,
+    user_col: str,
+    item_col: str,
+) -> DataFrame:
+    """(item_a, item_b, __delta): SIGNED pair-count changes between
+    two window snapshots of the same users — +1 per user gaining the
+    pair, -1 per user losing it (window eviction RETRACTS pairs; the
+    recency cap makes co-occurrence counts non-monotone). This is
+    the incremental unit streaming/itemcf.py maintains and the q141
+    twin replays — one implementation so the twin pins the streamed
+    code path."""
+    oldp = user_pairs(old_windows, user_col, item_col)
+    newp = user_pairs(new_windows, user_col, item_col)
+    added = newp.join(oldp, [user_col, "item_a", "item_b"], "left_anti")
+    removed = oldp.join(newp, [user_col, "item_a", "item_b"], "left_anti")
+    return (
+        added.select("item_a", "item_b", F.lit(1).alias("__d"))
+        .unionByName(removed.select("item_a", "item_b", F.lit(-1).alias("__d")))
+        .groupBy("item_a", "item_b")
+        .agg(F.sum("__d").alias("__delta"))
+    )
+
+
+def apply_pair_deltas(counts: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Fold signed deltas into (item_a, item_b, pair_users) by one
+    outer-join sum; pairs whose count reaches zero are dropped."""
+    return (
+        counts.join(deltas, ["item_a", "item_b"], "full_outer")
+        .select(
+            "item_a",
+            "item_b",
+            (
+                F.coalesce(F.col("pair_users"), F.lit(0))
+                + F.coalesce(F.col("__delta"), F.lit(0))
+            ).alias("pair_users"),
+        )
+        .where(F.col("pair_users") > 0)
+    )
+
+
 def item_counts(capped: DataFrame, item_col: str) -> DataFrame:
     """Per-item user count over the SAME capped universe the pairs
     were drawn from (using raw counts would deflate every hot item's

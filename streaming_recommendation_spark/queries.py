@@ -6136,7 +6136,6 @@ def q140_itemcf_topk(spark, sf_dir):
 )
 def q141_incremental_itemcf_twin(spark, sf_dir):
     from .operators import itemcf
-    from .operators.itemcf import user_pairs
 
     li = _t(spark, sf_dir, "lineitem")
     cols = ["l_suppkey", "l_partkey", "l_shipdate"]
@@ -6151,28 +6150,9 @@ def q141_incremental_itemcf_twin(spark, sf_dir):
         w0.unionByName(b1), "l_suppkey", "l_partkey", "l_shipdate",
         max_items=20, keep_recency=True,
     )
-    p0 = user_pairs(w0, "l_suppkey", "l_partkey")
-    p1 = user_pairs(w1, "l_suppkey", "l_partkey")
-    added = p1.join(p0, ["l_suppkey", "item_a", "item_b"], "left_anti")
-    removed = p0.join(p1, ["l_suppkey", "item_a", "item_b"], "left_anti")
-    deltas = (
-        added.select("item_a", "item_b", F.lit(1).alias("__d"))
-        .unionByName(removed.select("item_a", "item_b", F.lit(-1).alias("__d")))
-        .groupBy("item_a", "item_b")
-        .agg(F.sum("__d").alias("__delta"))
-    )
-    counts1 = (
-        counts0.join(deltas, ["item_a", "item_b"], "full_outer")
-        .select(
-            "item_a",
-            "item_b",
-            (
-                F.coalesce(F.col("pair_users"), F.lit(0))
-                + F.coalesce(F.col("__delta"), F.lit(0))
-            ).alias("pair_users"),
-        )
-        .where(F.col("pair_users") > 0)
-    )
+    # the SAME delta operators ingest_batch runs (operators/itemcf.py)
+    deltas = itemcf.pair_deltas(w0, w1, "l_suppkey", "l_partkey")
+    counts1 = itemcf.apply_pair_deltas(counts0, deltas)
     cnt = itemcf.item_counts(w1, "l_partkey")
     sim = itemcf.item_similarity(counts1, cnt, "cosine", min_pair_users=2)
     return sim.select(

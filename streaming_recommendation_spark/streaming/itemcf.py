@@ -49,11 +49,11 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.itemcf import capped_histories, user_pairs
-from .state import live_buckets, prune_buckets, write_version
+from ..operators.itemcf import apply_pair_deltas, capped_histories, pair_deltas
+from .state import prune_buckets, read_bucketed, write_version
 
 
 class ItemCfStream:
@@ -109,48 +109,17 @@ class ItemCfStream:
 
     # --- state reads (newest committed version per bucket) -----------------
 
-    def _read(
-        self,
-        spark: SparkSession,
-        state_dir: str,
-        schema: str,
-        before: int | None,
-        buckets=None,
-    ) -> DataFrame:
-        live = live_buckets(state_dir, before if before is not None else 1 << 62)
-        if buckets is not None:
-            live = {b: v for b, v in live.items() if b in buckets}
-        if not live:
-            return spark.createDataFrame([], schema).drop("bucket")
-        by_version: dict[int, list[int]] = {}
-        for b, v in live.items():
-            by_version.setdefault(v, []).append(b)
-        parts = []
-        for v, bs in sorted(by_version.items()):
-            parts.append(
-                spark.read.schema(schema)
-                .parquet(os.path.join(state_dir, f"v={v}"))
-                .where(F.col("bucket").isin(bs))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.drop("bucket")
-
     def read_windows(
         self, spark: SparkSession, before: int | None = None, buckets=None
     ) -> DataFrame:
-        return self._read(
+        return read_bucketed(
             spark, self.windows_dir, self._windows_schema(), before, buckets
         )
 
     def read_pair_counts(
         self, spark: SparkSession, before: int | None = None, buckets=None
     ) -> DataFrame:
-        """May contain pair_users=0 tombstone rows (see ingest_batch's
-        empty-bucket note) — consumers filter, as ``similarity``'s
-        min_pair_users >= 1 does."""
-        return self._read(
+        return read_bucketed(
             spark, self.pairs_dir, self._pairs_schema(), before, buckets
         )
 
@@ -195,6 +164,8 @@ class ItemCfStream:
                 "folded into a capped window it would silently corrupt"
             )
 
+        # persisted: feeds the delta fold AND the windows write (one
+        # cap computation per batch, not two)
         new_windows = capped_histories(
             old_windows.unionByName(batch),
             u,
@@ -202,21 +173,11 @@ class ItemCfStream:
             rec,
             max_items=self.max_items,
             keep_recency=True,
-        )
-
-        # signed pair deltas for the affected users only
-        oldp = user_pairs(old_windows, u, i)
-        newp = user_pairs(new_windows, u, i)
-        added = newp.join(oldp, [u, "item_a", "item_b"], "left_anti")
-        removed = oldp.join(newp, [u, "item_a", "item_b"], "left_anti")
-        deltas = (
-            added.select("item_a", "item_b", F.lit(1).alias("__d"))
-            .unionByName(
-                removed.select("item_a", "item_b", F.lit(-1).alias("__d"))
-            )
-            .groupBy("item_a", "item_b")
-            .agg(F.sum("__d").alias("__delta"))
         ).persist()
+
+        # signed pair deltas for the affected users only (shared
+        # operator — the q141 twin replays the same code path)
+        deltas = pair_deltas(old_windows, new_windows, u, i).persist()
 
         pbs = sorted(
             r["b"]
@@ -230,37 +191,19 @@ class ItemCfStream:
             counts = self.read_pair_counts(
                 spark, before=batch_id, buckets=set(pbs)
             )
-            merged = (
-                counts.join(deltas, ["item_a", "item_b"], "full_outer")
-                .select(
-                    "item_a",
-                    "item_b",
-                    (
-                        F.coalesce(F.col("pair_users"), F.lit(0))
-                        + F.coalesce(F.col("__delta"), F.lit(0))
-                    ).alias("pair_users"),
-                )
-                .withColumn(
-                    "bucket", self._pbucket(F.col("item_a"), F.col("item_b"))
-                )
+            merged = apply_pair_deltas(counts, deltas).withColumn(
+                "bucket", self._pbucket(F.col("item_a"), F.col("item_b"))
             )
-            # Zero-count rows are normally dropped — but a bucket whose
-            # pairs ALL hit zero must still write its dir (parquet
-            # partitionBy skips empty partitions; a missing dir would
-            # leave the bucket's OLDER version live and resurrect the
-            # stale counts), so such a bucket keeps its zeros as
-            # tombstones until a later rewrite has positives again.
-            has_pos = F.max(
-                (F.col("pair_users") > 0).cast("int")
-            ).over(Window.partitionBy("bucket"))
-            merged = merged.withColumn("__hp", has_pos).where(
-                (F.col("pair_users") > 0) | (F.col("__hp") == 0)
-            ).drop("__hp")
+            # ensure_buckets: a touched bucket whose pairs ALL hit
+            # zero writes no parquet partition — the empty dir keeps
+            # its (empty) copy newest, else the older version's stale
+            # counts would resurrect (state.write_version docstring).
             write_version(
                 merged,
                 self.pairs_dir,
                 batch_id,
                 partition_by=["bucket"],
+                ensure_buckets=pbs,
             )
             prune_buckets(self.pairs_dir, batch_id, self.keep_versions)
         deltas.unpersist()
@@ -274,6 +217,7 @@ class ItemCfStream:
             partition_by=["bucket"],
         )
         prune_buckets(self.windows_dir, batch_id, self.keep_versions)
+        new_windows.unpersist()
 
     # --- queries over the maintained state ----------------------------------
 

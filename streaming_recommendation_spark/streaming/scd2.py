@@ -25,13 +25,11 @@ itself against the full-rebuild oracle.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.scd2 import scd2_apply_batch, scd2_intervals
-from .state import live_buckets, prune_buckets, write_version
+from .state import prune_buckets, read_bucketed, write_version
 
 
 def _state_schema(key_type: str, value_type: str, ts_type: str, id_type: str,
@@ -81,27 +79,7 @@ class Scd2Stream:
     ) -> DataFrame:
         """Current intervals (newest version per bucket), optionally
         restricted to a bucket subset."""
-        live = live_buckets(
-            self.state_dir, before if before is not None else 1 << 62
-        )
-        if buckets is not None:
-            live = {b: v for b, v in live.items() if b in buckets}
-        if not live:
-            return spark.createDataFrame([], self._schema()).drop("bucket")
-        by_version: dict[int, list[int]] = {}
-        for b, v in live.items():
-            by_version.setdefault(v, []).append(b)
-        parts = []
-        for v, bs in sorted(by_version.items()):
-            parts.append(
-                spark.read.schema(self._schema())
-                .parquet(os.path.join(self.state_dir, f"v={v}"))
-                .where(F.col("bucket").isin(bs))
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.drop("bucket")
+        return read_bucketed(spark, self.state_dir, self._schema(), before, buckets)
 
     def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         """Merge one batch of change records; write affected buckets

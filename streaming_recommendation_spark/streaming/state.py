@@ -56,7 +56,11 @@ def latest_before(state_dir: str, batch_id: int) -> int | None:
 
 
 def write_version(
-    state: DataFrame, state_dir: str, batch_id: int, partition_by=None
+    state: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    partition_by=None,
+    ensure_buckets=None,
 ) -> None:
     """Write v=<batch_id>, fully replacing any partial earlier attempt
     of the SAME batch. For partitioned writes the rmtree guarantees
@@ -68,12 +72,24 @@ def write_version(
     overwritten — and a retry carrying different buckets than the
     failed attempt would otherwise leave the failed attempt's orphan
     partitions behind. Do not drop the rmtree on the assumption that
-    either mode alone covers both cases."""
+    either mode alone covers both cases.
+
+    ``ensure_buckets``: bucket ids this batch TOUCHED. Parquet's
+    partitionBy skips partitions with zero rows, so a touched bucket
+    whose rows were ALL deleted would write no ``bucket=<b>`` dir —
+    leaving the bucket's OLDER version live and resurrecting its
+    stale rows. Every touched bucket absent from the written data
+    gets an empty dir, which ``live_buckets`` counts as the newest
+    (empty) copy. Any per-bucket state whose rows can vanish must
+    pass this."""
     vdir = version_dir(state_dir, batch_id)
     if partition_by:
         if os.path.isdir(vdir):
             shutil.rmtree(vdir)
         state.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
+        if ensure_buckets:
+            for b in ensure_buckets:
+                os.makedirs(os.path.join(vdir, f"bucket={b}"), exist_ok=True)
     else:
         state.write.mode("overwrite").parquet(vdir)
 
@@ -125,6 +141,41 @@ def prune_buckets(state_dir: str, batch_id: int, keep: int) -> None:
             shutil.rmtree(vdir, ignore_errors=True)
 
 
+def read_bucketed(
+    spark: SparkSession,
+    state_dir: str,
+    schema: str,
+    before: int | None = None,
+    buckets=None,
+) -> DataFrame:
+    """Current rows of a per-bucket versioned state (newest version
+    per bucket, optionally restricted to a bucket subset), with the
+    bucket column dropped. ``schema`` must include ``bucket int``.
+    One reader per distinct live version, unioned — each version dir
+    is read once regardless of how many buckets it serves."""
+    from pyspark.sql import functions as F
+
+    live = live_buckets(state_dir, before if before is not None else 1 << 62)
+    if buckets is not None:
+        live = {b: v for b, v in live.items() if b in buckets}
+    if not live:
+        return spark.createDataFrame([], schema).drop("bucket")
+    by_version: dict[int, list[int]] = {}
+    for b, v in live.items():
+        by_version.setdefault(v, []).append(b)
+    parts = []
+    for v, bs in sorted(by_version.items()):
+        parts.append(
+            spark.read.schema(schema)
+            .parquet(version_dir(state_dir, v))
+            .where(F.col("bucket").isin(bs))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.drop("bucket")
+
+
 def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Read a parquet state directory; ONLY a genuinely absent path
     (first batch) maps to an empty frame — any other analysis failure
@@ -148,5 +199,6 @@ __all__ = [
     "prune_snapshots",
     "live_buckets",
     "prune_buckets",
+    "read_bucketed",
     "read_or_empty",
 ]

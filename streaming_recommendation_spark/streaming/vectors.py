@@ -242,6 +242,15 @@ class VectorIndexStream:
         floor = g_prev if g_prev is not None else -1
         fold = [b for b in ids if floor < b <= upto_batch_id]
         if not fold:
+            # still sweep deltas the base already covers: a crash
+            # between a previous run's commit and its cleanup loop
+            # would otherwise orphan them forever on an idle stream
+            for b in ids:
+                if b <= floor:
+                    shutil.rmtree(
+                        os.path.join(self.index_dir, f"batch_id={b}"),
+                        ignore_errors=True,
+                    )
             return g_prev
         gen = max(fold)
         schema = _index_schema(self.id_type)

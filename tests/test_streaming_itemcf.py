@@ -2,7 +2,8 @@
 maintenance under window eviction must equal the batch computation
 across a multi-batch carry; retries must be idempotent; out-of-order
 arrival must fail loudly; an all-zero pair bucket must still write
-(tombstones) so stale counts never resurrect from an older version."""
+its (empty) dir so stale counts never resurrect from an older
+version."""
 
 from __future__ import annotations
 
@@ -102,33 +103,35 @@ def test_out_of_order_raises(spark, tmp_path):
         cf.ingest_batch(late, 1)
 
 
-def test_all_zero_bucket_writes_tombstones_no_resurrection(spark, tmp_path):
+def test_all_zero_bucket_writes_empty_dir_no_resurrection(spark, tmp_path):
     """(20,30) lives in pair bucket 3 (n_pair_buckets=4), (30,40) in
-    bucket 0. Evicting 20 retracts the ONLY pair of bucket 3 — the
-    rewrite must still produce a bucket=3 dir (zero-count tombstone),
-    else the older version's (20,30)=1 stays live and resurrects."""
+    bucket 0. Evicting 20 retracts the ONLY pair of bucket 3 —
+    parquet's partitionBy would then skip bucket 3 entirely, leaving
+    its OLDER version (with the stale count 1) live; write_version's
+    ensure_buckets must materialize an empty bucket=3 dir instead."""
     cf = _cf(tmp_path)
     cf.ingest_batch(spark.createDataFrame([(1, 20, 1), (1, 30, 2)], SCHEMA), 0)
     cf.ingest_batch(spark.createDataFrame([(1, 40, 3)], SCHEMA), 1)
+    # the empty superseding copy exists on disk...
+    b3 = tmp_path / "state" / "pairs" / "v=1" / "bucket=3"
+    assert b3.is_dir() and not any(b3.iterdir())
+    # ...so the stale (20,30)=1 from v=0 never resurrects
     all_rows = {
         (r.item_a, r.item_b): r.pair_users
         for r in cf.read_pair_counts(spark).collect()
     }
-    assert all_rows[(20, 30)] == 0  # tombstone, NOT the stale 1
-    assert all_rows[(30, 40)] == 1
+    assert all_rows == {(30, 40): 1}
     assert {
         (r.item_a, r.item_b)
         for r in cf.similarity(spark).collect()
     } == {(30, 40)}
-    # next rewrite of bucket 3 has a positive again -> tombstone drops
+    # next batch: bucket 0's turn to go all-zero, bucket 3 positive
     cf.ingest_batch(spark.createDataFrame([(1, 50, 4)], SCHEMA), 2)
     all_rows = {
         (r.item_a, r.item_b): r.pair_users
         for r in cf.read_pair_counts(spark).collect()
     }
-    assert (20, 30) not in all_rows
-    assert all_rows[(40, 50)] == 1
-    assert all_rows[(30, 40)] == 0  # bucket 0's turn to tombstone
+    assert all_rows == {(40, 50): 1}
 
 
 def test_similarity_matches_batch_operator(spark, tmp_path):

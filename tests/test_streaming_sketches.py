@@ -240,3 +240,26 @@ def test_histogram_out_of_layout_values_clamp(spark, tmp_path):
         for r in histogram_bins(df, layout, "v", ["g"], n_bins=256).collect()
     }
     assert bins[0] == 1 and bins[255] == 1 and bins[128] == 1
+
+
+def test_histogram_unknown_group_raises(spark, tmp_path):
+    """A group absent from the fixed layout must fail loudly in the
+    streaming partial — histogram_bins' layout join would otherwise
+    silently drop the whole group (values clamp, groups don't)."""
+    import pytest
+
+    from streaming_recommendation_spark.streaming.sketches import (
+        HistogramStreamSketch,
+    )
+
+    layout = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "g string, __mn double, __mx double"
+    )
+    sketch = HistogramStreamSketch("v", ["g"], layout, group_schema="g string")
+    ok = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    assert sketch.partial(ok).count() == 1
+    new_group = spark.createDataFrame(
+        [("a", 5.0), ("b", 1.0)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="absent from the fixed bin layout"):
+        sketch.partial(new_group)

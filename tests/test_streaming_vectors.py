@@ -306,3 +306,22 @@ def test_pipeline_with_periodic_compaction(spark, tmp_path):
         )
     )
     assert got == want
+
+
+def test_compact_noop_sweeps_orphaned_deltas(spark, tmp_path):
+    """A crash between a compact run's base commit and its delta
+    cleanup orphans already-folded delta dirs; the next compact()
+    must sweep them even when there is nothing new to fold (the
+    early-return path), not leave them to be listed forever."""
+    import os
+
+    corpus, vix = _reingested_index(spark, tmp_path)
+    assert vix.compact(spark, upto_batch_id=1) == 1
+    # simulate the crash: resurrect a folded delta dir (its batch_id
+    # <= committed gen, so reads already ignore it)
+    orphan = os.path.join(vix.index_dir, "batch_id=0")
+    os.makedirs(orphan, exist_ok=True)
+    n_before = vix.read_index(spark).count()
+    assert vix.compact(spark) == 1  # nothing new to fold
+    assert not os.path.isdir(orphan)
+    assert vix.read_index(spark).count() == n_before
