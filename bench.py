@@ -154,6 +154,7 @@ HEADLINE = [
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
+    "q142_random_walks",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -172,6 +173,7 @@ ITERATIVE = {
     "q106_bpe_token_counts",
     "q107_dup_length_profile",
     "q129_largestar_components",
+    "q142_random_walks",  # adjacency materialized at construction
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

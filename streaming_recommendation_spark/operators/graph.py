@@ -203,3 +203,97 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    walk_length: int = 4,
+    walks_per_node: int = 1,
+    start_nodes: DataFrame | None = None,
+    max_degree: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Deterministic fixed-length random walks — the DeepWalk/node2vec
+    corpus-generation step (the walk corpus IS the embedding model's
+    training data; the reference trains LightGCN on the raw graph,
+    this is the standard sampling alternative its data plane lacks).
+
+    Returns (walk_id, step, node) for steps 0..walk_length; a walk
+    TERMINATES early at a node with no out-edges (the row for the
+    dead end is emitted, no successor rows). walk_id =
+    start_node * walks_per_node + replica.
+
+    Determinism (the oracle replays every transition): neighbors are
+    kept as a SORTED array and the step choice is an integer Knuth
+    hash of (walk_id, step) — no RNG state, so any engine (and any
+    retry) draws the identical walk:
+
+        h = ((((walk_id % 2^31) * 1000003 + step + 7) % 2^31)
+             * 2654435761) % 2^32
+        next = nbrs[1 + h % degree]
+
+    (the two %-2^31 reductions keep every intermediate product under
+    2^63 — ANSI-mode overflow-safe for any nonnegative 64-bit ids).
+
+    Scale shape: adjacency is built ONCE (one groupBy(src) shuffle)
+    with an optional ``max_degree`` hub cap — a walk leaving a
+    100M-degree hub only ever needs the cap's slice, and the capped
+    sorted-array state is what bounds executor memory (same cap
+    lever as itemcf's history cap). Each of the ``walk_length``
+    supersteps is ONE equi-join of the |walks|-row frontier against
+    the adjacency on the node key — the Pregel shape; adjacency is
+    materialized pre-partitioned on ``src`` so every superstep reuses
+    one layout instead of re-shuffling it per round.
+    """
+    from ..functions.hashing import KNUTH, MOD32
+
+    adj = edges.groupBy(F.col(src).alias("__n")).agg(
+        F.sort_array(F.collect_list(F.col(dst))).alias("__nbrs")
+    )
+    if max_degree is not None:
+        # deterministic hub cap: the max_degree smallest neighbor ids
+        adj = adj.withColumn("__nbrs", F.slice("__nbrs", 1, max_degree))
+    if materialize:
+        adj = checkpoint_partitioned(adj.repartition("__n"))
+
+    starts = (
+        start_nodes
+        if start_nodes is not None
+        else edges.select(F.col(src).alias("node")).distinct()
+    )
+    frontier = starts.select(
+        F.col("node"),
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("__r"),
+    ).select(
+        (F.col("node") * F.lit(walks_per_node) + F.col("__r")).alias("walk_id"),
+        F.col("node"),
+    )
+    out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
+    two31 = 2147483648
+    for t in range(1, walk_length + 1):
+        h = (
+            F.pmod(
+                F.pmod(
+                    F.pmod(F.col("walk_id"), F.lit(two31)) * F.lit(1000003)
+                    + F.lit(t + 7),
+                    F.lit(two31),
+                )
+                * F.lit(KNUTH),
+                F.lit(MOD32),
+            )
+        )
+        frontier = (
+            frontier.join(adj, frontier["node"] == adj["__n"])
+            .select(
+                "walk_id",
+                F.element_at(
+                    "__nbrs", (F.pmod(h, F.size("__nbrs")) + 1).cast("int")
+                ).alias("node"),
+            )
+        )
+        out = out.unionByName(
+            frontier.select("walk_id", F.lit(t).alias("step"), "node")
+        )
+    return out

@@ -4067,8 +4067,8 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # round-3-stale cohort (q60-q64, q74-q84, q87-q104 incl. q94b — 35
 # rows whose newest external green is round 3), then the
 # registration-oldest of the round-4 cohort (q105-...). The remaining
-# round-4 rows (q115-q129, after the 5 new-this-round entries pushed
-# q115-q119 past slot 50) rotate in next round, reaching the steady
+# round-4 rows (q114-q129, after the 6 new-this-round entries pushed
+# q114-q119 past slot 50) rotate in next round, reaching the steady
 # state where no query's newest external green is older than 2
 # rounds. New queries registered this round are inserted at the HEAD
 # of this list at their registration site; the gate takes the first
@@ -4078,6 +4078,7 @@ _DRIVER_PRIORITY.extend([
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
+    "q142_random_walks",
     "q137_compacted_ivf_twin",
     "q138_mergeable_histogram_twin",
     # --- last external green: round 3 (full cohort, 35 rows) ---
@@ -6157,4 +6158,68 @@ def q141_incremental_itemcf_twin(spark, sf_dir):
     sim = itemcf.item_similarity(counts1, cnt, "cosine", min_pair_users=2)
     return sim.select(
         "item_a", "item_b", "pair_users", F.round("score", 6).alias("cosine")
+    )
+
+
+@register(
+    "q142_random_walks",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem
+    ), adj AS (
+      SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src
+    ), starts AS (
+      SELECT DISTINCT l_suppkey * 2 AS node FROM lineitem
+    ), w0 AS (
+      SELECT node * 2 + r.r AS walk_id, 0 AS step, node
+      FROM starts, (SELECT unnest(generate_series(0, 1)) AS r) r
+    ), rw(walk_id, step, node) AS (
+      SELECT walk_id, step, node FROM w0
+      UNION ALL
+      SELECT rw.walk_id, rw.step + 1,
+             a.nbrs[1 + CAST(
+               ((((rw.walk_id % 2147483648) * 1000003
+                  + rw.step + 1 + 7) % 2147483648)
+                * 2654435761) % 4294967296 % len(a.nbrs) AS INT)]
+      FROM rw JOIN adj a ON rw.node = a.src
+      WHERE rw.step < 4
+    )
+    SELECT walk_id, step, node FROM rw
+    """,
+    doc="Deterministic random-walk corpus generation "
+    "(operators/graph.py::random_walks) — the DeepWalk/node2vec "
+    "sampling step whose output IS a graph-embedding model's "
+    "training data (the reference trains LightGCN on the raw graph; "
+    "walk corpora are the standard sampling alternative its data "
+    "plane lacks). Bipartite supplier<->part graph from distinct "
+    "lineitem edges (node encoding 2s / 2p+1), 2 walks per supplier, "
+    "4 steps. Step choice = integer Knuth hash of (walk_id, step) "
+    "over a SORTED neighbor array — no RNG state, so the oracle's "
+    "recursive CTE replays every transition bit-for-bit and any "
+    "engine/retry draws the identical walk. Scale: adjacency built "
+    "once (one groupBy shuffle, optional max_degree hub cap bounds "
+    "executor memory), then one frontier-vs-adjacency equi-join per "
+    "step — the Pregel superstep shape; adjacency materialized "
+    "pre-partitioned on the node key so all steps reuse one layout.",
+    tags=("graph", "recsys", "sampling"),
+)
+def q142_random_walks(spark, sf_dir):
+    from .operators.graph import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    starts = li.select((F.col("l_suppkey") * 2).alias("node")).distinct()
+    return random_walks(
+        edges, walk_length=4, walks_per_node=2, start_nodes=starts
     )

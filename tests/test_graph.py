@@ -57,3 +57,59 @@ def test_triangle_counts_star_skew_wedge_bound(spark):
     assert {r.node: r.n_triangles for r in triangle_counts(df).collect()} == {
         0: 1, 1: 1, 2: 1
     }
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Every emitted transition is a real edge, replicas of a node
+    walk independently, and two invocations draw identical walks
+    (hash-driven — no RNG state)."""
+    from streaming_recommendation_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 1), (2, 3), (3, 1), (3, 2)],
+        "src bigint, dst bigint",
+    )
+    out = random_walks(edges, walk_length=3, walks_per_node=2)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(map(tuple, random_walks(
+        edges, walk_length=3, walks_per_node=2
+    ).collect()))
+    by_walk = {}
+    for wid, step, node in rows:
+        by_walk.setdefault(wid, {})[step] = node
+    assert len(by_walk) == 6  # 3 start nodes x 2 replicas
+    eset = {(r.src, r.dst) for r in edges.collect()}
+    for wid, steps in by_walk.items():
+        assert sorted(steps) == [0, 1, 2, 3]  # no dead ends here
+        assert steps[0] == wid // 2  # walk_id encodes the start
+        for t in range(1, 4):
+            assert (steps[t - 1], steps[t]) in eset
+
+
+def test_random_walks_dead_end_terminates(spark):
+    from streaming_recommendation_spark.operators.graph import random_walks
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = sorted(map(tuple, random_walks(edges, walk_length=5).collect()))
+    # one start (node 1, which has out-edges); the walk reaches the
+    # sink 2 at step 1 and stops — no successor rows, no nulls
+    assert out == [(1, 0, 1), (1, 1, 2)]
+
+
+def test_random_walks_max_degree_cap(spark):
+    """The hub cap keeps the max_degree smallest neighbor ids — a
+    capped hub only ever transitions into its retained slice."""
+    from streaming_recommendation_spark.operators.graph import random_walks
+
+    hub = [(0, d) for d in range(1, 50)] + [(d, 0) for d in range(1, 50)]
+    edges = spark.createDataFrame(hub, "src bigint, dst bigint")
+    out = random_walks(
+        edges, walk_length=4, walks_per_node=4, max_degree=5
+    )
+    from pyspark.sql import functions as F
+
+    visited = {
+        r.node
+        for r in out.where(F.col("step") > 0).distinct().collect()
+    }
+    assert visited <= {0, 1, 2, 3, 4, 5}  # hub slice + the hub itself
