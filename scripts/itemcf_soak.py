@@ -87,10 +87,13 @@ def main(n_batches: int, per_batch_users: int) -> None:
     # 4 cohorts): batches 0-3 are insert-only (no stored windows to
     # merge, nothing to retract) and read ~30% cheaper — comparing
     # them against loaded batches would report churn cost as growth.
-    # Both ends of the flatness ratio come from the steady slice.
-    steady = times[4:] if n_batches > 8 else times[1:]
-    early = sum(steady[:3]) / 3 if len(steady) >= 6 else steady[0]
-    late = sum(steady[-3:]) / 3 if len(steady) >= 3 else steady[-1]
+    # Both ends of the flatness ratio come from the steady slice; for
+    # runs too short to have one, the whole (post-codegen) series is
+    # the best available and the ratio is labeled by the same key.
+    steady = times[4:] if n_batches > 8 else (times[1:] or times)
+    k = min(3, len(steady))
+    early = sum(steady[:k]) / k
+    late = sum(steady[-k:]) / k
     print(
         json.dumps(
             {

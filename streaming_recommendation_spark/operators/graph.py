@@ -230,12 +230,15 @@ def random_walks(
     hash of (walk_id, step) — no RNG state, so any engine (and any
     retry) draws the identical walk:
 
-        h = ((((walk_id % 2^31) * 1000003 + step + 7) % 2^31)
-             * 2654435761) % 2^32
+        lo = ((walk_id % 2^31) * K) % 2^32        K = 2654435761
+        hi = (((walk_id >> 31) % 2^31) * K) % 2^32
+        h  = (((lo + hi + step * 1000003 + 7) % 2^31) * K) % 2^32
         next = nbrs[1 + h % degree]
 
-    (the two %-2^31 reductions keep every intermediate product under
-    2^63 — ANSI-mode overflow-safe for any nonnegative 64-bit ids).
+    (both 31-bit halves of walk_id feed the hash — a single mod-2^31
+    reduction would alias walks with ids congruent mod 2^31 into
+    identical step sequences; every intermediate stays under 2^63,
+    ANSI-mode overflow-safe for any nonnegative 64-bit ids).
 
     Scale shape: adjacency is built ONCE (one groupBy(src) shuffle)
     with an optional ``max_degree`` hub cap — a walk leaving a
@@ -272,17 +275,25 @@ def random_walks(
     )
     out = frontier.select("walk_id", F.lit(0).alias("step"), "node")
     two31 = 2147483648
+    # the hash mixes BOTH 31-bit halves of walk_id through a Knuth
+    # round each before the step fold: reducing walk_id mod 2^31
+    # alone would alias walks whose ids are congruent mod 2^31 (they
+    # would draw identical step sequences and merge forever on
+    # meeting — real at 64-bit id scale). Every intermediate stays
+    # under 2^63 (ANSI-overflow-safe); shiftright == // for the
+    # nonnegative ids this takes.
+    lo = F.pmod(
+        F.pmod(F.col("walk_id"), F.lit(two31)) * F.lit(KNUTH), F.lit(MOD32)
+    )
+    hi = F.pmod(
+        F.pmod(F.shiftright(F.col("walk_id"), 31), F.lit(two31)) * F.lit(KNUTH),
+        F.lit(MOD32),
+    )
     for t in range(1, walk_length + 1):
-        h = (
-            F.pmod(
-                F.pmod(
-                    F.pmod(F.col("walk_id"), F.lit(two31)) * F.lit(1000003)
-                    + F.lit(t + 7),
-                    F.lit(two31),
-                )
-                * F.lit(KNUTH),
-                F.lit(MOD32),
-            )
+        h = F.pmod(
+            F.pmod(lo + hi + F.lit(t * 1000003 + 7), F.lit(two31))
+            * F.lit(KNUTH),
+            F.lit(MOD32),
         )
         frontier = (
             frontier.join(adj, frontier["node"] == adj["__n"])
@@ -293,6 +304,14 @@ def random_walks(
                 ).alias("node"),
             )
         )
+        if materialize:
+            # without this, branch t of the output union re-executes
+            # joins 1..t (nothing shares subplans across union
+            # branches) — O(L^2) joins; checkpointing each frontier
+            # keeps it O(L), the same lineage-truncation move as
+            # pagerank's per-round checkpoint, and the node key
+            # partitioning co-locates the next join against adj
+            frontier = checkpoint_partitioned(frontier.repartition("node"))
         out = out.unionByName(
             frontier.select("walk_id", F.lit(t).alias("step"), "node")
         )

@@ -236,18 +236,57 @@ def histogram_bins(
     value_col: str,
     group_cols: list[str],
     n_bins: int = 256,
+    strict_groups: bool = False,
 ) -> DataFrame:
     """Per-(group, bin) integer counts under the given layout — the
     mergeable partial state. Values outside the layout's range (a
     streaming batch after layout capture) clamp to the edge bins, the
     standard fixed-layout histogram behavior; when the layout comes
     from the same data (the one-pass batch path) the clamp is
-    provably a no-op."""
+    provably a no-op.
+
+    ``strict_groups=True`` (the streaming path, where the layout is
+    FIXED from a seed corpus): a non-NULL group with no layout row
+    raises IN-PLAN via raise_error — the inner join would silently
+    drop the whole group, and values clamp but groups must fail
+    loudly. Rows whose group columns contain NULL drop in both modes
+    (NULL keys never equi-join; a layout re-seed could never match
+    them either)."""
     gks = [F.col(c) for c in group_cols]
     w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    base = df.where(F.col(value_col).isNotNull())
+    if strict_groups:
+        for c in group_cols:
+            base = base.where(F.col(c).isNotNull())
+        # left join + guarded __mn: the guard feeds the bin math so
+        # the optimizer can't prune it — fails at execution time with
+        # the offending group, no second scan of the batch
+        joined = base.join(layout, group_cols, "left").withColumn(
+            "__mn",
+            F.when(
+                F.col("__mn").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "histogram batch contains group ("
+                        ),
+                        F.concat_ws(
+                            ", ", *[F.col(c).cast("string") for c in group_cols]
+                        ),
+                        F.lit(
+                            ") absent from the fixed bin layout; re-seed "
+                            "the layout (new sketch) for new groups — "
+                            "merging partials built on different layouts "
+                            "is unsound"
+                        ),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("__mn")),
+        )
+    else:
+        joined = base.join(layout, group_cols)
     return (
-        df.where(F.col(value_col).isNotNull())
-        .join(layout, group_cols)
+        joined
         .withColumn(
             "__bin",
             F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(

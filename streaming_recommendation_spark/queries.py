@@ -6130,9 +6130,10 @@ def q140_itemcf_topk(spark, sf_dir):
     "applied to the stored counts by one outer-join sum. Must equal "
     "q139's single-pass answer BIT-FOR-BIT (oracle = q139's SQL "
     "verbatim). The disk legs — per-bucket versioned state, retry "
-    "idempotence, out-of-order raise, all-zero-bucket tombstones "
-    "(a vanished bucket dir would resurrect stale counts) — are "
-    "pinned in tests/test_streaming_itemcf.py.",
+    "idempotence, out-of-order raise, empty-dir writes for all-zero "
+    "buckets (a vanished bucket dir would resurrect stale counts; "
+    "state.write_version ensure_buckets) — are pinned in "
+    "tests/test_streaming_itemcf.py.",
     tags=("recsys", "streaming-twin", "agg"),
 )
 def q141_incremental_itemcf_twin(spark, sf_dir):
@@ -6181,9 +6182,11 @@ def q141_incremental_itemcf_twin(spark, sf_dir):
       UNION ALL
       SELECT rw.walk_id, rw.step + 1,
              a.nbrs[1 + CAST(
-               ((((rw.walk_id % 2147483648) * 1000003
-                  + rw.step + 1 + 7) % 2147483648)
-                * 2654435761) % 4294967296 % len(a.nbrs) AS INT)]
+               ((((((rw.walk_id % 2147483648) * 2654435761) % 4294967296
+                   + (((rw.walk_id // 2147483648) % 2147483648)
+                      * 2654435761) % 4294967296
+                   + (rw.step + 1) * 1000003 + 7) % 2147483648)
+                 * 2654435761) % 4294967296) % len(a.nbrs) AS INT)]
       FROM rw JOIN adj a ON rw.node = a.src
       WHERE rw.step < 4
     )

@@ -170,30 +170,20 @@ class HistogramStreamSketch:
     def partial(self, batch_df: DataFrame) -> DataFrame:
         from ..operators.metrics import histogram_bins
 
-        # histogram_bins inner-joins to the layout, so a group first
-        # seen AFTER layout capture would silently vanish from the
-        # histogram — fail loudly instead (same fixed-quantizer
-        # contract as the IVF landmark raise in streaming/vectors.py;
-        # out-of-range VALUES clamp, out-of-layout GROUPS are an
-        # upstream re-seed decision, never a silent drop)
-        unknown = (
-            batch_df.where(F.col(self.value_col).isNotNull())
-            .select(*self.group_cols)
-            .distinct()
-            .join(self.layout, self.group_cols, "left_anti")
-            .limit(1)
-            .collect()
-        )
-        if unknown:
-            vals = {c: unknown[0][c] for c in self.group_cols}
-            raise ValueError(
-                f"histogram batch contains group {vals} absent from the "
-                "fixed bin layout; re-seed the layout (new sketch) for "
-                "new groups — merging partials built on different "
-                "layouts is unsound"
-            )
+        # strict_groups: a (non-NULL) group first seen AFTER layout
+        # capture fails loudly IN-PLAN (raise_error feeding the bin
+        # math — no second scan of the batch) instead of silently
+        # vanishing at the layout join; same fixed-quantizer contract
+        # as the IVF landmark raise in streaming/vectors.py.
+        # Out-of-range VALUES clamp; out-of-layout GROUPS are an
+        # upstream re-seed decision; NULL-group rows drop as always.
         return histogram_bins(
-            batch_df, self.layout, self.value_col, self.group_cols, self.n_bins
+            batch_df,
+            self.layout,
+            self.value_col,
+            self.group_cols,
+            self.n_bins,
+            strict_groups=True,
         )
 
     def merge(self, a: DataFrame, b: DataFrame) -> DataFrame:

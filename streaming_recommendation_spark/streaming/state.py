@@ -74,14 +74,14 @@ def write_version(
     partitions behind. Do not drop the rmtree on the assumption that
     either mode alone covers both cases.
 
-    ``ensure_buckets``: bucket ids this batch TOUCHED. Parquet's
-    partitionBy skips partitions with zero rows, so a touched bucket
-    whose rows were ALL deleted would write no ``bucket=<b>`` dir —
-    leaving the bucket's OLDER version live and resurrecting its
-    stale rows. Every touched bucket absent from the written data
-    gets an empty dir, which ``live_buckets`` counts as the newest
-    (empty) copy. Any per-bucket state whose rows can vanish must
-    pass this."""
+    ``ensure_buckets``: partition values this batch TOUCHED (under
+    the FIRST ``partition_by`` column). Parquet's partitionBy skips
+    partitions with zero rows, so a touched partition whose rows were
+    ALL deleted would write no ``<col>=<v>`` dir — leaving the
+    partition's OLDER version live and resurrecting its stale rows.
+    Every touched value absent from the written data gets an empty
+    dir, which ``live_buckets`` counts as the newest (empty) copy.
+    Any per-bucket state whose rows can vanish must pass this."""
     vdir = version_dir(state_dir, batch_id)
     if partition_by:
         if os.path.isdir(vdir):
@@ -89,7 +89,9 @@ def write_version(
         state.write.mode("overwrite").partitionBy(*partition_by).parquet(vdir)
         if ensure_buckets:
             for b in ensure_buckets:
-                os.makedirs(os.path.join(vdir, f"bucket={b}"), exist_ok=True)
+                os.makedirs(
+                    os.path.join(vdir, f"{partition_by[0]}={b}"), exist_ok=True
+                )
     else:
         state.write.mode("overwrite").parquet(vdir)
 

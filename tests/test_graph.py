@@ -113,3 +113,29 @@ def test_random_walks_max_degree_cap(spark):
         for r in out.where(F.col("step") > 0).distinct().collect()
     }
     assert visited <= {0, 1, 2, 3, 4, 5}  # hub slice + the hub itself
+
+
+def test_random_walks_64bit_ids_do_not_alias(spark):
+    """Walk ids congruent mod 2^31 must NOT draw identical step
+    sequences: both 31-bit halves of walk_id feed the hash. Two
+    start nodes 2^31 apart share an identical neighbor list — an
+    aliasing hash would walk them in lockstep forever."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.graph import random_walks
+
+    lo, hi = 5, 5 + (1 << 31)
+    edges = spark.createDataFrame(
+        [(s, d) for s in (lo, hi) + tuple(range(1, 5)) for d in range(1, 5)],
+        "src bigint, dst bigint",
+    )
+    starts = spark.createDataFrame([(lo,), (hi,)], "node bigint")
+    out = random_walks(
+        edges, walk_length=6, walks_per_node=1, start_nodes=starts
+    )
+    seqs = {}
+    for r in out.collect():
+        seqs.setdefault(r.walk_id, {})[r.step] = r.node
+    a = [seqs[lo][t] for t in range(1, 7)]
+    b = [seqs[hi][t] for t in range(1, 7)]
+    assert a != b

@@ -243,9 +243,11 @@ def test_histogram_out_of_layout_values_clamp(spark, tmp_path):
 
 
 def test_histogram_unknown_group_raises(spark, tmp_path):
-    """A group absent from the fixed layout must fail loudly in the
-    streaming partial — histogram_bins' layout join would otherwise
-    silently drop the whole group (values clamp, groups don't)."""
+    """A non-NULL group absent from the fixed layout must fail loudly
+    (in-plan raise_error at execution — histogram_bins' inner join
+    would otherwise silently drop the whole group; values clamp,
+    groups don't). NULL-group rows drop silently in both modes: a
+    NULL key could never equi-join any re-seeded layout either."""
     import pytest
 
     from streaming_recommendation_spark.streaming.sketches import (
@@ -258,8 +260,12 @@ def test_histogram_unknown_group_raises(spark, tmp_path):
     sketch = HistogramStreamSketch("v", ["g"], layout, group_schema="g string")
     ok = spark.createDataFrame([("a", 5.0)], "g string, v double")
     assert sketch.partial(ok).count() == 1
+    with_null_group = spark.createDataFrame(
+        [("a", 5.0), (None, 2.0)], "g string, v double"
+    )
+    assert sketch.partial(with_null_group).count() == 1  # NULL g drops
     new_group = spark.createDataFrame(
         [("a", 5.0), ("b", 1.0)], "g string, v double"
     )
-    with pytest.raises(ValueError, match="absent from the fixed bin layout"):
-        sketch.partial(new_group)
+    with pytest.raises(Exception, match="absent from the fixed bin layout"):
+        sketch.partial(new_group).count()
