@@ -155,6 +155,7 @@ HEADLINE = [
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
     "q142_random_walks",
+    "q143_swing_similarity",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -230,3 +230,119 @@ def itemcf_topk(sim: DataFrame, k: int = 10) -> DataFrame:
         F.col("neighbor_id").asc(),
         rank_col="rank",
     ).select("item_id", "neighbor_id", "rank")
+
+
+def capped_audiences(
+    capped_with_rec: DataFrame,
+    user_col: str,
+    item_col: str,
+    recency_col: str,
+    max_users: int = 20,
+) -> DataFrame:
+    """Dual of ``capped_histories``: per ITEM, keep the ``max_users``
+    most recent users (ties by user ascending). Input is
+    ``capped_histories(..., keep_recency=True)`` output — the doubly-
+    capped relation bounds BOTH expansions: user-side pair volume at
+    C(max_items, 2) per user, item-side user-pair volume at
+    C(max_users, 2) per item (an item with 100M users would otherwise
+    emit 5e15 user pairs in swing)."""
+    w = Window.partitionBy(item_col).orderBy(
+        F.col(recency_col).desc(), F.col(user_col).asc()
+    )
+    return (
+        capped_with_rec.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_users)
+        .select(user_col, item_col)
+    )
+
+
+def swing_similarity(
+    interactions: DataFrame,
+    user_col: str,
+    item_col: str,
+    recency_col: str,
+    alpha: int = 1,
+    max_items: int = 20,
+    max_users: int = 20,
+    min_user_pairs: int = 1,
+) -> DataFrame:
+    """Swing similarity (Alibaba's i2i recall): item pair (i, j)
+    scores the sum over USER PAIRS (u, v) that both interacted with
+    both items of 1 / (alpha + |I_u intersect I_v|) — a user pair
+    that co-occurs on many items is a weak (likely spurious or bot)
+    signal and is damped by its own overlap, which plain
+    co-occurrence (``item_cooccurrence``) cannot express.
+
+    EXACT integer arithmetic: with integer ``alpha`` and the user cap
+    bounding |I_u intersect I_v| <= max_items, every weight
+    1/(alpha+c) is one of <= max_items rationals — scores are summed
+    as ``swing_scaled`` = sum of LCM/(alpha+c) in 64-bit integers
+    (LCM over the closed denominator range divides exactly), so the
+    result is order-independent and bit-identical on any engine;
+    float summation here would be partition-order-dependent. The
+    true score is swing_scaled / LCM (also returned, rounded).
+
+    Scale shape: the doubly-capped relation (``capped_histories`` +
+    ``capped_audiences``) bounds per-item user pairs at
+    C(max_users, 2); those expand JVM-side from bounded sorted
+    arrays (``user_pairs`` transposed). The (i, j) candidates come
+    from a self-equi-join of the per-item user-pair table ON the
+    user pair — group size = |items common to (u, v)| <= max_items,
+    so the join output is sum over user pairs of C(c, 2), never a
+    cartesian. Returns (item_a, item_b, n_user_pairs, swing_scaled,
+    swing_scale, swing).
+    """
+    import math
+
+    denoms = range(alpha + 1, alpha + max_items + 1)
+    lcm = 1
+    for d in denoms:
+        lcm = lcm * d // math.gcd(lcm, d)
+
+    r = capped_histories(
+        interactions, user_col, item_col, recency_col,
+        max_items=max_items, keep_recency=True,
+    )
+    r2 = capped_audiences(r, user_col, item_col, recency_col, max_users)
+    # per-item user pairs: user_pairs with the roles transposed
+    iup = user_pairs(r2, item_col, user_col).select(
+        F.col(item_col),
+        F.col("item_a").alias("__u"),
+        F.col("item_b").alias("__v"),
+    )
+    # |I_u intersect I_v| over the SAME doubly-capped universe
+    cuv = iup.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    a = iup.select(F.col(item_col).alias("item_a"), "__u", "__v")
+    b = iup.select(F.col(item_col).alias("item_b"), "__u", "__v")
+    pairs = (
+        a.join(b, ["__u", "__v"])
+        .where(F.col("item_a") < F.col("item_b"))
+        .join(cuv, ["__u", "__v"])
+    )
+    # exact integer weights via a literal lookup (LCM divides each
+    # denominator exactly; double division would lose exactness once
+    # LCM crosses 2^53 at larger caps)
+    wmap = F.create_map(
+        *[
+            x
+            for c in range(1, max_items + 1)
+            for x in (F.lit(c), F.lit(lcm // (alpha + c)))
+        ]
+    )
+    weight = F.element_at(wmap, F.col("__c").cast("int"))
+    return (
+        pairs.groupBy("item_a", "item_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_user_pairs"),
+            F.sum(weight).alias("swing_scaled"),
+        )
+        .where(F.col("n_user_pairs") >= min_user_pairs)
+        .select(
+            "item_a",
+            "item_b",
+            "n_user_pairs",
+            "swing_scaled",
+            F.lit(lcm).alias("swing_scale"),
+            F.round(F.col("swing_scaled") / F.lit(lcm), 6).alias("swing"),
+        )
+    )

@@ -4067,8 +4067,8 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # round-3-stale cohort (q60-q64, q74-q84, q87-q104 incl. q94b — 35
 # rows whose newest external green is round 3), then the
 # registration-oldest of the round-4 cohort (q105-...). The remaining
-# round-4 rows (q114-q129, after the 6 new-this-round entries pushed
-# q114-q119 past slot 50) rotate in next round, reaching the steady
+# round-4 rows (q113-q129, after the 7 new-this-round entries pushed
+# q113-q119 past slot 50) rotate in next round, reaching the steady
 # state where no query's newest external green is older than 2
 # rounds. New queries registered this round are inserted at the HEAD
 # of this list at their registration site; the gate takes the first
@@ -4079,6 +4079,7 @@ _DRIVER_PRIORITY.extend([
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
     "q142_random_walks",
+    "q143_swing_similarity",
     "q137_compacted_ivf_twin",
     "q138_mergeable_histogram_twin",
     # --- last external green: round 3 (full cohort, 35 rows) ---
@@ -6225,4 +6226,69 @@ def q142_random_walks(spark, sf_dir):
     starts = li.select((F.col("l_suppkey") * 2).alias("node")).distinct()
     return random_walks(
         edges, walk_length=4, walks_per_node=2, start_nodes=starts
+    )
+
+
+@register(
+    "q143_swing_similarity",
+    """
+    WITH dedup AS (
+      SELECT l_suppkey AS u, l_partkey AS i, max(l_shipdate) AS rec
+      FROM lineitem GROUP BY 1, 2
+    ), ucap AS (
+      SELECT u, i, rec FROM (
+        SELECT u, i, rec,
+               row_number() OVER (PARTITION BY u
+                                  ORDER BY rec DESC, i ASC) AS rn
+        FROM dedup
+      ) WHERE rn <= 20
+    ), r2 AS (
+      SELECT u, i FROM (
+        SELECT u, i,
+               row_number() OVER (PARTITION BY i
+                                  ORDER BY rec DESC, u ASC) AS rn
+        FROM ucap
+      ) WHERE rn <= 20
+    ), iup AS (
+      SELECT x.i AS i, x.u AS u, y.u AS v
+      FROM r2 x JOIN r2 y ON x.i = y.i AND x.u < y.u
+    ), cuv AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS c FROM iup GROUP BY 1, 2
+    ), ip AS (
+      SELECT a.i AS item_a, b.i AS item_b, a.u, a.v
+      FROM iup a JOIN iup b ON a.u = b.u AND a.v = b.v AND a.i < b.i
+    )
+    SELECT item_a, item_b,
+           CAST(count(*) AS BIGINT) AS n_user_pairs,
+           CAST(sum(232792560 // (1 + c)) AS BIGINT) AS swing_scaled,
+           CAST(232792560 AS BIGINT) AS swing_scale,
+           round(CAST(sum(232792560 // (1 + c)) AS BIGINT)
+                 / 232792560.0, 6) AS swing
+    FROM ip JOIN cuv USING (u, v)
+    GROUP BY item_a, item_b
+    """,
+    doc="Swing i2i similarity (operators/itemcf.py::swing_similarity "
+    "— Alibaba's recall): item pair (i, j) sums over the USER PAIRS "
+    "sharing both items 1/(alpha + |I_u intersect I_v|), damping "
+    "user pairs that co-occur everywhere (crawler/bot cliques) — a "
+    "robustness signal plain co-occurrence (q139) cannot express. "
+    "EXACT integer arithmetic: the user cap closes the denominator "
+    "range, so weights sum as LCM/(alpha+c) int64 units — order-"
+    "independent, bit-identical on any engine (float summation here "
+    "would be partition-order-dependent; same determinism move as "
+    "the exact-dyadic decay and quantized PageRank). Doubly-capped "
+    "relation (20-item histories + 20-user audiences) bounds per-"
+    "item user pairs at C(20,2) and the candidate join groups at "
+    "|common items| <= 20 — never a cartesian. All supported pairs "
+    "kept (a min_user_pairs=2 cut is DEGENERATE on this data — 0 "
+    "rows at sf>=0.01 — and tests pin the non-degenerate output).",
+    tags=("recsys", "agg", "join"),
+)
+def q143_swing_similarity(spark, sf_dir):
+    from .operators.itemcf import swing_similarity
+
+    li = _t(spark, sf_dir, "lineitem")
+    return swing_similarity(
+        li, "l_suppkey", "l_partkey", "l_shipdate",
+        alpha=1, max_items=20, max_users=20, min_user_pairs=1,
     )

@@ -100,3 +100,83 @@ def test_topk_symmetric_ranked_and_bounded(spark):
     assert sorted(by_item["a"]) == [(1, "b"), (2, "c")]
     # d's only neighbor is a
     assert by_item["d"] == [(1, "a")]
+
+
+def test_swing_matches_bruteforce_reference(spark):
+    """swing_scaled equals a pure-Python brute-force computation of
+    sum over shared user pairs of LCM/(alpha+|I_u ∩ I_v|), on a frame
+    small enough that no cap binds."""
+    from itertools import combinations
+
+    from streaming_recommendation_spark.operators.itemcf import (
+        swing_similarity,
+    )
+
+    rows = [
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        (2, "a", 1), (2, "b", 2),
+        (3, "a", 1), (3, "b", 2), (3, "c", 3),
+        (4, "c", 1),
+    ]
+    df = spark.createDataFrame(rows, "u string, i string, ts long")
+    got = {
+        (r.item_a, r.item_b): (r.n_user_pairs, r.swing_scaled)
+        for r in swing_similarity(
+            df, "u", "i", "ts", alpha=1, max_items=20, max_users=20
+        ).collect()
+    }
+    # brute force
+    import math
+
+    lcm = 1
+    for d in range(2, 22):
+        lcm = lcm * d // math.gcd(lcm, d)
+    items_of = {}
+    for u, i, _ in rows:
+        items_of.setdefault(u, set()).add(i)
+    users_of = {}
+    for u, i, _ in rows:
+        users_of.setdefault(i, set()).add(u)
+    want = {}
+    for i, j in combinations(sorted(users_of), 2):
+        shared = users_of[i] & users_of[j]
+        acc, n = 0, 0
+        for u, v in combinations(sorted(shared), 2):
+            c = len(items_of[u] & items_of[v])
+            acc += lcm // (1 + c)
+            n += 1
+        if n:
+            want[(i, j)] = (n, acc)
+    assert got == want
+    # sanity on one cell: (a,b) shared by users 1,2,3 -> pairs
+    # (1,2):c=2, (1,3):c=3, (2,3):c=2
+    assert got[("a", "b")] == (3, lcm // 3 + lcm // 4 + lcm // 3)
+
+
+def test_swing_audience_cap_bounds_pairs(spark):
+    """max_users=2 keeps only the 2 most recent users per item — an
+    item seen by many users contributes C(2,2)=1 user pair."""
+    from streaming_recommendation_spark.operators.itemcf import (
+        swing_similarity,
+    )
+
+    rows = [(u, i, 10 - u) for u in range(1, 6) for i in ("x", "y")]
+    df = spark.createDataFrame(rows, "u long, i string, ts long")
+    out = swing_similarity(
+        df, "u", "i", "ts", max_items=20, max_users=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    # audiences capped to users {1,2} (most recent ts) for both items
+    assert (r.item_a, r.item_b, r.n_user_pairs) == ("x", "y", 1)
+
+
+def test_q143_nondegenerate(spark):
+    """The registered swing query must return rows at every SF — a
+    min_user_pairs=2 cut silently emptied it (0 rows at sf>=0.01, a
+    vacuous 0==0 oracle match); pin > 0."""
+    from streaming_recommendation_spark.queries import registry
+
+    from .conftest import SF_DIR
+
+    assert registry()["q143_swing_similarity"].fn(spark, SF_DIR).count() > 0

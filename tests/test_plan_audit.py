@@ -817,3 +817,13 @@ def test_q141_incremental_itemcf_no_cartesian(run):
     assert a["has_window_group_limit"]  # both caps (w0 and w1)
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q143_swing_no_cartesian(run):
+    """Candidates come from an equi-join of the per-item user-pair
+    table on the user pair (group size <= |common items| <= cap) —
+    never a cartesian; both caps compile to WindowGroupLimit."""
+    a = run("q143_swing_similarity")
+    assert a["has_window_group_limit"]
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
