@@ -156,6 +156,11 @@ HEADLINE = [
     "q141_incremental_itemcf_twin",
     "q142_random_walks",
     "q143_swing_similarity",
+    # association rules (support/confidence/lift over order baskets)
+    "q144_association_rules",
+    # bounded-hop BFS + skip-gram pairs from the walk corpus
+    "q145_bfs_distances",
+    "q146_skipgram_pairs",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -175,6 +180,8 @@ ITERATIVE = {
     "q107_dup_length_profile",
     "q129_largestar_components",
     "q142_random_walks",  # adjacency materialized at construction
+    "q145_bfs_distances",  # per-hop frontier checkpoints
+    "q146_skipgram_pairs",  # walk corpus materialized at construction
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

@@ -205,6 +205,126 @@ def triangle_counts(
     )
 
 
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+    materialize: bool = True,
+) -> DataFrame:
+    """Bounded-hop BFS: (node, distance) = minimum number of edge
+    hops from any node in ``seeds`` (a 1-column ``node`` frame),
+    distance 0 for the seeds themselves, nodes further than
+    ``max_hops`` absent. The neighborhood-expansion primitive behind
+    "within k hops of these users/items" audience queries, spam-ring
+    blast-radius checks, and k-hop subgraph extraction for GNN-style
+    training samples.
+
+    Determinism: distances are integers and the BFS layer a node
+    first appears in is unique — no tie-breaks, bit-identical on any
+    engine (the DuckDB oracle re-derives min hop count per node from
+    a recursive expansion, an independent algorithm).
+
+    Scale shape: the classic frontier loop — each hop is ONE
+    equi-join of the (newly discovered) frontier against the edge
+    list on the node key plus ONE left_anti against the visited set,
+    both node-keyed shuffles (Pregel superstep). The edge list is
+    static: materialized pre-partitioned on ``src`` once, every hop
+    reuses the layout. The frontier only ever contains NEW nodes, so
+    total join work across all hops is bounded by sum of frontier
+    degrees <= m, and the per-hop checkpoint truncates lineage (hop k
+    would otherwise replay hops 1..k-1 in every later branch — the
+    same O(L^2)->O(L) move as random_walks).
+    """
+    adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if materialize:
+        adj = checkpoint_partitioned(adj.repartition("u"))
+    visited = seeds.select("node", F.lit(0).alias("distance"))
+    frontier = seeds.select("node")
+    if materialize:
+        visited = visited.localCheckpoint()
+        frontier = frontier.localCheckpoint()
+    for t in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if materialize:
+            nxt = checkpoint_partitioned(nxt.repartition("node"))
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(t).alias("distance"))
+        )
+        if materialize:
+            visited = visited.localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """(center, context, n_pairs): skip-gram co-occurrence pairs from
+    a walk corpus — the step that turns ``random_walks`` output into
+    word2vec/DeepWalk TRAINING DATA (each walk is a "sentence";
+    every ordered pair of nodes <= ``window`` steps apart is one
+    (center, context) example, counted with multiplicity across the
+    corpus). Downstream, (center, context, n_pairs) with negative
+    samples IS the skip-gram model's input relation.
+
+    Scale shape: one groupBy(walk) shuffle builds each walk as a
+    bounded step-ordered array (walk length is a small constant set
+    at generation), pairs expand JVM-side inside whole-stage codegen
+    (nested transform over a +-window slice — never a self-join of
+    the corpus on walk_id, which would re-shuffle the walk table
+    twice and re-materialize each walk |walk| times), then one
+    groupBy(center, context) count with map-side partial
+    aggregation. Exact integer counts — bit-identical anywhere.
+    """
+    arrs = walks.groupBy(walk_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(step_col), F.col(node_col)))
+        ).alias("__w")
+    )
+    w = F.col("__w")
+    n = F.size(w)
+    pairs = F.flatten(
+        F.transform(
+            w,
+            lambda x, i: F.transform(
+                # contexts strictly after the center, within `window`
+                # steps; emit both orientations so the asymmetric
+                # (center, context) universe is complete
+                F.slice(
+                    w,
+                    i + F.lit(2),
+                    F.least(F.lit(window), n - i - F.lit(1)),
+                ),
+                lambda y: F.struct(
+                    x[node_col].alias("c"), y[node_col].alias("x")
+                ),
+            ),
+        )
+    )
+    one_dir = arrs.select(F.explode(pairs).alias("__p")).select(
+        F.col("__p.c").alias("center"), F.col("__p.x").alias("context")
+    )
+    both = one_dir.unionByName(
+        one_dir.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return both.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def random_walks(
     edges: DataFrame,
     src: str = "src",

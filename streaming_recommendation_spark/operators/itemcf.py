@@ -232,6 +232,98 @@ def itemcf_topk(sim: DataFrame, k: int = 10) -> DataFrame:
     ).select("item_id", "neighbor_id", "rank")
 
 
+def association_rules(
+    interactions: DataFrame,
+    basket_col: str,
+    item_col: str,
+    recency_col: str,
+    max_items: int = 20,
+    min_support: int = 2,
+    min_confidence_pct: int = 0,
+) -> DataFrame:
+    """Pairwise association rules (market-basket analysis): for every
+    directed item pair (antecedent -> consequent) co-occurring in
+    >= ``min_support`` baskets, the classic rule statistics
+
+        support(a, c)   = # baskets containing both
+        confidence(a->c) = support(a, c) / support(a)
+        lift(a->c)       = support(a, c) * N / (support(a) * support(c))
+
+    This is the frequent-pattern leg the co-occurrence family
+    (item_cooccurrence / swing) was missing: confidence/lift turn raw
+    counts into DIRECTED implication strength, the cross-sell /
+    "frequently bought together" primitive.
+
+    Exactness: all supports are integers from the same capped basket
+    universe; confidence and lift are each ONE double division of
+    int64 products (no reassociation — bit-identical on any engine),
+    rounded to 6; the ``min_confidence_pct`` threshold is applied by
+    integer cross-multiplication (support * 100 >= pct * ante), never
+    on the rounded float, so the cut cannot flake at a boundary ULP.
+
+    Scale shape: identical to item_cooccurrence — the per-basket item
+    cap bounds pair volume at |baskets| * C(max_items, 2); pairs
+    expand JVM-side from bounded sorted arrays; supports join on item
+    keys (|items|-row tables, AQE/broadcast decide); N arrives as a
+    1-row broadcast (no driver action). Returns (antecedent,
+    consequent, pair_support, ante_support, cons_support, n_baskets,
+    confidence, lift).
+    """
+    capped = capped_histories(
+        interactions, basket_col, item_col, recency_col, max_items=max_items
+    )
+    cooc = item_cooccurrence(capped, basket_col, item_col).where(
+        F.col("pair_users") >= min_support
+    )
+    counts = item_counts(capped, item_col)
+    n_baskets = capped.agg(
+        F.countDistinct(basket_col).alias("n_baskets")
+    )
+    rules = cooc.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        F.col("pair_users").alias("pair_support"),
+    ).unionByName(
+        cooc.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            F.col("pair_users").alias("pair_support"),
+        )
+    )
+    sa = counts.select(
+        F.col("item_id").alias("antecedent"), F.col("users").alias("ante_support")
+    )
+    sc = counts.select(
+        F.col("item_id").alias("consequent"), F.col("users").alias("cons_support")
+    )
+    out = (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    if min_confidence_pct:
+        out = out.where(
+            F.col("pair_support") * 100
+            >= F.lit(min_confidence_pct) * F.col("ante_support")
+        )
+    return out.select(
+        "antecedent",
+        "consequent",
+        "pair_support",
+        "ante_support",
+        "cons_support",
+        "n_baskets",
+        F.round(F.col("pair_support") / F.col("ante_support"), 6).alias(
+            "confidence"
+        ),
+        F.round(
+            (F.col("pair_support") * F.col("n_baskets"))
+            / (F.col("ante_support") * F.col("cons_support")),
+            6,
+        ).alias("lift"),
+    )
+
+
 def capped_audiences(
     capped_with_rec: DataFrame,
     user_col: str,

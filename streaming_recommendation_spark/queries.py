@@ -4075,6 +4075,9 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # 50, so the tail entries here are the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
+    "q144_association_rules",
+    "q145_bfs_distances",
+    "q146_skipgram_pairs",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6163,9 +6166,10 @@ def q141_incremental_itemcf_twin(spark, sf_dir):
     )
 
 
-@register(
-    "q142_random_walks",
-    """
+# the supplier<->part walk-corpus CTE, shared verbatim by q142 (the
+# corpus itself) and q146 (skip-gram pairs FROM that corpus) — one
+# source of truth for the deterministic transition replay
+_WALK_CORPUS_CTE = """
     WITH RECURSIVE e AS (
       SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
       FROM lineitem
@@ -6191,8 +6195,12 @@ def q141_incremental_itemcf_twin(spark, sf_dir):
       FROM rw JOIN adj a ON rw.node = a.src
       WHERE rw.step < 4
     )
-    SELECT walk_id, step, node FROM rw
-    """,
+"""
+
+
+@register(
+    "q142_random_walks",
+    _WALK_CORPUS_CTE + "    SELECT walk_id, step, node FROM rw\n    ",
     doc="Deterministic random-walk corpus generation "
     "(operators/graph.py::random_walks) — the DeepWalk/node2vec "
     "sampling step whose output IS a graph-embedding model's "
@@ -6292,3 +6300,171 @@ def q143_swing_similarity(spark, sf_dir):
         li, "l_suppkey", "l_partkey", "l_shipdate",
         alpha=1, max_items=20, max_users=20, min_user_pairs=1,
     )
+
+
+@register(
+    "q144_association_rules",
+    """
+    WITH dedup AS (
+      SELECT l_orderkey AS b, l_partkey AS i, max(l_shipdate) AS rec
+      FROM lineitem GROUP BY 1, 2
+    ), cap AS (
+      SELECT b, i FROM (
+        SELECT b, i,
+               row_number() OVER (PARTITION BY b
+                                  ORDER BY rec DESC, i ASC) AS rn
+        FROM dedup
+      ) WHERE rn <= 20
+    ), n AS (
+      SELECT count(DISTINCT b) AS n_baskets FROM cap
+    ), isup AS (
+      SELECT i, CAST(count(*) AS BIGINT) AS sup FROM cap GROUP BY i
+    ), pairs AS (
+      SELECT x.i AS a, y.i AS c, CAST(count(*) AS BIGINT) AS ps
+      FROM cap x JOIN cap y ON x.b = y.b AND x.i < y.i
+      GROUP BY 1, 2
+    ), rules AS (
+      SELECT a AS antecedent, c AS consequent, ps FROM pairs WHERE ps >= 2
+      UNION ALL
+      SELECT c, a, ps FROM pairs WHERE ps >= 2
+    )
+    SELECT r.antecedent, r.consequent,
+           r.ps AS pair_support,
+           sa.sup AS ante_support,
+           sc.sup AS cons_support,
+           n.n_baskets AS n_baskets,
+           round(r.ps / CAST(sa.sup AS DOUBLE), 6) AS confidence,
+           round((r.ps * n.n_baskets) / CAST(sa.sup * sc.sup AS DOUBLE), 6)
+             AS lift
+    FROM rules r
+    JOIN isup sa ON r.antecedent = sa.i
+    JOIN isup sc ON r.consequent = sc.i
+    CROSS JOIN n
+    """,
+    doc="Pairwise association rules over order baskets "
+    "(operators/itemcf.py::association_rules) — the frequent-pattern "
+    "leg of the co-occurrence family: directed confidence "
+    "(pair/ante) and lift (pair*N/(ante*cons)) turn raw counts into "
+    "implication strength, the cross-sell primitive the reference's "
+    "model-based recall paths lack. Exact: integer supports from one "
+    "capped basket universe; confidence/lift are each ONE double "
+    "division of int64 products (bit-stable, no reassociation); the "
+    "support cut is integer-only. Scale: the per-basket cap bounds "
+    "pair volume at |baskets| * C(20, 2); pairs expand JVM-side from "
+    "bounded sorted arrays (no self-join re-materializing baskets); "
+    "N rides as a 1-row broadcast.",
+    tags=("recsys", "agg", "join"),
+)
+def q144_association_rules(spark, sf_dir):
+    from .operators.itemcf import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", "l_shipdate",
+        max_items=20, min_support=2,
+    )
+
+
+@register(
+    "q145_bfs_distances",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+      UNION
+      SELECT DISTINCT l_partkey * 2 + 1, l_suppkey * 2 FROM lineitem
+    ), seeds AS (
+      SELECT DISTINCT s_suppkey * 2 AS node FROM supplier
+      WHERE s_suppkey <= 3
+    ), reach(node, d) AS (
+      SELECT node, 0 AS d FROM seeds
+      UNION
+      SELECT e.dst, r.d + 1 FROM reach r JOIN e ON r.node = e.src
+      WHERE r.d < 3
+    )
+    SELECT node, CAST(min(d) AS INT) AS distance FROM reach GROUP BY node
+    """,
+    doc="Bounded-hop BFS (operators/graph.py::bfs_distances): min hop "
+    "distance from a 3-supplier seed set over the symmetrized "
+    "supplier<->part graph, 3 supersteps — the 'within k hops' "
+    "audience/blast-radius/k-hop-subgraph primitive (GNN sampling "
+    "front end). Distances are integers with a unique first-discovery "
+    "layer — no tie-breaks, bit-identical anywhere; the oracle "
+    "re-derives min hop count via a recursive UNION expansion (an "
+    "independent algorithm — Spark discovers each node ONCE via "
+    "frontier anti-join; the oracle enumerates (node, depth) pairs "
+    "and takes the min). Scale: one edge-join + one visited anti-join "
+    "per hop, both node-keyed; static edges pre-partitioned once; "
+    "total frontier join work across all hops <= m.",
+    tags=("graph", "iterative"),
+)
+def q145_bfs_distances(spark, sf_dir):
+    from .operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    seeds = (
+        sup.where(F.col("s_suppkey") <= 3)
+        .select((F.col("s_suppkey") * 2).alias("node"))
+        .distinct()
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+@register(
+    "q146_skipgram_pairs",
+    _WALK_CORPUS_CTE
+    + """
+    , p AS (
+      SELECT a.node AS center, b.node AS context
+      FROM rw a JOIN rw b
+        ON a.walk_id = b.walk_id
+       AND b.step > a.step AND b.step - a.step <= 2
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM (SELECT center, context FROM p
+          UNION ALL
+          SELECT context AS center, center AS context FROM p)
+    GROUP BY center, context
+    """,
+    doc="Skip-gram training pairs from the q142 walk corpus "
+    "(operators/graph.py::skipgram_pairs, window=2): every ordered "
+    "(center, context) pair <= 2 steps apart, counted with "
+    "multiplicity — the step that turns a walk corpus into word2vec/"
+    "DeepWalk TRAINING DATA (the reference trains LightGCN on raw "
+    "edges; walk + skip-gram is the sampling pipeline its data plane "
+    "lacks). Walks re-derive deterministically (shared CTE with q142 "
+    "— the integer-hash transition replay), so the oracle rebuilds "
+    "the identical corpus and pairs it by a step self-join, while "
+    "Spark expands pairs JVM-side from bounded step-sorted arrays "
+    "(one walk-shuffle + one pair-shuffle, never a corpus self-join). "
+    "Exact integer counts.",
+    tags=("graph", "recsys", "sampling"),
+)
+def q146_skipgram_pairs(spark, sf_dir):
+    from .operators.graph import random_walks, skipgram_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    starts = li.select((F.col("l_suppkey") * 2).alias("node")).distinct()
+    walks = random_walks(
+        edges, walk_length=4, walks_per_node=2, start_nodes=starts
+    )
+    return skipgram_pairs(walks, window=2)

@@ -139,3 +139,104 @@ def test_random_walks_64bit_ids_do_not_alias(spark):
     a = [seqs[lo][t] for t in range(1, 7)]
     b = [seqs[hi][t] for t in range(1, 7)]
     assert a != b
+
+
+def test_bfs_distances_layers_and_bound(spark):
+    """Min-hop distances on a path graph with a shortcut: the
+    SHORTEST route wins, unreached nodes are absent, max_hops caps
+    the expansion."""
+    from streaming_recommendation_spark.operators.graph import bfs_distances
+
+    # 1-2-3-4-5 chain plus shortcut 1-4; symmetric edges
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.distance
+        for r in bfs_distances(edges, seeds, max_hops=2).collect()
+    }
+    # 4 via the shortcut (1 hop), 3 via either side (2 hops), 5 via 4
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    capped = {
+        r.node: r.distance
+        for r in bfs_distances(edges, seeds, max_hops=1).collect()
+    }
+    assert capped == {1: 0, 2: 1, 4: 1}
+
+
+def test_bfs_distances_multi_seed_and_isolated_seed(spark):
+    """Every seed is distance 0 even with no edges; overlapping
+    frontiers keep the minimum."""
+    from streaming_recommendation_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,), (3,), (99,)], "node bigint")
+    got = {
+        r.node: r.distance
+        for r in bfs_distances(edges, seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 3: 0, 99: 0, 2: 1}
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    """Hand-checked pairs from one 4-step walk: window=2 pairs each
+    position with the next <=2 positions, both orientations, counted
+    with multiplicity."""
+    from streaming_recommendation_spark.operators.graph import skipgram_pairs
+
+    walk = [(7, t, n) for t, n in enumerate([10, 20, 10, 30])]
+    walks = spark.createDataFrame(walk, "walk_id long, step int, node long")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    # ordered within-window pairs: (10,20),(10,10),(20,10),(20,30),
+    # (10,30); reversed copies double everything; (10,20)+(20,10)
+    # both directions accumulate
+    assert got[(10, 20)] == 2 and got[(20, 10)] == 2
+    assert got[(10, 30)] == 1 and got[(30, 10)] == 1
+    assert got[(20, 30)] == 1 and got[(10, 10)] == 2
+    assert sum(got.values()) == 10
+
+
+def test_skipgram_pairs_matches_self_join(spark):
+    """Array-expansion pairs == naive self-join pairs on a random
+    multi-walk corpus (independent derivation)."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.graph import skipgram_pairs
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (w, t, rng.randrange(5))
+        for w in range(20)
+        for t in range(rng.randrange(1, 6))
+    ]
+    walks = spark.createDataFrame(rows, "walk_id long, step int, node long")
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    a, b = walks.alias("a"), walks.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.walk_id") == F.col("b.walk_id"))
+        & (F.col("b.step") > F.col("a.step"))
+        & (F.col("b.step") - F.col("a.step") <= 2),
+    ).select(F.col("a.node").alias("center"), F.col("b.node").alias("context"))
+    both = j.unionByName(
+        j.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    want = {
+        (r.center, r.context): r["count"]
+        for r in both.groupBy("center", "context").count().collect()
+    }
+    assert got == want

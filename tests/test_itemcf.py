@@ -171,6 +171,50 @@ def test_swing_audience_cap_bounds_pairs(spark):
     assert (r.item_a, r.item_b, r.n_user_pairs) == ("x", "y", 1)
 
 
+def test_association_rules_statistics(spark):
+    """Confidence and lift match hand-computed values; both rule
+    directions surface; the support cut drops singleton pairs."""
+    df = _interactions(spark)  # baskets: 1:{a,b,c} 2:{a,b} 3:{a,d}
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in itemcf.association_rules(
+            df, "u", "i", "ts", max_items=10, min_support=2
+        ).collect()
+    }
+    # only (a,b) has support >= 2; both directions emitted
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    # supports: a=3 baskets, b=2, pair=2, N=3
+    assert (ab.pair_support, ab.ante_support, ab.cons_support, ab.n_baskets) == (
+        2, 3, 2, 3,
+    )
+    assert math.isclose(ab.confidence, round(2 / 3, 6))
+    assert math.isclose(ab.lift, 1.0)  # 2*3/(3*2)
+    assert math.isclose(ba.confidence, 1.0)  # 2/2
+    assert math.isclose(ba.lift, 1.0)
+
+
+def test_association_rules_confidence_cut_is_integer_exact(spark):
+    """min_confidence_pct filters by integer cross-multiplication:
+    confidence exactly at the threshold is KEPT (>=), and the cut
+    never consults the rounded float."""
+    df = _interactions(spark)
+    out = itemcf.association_rules(
+        df, "u", "i", "ts", max_items=10, min_support=2,
+        min_confidence_pct=100,
+    ).collect()
+    # only b->a has confidence 2/2 = 100%
+    assert [(r.antecedent, r.consequent) for r in out] == [("b", "a")]
+
+
+def test_q144_nondegenerate(spark):
+    from streaming_recommendation_spark.queries import registry
+
+    from .conftest import SF_DIR
+
+    assert registry()["q144_association_rules"].fn(spark, SF_DIR).count() > 0
+
+
 def test_q143_nondegenerate(spark):
     """The registered swing query must return rows at every SF — a
     min_user_pairs=2 cut silently emptied it (0 rows at sf>=0.01, a
