@@ -161,6 +161,9 @@ HEADLINE = [
     # bounded-hop BFS + skip-gram pairs from the walk corpus
     "q145_bfs_distances",
     "q146_skipgram_pairs",
+    # BM25 posting lists + personalized PageRank
+    "q147_bm25_postings",
+    "q148_personalized_pagerank",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -182,6 +185,7 @@ ITERATIVE = {
     "q142_random_walks",  # adjacency materialized at construction
     "q145_bfs_distances",  # per-hop frontier checkpoints
     "q146_skipgram_pairs",  # walk corpus materialized at construction
+    "q148_personalized_pagerank",  # per-round rank checkpoints
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

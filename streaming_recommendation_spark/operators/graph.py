@@ -31,6 +31,7 @@ def pagerank_quantized(
     damping_pct: int = 85,
     scale: int = RANK_SCALE,
     materialize: bool = True,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the UNDIRECTED graph (edges symmetrized), ranks
     in integer units of ``1/scale``: r'(v) = base + d * sum over
@@ -59,6 +60,16 @@ def pagerank_quantized(
     Quantization error: each div truncates < 1 rank unit = 2^-20 of
     total mass per node per round — negligible against PageRank's
     own damping tolerance, and the price of exact replay.
+
+    ``seeds`` (optional 1-column ``node`` frame) switches to
+    PERSONALIZED PageRank / random-walk-with-restart: both the start
+    mass and the per-round teleport base go ONLY to the seed nodes
+    (restricted to seeds present in the graph; N becomes |seeds|) —
+    the recsys neighborhood-expansion scorer ("items relevant to
+    THIS user's items", Pixie-style) a global rank cannot express.
+    Same integer quantization, same superstep shape; a node's rank is
+    0 until link mass reaches it, so after r rounds the support is
+    exactly the r-hop neighborhood.
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
@@ -72,14 +83,30 @@ def pagerank_quantized(
         sym = checkpoint_partitioned(sym.repartition("u"))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("node"), "deg")
-    n_nodes = nodes.select(
-        F.count(F.lit(1)).alias("__n"),
-    )
-    # uniform start: scale div N (1-row broadcast, no driver action)
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+    if seeds is None:
+        nodes = nodes.withColumn("__seed", F.lit(1).cast("bigint"))
+        n_frame = nodes.select(F.count(F.lit(1)).alias("__n"))
+    else:
+        sd = seeds.select("node").distinct().withColumn(
+            "__s", F.lit(1).cast("bigint")
+        )
+        # seeds outside the graph carry no edges — restrict and count
+        # over the intersection so teleport mass is fully assigned
+        nodes = (
+            nodes.join(F.broadcast(sd), "node", "left")
+            .withColumn("__seed", F.coalesce(F.col("__s"), F.lit(0)))
+            .drop("__s")
+        )
+        n_frame = nodes.where(F.col("__seed") == 1).select(
+            F.count(F.lit(1)).alias("__n")
+        )
+    # start mass scale div N on the seed set (1-row broadcast, no
+    # driver action); uniform PageRank is the seeds=all special case
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
         "node",
         "deg",
-        F.expr(f"CAST({scale} AS BIGINT) div __n").alias("rank"),
+        "__seed",
+        F.expr(f"__seed * (CAST({scale} AS BIGINT) div __n)").alias("rank"),
         F.col("__n"),
     )
     for _ in range(rounds):
@@ -95,16 +122,17 @@ def pagerank_quantized(
             .agg(F.sum("__c").alias("__sum"))
         )
         ranks = (
-            ranks.select("node", "deg", "__n")
+            ranks.select("node", "deg", "__seed", "__n")
             .join(contribs, "node", "left")
             .select(
                 "node",
                 "deg",
+                "__seed",
                 "__n",
                 (
                     F.expr(
-                        f"(CAST({scale} AS BIGINT) * {100 - damping_pct})"
-                        f" div (100 * __n)"
+                        f"__seed * ((CAST({scale} AS BIGINT)"
+                        f" * {100 - damping_pct}) div (100 * __n))"
                     )
                     + F.expr(
                         f"({damping_pct} * coalesce(__sum, CAST(0 AS BIGINT)))"

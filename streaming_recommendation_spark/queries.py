@@ -4078,6 +4078,8 @@ _DRIVER_PRIORITY.extend([
     "q144_association_rules",
     "q145_bfs_distances",
     "q146_skipgram_pairs",
+    "q147_bm25_postings",
+    "q148_personalized_pagerank",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6468,3 +6470,149 @@ def q146_skipgram_pairs(spark, sf_dir):
         edges, walk_length=4, walks_per_node=2, start_nodes=starts
     )
     return skipgram_pairs(walks, window=2)
+
+
+@register(
+    "q147_bm25_postings",
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), top_terms AS (
+      SELECT term, df FROM dfq ORDER BY df DESC, term ASC LIMIT 5
+    ), scored AS (
+      SELECT q.term, tf.doc_id, tf.tf, dl.dl, q.df,
+             (22 * tot.n_docs * tot.t * tf.tf)
+               / CAST(q.df * (10 * tot.t * tf.tf + 3 * tot.t
+                              + 9 * dl.dl * tot.n_docs) AS DOUBLE) AS sc
+      FROM tf
+      JOIN top_terms q USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN tot
+    ), ranked AS (
+      SELECT term, doc_id, tf, dl, df, sc,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY sc DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT term, doc_id, tf, dl, df, round(sc, 6) AS bm25, rank
+    FROM ranked WHERE rank <= 10
+    """,
+    doc="Impact-ordered BM25 posting lists "
+    "(operators/text.py::bm25_postings): top-10 docs per term for the "
+    "5 highest-df terms, k1=1.2 / b=0.75 — the build-time artifact of "
+    "a top-k retrieval index (what WAND/MaxScore traverse), adding tf "
+    "saturation + doc-length normalization to the tf-idf leg (q68). "
+    "Exact: with k1=6/5, b=3/4 and linear idf the score reduces to "
+    "(22*D*T*tf) / (df*(10*T*tf + 3*T + 9*dl*D)) — int64 products, "
+    "ONE correctly-rounded IEEE division, no float summation anywhere "
+    "(per-(term,doc) scores never add), so ranking is bit-identical "
+    "across engines (same move as q68's linear idf; log-idf would "
+    "hang order on libm ULPs). Scale: one explode->tf shuffle; "
+    "dl/T/D are aggregates of the tf table (no second text scan); "
+    "query terms broadcast; per-term top-k is a WindowGroupLimit "
+    "k-heap — posting lists never fully sort.",
+    tags=("text", "agg", "window"),
+)
+def q147_bm25_postings(spark, sf_dir):
+    return text.bm25_postings(
+        _t(spark, sf_dir, "documents"), n_terms=5, k=10
+    )
+
+
+@register(
+    "q148_personalized_pagerank",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey * 2 AS u, l_partkey * 2 + 1 AS v
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), sym AS (
+      SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+    ), deg AS (
+      SELECT u, count(*) AS deg FROM sym GROUP BY u
+    ), sd AS (
+      SELECT DISTINCT c_custkey * 2 AS node FROM customer
+      WHERE c_custkey <= 10
+    ), s AS (
+      SELECT d.u AS node FROM deg d JOIN sd ON d.u = sd.node
+    ), n AS (SELECT count(*) AS n FROM s),
+    r0 AS (
+      SELECT d.u AS node, d.deg,
+             CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS isd,
+             CASE WHEN s.node IS NOT NULL
+                  THEN (1048576 // (SELECT n FROM n)) ELSE 0 END AS rank
+      FROM deg d LEFT JOIN s ON d.u = s.node
+    ),
+    c1 AS (
+      SELECT sym.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym JOIN r0 r ON sym.u = r.node GROUP BY sym.v
+    ), r1 AS (
+      SELECT r.node, r.deg, r.isd,
+             r.isd * ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r0 r LEFT JOIN c1 c USING (node)
+    ),
+    c2 AS (
+      SELECT sym.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym JOIN r1 r ON sym.u = r.node GROUP BY sym.v
+    ), r2 AS (
+      SELECT r.node, r.deg, r.isd,
+             r.isd * ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r1 r LEFT JOIN c2 c USING (node)
+    ),
+    c3 AS (
+      SELECT sym.v AS node, sum(r.rank // r.deg) AS sm
+      FROM sym JOIN r2 r ON sym.u = r.node GROUP BY sym.v
+    ), r3 AS (
+      SELECT r.node, r.deg, r.isd,
+             r.isd * ((1048576 * 15) // (100 * (SELECT n FROM n)))
+             + ((85 * coalesce(c.sm, 0)) // 100) AS rank
+      FROM r2 r LEFT JOIN c3 c USING (node)
+    )
+    SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+    """,
+    doc="Personalized PageRank / random-walk-with-restart "
+    "(operators/graph.py::pagerank_quantized with seeds): start mass "
+    "AND per-round teleport go only to a 10-customer seed set over "
+    "the symmetrized customer-part graph, 3 supersteps, d=0.85 — the "
+    "Pixie-style recsys scorer ('parts relevant to THESE customers') "
+    "a global rank (q102) cannot express; support after r rounds is "
+    "exactly the r-hop neighborhood. Same integer 2^-20-unit "
+    "quantization as q102, so the oracle replays all rounds "
+    "bit-for-bit; same Pregel shape (one rank join + one groupBy(dst) "
+    "message shuffle per round, static edges pre-partitioned once).",
+    tags=("graph", "recsys", "iterative"),
+)
+def q148_personalized_pagerank(spark, sf_dir):
+    from .operators.graph import pagerank_quantized
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    edges = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seeds = (
+        cust.where(F.col("c_custkey") <= 10)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .distinct()
+    )
+    return pagerank_quantized(edges, rounds=3, seeds=seeds)

@@ -240,3 +240,80 @@ def test_skipgram_pairs_matches_self_join(spark):
         for r in both.groupBy("center", "context").count().collect()
     }
     assert got == want
+
+
+def test_ppr_support_is_hop_neighborhood_and_seeds_hold_mass(spark):
+    """Personalized PageRank: rank support after r rounds is exactly
+    the r-hop neighborhood of the seeds; teleport mass returns to
+    seeds every round."""
+    from streaming_recommendation_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    # chain 1-2-3-4-5 (symmetric); seed {1}
+    und = [(i, i + 1) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, rounds=2, seeds=seeds).collect()
+    }
+    # 2 rounds from node 1 reach nodes 1..3; 4 and 5 stay at 0
+    assert got[4] == 0 and got[5] == 0
+    assert got[1] > 0 and got[2] > 0 and got[3] > 0
+    # the seed keeps the largest rank (teleport + returning mass)
+    assert got[1] == max(got.values())
+
+
+def test_ppr_seeds_all_equals_uniform_pagerank(spark):
+    """seeds = every graph node reproduces the uniform PageRank
+    bit-for-bit (the personalized path is a strict generalization)."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    und = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    all_nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    uni = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, rounds=3).collect()
+    }
+    per = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, rounds=3, seeds=all_nodes).collect()
+    }
+    assert uni == per
+
+
+def test_ppr_seeds_outside_graph_are_ignored(spark):
+    """Seeds absent from the edge set neither receive mass nor dilute
+    the seed count N."""
+    from streaming_recommendation_spark.operators.graph import (
+        pagerank_quantized,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    with_ghost = spark.createDataFrame([(1,), (99,)], "node bigint")
+    just_one = spark.createDataFrame([(1,)], "node bigint")
+    a = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, rounds=2, seeds=with_ghost).collect()
+    }
+    b = {
+        r.node: r.rank
+        for r in pagerank_quantized(edges, rounds=2, seeds=just_one).collect()
+    }
+    assert a == b and 99 not in a

@@ -827,3 +827,26 @@ def test_q143_swing_no_cartesian(run):
     assert a["has_window_group_limit"]
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q144_association_rules_no_cartesian(run):
+    """Rule pairs come from the bounded per-basket array expansion
+    (cap's WindowGroupLimit); support joins are item-keyed equi
+    joins; N rides as a 1-row broadcast — the only nested-loop join
+    allowed is that singleton cross."""
+    a = run("q144_association_rules")
+    assert a["has_window_group_limit"]  # the max_items basket cap
+    assert "CartesianProduct" not in a["plan"]
+    # singleton-N broadcast is the one permissible BNL
+    assert a["bnl_joins"] <= 1
+
+
+def test_q147_bm25_no_cartesian_topk_heap(run):
+    """Query terms and corpus totals broadcast; the per-term top-k is
+    a WindowGroupLimit heap; no cartesian forms (the two 1-row
+    broadcasts are the only nested-loop joins)."""
+    a = run("q147_bm25_postings")
+    assert a["has_window_group_limit"]  # per-term top-k heap
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 2  # totals singleton + n-terms broadcast
+    assert a["n_broadcast_joins"] >= 1

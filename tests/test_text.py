@@ -221,3 +221,41 @@ def test_bigram_vs_unigram_separates_shuffled_text(spark):
     assert uni[1] == uni[2]  # unigram filter cannot tell them apart
     bi = {r.doc_id: r.mean_cond_freq for r in bigram_rarity(df).collect()}
     assert bi[1] > bi[2]  # repeated word order is more predictable
+
+
+def test_bm25_postings_matches_bruteforce(spark):
+    """BM25 scores equal an independent float computation with
+    k1=1.2, b=0.75, linear idf; saturation and length normalization
+    behave as BM25 requires."""
+    from streaming_recommendation_spark.operators.text import bm25_postings
+
+    docs = [
+        (1, "x x x x y"),          # tf(x)=4, dl=5
+        (2, "x y"),                # tf(x)=1, dl=2
+        (3, "x z z z z z z z z"),  # tf(x)=1, dl=9 (long)
+        (4, "y z"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = bm25_postings(df, n_terms=2, k=10).collect()
+    got = {(r.term, r.doc_id): r for r in out}
+    # corpus stats: D=4, T=18; df: x=3, y=3, z=2 -> top-2 terms x, y
+    assert {t for t, _ in got} == {"x", "y"}
+
+    def ref(tf, dl, dfreq, d=4, t=18, k1=1.2, b=0.75):
+        avgdl = t / d
+        idf = d / dfreq
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    import math
+
+    for (term, doc_id), r in got.items():
+        assert math.isclose(
+            r.bm25, round(ref(r.tf, r.dl, r.df), 6), abs_tol=1e-6
+        ), (term, doc_id)
+    # saturation + length norm: doc1 (tf 4) beats doc2 (tf 1) but by
+    # far less than 4x; doc3's single x in a long doc scores lowest
+    xs = {d: got[("x", d)].bm25 for d in (1, 2, 3)}
+    assert xs[1] > xs[2] > xs[3]
+    assert xs[1] / xs[2] < 2.5
+    ranks = [got[("x", d)].rank for d in (1, 2, 3)]
+    assert ranks == [1, 2, 3]
