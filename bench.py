@@ -164,6 +164,9 @@ HEADLINE = [
     # BM25 posting lists + personalized PageRank
     "q147_bm25_postings",
     "q148_personalized_pagerank",
+    # dense gap-fill LOCF resample + delete-signature fuzzy ER join
+    "q149_gap_fill_locf",
+    "q150_fuzzy_name_pairs",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

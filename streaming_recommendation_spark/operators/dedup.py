@@ -1040,3 +1040,83 @@ def prefix_jaccard_pairs(
         )
         .select("a", "b", "jaccard")
     )
+
+
+def substitution_neighbors(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id_a, id_b, diff_pos): every pair of rows whose ``text_col``
+    values are the SAME length and differ in EXACTLY one character
+    position (substitution distance 1 — which for equal lengths is
+    also Levenshtein distance 1, since a single insert or delete
+    would change the length). The typo-tolerant entity-resolution
+    join the token/shingle dedup family cannot express: MinHash/
+    SimHash/Jaccard all see "Customer#000000123" and
+    "Customer#000000124" as near-identical TOKEN sets only if
+    tokenization splits them — character-level edits need a
+    character-level method.
+
+    Method — positional delete-1 signatures (the SymSpell/FastSS
+    symmetric-delete scheme): each string emits L signatures
+    (position i, string with char i removed); two equal-length
+    strings differ exactly at position i iff they collide on
+    signature i. Each qualifying pair therefore meets on EXACTLY ONE
+    signature — no candidate dedup pass, no verification scan, and
+    the differing position falls out as the join key. A prefix/suffix
+    blocking scheme would degenerate on shared-prefix corpora (every
+    "Customer#..." lands in one block -> a quadratic block); delete
+    signatures block on ALL of the string except one char, so block
+    size is the number of true near-duplicates, independent of how
+    much prefix the corpus shares.
+
+    Scale shape: the signature table is |rows| x L (emitted JVM-side:
+    sequence + transform + explode, no Python); the self-join keys on
+    (position, signature) — an equi shuffle whose group sizes are
+    true-duplicate cluster sizes; id_a < id_b keeps each pair once.
+    A same-position signature GROUP of identical strings would pair
+    every two of them at every position — the strict inequality on
+    the differing character (compared as join residual) drops
+    distance-0 pairs, so duplicated texts never flood the output.
+    """
+    s = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__len"),
+    ).where(F.col(text_col).isNotNull())
+    sigs = s.select(
+        "__id",
+        "__t",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__len")),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat(
+                        F.col("__t").substr(F.lit(1), i - 1),
+                        F.col("__t").substr(i + 1, F.col("__len") - i),
+                    ).alias("sig"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(
+        "__id", "__t", F.col("__s.pos").alias("pos"), F.col("__s.sig").alias("sig")
+    )
+    a = sigs.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"), "pos", "sig"
+    )
+    b = sigs.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"), "pos", "sig"
+    )
+    return (
+        a.join(b, ["pos", "sig"])
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            # drop distance-0 collisions (identical texts share every
+            # signature); equal length is implied by equal sig length
+            & (
+                F.col("__ta").substr(F.col("pos"), F.lit(1))
+                != F.col("__tb").substr(F.col("pos"), F.lit(1))
+            )
+        )
+        .select("id_a", "id_b", F.col("pos").alias("diff_pos"))
+    )

@@ -268,8 +268,11 @@ def bfs_distances(
     adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if materialize:
         adj = checkpoint_partitioned(adj.repartition("u"))
-    visited = seeds.select("node", F.lit(0).alias("distance"))
-    frontier = seeds.select("node")
+    # defensive dedup: a repeated seed row must not emit a duplicate
+    # distance-0 row (and would double that seed's frontier fan-out)
+    seed_nodes = seeds.select("node").distinct()
+    visited = seed_nodes.select("node", F.lit(0).alias("distance"))
+    frontier = seed_nodes
     if materialize:
         visited = visited.localCheckpoint()
         frontier = frontier.localCheckpoint()
@@ -305,6 +308,13 @@ def skipgram_pairs(
     (center, context) example, counted with multiplicity across the
     corpus). Downstream, (center, context, n_pairs) with negative
     samples IS the skip-gram model's input relation.
+
+    The window is measured in ARRAY POSITION after sorting by
+    ``step_col`` — identical to step distance whenever a walk's steps
+    are contiguous (random_walks emits 0..T with no gaps; a caller
+    passing pre-filtered walks would change the semantics to
+    "within `window` SURVIVING tokens", the standard skip-gram
+    behavior after subsampling).
 
     Scale shape: one groupBy(walk) shuffle builds each walk as a
     bounded step-ordered array (walk length is a small constant set

@@ -4080,6 +4080,8 @@ _DRIVER_PRIORITY.extend([
     "q146_skipgram_pairs",
     "q147_bm25_postings",
     "q148_personalized_pagerank",
+    "q149_gap_fill_locf",
+    "q150_fuzzy_name_pairs",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6616,3 +6618,96 @@ def q148_personalized_pagerank(spark, sf_dir):
         .distinct()
     )
     return pagerank_quantized(edges, rounds=3, seeds=seeds)
+
+
+@register(
+    "q149_gap_fill_locf",
+    """
+    WITH obs AS (
+      SELECT user_id, bucket_start, value FROM (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                 AS bucket_start,
+               value, ts,
+               row_number() OVER (
+                 PARTITION BY user_id,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                 ORDER BY ts DESC, value DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+    ), span AS (
+      SELECT user_id, min(bucket_start) AS mn, max(bucket_start) AS mx
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket_start
+      FROM span
+    )
+    SELECT g.user_id,
+           g.bucket_start,
+           last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket_start
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           o.value IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN obs o USING (user_id, bucket_start)
+    """,
+    doc="Dense gap-filled resampling with last-observation-carried-"
+    "forward (operators/timeseries.py::gap_fill_locf) — the "
+    "hypertable primitive (TimescaleDB time_bucket_gapfill + locf, "
+    "InfluxDB fill(previous)) the window legs (q21/q41/q108) lack: "
+    "every hourly bucket between each user's first and last event "
+    "EXISTS, carrying the last observed value — the dense form ML "
+    "feature matrices and dashboards consume. Deterministic: integer "
+    "epoch-second bucket edges; per-bucket last = struct-max over "
+    "(ts, value) (total order — the oracle replays it as row_number "
+    "ts DESC, value DESC); carried values are COPIED doubles, never "
+    "summed. Scale: events reduce to <= 1 row/bucket BEFORE the grid "
+    "materializes; the grid explodes JVM-side per key (span/bucket "
+    "rows, independent of event count); the fill is one per-key "
+    "window — never a self-join.",
+    tags=("timeseries", "window"),
+)
+def q149_gap_fill_locf(spark, sf_dir):
+    from .operators.timeseries import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_locf(ev, "user_id", "ts", "value", bucket_seconds=3600)
+
+
+@register(
+    "q150_fuzzy_name_pairs",
+    """
+    WITH c AS (SELECT c_custkey AS id, c_name AS t FROM customer)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(list_position(
+             list_transform(range(1, CAST(len(a.t) AS INT) + 1),
+                            i -> substring(a.t, i, 1) = substring(b.t, i, 1)),
+             false) AS INT) AS diff_pos
+    FROM c a JOIN c b
+      ON len(a.t) = len(b.t) AND a.id < b.id
+     AND levenshtein(a.t, b.t) = 1
+    """,
+    doc="Typo-tolerant entity resolution "
+    "(operators/dedup.py::substitution_neighbors): customer-name "
+    "pairs at substitution distance EXACTLY 1 (== Levenshtein 1 for "
+    "equal lengths) via positional delete-1 signatures — the SymSpell/"
+    "FastSS symmetric-delete scheme. Character-level near-matching is "
+    "the ER leg the token/shingle dedup family cannot express, and "
+    "prefix blocking would degenerate here (every name shares "
+    "'Customer#...' — one quadratic block); delete signatures block "
+    "on all-but-one char, so group sizes track TRUE near-dup cluster "
+    "sizes regardless of shared prefixes. Each qualifying pair meets "
+    "on exactly one (position, signature) key — no dedup pass, no "
+    "verify scan, and the differing position falls out as diff_pos. "
+    "The oracle is the independent brute force: all-pairs "
+    "levenshtein = 1 with the first differing index recomputed "
+    "per-char. Scale: |rows| x L signature table emitted JVM-side; "
+    "one equi-shuffle on (position, signature).",
+    tags=("dedup", "text", "join"),
+)
+def q150_fuzzy_name_pairs(spark, sf_dir):
+    from .operators.dedup import substitution_neighbors
+
+    cust = _t(spark, sf_dir, "customer")
+    return substitution_neighbors(cust, "c_custkey", "c_name").select(
+        F.col("id_a"), F.col("id_b"), F.col("diff_pos")
+    )

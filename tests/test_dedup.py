@@ -604,3 +604,61 @@ def test_components_exact_budget_convergence(spark):
         ).collect()
     }
     assert got2 == {i: 0 for i in range(7)}
+
+
+def test_substitution_neighbors_exact_pairs(spark):
+    """Pairs differ at exactly one position; diff_pos is 1-based;
+    different-length and distance-2 strings never pair; duplicate
+    texts (distance 0) are excluded."""
+    from streaming_recommendation_spark.operators.dedup import (
+        substitution_neighbors,
+    )
+
+    rows = [
+        (1, "abcde"),
+        (2, "abcdX"),   # differs from 1 at pos 5
+        (3, "Xbcde"),   # differs from 1 at pos 1
+        (4, "abcde"),   # duplicate of 1 -> distance 0, excluded
+        (5, "abXdX"),   # distance 2 from 1, 2 from 2
+        (6, "abcdef"),  # different length
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = sorted(
+        (r.id_a, r.id_b, r.diff_pos)
+        for r in substitution_neighbors(df, "id", "t").collect()
+    )
+    assert got == [
+        (1, 2, 5),
+        (1, 3, 1),
+        (2, 4, 5),  # the duplicate pairs like the original does
+        (2, 5, 3),  # abcdX vs abXdX differ at pos 3 only
+        (3, 4, 1),
+    ]
+
+
+def test_substitution_neighbors_matches_bruteforce(spark):
+    """Signature-join pairs == brute-force equal-length Hamming-1
+    pairs on a random corpus."""
+    import random
+
+    from streaming_recommendation_spark.operators.dedup import (
+        substitution_neighbors,
+    )
+
+    rng = random.Random(11)
+    texts = [
+        "".join(rng.choice("ab") for _ in range(4)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, t string")
+    got = sorted(
+        (r.id_a, r.id_b, r.diff_pos)
+        for r in substitution_neighbors(df, "id", "t").collect()
+    )
+    want = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = texts[i], texts[j]
+            diffs = [p for p in range(len(a)) if a[p] != b[p]]
+            if len(diffs) == 1:
+                want.append((i, j, diffs[0] + 1))
+    assert got == sorted(want) and len(got) > 0

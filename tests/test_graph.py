@@ -317,3 +317,13 @@ def test_ppr_seeds_outside_graph_are_ignored(spark):
         for r in pagerank_quantized(edges, rounds=2, seeds=just_one).collect()
     }
     assert a == b and 99 not in a
+
+
+def test_bfs_distances_duplicate_seed_rows_dedup(spark):
+    """A repeated seed row must not produce duplicate output rows."""
+    from streaming_recommendation_spark.operators.graph import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (1,), (1,)], "node bigint")
+    rows = bfs_distances(edges, seeds, max_hops=1).collect()
+    assert sorted((r.node, r.distance) for r in rows) == [(1, 0), (2, 1)]
