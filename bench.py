@@ -167,6 +167,8 @@ HEADLINE = [
     # dense gap-fill LOCF resample + delete-signature fuzzy ER join
     "q149_gap_fill_locf",
     "q150_fuzzy_name_pairs",
+    # skip-gram negative sampling (walks -> pairs -> negatives)
+    "q151_skipgram_negatives",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -189,6 +191,7 @@ ITERATIVE = {
     "q145_bfs_distances",  # per-hop frontier checkpoints
     "q146_skipgram_pairs",  # walk corpus materialized at construction
     "q148_personalized_pagerank",  # per-round rank checkpoints
+    "q151_skipgram_negatives",  # walk corpus materialized at construction
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

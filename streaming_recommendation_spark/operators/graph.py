@@ -474,3 +474,116 @@ def random_walks(
             frontier.select("walk_id", F.lit(t).alias("step"), "node")
         )
     return out
+
+
+def indexed_vocab(nodes: DataFrame, buckets: int = 64) -> DataFrame:
+    """(node, idx): a deterministic dense bijection node -> [0, N)
+    WITHOUT a global sort. A naive row_number over one global window
+    is a single-partition bottleneck at vocabulary scale; instead:
+    hash-bucket each node (Knuth multiplicative hash, ``buckets``
+    buckets), row_number WITHIN each bucket (bounded partitions, the
+    per-bucket sort is |vocab|/buckets rows), and add per-bucket
+    offsets (prefix sums over the ``buckets``-row count table — a
+    broadcast-size frame). The index is NOT value-ordered — callers
+    that need order-free bijections (negative sampling) don't care,
+    and that indifference is exactly what removes the global sort.
+    Deterministic: bucket = hash(node), within-bucket order = node
+    ascending, offsets = bucket ascending."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import KNUTH, MOD32
+
+    n = nodes.select("node").distinct()
+    b = n.withColumn(
+        "__b",
+        F.pmod(
+            F.pmod(F.pmod(F.col("node"), F.lit(2147483648)) * F.lit(KNUTH), F.lit(MOD32)),
+            F.lit(buckets),
+        ),
+    )
+    counts = b.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
+    # prefix-sum offsets over <= `buckets` rows: the window IS global
+    # but over a broadcast-size frame — constant work at any scale
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = counts.select(
+        "__b", F.coalesce(F.sum("__c").over(off_w), F.lit(0)).alias("__off")
+    )
+    in_w = Window.partitionBy("__b").orderBy("node")
+    return (
+        b.withColumn("__rn", F.row_number().over(in_w))
+        .join(F.broadcast(offsets), "__b")
+        .select("node", (F.col("__off") + F.col("__rn") - 1).alias("idx"))
+    )
+
+
+def skipgram_negatives(
+    pairs: DataFrame,
+    vocab: DataFrame,
+    k: int = 3,
+    center_col: str = "center",
+    context_col: str = "context",
+) -> DataFrame:
+    """(center, context, j, neg_id): ``k`` deterministic negative
+    samples per (center, context) training pair, drawn uniformly from
+    ``vocab`` (a 1-column ``node`` frame) — the third and final piece
+    of the word2vec/DeepWalk data pipeline (random_walks ->
+    skipgram_pairs -> negatives): the output relation IS the
+    skip-gram-with-negative-sampling model's training input.
+
+    Draw j for pair (c, x): an integer Knuth hash of (c, x, j) mod
+    |vocab|, mapped to a node through ``indexed_vocab``'s dense
+    bijection — no RNG state, so retries, engines, and the SQL oracle
+    draw identical negatives (same policy as random_walks). Accidental
+    collisions (a "negative" equal to the center or true context) are
+    KEPT, the standard word2vec treatment — filtering would bias the
+    unigram distribution and the collision rate is 1/|vocab|.
+
+    Scale shape: the vocab index build is one bounded-bucket ranking
+    (see indexed_vocab — no global sort); the draw is a pure
+    expression on the pair table (k rows exploded JVM-side); the only
+    join maps draw -> node on the dense index, an equi-shuffle keyed
+    by idx (or a broadcast when the vocab fits). Uniform sampling is
+    deliberate: a frequency^0.75 table needs only a weighted variant
+    of the same dense index (repeat-counts), at the cost of index
+    size — uniform keeps the index |vocab| rows.
+    """
+    from ..functions.hashing import KNUTH, MOD32
+
+    two31 = 2147483648
+    idx = indexed_vocab(vocab)
+    n_frame = idx.agg(F.count(F.lit(1)).alias("__n"))
+
+    def kh(col):
+        return F.pmod(F.pmod(col, F.lit(two31)) * F.lit(KNUTH), F.lit(MOD32))
+
+    drawn = (
+        pairs.select(center_col, context_col)
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            center_col,
+            context_col,
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .withColumn(
+            "__draw",
+            F.pmod(
+                kh(
+                    F.pmod(
+                        kh(F.col(center_col))
+                        + kh(F.col(context_col))
+                        + F.col("j") * F.lit(1000003)
+                        + F.lit(7),
+                        F.lit(two31),
+                    )
+                ),
+                F.col("__n"),
+            ),
+        )
+    )
+    return drawn.join(
+        idx.select(F.col("idx").alias("__draw"), F.col("node").alias("neg_id")),
+        "__draw",
+    ).select(center_col, context_col, "j", "neg_id")

@@ -4063,16 +4063,17 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # Round-7 driver-gate prefix (VERDICT r6 #1 — the staleness rotation
 # that rounds 5 and 6 both deferred). Steady-state policy: lead with
 # queries new this round, then the rows whose last EXTERNAL
-# driver-verified green is oldest. This round: the entire
+# driver-verified green is oldest. This round the 50-entry gate =
+# the 14 queries new this round (q137-q150) + the ENTIRE
 # round-3-stale cohort (q60-q64, q74-q84, q87-q104 incl. q94b — 35
-# rows whose newest external green is round 3), then the
-# registration-oldest of the round-4 cohort (q105-...). The remaining
-# round-4 rows (q113-q129, after the 7 new-this-round entries pushed
-# q113-q119 past slot 50) rotate in next round, reaching the steady
-# state where no query's newest external green is older than 2
-# rounds. New queries registered this round are inserted at the HEAD
-# of this list at their registration site; the gate takes the first
-# 50, so the tail entries here are the first to yield their slot.
+# rows whose newest external green is round 3) + q105 (the
+# registration-oldest round-4 row); verified ZERO overlap with
+# CORRECTNESS_r06's key set. The remaining round-4 rows (q106-q129)
+# rotate in next round, reaching the steady state where no query's
+# newest external green is older than 2 rounds. New queries
+# registered this round are inserted at the HEAD of this list at
+# their registration site; the gate takes the first 50, so the tail
+# entries here are the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
     "q144_association_rules",
@@ -4082,6 +4083,7 @@ _DRIVER_PRIORITY.extend([
     "q148_personalized_pagerank",
     "q149_gap_fill_locf",
     "q150_fuzzy_name_pairs",
+    "q151_skipgram_negatives",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6711,3 +6713,90 @@ def q150_fuzzy_name_pairs(spark, sf_dir):
     return substitution_neighbors(cust, "c_custkey", "c_name").select(
         F.col("id_a"), F.col("id_b"), F.col("diff_pos")
     )
+
+
+@register(
+    "q151_skipgram_negatives",
+    _WALK_CORPUS_CTE
+    + """
+    , p0 AS (
+      SELECT a.node AS center, b.node AS context
+      FROM rw a JOIN rw b
+        ON a.walk_id = b.walk_id
+       AND b.step > a.step AND b.step - a.step <= 2
+    ), sgp AS (
+      SELECT DISTINCT center, context FROM (
+        SELECT center, context FROM p0
+        UNION ALL
+        SELECT context AS center, center AS context FROM p0)
+    ), vocab AS (
+      SELECT DISTINCT src AS node FROM e
+    ), vb AS (
+      SELECT node,
+             ((node % 2147483648) * 2654435761) % 4294967296 % 64 AS b
+      FROM vocab
+    ), vcnt AS (
+      SELECT b, count(*) AS c FROM vb GROUP BY b
+    ), voff AS (
+      SELECT b, coalesce(sum(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM vcnt
+    ), vidx AS (
+      SELECT vb.node,
+             voff.off + row_number() OVER (PARTITION BY vb.b
+                                           ORDER BY vb.node) - 1 AS idx
+      FROM vb JOIN voff ON vb.b = voff.b
+    ), nn AS (SELECT count(*) AS n FROM vocab),
+    draws AS (
+      SELECT center, context, j,
+             (((((((center % 2147483648) * 2654435761) % 4294967296)
+                 + (((context % 2147483648) * 2654435761) % 4294967296)
+                 + j * 1000003 + 7) % 2147483648)
+               * 2654435761) % 4294967296) % (SELECT n FROM nn) AS draw
+      FROM sgp, (SELECT unnest(generate_series(1, 3)) AS j) js
+    )
+    SELECT d.center, d.context, d.j, v.node AS neg_id
+    FROM draws d JOIN vidx v ON d.draw = v.idx
+    """,
+    doc="Deterministic negative sampling for the skip-gram pairs "
+    "(operators/graph.py::skipgram_negatives, k=3 uniform draws per "
+    "distinct (center, context) pair) — the third and FINAL piece of "
+    "the word2vec/DeepWalk data pipeline (q142 walks -> q146 pairs -> "
+    "negatives): this relation IS skip-gram-with-negative-sampling's "
+    "training input. Draws are integer Knuth hashes of (center, "
+    "context, j) mod |vocab| mapped through indexed_vocab's dense "
+    "node->[0,N) bijection — built WITHOUT a global sort (hash-bucket "
+    "+ within-bucket row_number + broadcast prefix-sum offsets; a "
+    "global-window row_number would single-partition the vocabulary "
+    "at 100 TB). No RNG state: any engine/retry draws identical "
+    "negatives; collisions with the center/context are kept (the "
+    "standard word2vec treatment — rate 1/|vocab|, filtering would "
+    "bias the distribution). Scale: draw is a pure expression over "
+    "exploded (pair, j) rows; the only join maps draw -> node on the "
+    "idx key.",
+    tags=("graph", "recsys", "sampling"),
+)
+def q151_skipgram_negatives(spark, sf_dir):
+    from .operators.graph import (
+        random_walks,
+        skipgram_negatives,
+        skipgram_pairs,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    starts = li.select((F.col("l_suppkey") * 2).alias("node")).distinct()
+    walks = random_walks(
+        edges, walk_length=4, walks_per_node=2, start_nodes=starts
+    )
+    pairs = skipgram_pairs(walks, window=2).select("center", "context")
+    vocab = edges.select(F.col("src").alias("node")).distinct()
+    return skipgram_negatives(pairs, vocab, k=3)

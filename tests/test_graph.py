@@ -327,3 +327,45 @@ def test_bfs_distances_duplicate_seed_rows_dedup(spark):
     seeds = spark.createDataFrame([(1,), (1,), (1,)], "node bigint")
     rows = bfs_distances(edges, seeds, max_hops=1).collect()
     assert sorted((r.node, r.distance) for r in rows) == [(1, 0), (2, 1)]
+
+
+def test_indexed_vocab_dense_bijection(spark):
+    """idx is exactly the set 0..N-1 (a dense bijection) and the
+    assignment is deterministic across invocations."""
+    from streaming_recommendation_spark.operators.graph import indexed_vocab
+
+    nodes = spark.createDataFrame(
+        [(n,) for n in [5, 99, 12345678901, 0, 7, 7]], "node bigint"
+    )
+    a = {r.node: r.idx for r in indexed_vocab(nodes).collect()}
+    b = {r.node: r.idx for r in indexed_vocab(nodes).collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(5))  # 5 distinct nodes
+
+
+def test_skipgram_negatives_deterministic_and_complete(spark):
+    """k draws per pair, every negative comes from the vocab, and the
+    draws replay the integer hash exactly (Python reference)."""
+    from streaming_recommendation_spark.operators.graph import (
+        indexed_vocab,
+        skipgram_negatives,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (1, 4)], "center bigint, context bigint"
+    )
+    vocab = spark.createDataFrame([(n,) for n in range(10, 30)], "node bigint")
+    out = skipgram_negatives(pairs, vocab, k=3).collect()
+    assert len(out) == 9
+    vset = set(range(10, 30))
+    assert all(r.neg_id in vset for r in out)
+    # replay the draw in Python against the operator's own index
+    idx = {r.idx: r.node for r in indexed_vocab(vocab).collect()}
+    K, M32, T31 = 2654435761, 1 << 32, 1 << 31
+
+    def kh(x):
+        return ((x % T31) * K) % M32
+
+    for r in out:
+        h = kh((kh(r.center) + kh(r.context) + r.j * 1000003 + 7) % T31)
+        assert r.neg_id == idx[h % len(idx)], (r.center, r.context, r.j)
