@@ -169,6 +169,8 @@ HEADLINE = [
     "q150_fuzzy_name_pairs",
     # skip-gram negative sampling (walks -> pairs -> negatives)
     "q151_skipgram_negatives",
+    # k-core peeling with data-derived threshold
+    "q152_kcore_peeling",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -192,6 +194,7 @@ ITERATIVE = {
     "q146_skipgram_pairs",  # walk corpus materialized at construction
     "q148_personalized_pagerank",  # per-round rank checkpoints
     "q151_skipgram_negatives",  # walk corpus materialized at construction
+    "q152_kcore_peeling",  # per-round peel checkpoints
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

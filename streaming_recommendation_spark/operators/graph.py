@@ -587,3 +587,66 @@ def skipgram_negatives(
         idx.select(F.col("idx").alias("__draw"), F.col("node").alias("neg_id")),
         "__draw",
     ).select(center_col, context_col, "j", "neg_id")
+
+
+def kcore(
+    edges: DataFrame,
+    k,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Bounded-round k-core peeling over the UNDIRECTED graph (edges
+    symmetrized, self-loops dropped): repeatedly delete nodes with
+    degree < k and their incident edges. Returns (node, degree) for
+    nodes surviving ``rounds`` peels, with their degree INSIDE the
+    surviving subgraph — the density-filtering primitive behind
+    spam/bot-ring extraction (dense cores), visualization pruning,
+    and community pre-filtering. ``k`` is an int or a 1-row/1-column
+    DataFrame (a data-derived threshold joins as a broadcast scalar
+    — no driver action).
+
+    The exact k-core is the FIXPOINT; with ``rounds`` fixed this is
+    the r-round peel (identical once the cascade converges — one
+    idempotent extra round is a cheap convergence proof, and the
+    oracle replays the same unrolled rounds). Production depth runs
+    until a round deletes nothing, checkpointing per round exactly
+    as here.
+
+    Determinism: pure integer degree thresholding — no tie-breaks,
+    bit-identical anywhere.
+
+    Scale shape: each round is ONE groupBy(node) degree aggregation
+    + TWO semi-joins (edges whose src AND dst survive), all
+    node-keyed equi shuffles; the edge set only ever SHRINKS, so
+    round cost is monotonically decreasing; per-round checkpoints
+    truncate lineage (round r would otherwise replay rounds 1..r-1 —
+    the same move as pagerank/bfs).
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = fwd.union(rev).where(F.col("u") != F.col("v")).distinct()
+    if materialize:
+        sym = checkpoint_partitioned(sym.repartition("u"))
+    if isinstance(k, int):
+        k_frame = None
+        k_expr = F.lit(k)
+    else:
+        k_frame = F.broadcast(k.select(F.col(k.columns[0]).alias("__k")))
+        k_expr = F.col("__k")
+    surviving = sym
+    for _ in range(rounds):
+        deg = surviving.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+        alive_base = (
+            deg if k_frame is None else deg.crossJoin(k_frame)
+        )
+        alive = alive_base.where(F.col("__deg") >= k_expr).select("u")
+        surviving = surviving.join(alive, "u", "left_semi").join(
+            alive.select(F.col("u").alias("v")), "v", "left_semi"
+        )
+        if materialize:
+            surviving = checkpoint_partitioned(surviving.repartition("u"))
+    return surviving.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -4084,6 +4084,7 @@ _DRIVER_PRIORITY.extend([
     "q149_gap_fill_locf",
     "q150_fuzzy_name_pairs",
     "q151_skipgram_negatives",
+    "q152_kcore_peeling",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6800,3 +6801,85 @@ def q151_skipgram_negatives(spark, sf_dir):
     pairs = skipgram_pairs(walks, window=2).select("center", "context")
     vocab = edges.select(F.col("src").alias("node")).distinct()
     return skipgram_negatives(pairs, vocab, k=3)
+
+
+@register(
+    "q152_kcore_peeling",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
+      FROM lineitem
+    ), sym AS (
+      SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+    ), d0 AS (
+      SELECT u, count(*) AS deg FROM sym GROUP BY u
+    ), kv AS (
+      SELECT deg AS kk FROM (
+        SELECT deg, row_number() OVER (ORDER BY deg, u) AS rn,
+               count(*) OVER () AS n
+        FROM d0)
+      WHERE rn = (n + 1) // 2
+    ), a1 AS (
+      SELECT u FROM d0 WHERE deg >= (SELECT kk FROM kv)
+    ), s1 AS (
+      SELECT s.u, s.v FROM sym s
+      JOIN a1 x ON s.u = x.u JOIN a1 y ON s.v = y.u
+    ), a2 AS (
+      SELECT u FROM (SELECT u, count(*) AS c FROM s1 GROUP BY u)
+      WHERE c >= (SELECT kk FROM kv)
+    ), s2 AS (
+      SELECT s.u, s.v FROM s1 s
+      JOIN a2 x ON s.u = x.u JOIN a2 y ON s.v = y.u
+    ), a3 AS (
+      SELECT u FROM (SELECT u, count(*) AS c FROM s2 GROUP BY u)
+      WHERE c >= (SELECT kk FROM kv)
+    ), s3 AS (
+      SELECT s.u, s.v FROM s2 s
+      JOIN a3 x ON s.u = x.u JOIN a3 y ON s.v = y.u
+    )
+    SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM s3 GROUP BY u
+    """,
+    doc="Bounded-round k-core peeling (operators/graph.py::kcore, 3 "
+    "rounds) over the symmetrized supplier-part graph with a DATA-"
+    "DERIVED threshold: k = the lower-median node degree (the value "
+    "at row (n+1) div 2 ordered by (deg, node)), so roughly half the "
+    "part side peels at every SF — never vacuous, never empty. "
+    "K-core is the density-filtering primitive (spam/bot-ring "
+    "extraction, community pre-filtering) the CC/triangle/rank legs "
+    "lack. Pure integer thresholding — no tie-breaks, bit-identical; "
+    "the oracle replays the identical unrolled rounds. Scale: per "
+    "round ONE degree aggregation + TWO node-keyed semi-joins, edge "
+    "set only shrinks, per-round checkpoints truncate lineage; k "
+    "joins as a broadcast scalar (no driver action). The median "
+    "derivation windows over the |V|-row DEGREE SUMMARY (not the "
+    "edge table) — at production scale swap it for the engine's "
+    "exact-percentile path; the peel loop itself is fully "
+    "scale-shaped.",
+    tags=("graph", "iterative"),
+)
+def q152_kcore_peeling(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    d0 = sym.groupBy(F.col("src").alias("u")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    n = d0.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.orderBy("deg", "u")
+    k_frame = (
+        d0.crossJoin(F.broadcast(n))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == F.expr("(__n + 1) div 2"))
+        .select("deg")
+    )
+    return kcore(edges, k_frame, rounds=3)

@@ -369,3 +369,60 @@ def test_skipgram_negatives_deterministic_and_complete(spark):
     for r in out:
         h = kh((kh(r.center) + kh(r.context) + r.j * 1000003 + 7) % T31)
         assert r.neg_id == idx[h % len(idx)], (r.center, r.context, r.j)
+
+
+def test_kcore_cascade_and_fixpoint(spark):
+    """A tail hanging off a triangle peels away over MULTIPLE rounds
+    (the cascade), the triangle itself survives as the 2-core, and an
+    extra round is idempotent."""
+    from streaming_recommendation_spark.operators.graph import kcore
+
+    # triangle 1-2-3 with a path tail 3-4-5
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    r1 = {r.node: r.degree for r in kcore(edges, 2, rounds=1).collect()}
+    # round 1 peels only 5 (deg 1); 4 survives with deg 2 -> 1 after
+    assert set(r1) == {1, 2, 3, 4}
+    r2 = {r.node: r.degree for r in kcore(edges, 2, rounds=2).collect()}
+    assert set(r2) == {1, 2, 3}
+    r3 = {r.node: r.degree for r in kcore(edges, 2, rounds=3).collect()}
+    assert r3 == {1: 2, 2: 2, 3: 2} == r2  # fixpoint reached
+
+
+def test_kcore_dataframe_threshold_and_empty_core(spark):
+    """k as a 1-row frame joins as a broadcast scalar; a k above the
+    max degree empties the graph."""
+    from streaming_recommendation_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src bigint, dst bigint"
+    )
+    kf = spark.createDataFrame([(2,)], "k bigint")
+    got = {r.node: r.degree for r in kcore(edges, kf, rounds=2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    assert kcore(edges, 5, rounds=2).count() == 0
+
+
+def test_q152_nondegenerate(spark):
+    """The registered peel must actually remove something AND keep
+    something at every SF (the derived-median threshold guarantees
+    both — a fixed k would go vacuous or empty as degrees shift)."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.queries import registry
+
+    from .conftest import SF_DIR
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    spark_df = registry()["q152_kcore_peeling"].fn(spark, SF_DIR)
+    surviving = spark_df.count()
+    li = load_table(spark, "lineitem", SF_DIR)
+    n_nodes = (
+        li.select((F.col("l_suppkey") * 2).alias("n")).unionByName(
+            li.select((F.col("l_partkey") * 2 + 1).alias("n"))
+        ).distinct().count()
+    )
+    assert 0 < surviving < n_nodes
