@@ -171,6 +171,8 @@ HEADLINE = [
     "q151_skipgram_negatives",
     # k-core peeling with data-derived threshold
     "q152_kcore_peeling",
+    # rolling stats over the dense gap-filled series
+    "q153_rolling_dense_stats",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -103,3 +103,51 @@ def gap_fill_locf(
             F.col("__obs_value").isNotNull().alias("is_observed"),
         )
     )
+
+
+def rolling_stats(
+    dense: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Trailing-window statistics over a DENSE series (gap_fill_locf
+    output): for each row, the moving sum/average/max of the last
+    ``window_rows`` rows (inclusive). Run on the dense grid, a
+    row-window IS a time-window (24 rows == 24 hours) — the reason
+    gap filling precedes rolling features: on the raw sparse buckets
+    the same frame silently spans however long 24 observations took.
+
+    Exactness — the sliding-sum trap: engines disagree on the
+    ASSOCIATION ORDER of sliding-window float sums (Spark evaluates
+    frames incrementally; DuckDB aggregates subtrees of a segment
+    tree), so a double `sum` can differ in ULPs between engines even
+    on identical inputs. The moving sum therefore runs on integer
+    "cents" (round(value * cents_scale) as int64 — integer addition
+    is associative) and the average is ONE division of that exact
+    sum; `max` is order-free and stays on the raw doubles.
+
+    Returns (key, bucket, value, n_window, moving_sum_cents,
+    moving_avg, moving_max). Scale: one per-key window pass over the
+    dense series — no self-join; the window state is O(window_rows).
+    """
+    cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-(window_rows - 1), Window.currentRow)
+    )
+    return dense.select(
+        key_col,
+        bucket_col,
+        value_col,
+        F.count(F.lit(1)).over(w).alias("n_window"),
+        F.sum(cents).over(w).alias("moving_sum_cents"),
+        F.round(
+            F.sum(cents).over(w) / (F.lit(cents_scale) * F.count(F.lit(1)).over(w)),
+            6,
+        ).alias("moving_avg"),
+        F.max(value_col).over(w).alias("moving_max"),
+    )

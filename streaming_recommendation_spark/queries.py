@@ -4085,6 +4085,7 @@ _DRIVER_PRIORITY.extend([
     "q150_fuzzy_name_pairs",
     "q151_skipgram_negatives",
     "q152_kcore_peeling",
+    "q153_rolling_dense_stats",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6623,9 +6624,10 @@ def q148_personalized_pagerank(spark, sf_dir):
     return pagerank_quantized(edges, rounds=3, seeds=seeds)
 
 
-@register(
-    "q149_gap_fill_locf",
-    """
+# the dense LOCF-filled hourly series over events, shared verbatim by
+# q149 (the resample itself) and q153 (rolling stats OVER that dense
+# series) — one source of truth for bucket edges + fill semantics
+_GAPFILL_CTE = """
     WITH obs AS (
       SELECT user_id, bucket_start, value FROM (
         SELECT user_id,
@@ -6644,15 +6646,22 @@ def q148_personalized_pagerank(spark, sf_dir):
     ), grid AS (
       SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket_start
       FROM span
+    ), filled AS (
+      SELECT g.user_id,
+             g.bucket_start,
+             last_value(o.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+             o.value IS NOT NULL AS is_observed
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket_start)
     )
-    SELECT g.user_id,
-           g.bucket_start,
-           last_value(o.value IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.bucket_start
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
-           o.value IS NOT NULL AS is_observed
-    FROM grid g LEFT JOIN obs o USING (user_id, bucket_start)
-    """,
+"""
+
+
+@register(
+    "q149_gap_fill_locf",
+    _GAPFILL_CTE
+    + "    SELECT user_id, bucket_start, value, is_observed FROM filled\n    ",
     doc="Dense gap-filled resampling with last-observation-carried-"
     "forward (operators/timeseries.py::gap_fill_locf) — the "
     "hypertable primitive (TimescaleDB time_bucket_gapfill + locf, "
@@ -6883,3 +6892,46 @@ def q152_kcore_peeling(spark, sf_dir):
         .select("deg")
     )
     return kcore(edges, k_frame, rounds=3)
+
+
+@register(
+    "q153_rolling_dense_stats",
+    _GAPFILL_CTE
+    + """
+    SELECT user_id, bucket_start, value,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                AS BIGINT) AS moving_sum_cents,
+           round(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                 / (100.0 * count(*) OVER w), 6) AS moving_avg,
+           max(value) OVER w AS moving_max
+    FROM filled
+    WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing 24-hour rolling features over the DENSE gap-filled "
+    "series (operators/timeseries.py::rolling_stats composed on "
+    "gap_fill_locf; shared CTE with q149) — on the dense grid a "
+    "24-ROW frame IS a 24-HOUR window, which is exactly why the fill "
+    "precedes rolling features (on sparse buckets the same frame "
+    "spans however long 24 observations took). Exactness: sliding "
+    "float sums are an ENGINE-ASSOCIATION trap (Spark evaluates "
+    "frames incrementally, DuckDB sums segment-tree subtrees — ULP "
+    "divergence on identical data), so the moving sum runs on "
+    "integer cents (associative) and the average is one division of "
+    "that exact sum; max is order-free on the raw doubles. Scale: "
+    "one per-key window pass, O(window) state, no self-join.",
+    tags=("timeseries", "window"),
+)
+def q153_rolling_dense_stats(spark, sf_dir):
+    from .operators.timeseries import gap_fill_locf, rolling_stats
+
+    ev = _t(spark, sf_dir, "events")
+    dense = gap_fill_locf(ev, "user_id", "ts", "value", bucket_seconds=3600)
+    return rolling_stats(
+        dense.select("user_id", "bucket_start", "value"),
+        "user_id",
+        "bucket_start",
+        "value",
+        window_rows=24,
+    )

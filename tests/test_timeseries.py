@@ -62,3 +62,49 @@ def test_gap_fill_grid_bounded_by_span(spark):
     )
     base = int(dt.datetime(2024, 1, 1).replace(tzinfo=dt.timezone.utc).timestamp())
     assert got == [base + h * 3600 for h in range(2, 10)]
+
+
+def test_rolling_stats_window_math(spark):
+    """Hand-checked trailing-3 window over one dense series: exact
+    integer cents sum, single-division average, order-free max,
+    partial frames at the series head."""
+    from streaming_recommendation_spark.operators.timeseries import (
+        rolling_stats,
+    )
+
+    rows = [(1, b, v) for b, v in enumerate([1.0, 2.0, 3.0, 4.0])]
+    df = spark.createDataFrame(rows, "k long, b long, v double")
+    out = {
+        r.b: (r.n_window, r.moving_sum_cents, r.moving_avg, r.moving_max)
+        for r in rolling_stats(df, "k", "b", "v", window_rows=3).collect()
+    }
+    assert out[0] == (1, 100, 1.0, 1.0)
+    assert out[1] == (2, 300, 1.5, 2.0)
+    assert out[2] == (3, 600, 2.0, 3.0)
+    assert out[3] == (3, 900, 3.0, 4.0)  # 1.0 slid out
+
+
+def test_rolling_stats_composes_with_gap_fill(spark):
+    """Carried buckets participate in the rolling frame — the dense
+    composition keeps the window time-true."""
+    import datetime as dt2
+
+    from streaming_recommendation_spark.operators.timeseries import (
+        gap_fill_locf,
+        rolling_stats,
+    )
+
+    rows = [
+        (1, dt2.datetime(2024, 1, 1, 0), 10.0),
+        (1, dt2.datetime(2024, 1, 1, 3), 40.0),  # 2 carried hours between
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    dense = gap_fill_locf(df, "k", "ts", "v", 3600)
+    out = rolling_stats(
+        dense.select("k", "bucket_start", "value"),
+        "k", "bucket_start", "value", window_rows=4,
+    ).orderBy("bucket_start").collect()
+    # frame at the last hour covers 10,10,10,40 (carried rows count)
+    assert out[-1].moving_sum_cents == 7000
+    assert out[-1].moving_avg == 17.5
+    assert out[-1].n_window == 4
