@@ -173,6 +173,8 @@ HEADLINE = [
     "q152_kcore_peeling",
     # rolling stats over the dense gap-filled series
     "q153_rolling_dense_stats",
+    # degree-weighted negative sampling (unigram table + range join)
+    "q154_weighted_negatives",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -197,6 +199,7 @@ ITERATIVE = {
     "q148_personalized_pagerank",  # per-round rank checkpoints
     "q151_skipgram_negatives",  # walk corpus materialized at construction
     "q152_kcore_peeling",  # per-round peel checkpoints
+    "q154_weighted_negatives",  # walk corpus materialized at construction
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

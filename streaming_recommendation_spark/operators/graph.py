@@ -633,7 +633,15 @@ def kcore(
         k_frame = None
         k_expr = F.lit(k)
     else:
-        k_frame = F.broadcast(k.select(F.col(k.columns[0]).alias("__k")))
+        # materialize the 1-row threshold once: every round crossJoins
+        # it, and without this each round would re-execute the k
+        # derivation's whole lineage (e.g. q152's median window) —
+        # same lineage-truncation rationale as the per-round
+        # checkpoints below
+        kf = k.select(F.col(k.columns[0]).alias("__k"))
+        if materialize:
+            kf = kf.localCheckpoint()
+        k_frame = F.broadcast(kf)
         k_expr = F.col("__k")
     surviving = sym
     for _ in range(rounds):
@@ -649,4 +657,133 @@ def kcore(
             surviving = checkpoint_partitioned(surviving.repartition("u"))
     return surviving.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
+    )
+
+
+def weighted_indexed_vocab(weights: DataFrame, buckets: int = 64) -> DataFrame:
+    """(node, lo, hi): disjoint integer ranges tiling [0, W) with
+    hi - lo = weight(node) — the WEIGHTED dense bijection
+    (``weights``: a (node, weight) frame, positive integer weights;
+    W = total weight). A draw d in [0, W) selects the node whose
+    range contains it, so node probability is weight/W — the unigram
+    sampling table of word2vec, exact in integers. Built without a
+    global sort, same two-phase shape as ``indexed_vocab``: Knuth
+    hash-bucket, within-bucket cumulative weights (window sum over
+    bounded partitions, ordered by node), broadcast prefix-sum bucket
+    offsets."""
+    from pyspark.sql import Window
+
+    from ..functions.hashing import KNUTH, MOD32
+
+    wt = weights.select(
+        F.col("node"), F.col("weight").cast("long").alias("__w")
+    ).where(F.col("__w") > 0)
+    b = wt.withColumn(
+        "__b",
+        F.pmod(
+            F.pmod(F.pmod(F.col("node"), F.lit(2147483648)) * F.lit(KNUTH), F.lit(MOD32)),
+            F.lit(buckets),
+        ),
+    )
+    totals = b.groupBy("__b").agg(F.sum("__w").alias("__t"))
+    off_w = Window.orderBy("__b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(off_w), F.lit(0)).alias("__off")
+    )
+    in_w = (
+        Window.partitionBy("__b")
+        .orderBy("node")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    return (
+        b.withColumn("__cum", F.coalesce(F.sum("__w").over(in_w), F.lit(0)))
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            "node",
+            (F.col("__off") + F.col("__cum")).alias("lo"),
+            (F.col("__off") + F.col("__cum") + F.col("__w")).alias("hi"),
+        )
+    )
+
+
+def skipgram_negatives_weighted(
+    pairs: DataFrame,
+    weights: DataFrame,
+    k: int = 3,
+    center_col: str = "center",
+    context_col: str = "context",
+) -> DataFrame:
+    """Weighted variant of ``skipgram_negatives``: negatives drawn
+    with probability weight/W from a (node, weight) frame — the
+    unigram-table distribution (word2vec classically uses
+    frequency^0.75; integer weights keep the table exact, so callers
+    pick the smoothing by choosing the weights — degree, capped
+    degree, or a precomputed integer power table).
+
+    The draw hash is IDENTICAL to the uniform variant (Knuth over
+    (center, context, j)), taken mod W instead of mod N; the draw
+    maps to its owning range via a GRANULE equi-join: ranges tile
+    [0, W) disjointly, each range replicates to the ceil(weight/G)+1
+    granules of size G = max(1, W div N) it overlaps (~2N rows
+    total), probes join on floor(draw/G) and filter lo <= d < hi —
+    a bucketized range join (same move as operators/asof.range_join),
+    never a nested-loop. Deterministic end to end; the SQL oracle
+    replays draw, granule, and range identically."""
+    from ..functions.hashing import KNUTH, MOD32
+
+    two31 = 2147483648
+    widx = weighted_indexed_vocab(weights)
+    tot = widx.agg(
+        F.max("hi").alias("__w_total"), F.count(F.lit(1)).alias("__n")
+    )
+
+    def kh(col):
+        return F.pmod(F.pmod(col, F.lit(two31)) * F.lit(KNUTH), F.lit(MOD32))
+
+    drawn = (
+        pairs.select(center_col, context_col)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            center_col,
+            context_col,
+            "__w_total",
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .withColumn(
+            "__draw",
+            F.pmod(
+                kh(
+                    F.pmod(
+                        kh(F.col(center_col))
+                        + kh(F.col(context_col))
+                        + F.col("j") * F.lit(1000003)
+                        + F.lit(7),
+                        F.lit(two31),
+                    )
+                ),
+                F.col("__w_total"),
+            ),
+        )
+        .withColumn(
+            "__g", F.expr("__draw div greatest(CAST(1 AS BIGINT), __w_total div __n)")
+        )
+    )
+    granules = widx.crossJoin(F.broadcast(tot)).select(
+        "node",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr("lo div greatest(CAST(1 AS BIGINT), __w_total div __n)"),
+                F.expr("(hi - 1) div greatest(CAST(1 AS BIGINT), __w_total div __n)"),
+            )
+        ).alias("__g"),
+    )
+    return (
+        drawn.join(granules, "__g")
+        .where((F.col("__draw") >= F.col("lo")) & (F.col("__draw") < F.col("hi")))
+        .select(center_col, context_col, "j", F.col("node").alias("neg_id"))
     )

@@ -4086,6 +4086,7 @@ _DRIVER_PRIORITY.extend([
     "q151_skipgram_negatives",
     "q152_kcore_peeling",
     "q153_rolling_dense_stats",
+    "q154_weighted_negatives",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6810,6 +6811,95 @@ def q151_skipgram_negatives(spark, sf_dir):
     pairs = skipgram_pairs(walks, window=2).select("center", "context")
     vocab = edges.select(F.col("src").alias("node")).distinct()
     return skipgram_negatives(pairs, vocab, k=3)
+
+
+@register(
+    "q154_weighted_negatives",
+    _WALK_CORPUS_CTE
+    + """
+    , p0 AS (
+      SELECT a.node AS center, b.node AS context
+      FROM rw a JOIN rw b
+        ON a.walk_id = b.walk_id
+       AND b.step > a.step AND b.step - a.step <= 2
+    ), sgp AS (
+      SELECT DISTINCT center, context FROM (
+        SELECT center, context FROM p0
+        UNION ALL
+        SELECT context AS center, center AS context FROM p0)
+    ), wts AS (
+      SELECT src AS node, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY src
+    ), wb AS (
+      SELECT node, w,
+             ((node % 2147483648) * 2654435761) % 4294967296 % 64 AS b
+      FROM wts
+    ), wtot AS (
+      SELECT b, CAST(sum(w) AS BIGINT) AS t FROM wb GROUP BY b
+    ), woff AS (
+      SELECT b, CAST(coalesce(sum(t) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS off
+      FROM wtot
+    ), wcum AS (
+      SELECT node, w, b,
+             CAST(coalesce(sum(w) OVER (PARTITION BY b ORDER BY node
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum
+      FROM wb
+    ), widx AS (
+      SELECT c.node, woff.off + c.cum AS lo, woff.off + c.cum + c.w AS hi
+      FROM wcum c JOIN woff ON c.b = woff.b
+    ), gl AS (
+      SELECT CAST(sum(w) AS BIGINT) AS wt FROM wts
+    ), draws AS (
+      SELECT center, context, j,
+             (((((((center % 2147483648) * 2654435761) % 4294967296)
+                 + (((context % 2147483648) * 2654435761) % 4294967296)
+                 + j * 1000003 + 7) % 2147483648)
+               * 2654435761) % 4294967296) % (SELECT wt FROM gl) AS draw
+      FROM sgp, (SELECT unnest(generate_series(1, 3)) AS j) js
+    )
+    SELECT d.center, d.context, d.j, v.node AS neg_id
+    FROM draws d JOIN widx v ON d.draw >= v.lo AND d.draw < v.hi
+    """,
+    doc="Degree-weighted negative sampling "
+    "(operators/graph.py::skipgram_negatives_weighted, k=3): the "
+    "word2vec unigram-TABLE distribution — negatives drawn with "
+    "probability weight/W (weight = graph degree here; the classic "
+    "frequency^0.75 smoothing is the caller's choice of integer "
+    "weights). Same Knuth draw hash as q151 taken mod W; the draw "
+    "maps to its owning [lo, hi) range of the weighted dense index "
+    "(built without a global sort: hash-bucket + within-bucket "
+    "cumulative weights + broadcast bucket offsets) via a GRANULE "
+    "equi-join — ranges replicate to the ~2N size-(W div N) granules "
+    "they overlap, probes join on floor(draw/G) and filter the "
+    "residual, the bucketized-range-join move (asof.range_join); "
+    "never a nested loop. The oracle maps draws by a DIRECT range "
+    "join instead (independent algorithm).",
+    tags=("graph", "recsys", "sampling"),
+)
+def q154_weighted_negatives(spark, sf_dir):
+    from .operators.graph import random_walks, skipgram_negatives_weighted, skipgram_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    fwd = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") * 2 + 1).alias("src"),
+        (F.col("l_suppkey") * 2).alias("dst"),
+    )
+    edges = fwd.unionByName(rev).distinct()
+    starts = li.select((F.col("l_suppkey") * 2).alias("node")).distinct()
+    walks = random_walks(
+        edges, walk_length=4, walks_per_node=2, start_nodes=starts
+    )
+    pairs = skipgram_pairs(walks, window=2).select("center", "context")
+    weights = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    return skipgram_negatives_weighted(pairs, weights, k=3)
 
 
 @register(

@@ -426,3 +426,57 @@ def test_q152_nondegenerate(spark):
         ).distinct().count()
     )
     assert 0 < surviving < n_nodes
+
+
+def test_weighted_indexed_vocab_tiles_total_weight(spark):
+    """Ranges are disjoint, cover [0, W) exactly, and each node's
+    width equals its weight."""
+    from streaming_recommendation_spark.operators.graph import (
+        weighted_indexed_vocab,
+    )
+
+    wts = [(10, 3), (11, 1), (12, 5), (99, 2)]
+    df = spark.createDataFrame(wts, "node bigint, weight bigint")
+    rows = weighted_indexed_vocab(df).collect()
+    widths = {r.node: r.hi - r.lo for r in rows}
+    assert widths == dict(wts)
+    ivs = sorted((r.lo, r.hi) for r in rows)
+    assert ivs[0][0] == 0 and ivs[-1][1] == 11  # W = 3+1+5+2
+    for (a, b), (c, d) in zip(ivs, ivs[1:]):
+        assert b == c  # gapless, disjoint
+
+
+def test_weighted_negatives_match_direct_range_lookup(spark):
+    """Granule-join draws equal a Python replay of hash -> range
+    lookup; zero-weight nodes are never drawn; heavier nodes are
+    drawn more often across many pairs."""
+    from streaming_recommendation_spark.operators.graph import (
+        skipgram_negatives_weighted,
+        weighted_indexed_vocab,
+    )
+
+    wts = [(1, 1), (2, 50), (3, 1), (4, 0)]
+    wdf = spark.createDataFrame(wts, "node bigint, weight bigint")
+    pairs = spark.createDataFrame(
+        [(a, b) for a in range(30) for b in (100, 200)],
+        "center bigint, context bigint",
+    )
+    out = skipgram_negatives_weighted(pairs, wdf, k=2).collect()
+    assert len(out) == 120  # 60 pairs x 2 draws, every draw resolved
+    ranges = {
+        (r.lo, r.hi): r.node for r in weighted_indexed_vocab(wdf).collect()
+    }
+    K, M32, T31 = 2654435761, 1 << 32, 1 << 31
+
+    def kh(x):
+        return ((x % T31) * K) % M32
+
+    W = sum(w for _, w in wts)
+    counts = {}
+    for r in out:
+        d = kh((kh(r.center) + kh(r.context) + r.j * 1000003 + 7) % T31) % W
+        owner = next(n for (lo, hi), n in ranges.items() if lo <= d < hi)
+        assert r.neg_id == owner
+        counts[r.neg_id] = counts.get(r.neg_id, 0) + 1
+    assert 4 not in counts  # zero weight never drawn
+    assert counts.get(2, 0) > counts.get(1, 0) + counts.get(3, 0)
