@@ -175,6 +175,8 @@ HEADLINE = [
     "q153_rolling_dense_stats",
     # degree-weighted negative sampling (unigram table + range join)
     "q154_weighted_negatives",
+    # streaming continuous-aggregate twin (max-merge obs + locf read)
+    "q155_continuous_aggregate_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -19,6 +19,15 @@ struct-max over (ts, value) — a total order, so duplicate timestamps
 break ties on value instead of partition order; carried values are
 COPIED doubles (never summed/combined), so no float-reassociation
 hazard exists anywhere and a SQL oracle replays the fill exactly.
+
+Factored as bucket_last_obs -> (merge_obs)* -> locf_fill so the
+streaming continuous aggregate (streaming/timeseries.py) replays the
+IDENTICAL operators per batch: struct-max is commutative, associative
+and idempotent, so incremental max-merge over any batch split — in
+any arrival order, with any redelivery — equals the one-shot batch
+computation. (Contrast streaming/itemcf.py, whose capped windows are
+order-sensitive and need a frontier guard; a pure max-merge needs
+none.)
 """
 
 from __future__ import annotations
@@ -27,60 +36,94 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def gap_fill_locf(
+def bucket_last_obs(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
     bucket_seconds: int = 3600,
 ) -> DataFrame:
-    """Resample each key's irregular series onto a dense
-    ``bucket_seconds`` grid spanning [first, last] observed bucket,
-    filling empty buckets with the last observed value
-    (last-observation-carried-forward).
-
-    Returns (key, bucket_start, value, is_observed):
-      * ``bucket_start``: BIGINT epoch seconds, left-closed bucket
-        edge (integer arithmetic end to end — a TIMESTAMP output
-        would hang cross-engine parity on timezone dtype quirks);
-      * ``value``: the bucket's last observation, or the carried one;
-      * ``is_observed``: False on carried rows.
-
-    Per-bucket "last" = max over struct(ts, value): latest timestamp
-    wins, duplicate timestamps break on the larger value — a total
-    order, deterministic under any partitioning.
-
-    Scale shape: one groupBy(key, bucket) shuffle reduces the raw
-    events to <= one row per bucket BEFORE any grid materializes
-    (map-side partial aggregation collapses hot buckets early); the
-    grid generates JVM-side per key (``sequence`` + explode — its
-    size is the key's time span over ``bucket_seconds``, independent
-    of event count); the fill is one per-key window running
-    ``last(ignorenulls)`` over the grid, never a self-join. All
-    shuffles key on ``key_col``. Grid size is the one lever to watch:
-    span/bucket_seconds rows per key — pick the bucket so the DENSE
-    series, not the event count, fits the downstream budget (the
-    dense output is the product; if it is too big, the bucket is too
-    fine).
-    """
+    """(key, bucket_start, ts_us, value): each key-bucket's LAST
+    observation — max over struct(ts, value), a total order (latest
+    timestamp wins; duplicate timestamps break on the larger value),
+    deterministic under any partitioning. ``bucket_start`` is BIGINT
+    epoch seconds (left-closed edge); ``ts_us`` is the winning
+    observation's epoch microseconds, kept so later ``merge_obs``
+    calls resolve against it exactly. One groupBy(key, bucket)
+    shuffle with map-side partial aggregation — raw events reduce to
+    <= 1 row per bucket before anything downstream materializes."""
     # unix_timestamp truncates to whole epoch seconds (session TZ is
     # pinned UTC) — the NTZ-safe conversion; oracles must mirror it
     # as floor(epoch(ts))
-    sec = F.unix_timestamp(F.col(ts_col))
+    ts = F.col(ts_col).cast("timestamp")
+    sec = F.unix_timestamp(ts)
     bucket = (sec - F.pmod(sec, F.lit(bucket_seconds))).alias("bucket_start")
-    obs = (
-        df.select(F.col(key_col), bucket, F.col(ts_col), F.col(value_col))
+    return (
+        df.select(
+            F.col(key_col),
+            bucket,
+            F.unix_micros(ts).alias("__ts_us"),
+            F.col(value_col).alias("__v"),
+        )
+        .groupBy(key_col, "bucket_start")
+        .agg(F.max(F.struct(F.col("__ts_us"), F.col("__v"))).alias("__last"))
+        .select(
+            key_col,
+            "bucket_start",
+            F.col("__last.__ts_us").alias("ts_us"),
+            F.col("__last.__v").alias(value_col),
+        )
+    )
+
+
+def merge_obs(
+    a: DataFrame, b: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Fold two ``bucket_last_obs`` relations: per (key, bucket) the
+    struct-max over (ts_us, value) wins. Commutative, associative,
+    idempotent — so ANY batch split, arrival order, or redelivery
+    folds to the same state as the one-shot computation (this is the
+    exactness claim the q155 twin pins)."""
+    return (
+        a.unionByName(b)
         .groupBy(key_col, "bucket_start")
         .agg(
-            F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__last")
+            F.max(
+                F.struct(F.col("ts_us"), F.col(value_col).alias("__v"))
+            ).alias("__last")
         )
         .select(
             key_col,
             "bucket_start",
-            F.col(f"__last.{value_col}").alias("__obs_value"),
+            F.col("__last.ts_us").alias("ts_us"),
+            F.col("__last.__v").alias(value_col),
         )
     )
-    span = obs.groupBy(key_col).agg(
+
+
+def locf_fill(
+    obs: DataFrame,
+    key_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Dense grid + fill over a ``bucket_last_obs`` relation: every
+    bucket between each key's first and last observed bucket exists,
+    empty buckets carry the last observed value forward. Returns
+    (key, bucket_start, value, is_observed).
+
+    Scale shape: the grid generates JVM-side per key (``sequence`` +
+    explode — its size is the key's time span over bucket_seconds,
+    independent of event count); the fill is one per-key window
+    running ``last(ignorenulls)`` over the grid, never a self-join.
+    Grid size is the one lever to watch: span/bucket_seconds rows per
+    key — pick the bucket so the DENSE series, not the event count,
+    fits the downstream budget (the dense output is the product; if
+    it is too big, the bucket is too fine)."""
+    o = obs.select(
+        key_col, "bucket_start", F.col(value_col).alias("__obs_value")
+    )
+    span = o.groupBy(key_col).agg(
         F.min("bucket_start").alias("__mn"), F.max("bucket_start").alias("__mx")
     )
     grid = span.select(
@@ -94,15 +137,31 @@ def gap_fill_locf(
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, [key_col, "bucket_start"], "left")
-        .select(
-            key_col,
-            "bucket_start",
-            F.last("__obs_value", ignorenulls=True).over(w).alias("value"),
-            F.col("__obs_value").isNotNull().alias("is_observed"),
-        )
+    return grid.join(o, [key_col, "bucket_start"], "left").select(
+        key_col,
+        "bucket_start",
+        F.last("__obs_value", ignorenulls=True).over(w).alias(value_col),
+        F.col("__obs_value").isNotNull().alias("is_observed"),
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Resample each key's irregular series onto a dense
+    ``bucket_seconds`` grid spanning [first, last] observed bucket,
+    filling empty buckets with the last observed value
+    (last-observation-carried-forward). The one-shot composition of
+    ``bucket_last_obs`` + ``locf_fill`` (see those for semantics and
+    scale shape); ``value`` is named after ``value_col`` == "value"
+    callers' convention: output columns are (key, bucket_start,
+    value, is_observed) with ``value_col``'s name preserved."""
+    obs = bucket_last_obs(df, key_col, ts_col, value_col, bucket_seconds)
+    return locf_fill(obs, key_col, value_col, bucket_seconds)
 
 
 def rolling_stats(

@@ -4087,6 +4087,7 @@ _DRIVER_PRIORITY.extend([
     "q152_kcore_peeling",
     "q153_rolling_dense_stats",
     "q154_weighted_negatives",
+    "q155_continuous_aggregate_twin",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6811,6 +6812,42 @@ def q151_skipgram_negatives(spark, sf_dir):
     pairs = skipgram_pairs(walks, window=2).select("center", "context")
     vocab = edges.select(F.col("src").alias("node")).distinct()
     return skipgram_negatives(pairs, vocab, k=3)
+
+
+@register(
+    "q155_continuous_aggregate_twin",
+    _GAPFILL_CTE
+    + "    SELECT user_id, bucket_start, value, is_observed FROM filled\n    ",
+    doc="Streaming continuous-aggregate twin "
+    "(streaming/timeseries.py::TimeBucketStream): events split at "
+    "2024-01-15 fold through the SAME bucket_last_obs + merge_obs "
+    "operators ingest_batch runs — deliberately folding the LATER "
+    "half FIRST — and the locf_fill read over the merged state must "
+    "equal q149's one-shot batch answer bit-for-bit (oracle = q149's "
+    "SQL verbatim via the shared CTE). The struct-max merge is "
+    "commutative/associative/idempotent, so ANY batch split, arrival "
+    "order, or redelivery folds to the one-shot state — which is why "
+    "this stream needs NO frontier guard (contrast itemcf/SCD2, "
+    "whose states are arrival-order-sensitive and must raise); the "
+    "reversed fold here pins that claim externally. Disk/stream "
+    "legs (versioned per-bucket state, retry idempotence, true "
+    "out-of-order ingest, end-to-end checkpointed stream) are pinned "
+    "in tests/test_streaming_timeseries.py.",
+    tags=("timeseries", "streaming-twin"),
+)
+def q155_continuous_aggregate_twin(spark, sf_dir):
+    from .operators.timeseries import bucket_last_obs, locf_fill, merge_obs
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    early = ev.where(F.col("ts") < cut)
+    late = ev.where(F.col("ts") >= cut)
+    obs_early = bucket_last_obs(early, "user_id", "ts", "value", 3600)
+    obs_late = bucket_last_obs(late, "user_id", "ts", "value", 3600)
+    # later half folds FIRST: the merge's commutativity is the
+    # out-of-order-safety claim, pinned here in the external gate
+    merged = merge_obs(obs_late, obs_early, "user_id", "value")
+    return locf_fill(merged.drop("ts_us"), "user_id", "value", 3600)
 
 
 @register(

@@ -1,0 +1,150 @@
+"""Streaming continuous aggregate: per-(key, time-bucket) LAST
+observation maintained incrementally — the hypertable "continuous
+aggregate" (TimescaleDB caggs, InfluxDB tasks) twin of the batch
+gap-fill (operators/timeseries.py). The maintained state is the
+``bucket_last_obs`` relation; the dense LOCF read applies
+``locf_fill`` over it at query time, so a stream consumer gets the
+same dense series q149 computes from scratch — without rescanning
+history.
+
+Why this state needs NO frontier guard (contrast streaming/itemcf.py
+and streaming/scd2.py, which RAISE on out-of-order arrival): the
+per-bucket merge is a struct-max over (ts_us, value) — commutative,
+associative, idempotent. Any batch split, any arrival order, any
+redelivery folds to the state the one-shot batch computation
+produces. Late data lands in its (old) bucket and simply wins or
+loses the max on its own timestamp; nothing is silently corrupted,
+so nothing needs rejecting. That difference is structural: capped
+windows and SCD2 intervals depend on arrival ORDER, a max does not.
+
+Storage — one per-bucket versioned state on streaming/state.py (all
+its guarantees apply: reads see only versions strictly before the
+in-flight batch, a retry fully overwrites its own version, pruning
+never counts the in-flight batch as superseding):
+
+    state_dir/obs/v=<batch>/bucket=<hash(key) % n>/
+
+Per-batch cost ~ the touched key-buckets' rewrite: batch rows reduce
+to <= 1 row per (key, bucket) map-side, merge against only the
+buckets the batch touches, untouched buckets carry forward by simply
+remaining at their older version.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.timeseries import bucket_last_obs, locf_fill, merge_obs
+from .state import prune_buckets, read_bucketed, write_version
+
+
+class TimeBucketStream:
+    """Configuration + state access for one streamed continuous
+    aggregate (last-observation-per-bucket)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        key_col: str = "user_id",
+        ts_col: str = "ts",
+        value_col: str = "value",
+        bucket_seconds: int = 3600,
+        n_buckets: int = 8,
+        keep_versions: int = 3,
+        key_type: str = "bigint",
+        value_type: str = "double",
+    ):
+        self.obs_dir = os.path.join(state_dir, "obs")
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.bucket_seconds = bucket_seconds
+        self.n_buckets = n_buckets
+        self.keep_versions = keep_versions
+        self.key_type = key_type
+        self.value_type = value_type
+
+    def _schema(self) -> str:
+        return (
+            f"{self.key_col} {self.key_type}, bucket_start bigint, "
+            f"ts_us bigint, {self.value_col} {self.value_type}, bucket int"
+        )
+
+    def _kbucket(self, col):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
+    def read_obs(
+        self, spark: SparkSession, before: int | None = None, buckets=None
+    ) -> DataFrame:
+        return read_bucketed(
+            spark, self.obs_dir, self._schema(), before, buckets
+        )
+
+    def ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Fold one event batch into the obs state; directly callable
+        for backfills. Accepts ANY arrival order — the struct-max
+        merge is commutative/idempotent (module docstring), so late
+        and duplicate deliveries are safe by construction."""
+        spark = batch_df.sparkSession
+        k, v = self.key_col, self.value_col
+        batch_obs = bucket_last_obs(
+            batch_df.select(k, self.ts_col, v),
+            k,
+            self.ts_col,
+            v,
+            self.bucket_seconds,
+        )
+        kbs = sorted(
+            r["b"]
+            for r in batch_obs.select(self._kbucket(F.col(k)).alias("b"))
+            .distinct()
+            .collect()
+        )
+        if not kbs:
+            return
+        stored = self.read_obs(spark, before=batch_id, buckets=set(kbs))
+        # the SAME merge operator the batch twin (q155) replays
+        merged = merge_obs(stored.drop("bucket"), batch_obs, k, v)
+        write_version(
+            merged.withColumn("bucket", self._kbucket(F.col(k))),
+            self.obs_dir,
+            batch_id,
+            partition_by=["bucket"],
+        )
+        prune_buckets(self.obs_dir, batch_id, self.keep_versions)
+
+    # --- queries over the maintained state ----------------------------------
+
+    def dense(self, spark: SparkSession) -> DataFrame:
+        """The dense LOCF-filled series over the maintained state —
+        gap_fill_locf's output, without rescanning event history."""
+        return locf_fill(
+            self.read_obs(spark).drop("bucket", "ts_us"),
+            self.key_col,
+            self.value_col,
+            self.bucket_seconds,
+        )
+
+    def pipeline(
+        self,
+        stream: DataFrame,
+        checkpoint_dir: str,
+        trigger_available_now: bool = True,
+    ):
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            self.ingest_batch(batch_df, batch_id)
+
+        writer = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+
+__all__ = ["TimeBucketStream"]

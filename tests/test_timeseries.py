@@ -100,9 +100,10 @@ def test_rolling_stats_composes_with_gap_fill(spark):
     ]
     df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
     dense = gap_fill_locf(df, "k", "ts", "v", 3600)
+    # the filled column keeps the caller's value_col name ("v")
     out = rolling_stats(
-        dense.select("k", "bucket_start", "value"),
-        "k", "bucket_start", "value", window_rows=4,
+        dense.select("k", "bucket_start", "v"),
+        "k", "bucket_start", "v", window_rows=4,
     ).orderBy("bucket_start").collect()
     # frame at the last hour covers 10,10,10,40 (carried rows count)
     assert out[-1].moving_sum_cents == 7000
