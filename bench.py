@@ -177,6 +177,8 @@ HEADLINE = [
     "q154_weighted_negatives",
     # streaming continuous-aggregate twin (max-merge obs + locf read)
     "q155_continuous_aggregate_twin",
+    # contrastive triplet mining (NN positive + hash negatives)
+    "q156_contrastive_triplets",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_norms, cosine_similarity, dot, l2_norm
@@ -658,4 +658,60 @@ def semantic_dedup(
         id_col,
         F.col("__lid").alias("cluster_id"),
         (F.coalesce("__drop", F.lit(0)) == 0).alias("kept"),
+    )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor_id, positive_id, j, negative_id): the contrastive /
+    triplet-loss training dataset materializer — for each anchor, the
+    positive is its nearest cosine neighbor EXCLUDING itself (a
+    duplicate vector, cosine 1.0, legitimately wins), and ``k_neg``
+    negatives are deterministic uniform draws over the corpus ids.
+    The output relation is what a two-tower / triplet-loss trainer
+    consumes; the mining recipe (exact-NN positive + random
+    negatives) is the standard self-supervised bootstrap when no
+    labels exist.
+
+    Pure composition of audited pieces: ``knn_brute_force`` (queries
+    broadcast, corpus never shuffles, float-free ranks) for the
+    positive; ``graph.skipgram_negatives`` — reused verbatim with
+    (anchor, positive) as the (center, context) pair — for the draws,
+    so the Knuth-hash replay and the global-sort-free dense vocab
+    index are one implementation across the text and vector
+    pipelines. Self-exclusion happens AFTER ranking (top-2 then drop
+    self): the corpus side stays query-independent, which is what
+    keeps it broadcast-join-able.
+    """
+    from .graph import skipgram_negatives
+
+    q = anchors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias(vec_col)
+    )
+    top2 = knn_brute_force(corpus, q, k=2, id_col=id_col, vec_col=vec_col)
+    pos = (
+        top2.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("rank")
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .select(
+            F.col("query_id").alias("center"),
+            F.col("neighbor_id").alias("context"),
+        )
+    )
+    vocab = corpus.select(F.col(id_col).alias("node")).distinct()
+    return skipgram_negatives(pos, vocab, k=k_neg).select(
+        F.col("center").alias("anchor_id"),
+        F.col("context").alias("positive_id"),
+        "j",
+        F.col("neg_id").alias("negative_id"),
     )

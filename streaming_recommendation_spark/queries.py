@@ -4088,6 +4088,7 @@ _DRIVER_PRIORITY.extend([
     "q153_rolling_dense_stats",
     "q154_weighted_negatives",
     "q155_continuous_aggregate_twin",
+    "q156_contrastive_triplets",
     "q139_itemcf_cosine",
     "q140_itemcf_topk",
     "q141_incremental_itemcf_twin",
@@ -6937,6 +6938,82 @@ def q154_weighted_negatives(spark, sf_dir):
         F.count(F.lit(1)).alias("weight")
     )
     return skipgram_negatives_weighted(pairs, weights, k=3)
+
+
+@register(
+    "q156_contrastive_triplets",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> (qv[i] * cv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS score
+      FROM q CROSS JOIN c),
+    pos AS (
+      SELECT query_id AS anchor_id, neighbor_id AS positive_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id ASC) AS rnk
+        FROM scored WHERE neighbor_id <> query_id)
+      WHERE rnk = 1
+    ), vocab AS (
+      SELECT DISTINCT vec_id AS node FROM embeddings
+    ), vb AS (
+      SELECT node,
+             ((node % 2147483648) * 2654435761) % 4294967296 % 64 AS b
+      FROM vocab
+    ), vcnt AS (
+      SELECT b, count(*) AS c FROM vb GROUP BY b
+    ), voff AS (
+      SELECT b, coalesce(sum(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM vcnt
+    ), vidx AS (
+      SELECT vb.node,
+             voff.off + row_number() OVER (PARTITION BY vb.b
+                                           ORDER BY vb.node) - 1 AS idx
+      FROM vb JOIN voff ON vb.b = voff.b
+    ), nn AS (SELECT count(*) AS n FROM vocab),
+    draws AS (
+      SELECT anchor_id, positive_id, j,
+             (((((((anchor_id % 2147483648) * 2654435761) % 4294967296)
+                 + (((positive_id % 2147483648) * 2654435761) % 4294967296)
+                 + j * 1000003 + 7) % 2147483648)
+               * 2654435761) % 4294967296) % (SELECT n FROM nn) AS draw
+      FROM pos, (SELECT unnest(generate_series(1, 3)) AS j) js
+    )
+    SELECT d.anchor_id, d.positive_id, d.j, v.node AS negative_id
+    FROM draws d JOIN vidx v ON d.draw = v.idx
+    """,
+    doc="Contrastive-triplet training dataset "
+    "(operators/similarity.py::contrastive_triplets): for each of 50 "
+    "anchors, positive = nearest cosine neighbor excluding self "
+    "(duplicate vectors at cosine 1.0 legitimately win), plus 3 "
+    "deterministic uniform negative draws — the two-tower/triplet-"
+    "loss input relation, mined with the standard self-supervised "
+    "recipe (exact-NN positive + random negatives). Pure composition "
+    "of audited pieces: knn_brute_force (broadcast queries, corpus "
+    "never shuffles, float-free ranks; float cosine mirrored by the "
+    "oracle exactly as q35 does) + skipgram_negatives reused "
+    "VERBATIM with (anchor, positive) as the (center, context) pair "
+    "— one Knuth-draw implementation across the text and vector "
+    "pipelines. Self-exclusion happens after ranking so the corpus "
+    "side stays query-independent (broadcast-join-able).",
+    tags=("similarity", "recsys", "sampling"),
+)
+def q156_contrastive_triplets(spark, sf_dir):
+    from .operators.similarity import contrastive_triplets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 50)
+    return contrastive_triplets(emb, anchors, k_neg=3)
 
 
 @register(

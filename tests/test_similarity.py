@@ -272,3 +272,48 @@ def test_semantic_dedup_keeps_lowest_id(spark):
         assert not out[v].kept
     # orthogonal vector is never dropped
     assert out[2].kept
+
+
+def test_contrastive_triplets_positive_and_negative_contract(spark):
+    """The positive is the nearest non-self neighbor (an exact
+    duplicate wins at cosine 1.0); negatives replay the Knuth draw
+    over the corpus ids; k_neg rows per anchor."""
+    from streaming_recommendation_spark.operators.graph import indexed_vocab
+    from streaming_recommendation_spark.operators.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # duplicate of 0 -> mutual positives
+        (2, [0.9, 0.1]),
+        (3, [0.0, 1.0]),   # orthogonal to 0/1/2, closest to nothing
+        (4, [0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = contrastive_triplets(df, df, k_neg=2).collect()
+    pos = {r.anchor_id: r.positive_id for r in out}
+    assert pos[0] == 1 and pos[1] == 0  # exact duplicates pair up
+    assert pos[3] == 4 and pos[4] == 3  # orthogonal pair
+    assert pos[2] in (0, 1)
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert all(len(v) == 2 for v in by_anchor.values())
+    # negatives replay hash(anchor, positive, j) over the dense index
+    idx = {
+        r.idx: r.node
+        for r in indexed_vocab(
+            df.selectExpr("vec_id as node")
+        ).collect()
+    }
+    K, M32, T31 = 2654435761, 1 << 32, 1 << 31
+
+    def kh(x):
+        return ((x % T31) * K) % M32
+
+    for r in out:
+        h = kh(
+            (kh(r.anchor_id) + kh(r.positive_id) + r.j * 1000003 + 7) % T31
+        )
+        assert r.negative_id == idx[h % 5]
