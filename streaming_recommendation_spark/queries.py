@@ -4096,23 +4096,22 @@ _DRIVER_PRIORITY.extend([
     "q143_swing_similarity",
     "q137_compacted_ivf_twin",
     "q138_mergeable_histogram_twin",
-    # --- last external green: round 3 (full cohort, 35 rows) ---
-    "q60_cube_order_stats",
+    # --- last external green: round 3 (full cohort, 35 rows; the 5
+    # rows the round-6 judge ALREADY independently re-checked green
+    # (q60, q62, q74, q78, q84) are ordered LAST so that if new-query
+    # head growth pushes anyone past slot 50, it is the rows with the
+    # freshest independent evidence that yield) ---
     "q61_shipping_volume_between_nations",
-    "q62_region_market_share",
     "q63_lineitems_by_quantity_band",
     "q64_brand_revenue_ratio",
-    "q74_min_cost_supplier",
     "q75_order_count_distribution",
     "q76_important_parts",
     "q77_top_revenue_supplier",
-    "q78_supplier_part_counts",
     "q79_large_volume_orders",
     "q80_disjunctive_revenue",
     "q81_heavy_shippers_of_red_parts",
     "q82_nation_year_profit",
     "q83_returned_item_customers",
-    "q84_corpus_curation",
     "q87_grouping_sets_events",
     "q88_embedding_quantization",
     "q89_decontamination",
@@ -4132,6 +4131,11 @@ _DRIVER_PRIORITY.extend([
     "q102_pagerank",
     "q103_cascade_lsh_recall",
     "q104_exact_substring_dups",
+    "q60_cube_order_stats",
+    "q62_region_market_share",
+    "q74_min_cost_supplier",
+    "q78_supplier_part_counts",
+    "q84_corpus_curation",
     # --- last external green: round 4 (registration-oldest 15) ---
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",

@@ -850,3 +850,58 @@ def test_q147_bm25_no_cartesian_topk_heap(run):
     assert "CartesianProduct" not in a["plan"]
     assert a["bnl_joins"] <= 2  # totals singleton + n-terms broadcast
     assert a["n_broadcast_joins"] >= 1
+
+
+def test_q150_fuzzy_pairs_equi_signature_join(run):
+    """The delete-signature self-join is a pure equi join on
+    (position, signature) — no cartesian, no nested loop (prefix
+    blocking would have degenerated into one quadratic block here)."""
+    a = run("q150_fuzzy_name_pairs")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q151_negatives_equi_index_join(run):
+    """The draw -> node mapping is an equi join on the dense idx key;
+    the only nested-loop join is the 1-row |vocab| broadcast."""
+    a = run("q151_skipgram_negatives")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1
+
+
+def test_q153_rolling_stats_single_pass(run):
+    """Rolling features are ONE window pass over the dense series —
+    no self-join, no cartesian; the only BNL-able piece is nothing."""
+    a = run("q153_rolling_dense_stats")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
+        "n_broadcast_joins"
+    ] <= 2  # the grid-obs left join (+ AQE variance)
+
+
+def test_q154_weighted_negatives_granule_equi_join(run):
+    """The range lookup compiles to an equi join on the granule key
+    (plus residual filter), never a broadcast-nested-loop range join;
+    the two 1-row totals broadcasts are the only BNLs."""
+    a = run("q154_weighted_negatives")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 2
+    assert a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a[
+        "n_shuffled_hash_joins"
+    ] >= 1  # the granule equi join is a real join
+
+
+def test_q155_cagg_twin_no_cartesian(run):
+    a = run("q155_continuous_aggregate_twin")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q156_triplets_broadcast_corpus_shape(run):
+    """The kNN leg broadcasts the 50 anchors (corpus never shuffles);
+    the negatives leg joins equi on idx; singleton-N broadcasts are
+    the only BNLs."""
+    a = run("q156_contrastive_triplets")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_broadcast_joins"] >= 1
