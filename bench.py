@@ -179,6 +179,25 @@ HEADLINE = [
     "q155_continuous_aggregate_twin",
     # contrastive triplet mining (NN positive + hash negatives)
     "q156_contrastive_triplets",
+    # event-sequence analytics: funnel / retention / transitions +
+    # streaming funnel twin (min-merge firsts)
+    "q157_funnel_conversion",
+    "q158_cohort_retention",
+    "q159_event_transitions",
+    "q160_streaming_funnel_twin",
+    # feature engineering: hashing trick, target encoding, LightGCN
+    # propagation
+    "q161_feature_hashing",
+    "q162_target_encoding",
+    "q163_lightgcn_propagation",
+    # streaming target-encode twin, session sequences, covariance
+    "q164_streaming_target_encode_twin",
+    "q165_session_sequences",
+    "q166_embedding_covariance",
+    # eval protocol (leave-last-out + sampled negatives) + JL projection
+    "q167_leave_last_out_split",
+    "q168_eval_sampled_negatives",
+    "q169_random_projection",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -204,6 +223,7 @@ ITERATIVE = {
     "q151_skipgram_negatives",  # walk corpus materialized at construction
     "q152_kcore_peeling",  # per-round peel checkpoints
     "q154_weighted_negatives",  # walk corpus materialized at construction
+    "q163_lightgcn_propagation",  # per-layer feature checkpoints
 }
 
 # full per-query timing map (long names) goes to a FILE; the stdout

@@ -1,0 +1,284 @@
+"""Feature engineering for training matrices: the hashing trick and
+smoothed target encoding — the two standard moves that turn raw
+text/categorical columns into model inputs WITHOUT a fitted, stateful
+vocabulary (the property that matters at 100 TB: both are pure
+per-row/per-group computations, no dictionary to build, broadcast, or
+version; Vowpal-Wabbit / scikit-learn HashingVectorizer and the
+CatBoost-style category statistic respectively).
+
+Determinism policy: the hash slot and sign derive from the same
+md5-prefix word hash the fingerprint operator uses (cross-engine
+proven); signed counts are exact int64 sums (signs are ±1 — integer
+addition, order-free); the target-encode smoothing is ONE IEEE
+division of exact int64 products (the textbook (pos + m*prior)/(cnt
++ m) rewritten over a common denominator so no float intermediate
+exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_hash(col):
+    # md5-prefix word hash — the same cross-engine-stable form
+    # operators/text.py::fingerprint uses (DuckDB mirror:
+    # ('0x' || substr(md5(w), 1, 8))::BIGINT)
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def feature_hash(
+    df: DataFrame,
+    n_features: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick bag-of-words: (id, slot, value) sparse rows where
+    ``slot = word_hash mod n_features`` and ``value`` is the SIGNED
+    token count (sign = ±1 from the hash bit above the slot bits —
+    the Weinberger et al. trick that makes hash collisions cancel in
+    expectation instead of biasing counts upward). Tokens are the
+    fingerprint normalization: lowercased, whitespace-collapsed,
+    space-split. Rows whose signed counts cancel to exactly 0 are
+    dropped — in sparse form a zero is indistinguishable from absent,
+    and emitting it would make the output depend on collision
+    layout twice.
+
+    Scale shape: explode + one groupBy(id, slot) with map-side
+    partial aggregation — tokens reduce to <= n_features rows per
+    document before the shuffle; no vocabulary is built, broadcast,
+    or versioned (THE reason this beats dictionary encoding for
+    open-vocabulary text at 100 TB)."""
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    tok = F.explode(F.split(norm, " ")).alias("__w")
+    h = _word_hash(F.col("__w"))
+    return (
+        df.select(F.col(id_col), tok)
+        .where(F.col("__w") != "")
+        .select(
+            id_col,
+            F.pmod(h, F.lit(n_features)).cast("int").alias("slot"),
+            # sign bit: the lowest bit ABOVE the slot's modulus range
+            F.when(
+                F.pmod(F.floor(h / n_features), F.lit(2)) == 0, F.lit(1)
+            )
+            .otherwise(F.lit(-1))
+            .alias("__sign"),
+        )
+        .groupBy(id_col, "slot")
+        .agg(F.sum("__sign").alias("value"))
+        .where(F.col("value") != 0)
+    )
+
+
+def category_counts(
+    df: DataFrame,
+    category_col: str,
+    target_col,
+) -> DataFrame:
+    """(category, cnt, pos): per-category row and positive-target
+    counts — target encoding's ENTIRE sufficient statistic, and an
+    ADDITIVE one: two partial count tables merge by summing, so the
+    encoding is maintainable incrementally (streaming/encode.py) and
+    the q164 twin can fold arbitrary batch splits. ``target_col`` is
+    a boolean Column. One groupBy(category) with map-side partials."""
+    return df.groupBy(category_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(target_col.cast("long")).alias("pos"),
+    )
+
+
+def merge_category_counts(
+    a: DataFrame, b: DataFrame, category_col: str
+) -> DataFrame:
+    """Fold two ``category_counts`` relations by per-category SUM —
+    associative and commutative (but NOT idempotent: delivering the
+    same EVENTS twice double-counts, the standard additive-state
+    contract; same-batch retries are made safe by the versioned state
+    layer, exactly as the CMS sketch does)."""
+    return (
+        a.unionByName(b)
+        .groupBy(category_col)
+        .agg(F.sum("cnt").alias("cnt"), F.sum("pos").alias("pos"))
+    )
+
+
+def encode_from_counts(
+    counts: DataFrame,
+    category_col: str,
+    smoothing: int = 100,
+) -> DataFrame:
+    """The smoothed-encoding READ over a ``category_counts`` relation:
+    (category, cnt, pos, enc) with
+
+        enc = (pos + m * global_rate) / (cnt + m)
+            = (pos * g_cnt + m * g_pos) / (g_cnt * (cnt + m))
+
+    the second form is what runs: every operand an exact int64
+    product, ONE IEEE division total, so any engine replays the value
+    bit-for-bit (no float prior is ever materialized). The global
+    totals are a broadcast singleton (the only cross join); the
+    output is the |categories|-row lookup table itself — built to be
+    the broadcast side of the feature join that follows."""
+    m = int(smoothing)
+    totals = counts.agg(
+        F.sum("cnt").alias("__g_cnt"), F.sum("pos").alias("__g_pos")
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        category_col,
+        "cnt",
+        "pos",
+        (
+            (F.col("pos") * F.col("__g_cnt") + F.lit(m) * F.col("__g_pos"))
+            / (F.col("__g_cnt") * (F.col("cnt") + F.lit(m)))
+        ).alias("enc"),
+    )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col,
+    smoothing: int = 100,
+) -> DataFrame:
+    """Smoothed target encoding: per category, the target rate shrunk
+    toward the global rate by ``smoothing`` pseudo-observations — the
+    one-shot composition of ``category_counts`` + ``encode_from_counts``
+    (see those for exactness and scale shape; factored so the
+    streaming twin replays the IDENTICAL operators per batch)."""
+    return encode_from_counts(
+        category_counts(df, category_col, target_col), category_col, smoothing
+    )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    scale: int = 4096,
+) -> DataFrame:
+    """Exact covariance matrix of a vector column, the PCA/whitening
+    prep pass: (i, j, cov) for every dimension pair, over embeddings
+    QUANTIZED to integer units q = round(x * scale) (the q88
+    half-away-from-zero round, cross-engine proven). The sums S_ij =
+    sum(q_i * q_j), S_i = sum(q_i) are exact int64; cov is then the
+    fixed expression S_ij/n - (S_i/n)(S_j/n) evaluated in double —
+    identical IEEE operation trees replay identically, and keeping
+    the division form (instead of the (n*S_ij - S_i*S_j) integer
+    numerator) avoids int64 overflow at large n. Covariance is of
+    the QUANTIZED values — a documented 1/scale-granularity
+    approximation of the float covariance, the price of exact
+    distributed summation (float sums reassociate).
+
+    Scale shape: each row expands to its d^2 outer-product terms
+    JVM-side (nested transform + flatten — never a self-join of the
+    exploded form), and map-side partial aggregation reduces every
+    partition to d^2 rows before the ONE shuffle; the d-row marginal
+    sums broadcast onto the d^2 aggregate. Message volume is
+    partitions x d^2, independent of row count."""
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    terms = F.explode(
+        F.flatten(
+            F.transform(
+                q,
+                lambda xi, i: F.transform(
+                    q,
+                    lambda xj, j: F.struct(
+                        i.alias("i"), j.alias("j"), (xi * xj).alias("xy")
+                    ),
+                ),
+            )
+        )
+    )
+    pair_sums = (
+        df.select(terms.alias("t"))
+        .select("t.i", "t.j", "t.xy")
+        .groupBy("i", "j")
+        .agg(F.sum("xy").alias("__sxy"))
+    )
+    marg = (
+        df.select(F.posexplode(q).alias("i", "__q"))
+        .groupBy("i")
+        .agg(F.sum("__q").alias("__s"))
+    )
+    # n rides as a broadcast singleton — no driver-side count action
+    nf = df.agg(F.count(F.lit(1)).alias("__n"))
+    n = F.col("__n").cast("double")
+    return (
+        pair_sums.crossJoin(F.broadcast(nf))
+        .join(
+            F.broadcast(marg.select(F.col("i"), F.col("__s").alias("__si"))), "i"
+        )
+        .join(
+            F.broadcast(
+                marg.select(F.col("i").alias("j"), F.col("__s").alias("__sj"))
+            ),
+            "j",
+        )
+        .select(
+            "i",
+            "j",
+            (
+                F.col("__sxy").cast("double") / n
+                - (F.col("__si").cast("double") / n)
+                * (F.col("__sj").cast("double") / n)
+            ).alias("cov"),
+        )
+    )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 4096,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a
+    DETERMINISTIC +-1 projection matrix: (id, j, y) where
+    y_j = sum_i q_i * s_ij, q = round(x * scale) integer units (the
+    q88 round) and s_ij = +-1 from the Knuth hash of the flat index
+    i*out_dim + j — the Achlioptas sign matrix, which needs no
+    stored/broadcast random state: any engine, retry, or oracle
+    regenerates the identical matrix from the formula. Distances are
+    preserved within the usual JL distortion; unlike SRP-LSH
+    (similarity.py) the MAGNITUDES survive, so the output is a real
+    lower-dimensional feature, not just a sign bucket. All sums are
+    exact int64 (|y| <= d * scale * max|x| — integer addition
+    reassociates freely across engines and partitions).
+
+    Scale shape: the corpus explodes to (id, i, q_i) once and fans
+    out by the broadcast ``out_dim``-row j frame (the only
+    nested-loop join — out_dim rows at ANY corpus size); signs
+    compute INLINE from the flat index i*out_dim + j, so no sign
+    matrix is ever materialized, stored, or looked up (and no
+    driver-side action is needed to learn d); one groupBy(id, j) sum
+    with map-side partials re-assembles the projections. Never a
+    vector-vector join."""
+    from ..functions.hashing import KNUTH, MOD32
+
+    spark = df.sparkSession
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
+    )
+    exploded = df.select(F.col(id_col), F.posexplode(q).alias("i", "__q"))
+    jf = spark.range(out_dim).select(F.col("id").cast("int").alias("j"))
+    flat_id = F.col("i").cast("long") * out_dim + F.col("j")
+    sign = (
+        F.when(
+            F.pmod(F.pmod(flat_id * F.lit(KNUTH), F.lit(MOD32)), F.lit(2)) == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+    )
+    return (
+        exploded.crossJoin(F.broadcast(jf))
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("__q") * sign).alias("y"))
+    )

@@ -787,3 +787,79 @@ def skipgram_negatives_weighted(
         .where((F.col("__draw") >= F.col("lo")) & (F.col("__draw") < F.col("hi")))
         .select(center_col, context_col, "j", F.col("node").alias("neg_id"))
     )
+
+
+def propagate_embeddings(
+    edges: DataFrame,
+    features: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    materialize: bool = True,
+) -> DataFrame:
+    """LightGCN-style embedding propagation over the UNDIRECTED graph
+    (edges symmetrized), in INTEGER feature units: per round
+
+        e'(v, d) = (sum over neighbors u of e(u, d)) div deg(v)
+
+    (mean-of-neighbors aggregation — no self-loop, no transform, no
+    nonlinearity: exactly LightGCN's design point, which showed the
+    propagation ALONE is the useful part), and the output combines
+    layers the way LightGCN does — the mean over e^0..e^rounds,
+    computed as an integer sum div (rounds + 1). ``features`` is a
+    LONG-FORM integer frame (node, dim, val) — long form keeps every
+    step a plain aggregate (no array zip), and integer units make
+    each round ONE truncating div per (node, dim), so any engine
+    replays the propagation bit-for-bit. LightGCN's symmetric
+    1/sqrt(deg_u * deg_v) normalization is irrational and therefore
+    NOT exactly replayable; the row-normalized (random-walk) variant
+    here is its standard exact-arithmetic stand-in — a documented
+    divergence, not an approximation bug.
+
+    Returns (node, dim, emb) for every node that has features, where
+    ``emb`` is the layer-combined integer embedding. A node keeps its
+    own e^0 contribution even if isolated (degree 0 simply propagates
+    nothing in or out).
+
+    Scale shape: per round ONE join of the feature table against the
+    edge list on the source key plus ONE groupBy(dst, dim) message
+    aggregation — the Pregel superstep, every shuffle keyed by node
+    id. The static symmetrized edge side is hash-partitioned and
+    checkpointed ONCE (``materialize``, same policy as
+    pagerank_quantized); each round's features checkpoint too, so
+    round k never replays rounds 1..k-1 (the O(L^2) -> O(L) lineage
+    move)."""
+    from ..plans.audit import checkpoint_partitioned
+
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    sym = fwd.union(rev).distinct()
+    if materialize:
+        sym = checkpoint_partitioned(sym.repartition("u"))
+    deg = sym.groupBy(F.col("v").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    cur = features.select("node", "dim", F.col("val").alias("e"))
+    acc = cur.select("node", "dim", F.col("e").alias("acc"))
+    for _ in range(rounds):
+        msgs = (
+            cur.join(sym, cur["node"] == sym["u"])
+            .groupBy(F.col("v").alias("node"), F.col("dim"))
+            .agg(F.sum("e").alias("__s"))
+        )
+        cur = msgs.join(deg, "node").select(
+            "node", "dim", F.expr("__s div __deg").alias("e")
+        )
+        if materialize:
+            cur = checkpoint_partitioned(cur.repartition("node"))
+        acc = (
+            acc.join(cur, ["node", "dim"], "left")
+            .select(
+                "node",
+                "dim",
+                (F.col("acc") + F.coalesce(F.col("e"), F.lit(0))).alias("acc"),
+            )
+        )
+    return acc.select(
+        "node", "dim", F.expr(f"acc div {rounds + 1}").alias("emb")
+    )

@@ -191,3 +191,68 @@ def sliding_window_samples(
             F.col("pos"),
         )
     )
+
+
+def session_sequences(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-session ordered item sequences — the training corpus for
+    session-based recommenders (GRU4Rec/SASRec-style next-item data),
+    and the sequence form of q20's session COUNTS: events split into
+    sessions at inactivity gaps > ``gap_seconds``, each session's
+    items pipe-joined in (ts, tiebreak) order — a TOTAL order, so
+    duplicate timestamps are deterministic. Returns (user, session_idx,
+    n_events, start_us, seq) with session_idx numbering each user's
+    sessions chronologically from 1.
+
+    Scale shape: ONE shuffle by user drives everything — the lag +
+    running-sum session numbering and the (user, session_idx)
+    aggregation all share the user partitioning; sequences build as
+    sorted struct arrays groupBy-side (bounded by session length, the
+    same bounded-array discipline as collect_history). Session LENGTH
+    is the lever to watch: a bot with one endless session makes one
+    fat row — cap upstream with last_n_events-style truncation if the
+    source allows it."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    marked = df.withColumn(
+        "__new",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > F.lit(int(gap_seconds) * 1_000_000)),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(user_col, F.col("__sid").alias("session_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(us).alias("start_us"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                us.alias("us"),
+                                F.col(tiebreak_col).alias("tb"),
+                                F.col(item_col).alias("it"),
+                            )
+                        )
+                    ),
+                    lambda s: s["it"],
+                ),
+                "|",
+            ).alias("seq"),
+        )
+        .select(user_col, "session_idx", "n_events", "start_us", "seq")
+    )

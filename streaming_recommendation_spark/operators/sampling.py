@@ -109,3 +109,100 @@ def negative_sample(
         .where(F.col("__rn") <= k_per_user)
         .drop("__u", "__rn")
     )
+
+
+def leave_last_out(
+    df: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    n_test: int = 1,
+) -> DataFrame:
+    """Leave-last-out evaluation split: each user's ``n_test`` most
+    recent rows (by ``order_cols`` descending — include a unique
+    tie-break column, making the order TOTAL and the split
+    deterministic) are 'test', the rest 'train' — the standard
+    offline-eval protocol for sequential/next-item recommenders
+    (train on history, predict the held-out last interaction).
+    Adds a ``split`` string column; one per-user window pass
+    (WindowGroupLimit-style ranking), never a max-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "split",
+            F.when(F.col("__rn") <= n_test, F.lit("test")).otherwise(
+                F.lit("train")
+            ),
+        )
+        .drop("__rn")
+    )
+
+
+def eval_negatives(
+    users: DataFrame,
+    items: DataFrame,
+    interactions: DataFrame,
+    k: int = 5,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Sampled-metrics evaluation negatives: for each user, ``k``
+    deterministic uniform draws from the item vocabulary, minus the
+    user's own interactions — the standard "score the held-out item
+    against N sampled negatives" offline-eval protocol (the sampled
+    HR@k/NDCG@k setup). Returns (user, j, neg_item) with <= k rows
+    per user: draws colliding with the user's history are DROPPED by
+    one anti-join (deterministic; re-drawing to exactly k would need
+    data-dependent iteration — the documented trade, standard in
+    published eval code).
+
+    Draws reuse the q151 Knuth recipe (hash of (user, j) mod |items|
+    through indexed_vocab's dense bijection — no RNG state, every
+    engine/retry draws identically). Scale: draws are a pure
+    expression over |users| x k exploded rows; the index join keys on
+    idx; the history exclusion is one (user, item) anti-join."""
+    from ..functions.hashing import KNUTH, MOD32
+    from .graph import indexed_vocab
+
+    two31 = 2147483648
+    vocab = items.select(F.col(item_col).alias("node")).distinct()
+    idx = indexed_vocab(vocab)
+    n_frame = idx.agg(F.count(F.lit(1)).alias("__n"))
+
+    def kh(col):
+        return F.pmod(F.pmod(col, F.lit(two31)) * F.lit(KNUTH), F.lit(MOD32))
+
+    drawn = (
+        users.select(F.col(user_col))
+        .distinct()
+        .crossJoin(F.broadcast(n_frame))
+        .select(
+            user_col,
+            "__n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
+        .withColumn(
+            "__draw",
+            F.pmod(
+                kh(
+                    F.pmod(
+                        kh(F.col(user_col)) + F.col("j") * F.lit(1000003) + F.lit(7),
+                        F.lit(two31),
+                    )
+                ),
+                F.col("__n"),
+            ),
+        )
+    )
+    negs = drawn.join(
+        idx.select(F.col("idx").alias("__draw"), F.col("node").alias("neg_item")),
+        "__draw",
+    ).select(user_col, "j", "neg_item")
+    hist = interactions.select(
+        F.col(user_col), F.col(item_col).alias("neg_item")
+    ).distinct()
+    return negs.join(hist, [user_col, "neg_item"], "left_anti")

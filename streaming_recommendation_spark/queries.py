@@ -4064,18 +4064,34 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # that rounds 5 and 6 both deferred). Steady-state policy: lead with
 # queries new this round, then the rows whose last EXTERNAL
 # driver-verified green is oldest. This round the 50-entry gate =
-# the 14 queries new this round (q137-q150) + the ENTIRE
-# round-3-stale cohort (q60-q64, q74-q84, q87-q104 incl. q94b — 35
-# rows whose newest external green is round 3) + q105 (the
-# registration-oldest round-4 row); verified ZERO overlap with
-# CORRECTNESS_r06's key set. The remaining round-4 rows (q106-q129)
-# rotate in next round, reaching the steady state where no query's
-# newest external green is older than 2 rounds. New queries
-# registered this round are inserted at the HEAD of this list at
-# their registration site; the gate takes the first 50, so the tail
-# entries here are the first to yield their slot.
+# the 33 queries new this round (q137-q169) + the first 17 rows of
+# the round-3-stale cohort (newest external green round 3); verified
+# ZERO overlap with CORRECTNESS_r06's key set. The r3 rows past slot
+# 50 (q92-q104 plus the 5 the round-6 judge already independently
+# re-checked green: q60, q62, q74, q78, q84 — deliberately ordered
+# last) rotate next round together with the round-4 cohort
+# (q105-q129). With the registry at 169 and 50 external slots per
+# round, the structural staleness floor is ~3 rounds even with zero
+# new queries; the per-wave 169-query SELFCHECK (same compare logic,
+# sf0.01) is the internal evidence that bridges the gap. New queries registered this
+# round are inserted at the HEAD of this list at their registration
+# site; the gate takes the first 50, so the tail entries here are
+# the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
+    "q167_leave_last_out_split",
+    "q168_eval_sampled_negatives",
+    "q169_random_projection",
+    "q164_streaming_target_encode_twin",
+    "q165_session_sequences",
+    "q166_embedding_covariance",
+    "q161_feature_hashing",
+    "q162_target_encoding",
+    "q163_lightgcn_propagation",
+    "q157_funnel_conversion",
+    "q158_cohort_retention",
+    "q159_event_transitions",
+    "q160_streaming_funnel_twin",
     "q144_association_rules",
     "q145_bfs_distances",
     "q146_skipgram_pairs",
@@ -7142,4 +7158,609 @@ def q153_rolling_dense_stats(spark, sf_dir):
         "bucket_start",
         "value",
         window_rows=24,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: funnel / retention / transitions (q157-q160)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+    WITH m AS (
+      SELECT user_id,
+             min(ts) FILTER (event_type = 'view')     AS t1,
+             min(ts) FILTER (event_type = 'click')    AS t2,
+             min(ts) FILTER (event_type = 'purchase') AS t3
+      FROM events GROUP BY user_id
+    ), r AS (
+      SELECT
+        count(*) FILTER (t1 IS NOT NULL) AS u1,
+        count(*) FILTER (t1 IS NOT NULL AND t2 IS NOT NULL
+                         AND t2 >= t1
+                         AND epoch_us(t2) - epoch_us(t1) <= 86400000000)
+          AS u2,
+        count(*) FILTER (t1 IS NOT NULL AND t2 IS NOT NULL
+                         AND t2 >= t1
+                         AND epoch_us(t2) - epoch_us(t1) <= 86400000000
+                         AND t3 IS NOT NULL AND t3 >= t2
+                         AND epoch_us(t3) - epoch_us(t2) <= 86400000000)
+          AS u3
+      FROM m
+    )
+    SELECT 'view' AS stage, 1 AS stage_idx, u1 AS users,
+           1.0 AS conv_from_prev
+    FROM r
+    UNION ALL
+    SELECT 'click', 2, u2,
+           CASE WHEN u1 > 0 THEN CAST(u2 AS DOUBLE) / u1 END
+    FROM r
+    UNION ALL
+    SELECT 'purchase', 3, u3,
+           CASE WHEN u2 > 0 THEN CAST(u3 AS DOUBLE) / u2 END
+    FROM r
+    """
+
+
+@register(
+    "q157_funnel_conversion",
+    _FUNNEL_SQL,
+    doc="Conversion funnel view -> click -> purchase under strict "
+    "order-of-firsts semantics with a 24h per-step window "
+    "(operators/funnel.py::funnel_counts): a user reaches stage k iff "
+    "every stage's FIRST occurrence is ordered and each consecutive "
+    "gap is <= 24h (inclusive). The definition is deliberately a "
+    "function of per-(user, stage) MIN timestamps only, which makes "
+    "the state elementwise-min-mergeable — the property the q160 "
+    "streaming twin rides. Non-degenerate at sf0.01: 150 -> 35 -> 13. "
+    "Exactness: integer epoch-microsecond comparisons; conversion "
+    "ratios are ONE IEEE division of exact counts. Scale: events "
+    "reduce map-side to <= |stages| rows/user before the one "
+    "groupBy(user) shuffle; the only single-partition work is the "
+    "|stages|-wide totals row.",
+    tags=("funnel", "agg"),
+)
+def q157_funnel_conversion(spark, sf_dir):
+    from .operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev, ["view", "click", "purchase"], step_window_seconds=86400
+    )
+
+
+@register(
+    "q158_cohort_retention",
+    """
+    WITH a AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, min(wk) AS cohort FROM a GROUP BY user_id
+    )
+    SELECT c.cohort,
+           CAST((epoch_us(a.wk) - epoch_us(c.cohort)) // 604800000000
+                AS INT) AS week_offset,
+           count(*) AS users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Weekly cohort retention on purchase activity "
+    "(operators/funnel.py::cohort_retention): cohort = Monday-"
+    "truncated week of each user's first purchase; users counted "
+    "distinct per (cohort, week_offset). Offsets are exact integer "
+    "division of epoch microseconds of week-truncated timestamps "
+    "(both Monday-aligned), sidestepping engine-specific week-diff "
+    "semantics — DuckDB's date_trunc('week') returns DATE, so the "
+    "oracle casts back to TIMESTAMP for value parity. Scale: the "
+    "distinct (user, week) reduction runs FIRST; min-per-user and "
+    "the activity join then reuse the same user_id partitioning.",
+    tags=("funnel", "agg"),
+)
+def q158_cohort_retention(spark, sf_dir):
+    from .operators.funnel import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), "purchase")
+
+
+@register(
+    "q159_event_transitions",
+    """
+    WITH o AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), p AS (
+      SELECT a.event_type AS from_type, b.event_type AS to_type,
+             count(*) AS cnt
+      FROM o a JOIN o b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_type)
+             AS prob
+    FROM p
+    """,
+    doc="First-order Markov transition matrix over each user's WHOLE "
+    "timeline (operators/funnel.py::transition_counts) — the "
+    "GLOBAL-adjacency complement of q128, which counts only "
+    "WITHIN-SESSION pairs: here cross-gap transitions count (the "
+    "'what do users do next, ever' prior vs q128's 'what happens "
+    "next within a session'), so the pair universes genuinely "
+    "differ; the operator form is the reusable piece (q128 is an "
+    "inline plan). Adjacency is ordered by (ts, event_id), a TOTAL "
+    "order; prob is row-stochastic, ONE IEEE division of exact "
+    "int64 counts. Spark forms pairs with a per-user lead() window "
+    "pass; the oracle independently re-derives them via row_number "
+    "+ self-join on rn+1. Scale: never a sequence self-join "
+    "engine-side; the normalizing window runs over the |types|^2 "
+    "aggregate, not the events.",
+    tags=("funnel", "window"),
+)
+def q159_event_transitions(spark, sf_dir):
+    from .operators.funnel import transition_counts
+
+    return transition_counts(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "q160_streaming_funnel_twin",
+    _FUNNEL_SQL,
+    doc="Streaming funnel twin (streaming/funnel.py::FunnelStream): "
+    "events split at 2024-01-15 fold through the SAME stage_firsts + "
+    "merge_firsts operators ingest_batch runs — deliberately folding "
+    "the LATER half FIRST — and the funnel_reach read over the "
+    "merged state must equal q157's one-shot answer bit-for-bit "
+    "(oracle = q157's SQL verbatim). The elementwise-min merge is "
+    "commutative/associative/idempotent, so ANY batch split, arrival "
+    "order, or redelivery folds to the one-shot state — why this "
+    "stream needs NO frontier guard (contrast itemcf/SCD2); the "
+    "reversed fold pins that claim externally. Disk/stream legs "
+    "(versioned per-bucket state, retry idempotence, out-of-order "
+    "ingest, end-to-end checkpointed stream) are pinned in "
+    "tests/test_streaming_funnel.py.",
+    tags=("funnel", "streaming-twin"),
+)
+def q160_streaming_funnel_twin(spark, sf_dir):
+    from .operators.funnel import funnel_reach, merge_firsts, stage_firsts
+
+    stages = ["view", "click", "purchase"]
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    early = ev.where(F.col("ts") < cut)
+    late = ev.where(F.col("ts") >= cut)
+    # later half folds FIRST: the merge's commutativity is the
+    # out-of-order-safety claim, pinned here in the external gate
+    merged = merge_firsts(
+        stage_firsts(late, stages), stage_firsts(early, stages)
+    )
+    return funnel_reach(merged, stages, step_window_seconds=86400)
+
+
+# ---------------------------------------------------------------------------
+# Feature engineering for training matrices (q161-q163)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q161_feature_hashing",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+               AS w
+      FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+      FROM tok WHERE w <> ''
+    ), s AS (
+      SELECT doc_id, CAST(h % 256 AS INT) AS slot,
+             CASE WHEN (h // 256) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      FROM h
+    )
+    SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS value
+    FROM s GROUP BY 1, 2 HAVING sum(sgn) <> 0
+    """,
+    doc="Hashing-trick bag-of-words (operators/features.py::"
+    "feature_hash, 256 slots): sparse (doc, slot, signed-count) "
+    "training matrix with NO fitted vocabulary — the property that "
+    "matters at 100 TB (nothing to build, broadcast, or version; "
+    "Vowpal-Wabbit / HashingVectorizer). Slot and sign derive from "
+    "the SAME md5-prefix word hash the q32 fingerprints use "
+    "(cross-engine stable); the sign bit (Weinberger et al.) makes "
+    "collisions cancel in expectation; signed counts are exact int64 "
+    "sums and exact-zero cancellations drop (in sparse form a zero "
+    "is indistinguishable from absent). Scale: explode + one "
+    "groupBy(doc, slot) with map-side partials — tokens reduce to "
+    "<= 256 rows per doc before the shuffle.",
+    tags=("features", "text"),
+)
+def q161_feature_hashing(spark, sf_dir):
+    from .operators.features import feature_hash
+
+    return feature_hash(_t(spark, sf_dir, "documents"), n_features=256)
+
+
+@register(
+    "q162_target_encoding",
+    """
+    WITH pc AS (
+      SELECT o_custkey, count(*) AS cnt,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS pos
+      FROM orders GROUP BY 1
+    ), g AS (
+      SELECT sum(cnt) AS g_cnt, sum(pos) AS g_pos FROM pc
+    )
+    SELECT o_custkey, CAST(cnt AS BIGINT) AS cnt, CAST(pos AS BIGINT) AS pos,
+           CAST(pos * g_cnt + 100 * g_pos AS DOUBLE)
+             / (g_cnt * (cnt + 100)) AS enc
+    FROM pc, g
+    """,
+    doc="Smoothed target encoding (operators/features.py::"
+    "target_encode, m=100): per-customer fulfilled-order rate shrunk "
+    "toward the global rate by 100 pseudo-observations — the "
+    "CatBoost-style category statistic, emitted as the lookup table "
+    "it exists to be (the broadcast side of the feature join that "
+    "follows). Exactness: the textbook (pos + m*prior)/(cnt + m) is "
+    "rewritten over a common denominator as (pos*g_cnt + m*g_pos) / "
+    "(g_cnt*(cnt + m)) — every operand an exact int64 product, ONE "
+    "IEEE division total, no float prior ever materialized. Scale: "
+    "one groupBy(category) with map-side partials; the global totals "
+    "are the only cross join (broadcast singleton).",
+    tags=("features", "agg"),
+)
+def q162_target_encoding(spark, sf_dir):
+    from .operators.features import target_encode
+
+    return target_encode(
+        _t(spark, sf_dir, "orders"),
+        "o_custkey",
+        F.col("o_orderstatus") == "F",
+        smoothing=100,
+    )
+
+
+@register(
+    "q163_lightgcn_propagation",
+    """
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS u, l_partkey * 2 + 1 AS v
+      FROM lineitem
+    ), sym AS (
+      SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0
+    ), deg AS (
+      SELECT v AS node, count(*) AS deg FROM sym GROUP BY 1
+    ), nodes AS (
+      SELECT DISTINCT u AS node FROM sym
+    ), f0 AS (
+      SELECT node, dim,
+             ((node * 8 + dim) * 2654435761) % 4294967296 % 1048576 AS e
+      FROM nodes, (SELECT unnest(generate_series(0, 7)) AS dim) d
+    ), m1 AS (
+      SELECT s.v AS node, f.dim, sum(f.e) AS s
+      FROM f0 f JOIN sym s ON f.node = s.u GROUP BY 1, 2
+    ), e1 AS (
+      SELECT m1.node, m1.dim, m1.s // d.deg AS e
+      FROM m1 JOIN deg d ON m1.node = d.node
+    ), m2 AS (
+      SELECT s.v AS node, f.dim, sum(f.e) AS s
+      FROM e1 f JOIN sym s ON f.node = s.u GROUP BY 1, 2
+    ), e2 AS (
+      SELECT m2.node, m2.dim, m2.s // d.deg AS e
+      FROM m2 JOIN deg d ON m2.node = d.node
+    )
+    SELECT f0.node, CAST(f0.dim AS BIGINT) AS dim,
+           CAST((f0.e + coalesce(e1.e, 0) + coalesce(e2.e, 0)) // 3
+                AS BIGINT) AS emb
+    FROM f0
+    LEFT JOIN e1 USING (node, dim)
+    LEFT JOIN e2 USING (node, dim)
+    """,
+    doc="LightGCN-style embedding propagation (operators/graph.py::"
+    "propagate_embeddings, 2 layers) over the symmetrized supplier-"
+    "part graph: e'(v,d) = (sum of neighbor e(u,d)) div deg(v), "
+    "output = integer mean of layers e0..e2 — LightGCN's no-"
+    "transform, no-nonlinearity design point (propagation alone), "
+    "the GNN-smoothing feature pass the reference's LightGCN leg "
+    "consumes. Initial features are Knuth-hash integers in [0, 2^20) "
+    "per (node, dim), dim = 8. Exactness: every step is integer "
+    "sum + ONE truncating div per (node, dim) — LightGCN's "
+    "1/sqrt(deg_u*deg_v) norm is irrational, so the row-normalized "
+    "random-walk variant stands in (documented divergence). Scale: "
+    "per round one node-keyed join + one groupBy(dst, dim) — the "
+    "Pregel superstep; static edges hash-partitioned + checkpointed "
+    "once, per-round feature checkpoints truncate lineage.",
+    tags=("graph", "features", "iterative"),
+)
+def q163_lightgcn_propagation(spark, sf_dir):
+    from .operators.graph import propagate_embeddings
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    feats = nodes.select(
+        "node", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("dim")
+    ).select(
+        "node",
+        F.col("dim").cast("long").alias("dim"),
+        (
+            ((F.col("node") * 8 + F.col("dim")) * F.lit(KNUTH))
+            % F.lit(MOD32)
+            % F.lit(1048576)
+        ).alias("val"),
+    )
+    return propagate_embeddings(edges, feats, rounds=2)
+
+
+@register(
+    "q164_streaming_target_encode_twin",
+    _REGISTRY["q162_target_encoding"].oracle,
+    doc="Streaming target-encoding twin (streaming/encode.py::"
+    "TargetEncodeStream): orders split by o_orderkey parity fold "
+    "through the SAME category_counts + merge_category_counts "
+    "operators ingest_batch runs, and the encode_from_counts read "
+    "over the merged state must equal q162's one-shot answer "
+    "bit-for-bit (oracle = q162's SQL verbatim). The per-category "
+    "SUM is associative/commutative (any batch split folds exactly) "
+    "but NOT idempotent — duplicate EVENT delivery double-counts, "
+    "the standard additive contract; same-batch retries are safe via "
+    "the versioned state layer exactly as the CMS sketch argues. "
+    "Disk/stream legs (retry idempotence, multi-batch carry, "
+    "end-to-end checkpointed stream) are pinned in "
+    "tests/test_streaming_encode.py.",
+    tags=("features", "agg", "streaming-twin"),
+)
+def q164_streaming_target_encode_twin(spark, sf_dir):
+    from .operators.features import (
+        category_counts,
+        encode_from_counts,
+        merge_category_counts,
+    )
+
+    od = _t(spark, sf_dir, "orders")
+    tgt = F.col("o_orderstatus") == "F"
+    a = od.where(F.col("o_orderkey") % 2 == 0)
+    b = od.where(F.col("o_orderkey") % 2 == 1)
+    merged = merge_category_counts(
+        category_counts(a, "o_custkey", tgt),
+        category_counts(b, "o_custkey", tgt),
+        "o_custkey",
+    )
+    return encode_from_counts(merged, "o_custkey", smoothing=100)
+
+
+@register(
+    "q165_session_sequences",
+    """
+    WITH m AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, event_type, us,
+             CAST(sum(new_s) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+      FROM m
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(us) AS start_us,
+           string_agg(event_type, '|' ORDER BY us, event_id) AS seq
+    FROM s GROUP BY 1, 2
+    """,
+    doc="Per-session ordered event sequences (operators/history.py::"
+    "session_sequences, 30-min inactivity gap) — the training corpus "
+    "for session-based next-item recommenders (GRU4Rec/SASRec data "
+    "prep) and the sequence form of q20's session counts. Sequences "
+    "pipe-join in (ts, event_id) order — a TOTAL order, so duplicate "
+    "timestamps are deterministic; timestamps compare as integer "
+    "epoch microseconds. Scale: ONE user shuffle drives the lag, the "
+    "running-sum session numbering, and the (user, session) "
+    "aggregation; sequences build as bounded sorted arrays "
+    "groupBy-side (the collect_history discipline), never a "
+    "sequence self-join.",
+    tags=("window", "recsys", "agg"),
+)
+def q165_session_sequences(spark, sf_dir):
+    from .operators.history import session_sequences
+
+    return session_sequences(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+@register(
+    "q166_embedding_covariance",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qe
+      FROM embeddings
+    ), x AS (
+      SELECT vec_id, generate_subscripts(qe, 1) - 1 AS i, unnest(qe) AS v
+      FROM q
+    ), p AS (
+      SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy
+      FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2
+    ), mg AS (
+      SELECT i, sum(v) AS s FROM x GROUP BY i
+    ), nn AS (SELECT count(*) AS n FROM q)
+    SELECT p.i, p.j,
+           CAST(sxy AS DOUBLE) / n
+             - (CAST(si.s AS DOUBLE) / n) * (CAST(sj.s AS DOUBLE) / n)
+             AS cov
+    FROM p JOIN mg si ON p.i = si.i JOIN mg sj ON p.j = sj.i, nn
+    """,
+    doc="Exact covariance matrix of the embedding corpus "
+    "(operators/features.py::embedding_covariance) — the PCA/"
+    "whitening prep pass (dxd gram statistics). Embeddings quantize "
+    "to integer units q = round(x*4096) (the q88 half-away-from-zero "
+    "round); S_ij / S_i sums are exact int64 (integer addition "
+    "reassociates freely — THE reason to quantize: float sums "
+    "diverge across engines); cov = S_ij/n - (S_i/n)(S_j/n) in "
+    "double, an identical IEEE tree both engines replay. Scale: each "
+    "row expands its d^2 outer-product terms JVM-SIDE (nested "
+    "transform + flatten — the oracle instead self-joins the "
+    "unnested form: independent algorithm); map-side partials reduce "
+    "every partition to d^2 rows before the ONE shuffle, so message "
+    "volume is partitions x d^2, independent of row count.",
+    tags=("features", "vector", "agg"),
+)
+def q166_embedding_covariance(spark, sf_dir):
+    from .operators.features import embedding_covariance
+
+    return embedding_covariance(
+        _t(spark, sf_dir, "embeddings"), "embedding", scale=4096
+    )
+
+
+@register(
+    "q167_leave_last_out_split",
+    """
+    SELECT user_id, event_id,
+           CASE WHEN rn <= 1 THEN 'test' ELSE 'train' END AS split
+    FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    """,
+    doc="Leave-last-out evaluation split (operators/sampling.py::"
+    "leave_last_out): each user's most recent event (by (ts, "
+    "event_id) descending — a TOTAL order, so the held-out row is "
+    "deterministic) marks 'test', the rest 'train' — the standard "
+    "offline-eval protocol for sequential/next-item recommenders. "
+    "One per-user window pass; never a max-join. Completes the eval "
+    "prep story alongside the hash splits (q16/SA1) which are "
+    "user-level, not time-aware.",
+    tags=("sampling", "window", "recsys"),
+)
+def q167_leave_last_out_split(spark, sf_dir):
+    from .operators.sampling import leave_last_out
+
+    return leave_last_out(_t(spark, sf_dir, "events")).select(
+        "user_id", "event_id", "split"
+    )
+
+
+@register(
+    "q168_eval_sampled_negatives",
+    """
+    WITH vocab AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+    vb AS (
+      SELECT node,
+             ((node % 2147483648) * 2654435761) % 4294967296 % 64 AS b
+      FROM vocab
+    ), vcnt AS (
+      SELECT b, count(*) AS c FROM vb GROUP BY b
+    ), voff AS (
+      SELECT b, coalesce(sum(c) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM vcnt
+    ), vidx AS (
+      SELECT vb.node,
+             voff.off + row_number() OVER (PARTITION BY vb.b
+                                           ORDER BY vb.node) - 1 AS idx
+      FROM vb JOIN voff ON vb.b = voff.b
+    ), nn AS (SELECT count(*) AS n FROM vocab),
+    u AS (SELECT DISTINCT o_custkey FROM orders),
+    draws AS (
+      SELECT o_custkey, j,
+             (((((((o_custkey % 2147483648) * 2654435761) % 4294967296)
+                 + j * 1000003 + 7) % 2147483648)
+               * 2654435761) % 4294967296) % (SELECT n FROM nn) AS draw
+      FROM u, (SELECT unnest(generate_series(1, 5)) AS j) js
+    ), negs AS (
+      SELECT d.o_custkey, d.j, v.node AS neg_item
+      FROM draws d JOIN vidx v ON d.draw = v.idx
+    ), hist AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT n.o_custkey, n.j, n.neg_item
+    FROM negs n
+    LEFT JOIN hist h
+      ON n.o_custkey = h.o_custkey AND n.neg_item = h.l_partkey
+    WHERE h.o_custkey IS NULL
+    """,
+    doc="Sampled-metrics evaluation negatives (operators/sampling.py"
+    "::eval_negatives, k=5): for every customer, 5 deterministic "
+    "uniform part draws minus the customer's own purchase history — "
+    "the 'score the held-out item against N sampled negatives' "
+    "offline-eval protocol (sampled HR@k/NDCG@k). Draws reuse the "
+    "q151 Knuth recipe through indexed_vocab's dense bijection (no "
+    "global sort, no RNG state); history collisions DROP via one "
+    "anti-join (<= k rows per user — deterministic; re-drawing to "
+    "exactly k would need data-dependent iteration, the documented "
+    "trade). Scale: |users| x k exploded draw rows, an idx-keyed "
+    "index join, one (user, item) anti-join.",
+    tags=("sampling", "recsys"),
+)
+def q168_eval_sampled_negatives(spark, sf_dir):
+    from .operators.sampling import eval_negatives
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    users = od.select(F.col("o_custkey"))
+    items = li.select(F.col("l_partkey").alias("item_id"))
+    interactions = od.join(
+        li, od["o_orderkey"] == li["l_orderkey"]
+    ).select(F.col("o_custkey"), F.col("l_partkey").alias("item_id"))
+    return eval_negatives(
+        users, items, interactions, k=5, user_col="o_custkey"
+    )
+
+
+@register(
+    "q169_random_projection",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS qe
+      FROM embeddings
+    ), x AS (
+      SELECT vec_id, generate_subscripts(qe, 1) - 1 AS i, unnest(qe) AS v
+      FROM q
+    ), s AS (
+      SELECT fid // 16 AS i, fid % 16 AS j,
+             CASE WHEN ((fid * 2654435761) % 4294967296) % 2 = 0
+                  THEN 1 ELSE -1 END AS sg
+      FROM (SELECT unnest(generate_series(0, 64 * 16 - 1)) AS fid)
+    )
+    SELECT x.vec_id, CAST(s.j AS INT) AS j,
+           CAST(sum(x.v * s.sg) AS BIGINT) AS y
+    FROM x JOIN s ON x.i = s.i GROUP BY 1, 2
+    """,
+    doc="Johnson-Lindenstrauss random projection 64 -> 16 "
+    "(operators/features.py::random_projection): y_j = sum_i q_i * "
+    "s_ij with q = round(x*4096) integer units (q88 round) and the "
+    "Achlioptas +-1 sign matrix GENERATED from a Knuth hash of the "
+    "flat index — no stored random state, so engines/retries/the "
+    "oracle regenerate the identical matrix. Unlike SRP-LSH (q45) "
+    "the magnitudes survive: this is a real lower-dimensional "
+    "feature, not a sign bucket. Exact int64 sums throughout. "
+    "Scale: corpus explodes once; the sign matrix broadcasts as a "
+    "generated d x 16 frame (ships d*16 rows at ANY corpus size); "
+    "one groupBy(id, j) with map-side partials re-assembles.",
+    tags=("features", "vector"),
+)
+def q169_random_projection(spark, sf_dir):
+    from .operators.features import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=16, scale=4096
     )

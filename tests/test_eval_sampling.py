@@ -1,0 +1,59 @@
+"""Eval-protocol sampling (operators/sampling.py): leave-last-out
+split determinism and sampled-negative draws (uniform, deterministic,
+history-excluded)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from streaming_recommendation_spark.operators.sampling import (
+    eval_negatives,
+    leave_last_out,
+)
+
+
+def test_leave_last_out_marks_latest_per_user(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0),
+        (1, 2, t0 + dt.timedelta(hours=1)),
+        # user 2: two events at the SAME ts -> event_id breaks the tie
+        (2, 3, t0),
+        (2, 4, t0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp")
+    got = {r.event_id: r.split for r in leave_last_out(df).collect()}
+    assert got == {1: "train", 2: "test", 3: "train", 4: "test"}
+
+
+def test_leave_last_out_n_test_2_and_short_history(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, i, t0 + dt.timedelta(hours=i)) for i in range(3)] + [(2, 9, t0)]
+    df = spark.createDataFrame(rows, "user_id bigint, event_id bigint, ts timestamp")
+    got = {r.event_id: r.split for r in leave_last_out(df, n_test=2).collect()}
+    # user 1 keeps its 2 latest as test; user 2's ONLY event is test
+    assert got == {0: "train", 1: "test", 2: "test", 9: "test"}
+
+
+def test_eval_negatives_deterministic_and_history_excluded(spark):
+    users = spark.createDataFrame([(1,), (2,)], "user_id bigint")
+    items = spark.createDataFrame([(i,) for i in range(10)], "item_id bigint")
+    inter = spark.createDataFrame(
+        [(1, i) for i in range(10)], "user_id bigint, item_id bigint"
+    )  # user 1 interacted with EVERYTHING -> zero negatives survive
+    got = eval_negatives(users, items, inter, k=4).collect()
+    assert {r.user_id for r in got} == {2}
+    assert all(0 <= r.neg_item < 10 for r in got)
+    assert len(got) <= 4
+    # deterministic: a second run draws identically
+    again = eval_negatives(users, items, inter, k=4).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_eval_negatives_draws_are_k_per_user_without_history(spark):
+    users = spark.createDataFrame([(7,)], "user_id bigint")
+    items = spark.createDataFrame([(i,) for i in range(100)], "item_id bigint")
+    inter = spark.createDataFrame([], "user_id bigint, item_id bigint")
+    got = eval_negatives(users, items, inter, k=6).collect()
+    # no history: every draw survives; j covers 1..6
+    assert sorted(r.j for r in got) == [1, 2, 3, 4, 5, 6]

@@ -905,3 +905,139 @@ def test_q156_triplets_broadcast_corpus_shape(run):
     a = run("q156_contrastive_triplets")
     assert "CartesianProduct" not in a["plan"]
     assert a["n_broadcast_joins"] >= 1
+
+
+def test_q157_funnel_no_joins(run):
+    """The funnel is pure aggregation: stage_firsts' groupBy(user),
+    the pivot groupBy(user) (same key — AQE can keep the layout), and
+    the single-row totals — no join of any kind touches the events."""
+    a = run("q157_funnel_conversion")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q158_retention_no_cartesian(run):
+    a = run("q158_cohort_retention")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q159_transitions_single_window_pass(run):
+    """Pairs form in ONE per-user window pass (lead) — the plan must
+    not contain a sequence self-join; the row-normalizing window runs
+    over the tiny aggregate."""
+    a = run("q159_event_transitions")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q160_funnel_twin_no_joins(run):
+    a = run("q160_streaming_funnel_twin")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q161_feature_hash_no_joins(run):
+    """The hashing trick builds NO vocabulary: the plan is scan +
+    explode + one aggregate — no join, no dictionary broadcast."""
+    a = run("q161_feature_hashing")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q162_target_encode_singleton_broadcast_only(run):
+    """The global-totals singleton is the only nested-loop join; the
+    category aggregate is the only real shuffle consumer."""
+    a = run("q162_target_encoding")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q163_propagation_no_cartesian(run):
+    """Each propagation round is a node-keyed equi join + aggregate —
+    never a cartesian; checkpointed layers keep the plan flat."""
+    a = run("q163_lightgcn_propagation")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q164_encode_twin_singleton_broadcast_only(run):
+    a = run("q164_streaming_target_encode_twin")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1  # the global-totals singleton
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q165_sessions_no_joins(run):
+    """Sessionization + sequence collection all ride ONE user shuffle:
+    no join of any kind touches the events."""
+    a = run("q165_session_sequences")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q166_covariance_broadcast_marginals(run):
+    """The d^2 pair sums join the d-row marginals and the n singleton
+    as BROADCASTS — the corpus-sized side never re-shuffles; the
+    outer-product expansion is JVM-side (no self-join)."""
+    a = run("q166_embedding_covariance")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1  # the n singleton
+    assert a["n_broadcast_joins"] >= 2
+    assert a["n_sortmerge_joins"] == 0
+
+
+def test_q167_split_single_window_pass(run):
+    a = run("q167_leave_last_out_split")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"]
+        == 0
+    )
+
+
+def test_q168_negatives_no_global_sort(run):
+    """indexed_vocab's bounded-bucket ranking must never
+    single-partition the VOCABULARY (the global row_number
+    scale-killer). The only SinglePartition exchanges allowed are the
+    two broadcast-size frames: the <= 64-row bucket-offsets window
+    and the |vocab| singleton aggregate; the singleton is also the
+    only BNL."""
+    a = run("q168_eval_sampled_negatives")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1
+    assert a["plan"].count("SinglePartition") <= 2
+
+
+def test_q169_projection_broadcast_fanout_only(run):
+    """Signs compute inline from the flat index — no sign matrix is
+    materialized or joined; the only join of any kind is the
+    broadcast out_dim-row j fan-out (a BNL of 16 rows at any corpus
+    size), and the corpus never re-shuffles before the (id, j)
+    aggregation."""
+    a = run("q169_random_projection")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 1
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
