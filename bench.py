@@ -198,6 +198,8 @@ HEADLINE = [
     "q167_leave_last_out_split",
     "q168_eval_sampled_negatives",
     "q169_random_projection",
+    # FK-edge data-quality profile
+    "q170_fk_profile",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

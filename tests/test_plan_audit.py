@@ -1041,3 +1041,13 @@ def test_q169_projection_broadcast_fanout_only(run):
     assert "CartesianProduct" not in a["plan"]
     assert a["bnl_joins"] <= 1
     assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+
+
+def test_q170_fk_profile_prereduces_children(run):
+    """Every edge reduces the child to per-FK counts BEFORE joining
+    the parent (the join ships |distinct fk| rows, not |child|) and
+    parent totals ride as broadcast singletons — no cartesian, BNLs
+    only for the four 1-row totals."""
+    a = run("q170_fk_profile")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 4

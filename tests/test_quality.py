@@ -1,0 +1,55 @@
+"""FK-edge profiling (operators/quality.py): orphan detection on a
+frame that HAS orphans (clean testdata can't exercise the counting),
+NULL-FK convention, and coverage arithmetic."""
+
+from __future__ import annotations
+
+from streaming_recommendation_spark.operators.quality import (
+    fk_profile,
+    fk_profile_suite,
+)
+
+
+def test_fk_profile_counts_orphans_and_coverage(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, 99), (6, None)],
+        "row_id bigint, fk bigint",
+    )
+    parent = spark.createDataFrame(
+        [(10,), (20,), (30,)], "pk bigint"
+    )  # 30 never referenced; 99 and NULL are orphans
+    r = fk_profile(child, "fk", parent, "pk", "child.fk->parent.pk").collect()[0]
+    assert r.edge == "child.fk->parent.pk"
+    assert r.child_rows == 6
+    assert r.distinct_fk == 4  # 10, 20, 99, NULL
+    assert r.orphan_rows == 3  # two 99s + one NULL
+    assert r.orphan_keys == 2  # 99 and NULL
+    assert r.parents == 3
+    assert r.coverage == 2 / 3  # 10 and 20 referenced, 30 not
+
+
+def test_fk_profile_suite_unions_edges(spark):
+    c = spark.createDataFrame([(1, 1)], "row_id bigint, fk bigint")
+    p = spark.createDataFrame([(1,)], "pk bigint")
+    got = {r.edge for r in fk_profile_suite(
+        [(c, "fk", p, "pk", "a"), (c, "fk", p, "pk", "b")]
+    ).collect()}
+    assert got == {"a", "b"}
+
+
+def test_fk_profile_testdata_coverage_discriminates(spark):
+    """On the synthetic TPC-H-ish data the orders edge must show
+    genuine under-coverage (orders with no lineitems exist) while
+    the part edge is fully covered — the non-degeneracy pin for
+    q170: coverage discriminates between edges even on orphan-free
+    data."""
+    from streaming_recommendation_spark.queries import registry
+
+    from .conftest import SF_DIR
+
+    rows = {r.edge: r for r in registry()["q170_fk_profile"].fn(spark, SF_DIR).collect()}
+    okey = rows["lineitem.l_orderkey->orders.o_orderkey"]
+    part = rows["lineitem.l_partkey->part.p_partkey"]
+    assert 0 < okey.coverage < 1
+    assert part.coverage == 1.0
+    assert all(r.orphan_rows == 0 for r in rows.values())
