@@ -200,6 +200,8 @@ HEADLINE = [
     "q169_random_projection",
     # FK-edge data-quality profile
     "q170_fk_profile",
+    # rolling z-score anomaly flags over the dense series
+    "q171_rolling_anomalies",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -210,3 +210,61 @@ def rolling_stats(
         ).alias("moving_avg"),
         F.max(value_col).over(w).alias("moving_max"),
     )
+
+
+def rolling_anomalies(
+    dense: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    window_rows: int = 24,
+    k_sigma: int = 2,
+    min_baseline: int = 12,
+    cents_scale: int = 100,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over a DENSE series (gap_fill_locf
+    output): a point is anomalous when it deviates more than
+    ``k_sigma`` standard deviations from the STRICTLY PRECEDING
+    ``window_rows``-row window (the point never contaminates its own
+    baseline — frame [-window, -1]). Points with fewer than
+    ``min_baseline`` preceding rows are never flagged (cold start).
+
+    Exactness — no sqrt, no float variance: with integer cents
+    c = round(value * cents_scale), baseline sums s1 = sum(c),
+    s2 = sum(c^2) over n rows, the test |c - mean| > k * std is
+    cross-multiplied into the INTEGER comparison
+
+        (n*c - s1)^2  >  k^2 * (n*s2 - s1^2)
+
+    (both sides scaled by n^2; var >= 0 by Cauchy-Schwarz). Every
+    operand is an exact int64, so engines agree bit-for-bit — the
+    sqrt that makes naive z-scores irrational never happens. A
+    zero-variance baseline flags ANY deviation (strict >), which is
+    exactly right on LOCF-carried flats.
+
+    Returns (key, bucket, value, n_baseline, is_anomaly). Scale: one
+    per-key window pass over the dense series, O(window) state, no
+    self-join — composes with rolling_stats on the same sort."""
+    c = F.round(F.col(value_col) * cents_scale, 0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(-window_rows, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum(c).over(w)
+    s2 = F.sum(c * c).over(w)
+    dev = n * c - s1
+    var_n2 = n * s2 - s1 * s1
+    return dense.select(
+        key_col,
+        bucket_col,
+        value_col,
+        F.coalesce(n, F.lit(0)).alias("n_baseline"),
+        F.when(
+            (n >= min_baseline) & (dev * dev > F.lit(k_sigma * k_sigma) * var_n2),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -4064,21 +4064,22 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # that rounds 5 and 6 both deferred). Steady-state policy: lead with
 # queries new this round, then the rows whose last EXTERNAL
 # driver-verified green is oldest. This round the 50-entry gate =
-# the 34 queries new this round (q137-q170) + the first 16 rows of
+# the 35 queries new this round (q137-q171) + the first 15 rows of
 # the round-3-stale cohort (newest external green round 3); verified
 # ZERO overlap with CORRECTNESS_r06's key set. The r3 rows past slot
-# 50 (q91-q104 plus the 5 the round-6 judge already independently
+# 50 (q90-q104 plus the 5 the round-6 judge already independently
 # re-checked green: q60, q62, q74, q78, q84 — deliberately ordered
 # last) rotate next round together with the round-4 cohort
-# (q105-q129). With the registry at 170 and 50 external slots per
+# (q105-q129). With the registry at 171 and 50 external slots per
 # round, the structural staleness floor is ~3 rounds even with zero
-# new queries; the per-wave 170-query SELFCHECK (same compare logic,
+# new queries; the per-wave 171-query SELFCHECK (same compare logic,
 # sf0.01) is the internal evidence that bridges the gap. New queries registered this
 # round are inserted at the HEAD of this list at their registration
 # site; the gate takes the first 50, so the tail entries here are
 # the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round ---
+    "q171_rolling_anomalies",
     "q170_fk_profile",
     "q167_leave_last_out_split",
     "q168_eval_sampled_negatives",
@@ -7854,4 +7855,60 @@ def q170_fk_profile(spark, sf_dir):
             (li, "l_suppkey", _t(spark, sf_dir, "supplier"), "s_suppkey",
              "lineitem.l_suppkey->supplier.s_suppkey"),
         ]
+    )
+
+
+@register(
+    "q171_rolling_anomalies",
+    _GAPFILL_CTE
+    + """
+    , c AS (
+      SELECT user_id, bucket_start, value,
+             CAST(round(value * 100) AS BIGINT) AS cc
+      FROM filled
+    ), st AS (
+      SELECT user_id, bucket_start, value, cc,
+             count(*) OVER w AS n,
+             sum(cc) OVER w AS s1,
+             sum(cc * cc) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY bucket_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, bucket_start, value,
+           CAST(n AS BIGINT) AS n_baseline,
+           coalesce(n >= 12
+                    AND (n * cc - s1) * (n * cc - s1)
+                        > 4 * (n * s2 - s1 * s1),
+                    FALSE) AS is_anomaly
+    FROM st
+    """,
+    doc="Rolling z-score anomaly flags over the dense gap-filled "
+    "series (operators/timeseries.py::rolling_anomalies; shared CTE "
+    "with q149/q153) — the monitoring/alerting read a hypertable "
+    "serves next to its rollups. Each point tests against the "
+    "STRICTLY PRECEDING 24h window (frame [-24,-1] — the point never "
+    "contaminates its own baseline; < 12 baseline rows never flags). "
+    "Exactness: |x-mean| > k*std is CROSS-MULTIPLIED into the "
+    "integer comparison (n*c - s1)^2 > k^2*(n*s2 - s1^2) on int64 "
+    "cents — the sqrt that makes naive z-scores irrational never "
+    "happens, so engines agree bit-for-bit; a zero-variance LOCF "
+    "flat flags ANY deviation (strict >), which is the right "
+    "semantics on carried values. Scale: one per-key window pass, "
+    "O(window) state, no self-join.",
+    tags=("timeseries", "window", "quality"),
+)
+def q171_rolling_anomalies(spark, sf_dir):
+    from .operators.timeseries import gap_fill_locf, rolling_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    dense = gap_fill_locf(ev, "user_id", "ts", "value", bucket_seconds=3600)
+    return rolling_anomalies(
+        dense.select("user_id", "bucket_start", "value"),
+        "user_id",
+        "bucket_start",
+        "value",
+        window_rows=24,
+        k_sigma=2,
+        min_baseline=12,
     )

@@ -1051,3 +1051,14 @@ def test_q170_fk_profile_prereduces_children(run):
     a = run("q170_fk_profile")
     assert "CartesianProduct" not in a["plan"]
     assert a["bnl_joins"] <= 4
+
+
+def test_q171_anomalies_single_window_pass(run):
+    """The z-test is ONE trailing-window pass over the dense series
+    (composed on the gap-fill) — no self-join, no cartesian."""
+    a = run("q171_rolling_anomalies")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
+        "n_broadcast_joins"
+    ] <= 2  # the grid-obs left join (+ AQE variance), as in q153
