@@ -32,15 +32,19 @@ def fk_profile(
 
     Scale shape: the child reduces to per-FK counts FIRST (one
     groupBy with map-side partials — the join then ships |distinct
-    fk| rows, not |child|); the parent side ships only its key
-    column; parent totals ride as a broadcast singleton. NULL FKs
-    count as orphans (a NULL never equi-joins its parent — the usual
-    DQ convention)."""
+    fk| rows, not |child|); the parent side ships only its DISTINCT
+    key column (a parent with duplicate primary keys — exactly the
+    corrupt-snapshot condition this audit exists to catch — must not
+    multiply the join and inflate the child counts; ``parents``
+    counts distinct keys for the same reason); parent totals ride as
+    a broadcast singleton. NULL FKs count as orphans (a NULL never
+    equi-joins its parent — the usual DQ convention)."""
     per_key = child.groupBy(F.col(fk).alias("__fk")).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
+    parent_keys = parent.select(F.col(pk).alias("__fk")).distinct()
     joined = per_key.join(
-        parent.select(F.col(pk).alias("__fk"), F.lit(1).alias("__hit")),
+        parent_keys.withColumn("__hit", F.lit(1)),
         "__fk",
         "left",
     )
@@ -54,7 +58,7 @@ def fk_profile(
             "orphan_keys"
         ),
     )
-    parents = parent.agg(F.count(F.lit(1)).alias("parents"))
+    parents = parent_keys.agg(F.count(F.lit(1)).alias("parents"))
     return stats.crossJoin(F.broadcast(parents)).select(
         F.lit(edge).alias("edge"),
         "child_rows",

@@ -168,6 +168,10 @@ def eval_negatives(
     from ..functions.hashing import KNUTH, MOD32
     from .graph import indexed_vocab
 
+    if k < 1:
+        # F.sequence(1, 0) would auto-step -1 and emit [1, 0] — junk
+        # draws that silently diverge from the oracle's empty series
+        raise ValueError(f"eval_negatives needs k >= 1, got {k}")
     two31 = 2147483648
     vocab = items.select(F.col(item_col).alias("node")).distinct()
     idx = indexed_vocab(vocab)

@@ -260,7 +260,8 @@ def rolling_anomalies(
         key_col,
         bucket_col,
         value_col,
-        F.coalesce(n, F.lit(0)).alias("n_baseline"),
+        # count over an empty frame is 0, never NULL — no coalesce
+        n.alias("n_baseline"),
         F.when(
             (n >= min_baseline) & (dev * dev > F.lit(k_sigma * k_sigma) * var_n2),
             F.lit(True),

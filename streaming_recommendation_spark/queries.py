@@ -4067,7 +4067,7 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # the 35 queries new this round (q137-q171) + the first 15 rows of
 # the round-3-stale cohort (newest external green round 3); verified
 # ZERO overlap with CORRECTNESS_r06's key set. The r3 rows past slot
-# 50 (q90-q104 plus the 5 the round-6 judge already independently
+# 50 (q91-q104 plus the 5 the round-6 judge already independently
 # re-checked green: q60, q62, q74, q78, q84 — deliberately ordered
 # last) rotate next round together with the round-4 cohort
 # (q105-q129). With the registry at 171 and 50 external slots per

@@ -89,27 +89,32 @@ class TargetEncodeStream:
         double-count — the additive contract (module docstring)."""
         spark = batch_df.sparkSession
         c = self.category_col
+        # persist: two actions consume this aggregation (bucket
+        # discovery + the merged write) — see streaming/funnel.py
         batch_counts = category_counts(
             batch_df, c, self.target_predicate(batch_df)
-        )
-        kbs = sorted(
-            r["b"]
-            for r in batch_counts.select(self._kbucket(F.col(c)).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if not kbs:
-            return
-        stored = self.read_counts(spark, before=batch_id, buckets=set(kbs))
-        # the SAME merge operator the batch twin (q164) replays
-        merged = merge_category_counts(stored, batch_counts, c)
-        write_version(
-            merged.withColumn("bucket", self._kbucket(F.col(c))),
-            self.counts_dir,
-            batch_id,
-            partition_by=["bucket"],
-        )
-        prune_buckets(self.counts_dir, batch_id, self.keep_versions)
+        ).persist()
+        try:
+            kbs = sorted(
+                r["b"]
+                for r in batch_counts.select(self._kbucket(F.col(c)).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not kbs:
+                return
+            stored = self.read_counts(spark, before=batch_id, buckets=set(kbs))
+            # the SAME merge operator the batch twin (q164) replays
+            merged = merge_category_counts(stored, batch_counts, c)
+            write_version(
+                merged.withColumn("bucket", self._kbucket(F.col(c))),
+                self.counts_dir,
+                batch_id,
+                partition_by=["bucket"],
+            )
+            prune_buckets(self.counts_dir, batch_id, self.keep_versions)
+        finally:
+            batch_counts.unpersist()
 
     # --- queries over the maintained state ----------------------------------
 

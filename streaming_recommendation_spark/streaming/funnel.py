@@ -87,27 +87,35 @@ class FunnelStream:
         and duplicate deliveries are safe by construction."""
         spark = batch_df.sparkSession
         u = self.user_col
+        # persist: the batch aggregation feeds TWO actions (the
+        # bucket-discovery collect and the merged write) — without it
+        # every micro-batch re-scans the source and re-runs
+        # stage_firsts a second time (review finding; same discipline
+        # as ItemCfStream's new_windows)
         batch_firsts = stage_firsts(
             batch_df, self.stages, u, self.ts_col, self.type_col
-        )
-        kbs = sorted(
-            r["b"]
-            for r in batch_firsts.select(self._kbucket(F.col(u)).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if not kbs:
-            return
-        stored = self.read_firsts(spark, before=batch_id, buckets=set(kbs))
-        # the SAME merge operator the batch twin (q160) replays
-        merged = merge_firsts(stored, batch_firsts, u)
-        write_version(
-            merged.withColumn("bucket", self._kbucket(F.col(u))),
-            self.firsts_dir,
-            batch_id,
-            partition_by=["bucket"],
-        )
-        prune_buckets(self.firsts_dir, batch_id, self.keep_versions)
+        ).persist()
+        try:
+            kbs = sorted(
+                r["b"]
+                for r in batch_firsts.select(self._kbucket(F.col(u)).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not kbs:
+                return
+            stored = self.read_firsts(spark, before=batch_id, buckets=set(kbs))
+            # the SAME merge operator the batch twin (q160) replays
+            merged = merge_firsts(stored, batch_firsts, u)
+            write_version(
+                merged.withColumn("bucket", self._kbucket(F.col(u))),
+                self.firsts_dir,
+                batch_id,
+                partition_by=["bucket"],
+            )
+            prune_buckets(self.firsts_dir, batch_id, self.keep_versions)
+        finally:
+            batch_firsts.unpersist()
 
     # --- queries over the maintained state ----------------------------------
 

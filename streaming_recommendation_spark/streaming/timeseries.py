@@ -90,31 +90,36 @@ class TimeBucketStream:
         and duplicate deliveries are safe by construction."""
         spark = batch_df.sparkSession
         k, v = self.key_col, self.value_col
+        # persist: two actions consume this aggregation (bucket
+        # discovery + the merged write) — see streaming/funnel.py
         batch_obs = bucket_last_obs(
             batch_df.select(k, self.ts_col, v),
             k,
             self.ts_col,
             v,
             self.bucket_seconds,
-        )
-        kbs = sorted(
-            r["b"]
-            for r in batch_obs.select(self._kbucket(F.col(k)).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if not kbs:
-            return
-        stored = self.read_obs(spark, before=batch_id, buckets=set(kbs))
-        # the SAME merge operator the batch twin (q155) replays
-        merged = merge_obs(stored.drop("bucket"), batch_obs, k, v)
-        write_version(
-            merged.withColumn("bucket", self._kbucket(F.col(k))),
-            self.obs_dir,
-            batch_id,
-            partition_by=["bucket"],
-        )
-        prune_buckets(self.obs_dir, batch_id, self.keep_versions)
+        ).persist()
+        try:
+            kbs = sorted(
+                r["b"]
+                for r in batch_obs.select(self._kbucket(F.col(k)).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not kbs:
+                return
+            stored = self.read_obs(spark, before=batch_id, buckets=set(kbs))
+            # the SAME merge operator the batch twin (q155) replays
+            merged = merge_obs(stored.drop("bucket"), batch_obs, k, v)
+            write_version(
+                merged.withColumn("bucket", self._kbucket(F.col(k))),
+                self.obs_dir,
+                batch_id,
+                partition_by=["bucket"],
+            )
+            prune_buckets(self.obs_dir, batch_id, self.keep_versions)
+        finally:
+            batch_obs.unpersist()
 
     # --- queries over the maintained state ----------------------------------
 

@@ -57,3 +57,16 @@ def test_eval_negatives_draws_are_k_per_user_without_history(spark):
     got = eval_negatives(users, items, inter, k=6).collect()
     # no history: every draw survives; j covers 1..6
     assert sorted(r.j for r in got) == [1, 2, 3, 4, 5, 6]
+
+
+def test_eval_negatives_rejects_k_below_one(spark):
+    """F.sequence(1, 0) would auto-step -1 and emit junk draws
+    [1, 0]; the operator must refuse instead (review-pass
+    regression)."""
+    import pytest
+
+    users = spark.createDataFrame([(1,)], "user_id bigint")
+    items = spark.createDataFrame([(1,)], "item_id bigint")
+    inter = spark.createDataFrame([], "user_id bigint, item_id bigint")
+    with pytest.raises(ValueError, match="k >= 1"):
+        eval_negatives(users, items, inter, k=0)

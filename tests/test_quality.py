@@ -53,3 +53,20 @@ def test_fk_profile_testdata_coverage_discriminates(spark):
     assert 0 < okey.coverage < 1
     assert part.coverage == 1.0
     assert all(r.orphan_rows == 0 for r in rows.values())
+
+
+def test_fk_profile_duplicate_parent_keys_do_not_inflate(spark):
+    """A parent with DUPLICATE primary keys — the corrupt-snapshot
+    condition the audit exists to catch — must not multiply the join:
+    child counts stay exact and parents counts distinct keys
+    (review-pass regression)."""
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "row_id bigint, fk bigint"
+    )
+    parent = spark.createDataFrame([(10,), (10,), (30,)], "pk bigint")
+    r = fk_profile(child, "fk", parent, "pk", "e").collect()[0]
+    assert r.child_rows == 3  # NOT 5 (the dup-join inflation)
+    assert r.distinct_fk == 2
+    assert r.orphan_rows == 1 and r.orphan_keys == 1  # fk=20
+    assert r.parents == 2  # distinct {10, 30}
+    assert r.coverage == 1 / 2
