@@ -1082,7 +1082,7 @@ def substitution_neighbors(
         F.col(id_col).alias("__id"),
         F.col(text_col).alias("__t"),
         F.length(text_col).alias("__len"),
-    ).where(F.col(text_col).isNotNull())
+    ).where(F.col(text_col).isNotNull() & (F.length(text_col) >= 1))
     sigs = s.select(
         "__id",
         "__t",

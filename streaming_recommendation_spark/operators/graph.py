@@ -551,6 +551,9 @@ def skipgram_negatives(
     """
     from ..functions.hashing import KNUTH, MOD32
 
+    if k < 1:
+        # F.sequence(1, 0) auto-steps -1 and emits junk draws [1, 0]
+        raise ValueError(f"skipgram_negatives needs k >= 1, got {k}")
     two31 = 2147483648
     idx = indexed_vocab(vocab)
     n_frame = idx.agg(F.count(F.lit(1)).alias("__n"))
@@ -732,6 +735,12 @@ def skipgram_negatives_weighted(
     never a nested-loop. Deterministic end to end; the SQL oracle
     replays draw, granule, and range identically."""
     from ..functions.hashing import KNUTH, MOD32
+
+    if k < 1:
+        # F.sequence(1, 0) auto-steps -1 and emits junk draws [1, 0]
+        raise ValueError(
+            f"skipgram_negatives_weighted needs k >= 1, got {k}"
+        )
 
     two31 = 2147483648
     widx = weighted_indexed_vocab(weights)

@@ -180,3 +180,49 @@ def test_transition_tiebreak_on_event_id(spark):
         for r in transition_counts(spark.createDataFrame(rows, SCHEMA)).collect()
     }
     assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+
+
+def test_merge_firsts_random_splits_equal_one_shot(spark):
+    """Randomized split-parity (the BPE randomized-corpora precedent):
+    for seeded random event sets and random 3-way splits, folding the
+    parts through merge_firsts in a random order equals the one-shot
+    stage_firsts — the mergeability claim the streaming funnel rides,
+    exercised beyond hand-built cases."""
+    import random
+
+    rng = random.Random(20260815)
+    for _ in range(3):
+        rows = [
+            (
+                rng.randrange(6),  # user
+                i,
+                _t(1 + rng.randrange(20), rng.randrange(24)),
+                rng.choice(STAGES + ["signup", "error"]),
+            )
+            for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, SCHEMA)
+        whole = {tuple(r) for r in stage_firsts(df, STAGES).collect()}
+        part_of = [rng.randrange(3) for _ in rows]
+        parts = [
+            spark.createDataFrame(
+                [r for r, p in zip(rows, part_of) if p == j] or
+                [(99, 0, _t(1), "error")],  # never-empty filler user
+                SCHEMA,
+            )
+            for j in range(3)
+        ]
+        order = [0, 1, 2]
+        rng.shuffle(order)
+        merged = stage_firsts(parts[order[0]], STAGES)
+        for j in order[1:]:
+            merged = merge_firsts(merged, stage_firsts(parts[j], STAGES))
+        got = {tuple(r) for r in merged.collect() if r[0] != 99}
+        whole |= {
+            tuple(r)
+            for r in stage_firsts(
+                spark.createDataFrame([(99, 0, _t(1), "error")], SCHEMA), STAGES
+            ).collect()
+        }
+        whole = {t for t in whole if t[0] != 99}
+        assert got == whole

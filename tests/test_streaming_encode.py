@@ -106,3 +106,36 @@ def test_streaming_query_end_to_end(spark, tmp_path):
     q.awaitTermination(180)
     assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
     assert _enc_map(es, spark) == _reference(spark)
+
+
+def test_merge_category_counts_random_splits_equal_one_shot(spark):
+    """Randomized split-parity for the additive state: seeded random
+    row sets, random 3-way splits, random fold order — the merged
+    counts equal the one-shot category_counts."""
+    import random
+
+    from streaming_recommendation_spark.operators.features import (
+        category_counts,
+        merge_category_counts,
+    )
+
+    rng = random.Random(4242)
+    for _ in range(3):
+        rows = [(rng.randrange(8), rng.randrange(2)) for _ in range(80)]
+        df = spark.createDataFrame(rows, SCHEMA)
+        whole = {tuple(r) for r in category_counts(df, "cat", F.col("y") == 1).collect()}
+        part_of = [rng.randrange(3) for _ in rows]
+        parts = []
+        for j in range(3):
+            sub = [r for r, p in zip(rows, part_of) if p == j]
+            if sub:
+                parts.append(
+                    category_counts(
+                        spark.createDataFrame(sub, SCHEMA), "cat", F.col("y") == 1
+                    )
+                )
+        rng.shuffle(parts)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merge_category_counts(merged, p, "cat")
+        assert {tuple(r) for r in merged.collect()} == whole
