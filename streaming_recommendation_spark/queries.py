@@ -7781,8 +7781,9 @@ def q169_random_projection(spark, sf_dir):
                   AS BIGINT) AS orphan_rows,
              CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT) AS orphan_keys,
-             (SELECT count(*) FROM orders) AS parents
-      FROM k1 LEFT JOIN orders o ON k1.fk = o.o_orderkey
+             (SELECT count(DISTINCT o_orderkey) FROM orders) AS parents
+      FROM k1 LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON k1.fk = o.o_orderkey
     ),
     k2 AS (SELECT o_custkey AS fk, count(*) AS cnt FROM orders GROUP BY 1),
     e2 AS (
@@ -7792,8 +7793,9 @@ def q169_random_projection(spark, sf_dir):
                   AS BIGINT),
              CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT),
-             (SELECT count(*) FROM customer)
-      FROM k2 LEFT JOIN customer c ON k2.fk = c.c_custkey
+             (SELECT count(DISTINCT c_custkey) FROM customer)
+      FROM k2 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON k2.fk = c.c_custkey
     ),
     k3 AS (SELECT l_partkey AS fk, count(*) AS cnt FROM lineitem GROUP BY 1),
     e3 AS (
@@ -7803,8 +7805,9 @@ def q169_random_projection(spark, sf_dir):
                   AS BIGINT),
              CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT),
-             (SELECT count(*) FROM part)
-      FROM k3 LEFT JOIN part p ON k3.fk = p.p_partkey
+             (SELECT count(DISTINCT p_partkey) FROM part)
+      FROM k3 LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON k3.fk = p.p_partkey
     ),
     k4 AS (SELECT l_suppkey AS fk, count(*) AS cnt FROM lineitem GROUP BY 1),
     e4 AS (
@@ -7814,8 +7817,9 @@ def q169_random_projection(spark, sf_dir):
                   AS BIGINT),
              CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
                   AS BIGINT),
-             (SELECT count(*) FROM supplier)
-      FROM k4 LEFT JOIN supplier s ON k4.fk = s.s_suppkey
+             (SELECT count(DISTINCT s_suppkey) FROM supplier)
+      FROM k4 LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON k4.fk = s.s_suppkey
     ),
     u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
           UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
@@ -7833,7 +7837,9 @@ def q169_random_projection(spark, sf_dir):
     "generator leaves ~2% of orders with no lineitems, so the "
     "orderkey edge's coverage separates from the always-1.0 part/"
     "supplier edges — non-degeneracy pinned in tests/"
-    "test_quality.py). Scale: each child reduces to per-FK counts "
+    "test_quality.py; the oracle mirrors the dup-parent dedup — "
+    "distinct parent keys for both the join and the parents "
+    "denominator). Scale: each child reduces to per-FK counts "
     "BEFORE its join (ships |distinct fk| rows, not |child|); parent "
     "totals broadcast as singletons; coverage = one IEEE division "
     "of exact counts.",

@@ -32,14 +32,13 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.features import (
     category_counts,
     encode_from_counts,
     merge_category_counts,
 )
-from .state import prune_buckets, read_bucketed, write_version
+from .state import fold_bucketed, read_bucketed
 
 
 class TargetEncodeStream:
@@ -72,9 +71,6 @@ class TargetEncodeStream:
             "pos bigint, bucket int"
         )
 
-    def _kbucket(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
-
     def read_counts(
         self, spark: SparkSession, before: int | None = None, buckets=None
     ) -> DataFrame:
@@ -87,34 +83,19 @@ class TargetEncodeStream:
         callable for backfills. Same-batch retries are idempotent
         (versioned overwrite); duplicate EVENTS across batch ids
         double-count — the additive contract (module docstring)."""
-        spark = batch_df.sparkSession
         c = self.category_col
-        # persist: two actions consume this aggregation (bucket
-        # discovery + the merged write) — see streaming/funnel.py
-        batch_counts = category_counts(
-            batch_df, c, self.target_predicate(batch_df)
-        ).persist()
-        try:
-            kbs = sorted(
-                r["b"]
-                for r in batch_counts.select(self._kbucket(F.col(c)).alias("b"))
-                .distinct()
-                .collect()
-            )
-            if not kbs:
-                return
-            stored = self.read_counts(spark, before=batch_id, buckets=set(kbs))
-            # the SAME merge operator the batch twin (q164) replays
-            merged = merge_category_counts(stored, batch_counts, c)
-            write_version(
-                merged.withColumn("bucket", self._kbucket(F.col(c))),
-                self.counts_dir,
-                batch_id,
-                partition_by=["bucket"],
-            )
-            prune_buckets(self.counts_dir, batch_id, self.keep_versions)
-        finally:
-            batch_counts.unpersist()
+        # the SAME merge operator the batch twin (q164) replays, run
+        # through the shared fold skeleton (see state.fold_bucketed)
+        fold_bucketed(
+            category_counts(batch_df, c, self.target_predicate(batch_df)),
+            c,
+            self.counts_dir,
+            self._schema(),
+            batch_id,
+            self.n_buckets,
+            lambda stored, batch: merge_category_counts(stored, batch, c),
+            self.keep_versions,
+        )
 
     # --- queries over the maintained state ----------------------------------
 

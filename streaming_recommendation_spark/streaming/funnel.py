@@ -32,10 +32,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.funnel import funnel_reach, merge_firsts, stage_firsts
-from .state import prune_buckets, read_bucketed, write_version
+from .state import fold_bucketed, read_bucketed
 
 
 class FunnelStream:
@@ -70,9 +69,6 @@ class FunnelStream:
             "first_us bigint, bucket int"
         )
 
-    def _kbucket(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
-
     def read_firsts(
         self, spark: SparkSession, before: int | None = None, buckets=None
     ) -> DataFrame:
@@ -85,37 +81,20 @@ class FunnelStream:
         callable for backfills. Accepts ANY arrival order — the min
         merge is commutative/idempotent (module docstring), so late
         and duplicate deliveries are safe by construction."""
-        spark = batch_df.sparkSession
         u = self.user_col
-        # persist: the batch aggregation feeds TWO actions (the
-        # bucket-discovery collect and the merged write) — without it
-        # every micro-batch re-scans the source and re-runs
-        # stage_firsts a second time (review finding; same discipline
-        # as ItemCfStream's new_windows)
-        batch_firsts = stage_firsts(
-            batch_df, self.stages, u, self.ts_col, self.type_col
-        ).persist()
-        try:
-            kbs = sorted(
-                r["b"]
-                for r in batch_firsts.select(self._kbucket(F.col(u)).alias("b"))
-                .distinct()
-                .collect()
-            )
-            if not kbs:
-                return
-            stored = self.read_firsts(spark, before=batch_id, buckets=set(kbs))
-            # the SAME merge operator the batch twin (q160) replays
-            merged = merge_firsts(stored, batch_firsts, u)
-            write_version(
-                merged.withColumn("bucket", self._kbucket(F.col(u))),
-                self.firsts_dir,
-                batch_id,
-                partition_by=["bucket"],
-            )
-            prune_buckets(self.firsts_dir, batch_id, self.keep_versions)
-        finally:
-            batch_firsts.unpersist()
+        # the SAME merge operator the batch twin (q160) replays, run
+        # through the shared fold skeleton (persist across the two
+        # actions, touched-bucket read-before-merge, versioned write)
+        fold_bucketed(
+            stage_firsts(batch_df, self.stages, u, self.ts_col, self.type_col),
+            u,
+            self.firsts_dir,
+            self._schema(),
+            batch_id,
+            self.n_buckets,
+            lambda stored, batch: merge_firsts(stored, batch, u),
+            self.keep_versions,
+        )
 
     # --- queries over the maintained state ----------------------------------
 

@@ -193,6 +193,57 @@ def read_or_empty(spark: SparkSession, path: str, schema: str) -> DataFrame:
         raise
 
 
+def fold_bucketed(
+    batch_agg: DataFrame,
+    key_col: str,
+    state_dir: str,
+    schema: str,
+    batch_id: int,
+    n_buckets: int,
+    merge_fn,
+    keep_versions: int,
+    ensure_buckets: bool = False,
+) -> None:
+    """The shared per-bucket incremental-fold skeleton every
+    hash(key)-bucketed stream runs per batch: persist the batch
+    aggregation (it feeds TWO actions — the bucket-discovery collect
+    and the merged write — so without the persist every micro-batch
+    recomputes it against the source), discover touched buckets, read
+    their stored rows strictly before this batch, ``merge_fn(stored,
+    batch_agg)``, write the merged rows as this batch's version of the
+    touched buckets, prune. Factored here after the SAME double-scan
+    fix had to be pasted into three stream classes (funnel, encode,
+    timeseries; itemcf had it) — the private-copy drift this module
+    exists to stop. ``ensure_buckets=True`` forwards write_version's
+    empty-dir materialization for states whose buckets can lose every
+    row (see write_version)."""
+    from pyspark.sql import functions as F
+
+    kbucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+    batch_agg = batch_agg.persist()
+    try:
+        kbs = sorted(
+            r["b"]
+            for r in batch_agg.select(kbucket.alias("b")).distinct().collect()
+        )
+        if not kbs:
+            return
+        stored = read_bucketed(
+            batch_agg.sparkSession, state_dir, schema, batch_id, set(kbs)
+        )
+        merged = merge_fn(stored, batch_agg)
+        write_version(
+            merged.withColumn("bucket", kbucket),
+            state_dir,
+            batch_id,
+            partition_by=["bucket"],
+            ensure_buckets=kbs if ensure_buckets else None,
+        )
+        prune_buckets(state_dir, batch_id, keep_versions)
+    finally:
+        batch_agg.unpersist()
+
+
 __all__ = [
     "versions",
     "version_dir",
@@ -203,4 +254,5 @@ __all__ = [
     "prune_buckets",
     "read_bucketed",
     "read_or_empty",
+    "fold_bucketed",
 ]

@@ -35,10 +35,9 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from ..operators.timeseries import bucket_last_obs, locf_fill, merge_obs
-from .state import prune_buckets, read_bucketed, write_version
+from .state import fold_bucketed, read_bucketed
 
 
 class TimeBucketStream:
@@ -73,9 +72,6 @@ class TimeBucketStream:
             f"ts_us bigint, {self.value_col} {self.value_type}, bucket int"
         )
 
-    def _kbucket(self, col):
-        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
-
     def read_obs(
         self, spark: SparkSession, before: int | None = None, buckets=None
     ) -> DataFrame:
@@ -88,38 +84,25 @@ class TimeBucketStream:
         for backfills. Accepts ANY arrival order — the struct-max
         merge is commutative/idempotent (module docstring), so late
         and duplicate deliveries are safe by construction."""
-        spark = batch_df.sparkSession
         k, v = self.key_col, self.value_col
-        # persist: two actions consume this aggregation (bucket
-        # discovery + the merged write) — see streaming/funnel.py
-        batch_obs = bucket_last_obs(
-            batch_df.select(k, self.ts_col, v),
+        # the SAME merge operator the batch twin (q155) replays, run
+        # through the shared fold skeleton (see state.fold_bucketed)
+        fold_bucketed(
+            bucket_last_obs(
+                batch_df.select(k, self.ts_col, v),
+                k,
+                self.ts_col,
+                v,
+                self.bucket_seconds,
+            ),
             k,
-            self.ts_col,
-            v,
-            self.bucket_seconds,
-        ).persist()
-        try:
-            kbs = sorted(
-                r["b"]
-                for r in batch_obs.select(self._kbucket(F.col(k)).alias("b"))
-                .distinct()
-                .collect()
-            )
-            if not kbs:
-                return
-            stored = self.read_obs(spark, before=batch_id, buckets=set(kbs))
-            # the SAME merge operator the batch twin (q155) replays
-            merged = merge_obs(stored.drop("bucket"), batch_obs, k, v)
-            write_version(
-                merged.withColumn("bucket", self._kbucket(F.col(k))),
-                self.obs_dir,
-                batch_id,
-                partition_by=["bucket"],
-            )
-            prune_buckets(self.obs_dir, batch_id, self.keep_versions)
-        finally:
-            batch_obs.unpersist()
+            self.obs_dir,
+            self._schema(),
+            batch_id,
+            self.n_buckets,
+            lambda stored, batch: merge_obs(stored, batch, k, v),
+            self.keep_versions,
+        )
 
     # --- queries over the maintained state ----------------------------------
 

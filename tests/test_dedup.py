@@ -662,3 +662,24 @@ def test_substitution_neighbors_matches_bruteforce(spark):
             if len(diffs) == 1:
                 want.append((i, j, diffs[0] + 1))
     assert got == sorted(want) and len(got) > 0
+
+
+def test_substitution_neighbors_ignores_empty_strings(spark):
+    """An empty string must produce NO signatures: before the length
+    guard, sequence(1, 0)'s junk positions made '' collide with any
+    1-char string as a fake distance-1 'substitution' (review-pass
+    regression)."""
+    from streaming_recommendation_spark.operators.dedup import (
+        substitution_neighbors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "b"), (4, "")],
+        "id bigint, name string",
+    )
+    got = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in substitution_neighbors(df, "id", "name").collect()
+    }
+    # only the genuine equal-length substitution pair survives
+    assert got == {(2, 3)}

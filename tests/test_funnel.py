@@ -204,10 +204,12 @@ def test_merge_firsts_random_splits_equal_one_shot(spark):
         df = spark.createDataFrame(rows, SCHEMA)
         whole = {tuple(r) for r in stage_firsts(df, STAGES).collect()}
         part_of = [rng.randrange(3) for _ in rows]
+        # filler rows use a NON-stage type ("error"): they keep every
+        # part non-empty but provably contribute no firsts rows
         parts = [
             spark.createDataFrame(
-                [r for r, p in zip(rows, part_of) if p == j] or
-                [(99, 0, _t(1), "error")],  # never-empty filler user
+                [r for r, p in zip(rows, part_of) if p == j]
+                or [(99, 0, _t(1), "error")],
                 SCHEMA,
             )
             for j in range(3)
@@ -217,12 +219,4 @@ def test_merge_firsts_random_splits_equal_one_shot(spark):
         merged = stage_firsts(parts[order[0]], STAGES)
         for j in order[1:]:
             merged = merge_firsts(merged, stage_firsts(parts[j], STAGES))
-        got = {tuple(r) for r in merged.collect() if r[0] != 99}
-        whole |= {
-            tuple(r)
-            for r in stage_firsts(
-                spark.createDataFrame([(99, 0, _t(1), "error")], SCHEMA), STAGES
-            ).collect()
-        }
-        whole = {t for t in whole if t[0] != 99}
-        assert got == whole
+        assert {tuple(r) for r in merged.collect()} == whole

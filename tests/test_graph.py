@@ -480,3 +480,23 @@ def test_weighted_negatives_match_direct_range_lookup(spark):
         counts[r.neg_id] = counts.get(r.neg_id, 0) + 1
     assert 4 not in counts  # zero weight never drawn
     assert counts.get(2, 0) > counts.get(1, 0) + counts.get(3, 0)
+
+
+def test_skipgram_negatives_reject_k_below_one(spark):
+    """sequence(1, 0) auto-steps -1 and would emit junk draws [1, 0];
+    both samplers must refuse k < 1 (review-pass regression)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.graph import (
+        skipgram_negatives,
+        skipgram_negatives_weighted,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "center bigint, context bigint")
+    vocab = spark.createDataFrame([(1,), (2,)], "node bigint")
+    weights = vocab.select("node", F.lit(1).cast("long").alias("w"))
+    with pytest.raises(ValueError, match="k >= 1"):
+        skipgram_negatives(pairs, vocab, k=0)
+    with pytest.raises(ValueError, match="k >= 1"):
+        skipgram_negatives_weighted(pairs, weights, k=0)
