@@ -117,24 +117,34 @@ def encode_from_counts(
         enc = (pos + m * global_rate) / (cnt + m)
             = (pos * g_cnt + m * g_pos) / (g_cnt * (cnt + m))
 
-    the second form is what runs: every operand an exact int64
-    product, ONE IEEE division total, so any engine replays the value
-    bit-for-bit (no float prior is ever materialized). The global
-    totals are a broadcast singleton (the only cross join); the
-    output is the |categories|-row lookup table itself — built to be
-    the broadcast side of the feature join that follows."""
+    the second form is what runs: every product exact, ONE IEEE
+    division total, so any engine replays the value bit-for-bit (no
+    float prior is ever materialized). The products are computed in
+    decimal(38,0) — NOT int64 — because at the corpus scale this
+    module targets (g_cnt ~1e12, hot-category pos ~1e7) pos * g_cnt
+    exceeds 2^63 and would silently wrap with ANSI off, while the
+    DuckDB oracle's sum() is already HUGEINT (ADVICE r7); decimal 38
+    matches the oracle's int128 headroom (bound: |pos*g_cnt| < 1e38),
+    and both engines convert the exact integer to the nearest double
+    before the single division. The global totals are a broadcast
+    singleton (the only cross join); the output is the
+    |categories|-row lookup table itself — built to be the broadcast
+    side of the feature join that follows."""
     m = int(smoothing)
     totals = counts.agg(
         F.sum("cnt").alias("__g_cnt"), F.sum("pos").alias("__g_pos")
     )
+    dec = "decimal(19,0)"
+    num = (
+        F.col("pos").cast(dec) * F.col("__g_cnt").cast(dec)
+        + F.lit(m).cast(dec) * F.col("__g_pos").cast(dec)
+    )
+    den = F.col("__g_cnt").cast(dec) * (F.col("cnt") + F.lit(m)).cast(dec)
     return counts.crossJoin(F.broadcast(totals)).select(
         category_col,
         "cnt",
         "pos",
-        (
-            (F.col("pos") * F.col("__g_cnt") + F.lit(m) * F.col("__g_pos"))
-            / (F.col("__g_cnt") * (F.col("cnt") + F.lit(m)))
-        ).alias("enc"),
+        (num.cast("double") / den.cast("double")).alias("enc"),
     )
 
 

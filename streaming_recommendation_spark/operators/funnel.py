@@ -109,8 +109,15 @@ def funnel_reach(
         t, prev = F.col(f"__t{i}"), F.col(f"__t{i - 1}")
         reach = reach & t.isNotNull() & (t >= prev) & (t - prev <= win_us)
         flags.append(reach.cast("long").alias(f"__r{i}"))
+    # coalesce: sum over ZERO rows is NULL, but the funnel read over
+    # an empty firsts relation must report 0 users per stage (the
+    # count(*) FILTER oracle semantics) — batch, stream, and oracle
+    # all agree on empty input (ADVICE r7).
     totals = pivoted.select(*flags).agg(
-        *[F.sum(f"__r{i}").alias(f"__u{i}") for i in range(1, k + 1)]
+        *[
+            F.coalesce(F.sum(f"__r{i}"), F.lit(0)).alias(f"__u{i}")
+            for i in range(1, k + 1)
+        ]
     )
     # unpivot the single totals row into (stage, stage_idx, users)
     stage_rows = F.array(

@@ -818,7 +818,9 @@ def propagate_embeddings(
     computed as an integer sum div (rounds + 1). ``features`` is a
     LONG-FORM integer frame (node, dim, val) — long form keeps every
     step a plain aggregate (no array zip), and integer units make
-    each round ONE truncating div per (node, dim), so any engine
+    each round ONE flooring div per (node, dim) — floor, not Spark's
+    truncate-toward-zero `div`, so negative (centered) feature values
+    divide identically to DuckDB's `//` — so any engine
     replays the propagation bit-for-bit. LightGCN's symmetric
     1/sqrt(deg_u * deg_v) normalization is irrational and therefore
     NOT exactly replayable; the row-normalized (random-walk) variant
@@ -856,8 +858,17 @@ def propagate_embeddings(
             .groupBy(F.col("v").alias("node"), F.col("dim"))
             .agg(F.sum("e").alias("__s"))
         )
+        # floor division (DuckDB // semantics), NOT Spark's truncating
+        # `div`: they differ on negative dividends (centered features),
+        # and the q163 oracle floors — exact in integers, no double
+        # round-trip (ADVICE r7). __deg is a count, always > 0.
         cur = msgs.join(deg, "node").select(
-            "node", "dim", F.expr("__s div __deg").alias("e")
+            "node",
+            "dim",
+            F.expr(
+                "__s div __deg - (CASE WHEN __s % __deg != 0 AND __s < 0 "
+                "THEN 1 ELSE 0 END)"
+            ).alias("e"),
         )
         if materialize:
             cur = checkpoint_partitioned(cur.repartition("node"))
@@ -869,6 +880,12 @@ def propagate_embeddings(
                 (F.col("acc") + F.coalesce(F.col("e"), F.lit(0))).alias("acc"),
             )
         )
+    d = rounds + 1
     return acc.select(
-        "node", "dim", F.expr(f"acc div {rounds + 1}").alias("emb")
+        "node",
+        "dim",
+        F.expr(
+            f"acc div {d} - (CASE WHEN acc % {d} != 0 AND acc < 0 "
+            "THEN 1 ELSE 0 END)"
+        ).alias("emb"),
     )

@@ -7407,8 +7407,10 @@ def q161_feature_hashing(spark, sf_dir):
     "it exists to be (the broadcast side of the feature join that "
     "follows). Exactness: the textbook (pos + m*prior)/(cnt + m) is "
     "rewritten over a common denominator as (pos*g_cnt + m*g_pos) / "
-    "(g_cnt*(cnt + m)) — every operand an exact int64 product, ONE "
-    "IEEE division total, no float prior ever materialized. Scale: "
+    "(g_cnt*(cnt + m)) — products exact in decimal(38,0) (int64 "
+    "would wrap at the 100 TB magnitudes; DuckDB's sum() is already "
+    "HUGEINT), ONE IEEE division total, no float prior ever "
+    "materialized. Scale: "
     "one groupBy(category) with map-side partials; the global totals "
     "are the only cross join (broadcast singleton).",
     tags=("features", "agg"),
@@ -7468,7 +7470,8 @@ def q162_target_encoding(spark, sf_dir):
     "the GNN-smoothing feature pass the reference's LightGCN leg "
     "consumes. Initial features are Knuth-hash integers in [0, 2^20) "
     "per (node, dim), dim = 8. Exactness: every step is integer "
-    "sum + ONE truncating div per (node, dim) — LightGCN's "
+    "sum + ONE flooring div per (node, dim) (floor == DuckDB //, "
+    "exact for negative centered features too) — LightGCN's "
     "1/sqrt(deg_u*deg_v) norm is irrational, so the row-normalized "
     "random-walk variant stands in (documented divergence). Scale: "
     "per round one node-keyed join + one groupBy(dst, dim) — the "

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from streaming_recommendation_spark.operators.features import (
+    encode_from_counts,
     feature_hash,
     target_encode,
 )
@@ -86,6 +87,27 @@ def test_target_encode_empty_category_never_divides_by_zero(spark):
     assert got[0].enc == 1.0
 
 
+def test_target_encode_products_survive_beyond_int64(spark):
+    """ADVICE r7: at corpus scale pos*g_cnt exceeds 2^63; the decimal
+    path must keep the product exact (int64 would silently wrap with
+    ANSI off) and still match the one-IEEE-division contract — the
+    expected value is Python's arbitrary-precision integers converted
+    to nearest double, exactly what decimal(38,0) -> double does."""
+    rows = [("a", 3 * 10**18, 2 * 10**18), ("b", 4 * 10**18, 10**18)]
+    counts = spark.createDataFrame(rows, "cat string, cnt long, pos long")
+    m = 100
+    g_cnt = sum(r[1] for r in rows)
+    g_pos = sum(r[2] for r in rows)
+    got = {
+        r.cat: r.enc
+        for r in encode_from_counts(counts, "cat", smoothing=m).collect()
+    }
+    for cat, cnt, pos in rows:
+        num = pos * g_cnt + m * g_pos  # ~1.4e37: far past int64
+        den = g_cnt * (cnt + m)
+        assert got[cat] == float(num) / float(den)
+
+
 def _pg(spark, edges, feats):
     e = spark.createDataFrame(edges, "src bigint, dst bigint")
     f = spark.createDataFrame(feats, "node bigint, dim bigint, val bigint")
@@ -116,6 +138,22 @@ def test_propagation_isolated_node_keeps_self_embedding(spark):
     assert got[(9, 0)] == 4  # 12 div 3
     # the connected pair swaps: e1(1)=3, e2(1)=9 -> (9+3+9)div3=7
     assert got[(1, 0)] == 7
+
+
+def test_propagation_floors_negative_features(spark):
+    """ADVICE r7: division must FLOOR (DuckDB // semantics), not
+    truncate toward zero — centered (negative) features diverge under
+    Spark's `div`. Path 1-2-3, e0 = (-3, 0, 0):
+    layer 1: e1(2) = (-3+0) fdiv 2 = -2 (trunc would say -1);
+    layer 2: e2(1) = e2(3) = -2, e2(2) = 0;
+    combined: node1 (-3+0-2) fdiv 3 = -2, node2 (0-2+0) fdiv 3 = -1,
+    node3 (0+0-2) fdiv 3 = -1 (trunc: -1, 0, 0 — all differ)."""
+    got = _pg(
+        spark,
+        [(1, 2), (2, 3)],
+        [(1, 0, -3), (2, 0, 0), (3, 0, 0)],
+    )
+    assert got == {(1, 0): -2, (2, 0): -1, (3, 0): -1}
 
 
 def test_propagation_dims_are_independent(spark):

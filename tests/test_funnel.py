@@ -93,6 +93,17 @@ def test_missing_middle_stage_blocks_chain(spark):
     assert got["purchase"][1] == 0
 
 
+def test_empty_input_reads_zero_users_not_null(spark):
+    """ADVICE r7: sum over zero rows is NULL, but the funnel read on
+    an empty relation must report 0 users per stage — the oracle's
+    count(*) FILTER semantics; batch, stream, and oracle agree."""
+    empty = spark.createDataFrame([], SCHEMA)
+    got = _funnel_map(funnel_counts(empty, STAGES))
+    assert got["view"] == (1, 0, 1.0)
+    assert got["click"] == (2, 0, None)
+    assert got["purchase"] == (3, 0, None)
+
+
 def test_empty_prev_stage_yields_null_conversion(spark):
     rows = _ev([(1, _t(1, 0), "view")])
     got = _funnel_map(funnel_counts(spark.createDataFrame(rows, SCHEMA), STAGES))
