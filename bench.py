@@ -7,11 +7,19 @@ Runs the representative queries from the registry at
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is fully materialized with the noop sink (no driver
-collect) so the timing covers the whole distributed plan. Each query
-runs twice and the MIN is reported: this container shows ~25% CPU
-steal time (/proc/stat col 8) with multi-second bursts, and the first
-execution additionally pays one-time whole-stage-codegen compilation —
-min-of-2 measures the plan, not the hypervisor (observed: q50 swung
+collect) so the timing covers the whole distributed plan. Two tiers
+(VERDICT r7 #8):
+
+- LOCKIN tier (iterative operators + historically steal-prone
+  movers): runs FIRST, min-of-3, System.gc() settle before each —
+  these are the rows compared against BASELINE.md lock-ins, measured
+  before the suite accumulates JVM/GC state.
+- In-suite tier (everything else): min-of-2 in HEADLINE order.
+
+The MIN is reported because this container shows ~25% CPU steal time
+(/proc/stat col 8) with multi-second bursts, and the first execution
+additionally pays one-time whole-stage-codegen compilation — min-of-N
+measures the plan, not the hypervisor (observed: q50 swung
 2.8s -> 35s across otherwise-identical runs).
 """
 
@@ -230,6 +238,20 @@ ITERATIVE = {
     "q163_lightgcn_propagation",  # per-layer feature checkpoints
 }
 
+# Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings
+# have repeatedly drifted 1.3-2x under accumulated suite GC state +
+# hypervisor steal (the r6/r7 "mover" adjudications: q94, q105, q106,
+# q129), forcing builder-side solo re-measures every round. They run
+# FIRST — before the suite has any JVM/GC history — at min-of-3 with
+# an explicit System.gc() settle between queries, so the externally
+# recorded BENCH_rN row itself is the stable lock-in-comparable
+# number. Everything iterative already front-ran (construction runs
+# real jobs); the movers that weren't iterative join them here.
+LOCKIN = ITERATIVE | {
+    "q94_duplicate_ngram_spans",
+    "q94b_duplicate_ngram_spans_occurrences",
+}
+
 # full per-query timing map (long names) goes to a FILE; the stdout
 # summary line keys queries by their short id ("q104") so the line
 # stays under the driver's tail-capture limit (BENCH_r03 lesson:
@@ -251,12 +273,17 @@ def main() -> None:
     # fail fast on a short-id collision BEFORE burning the ~100 s run
     shorts = {n.split("_", 1)[0] for n in HEADLINE}
     assert len(shorts) == len(HEADLINE), "short query ids must be unique"
-    ordered = [n for n in HEADLINE if n in ITERATIVE] + [
-        n for n in HEADLINE if n not in ITERATIVE
+    ordered = [n for n in HEADLINE if n in LOCKIN] + [
+        n for n in HEADLINE if n not in LOCKIN
     ]
     for name in ordered:
+        if name in LOCKIN:
+            # decouple from accumulated suite heap state before each
+            # lock-in-tier measurement (the in-suite GC-debt effect
+            # behind the r6/r7 mover adjudications)
+            spark.sparkContext._jvm.System.gc()
         runs = []
-        for _ in range(2):
+        for _ in range(3 if name in LOCKIN else 2):
             # lazy queries: construction excluded (it's parquet file
             # listing/schema reads a real deployment caches in a
             # catalog). Iterative operators run REAL jobs during
@@ -280,7 +307,8 @@ def main() -> None:
         json.dump(
             {"metric": "headline_suite_seconds",
              "value": round(sum(timings.values()), 3),
-             "unit": "sec", "queries": timings, "sf": sf_val},
+             "unit": "sec", "queries": timings, "sf": sf_val,
+             "lockin_tier": sorted(n for n in HEADLINE if n in LOCKIN)},
             fh, indent=1,
         )
     short = {n.split("_", 1)[0]: t for n, t in timings.items()}

