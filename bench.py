@@ -210,6 +210,9 @@ HEADLINE = [
     "q170_fk_profile",
     # rolling z-score anomaly flags over the dense series
     "q171_rolling_anomalies",
+    # round-8: composed offline cascade eval (split + negatives +
+    # rank-stage scoring + sampled HR/NDCG/MRR)
+    "q172_cascade_offline_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

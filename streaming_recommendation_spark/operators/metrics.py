@@ -358,3 +358,122 @@ def histogram_from_bins(
         .agg(*agg_cols)
         .select(*out_cols, *[f"p{num * 100 // den}_lo" for num, den in quantiles])
     )
+
+
+def sampled_holdout_eval(
+    interactions: DataFrame,
+    item_qvecs: DataFrame,
+    order_cols: tuple[str, ...],
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    k_neg: int = 10,
+    k: int = 10,
+) -> DataFrame:
+    """End-to-end offline cascade evaluation (VERDICT r7 #3) — the
+    reference's actual eval loop (reference: model_training/lightgcn/
+    utils.py:119-231) as ONE composed plan instead of the piecewise
+    q167/q168/q40/q47 coverage:
+
+    1. ``leave_last_out`` holds out each user's most recent
+       interaction (by ``order_cols`` descending — include unique
+       tie-breaks so the order is TOTAL);
+    2. users with an empty training history are excluded (nothing to
+       pool — the standard >= 2-interactions protocol filter);
+    3. ``eval_negatives`` draws ``k_neg`` deterministic uniform
+       candidates per user minus the user's full history (collisions
+       drop, the q168 contract);
+    4. each candidate (the held-out positive + the negatives) is
+       scored with the CASCADE'S RANK-STAGE MODEL: cosine between the
+       user's history profile and the item vector. The profile is the
+       SUM of the train items' quantized vectors — cosine is
+       scale-invariant, so sum-pooling ranks identically to the
+       cascade's mean-pool (cascade/recommend.py rank stage) while
+       keeping every coordinate an exact int64 (no 1/n float);
+    5. per-user sampled ranking metrics of the positive among the
+       candidates: (user, pos_item, n_cands, pos_rank, hit_at_k,
+       ndcg_at_k, mrr).
+
+    Exactness: profile coordinates and dot products are exact int64
+    sums; each norm is one sqrt of an exact int64; the score is one
+    IEEE division (the q35/q66 cosine recipe); ndcg/mrr are one
+    log2/division each, rounded to 6 decimals like q47. The held-out
+    rank is therefore bit-replayable by a SQL oracle.
+
+    Scale shape: the split is one per-user window pass; negatives are
+    |users| x k_neg generated rows through the indexed-vocab equi-join
+    (no global sort); profiles reduce train rows map-side to
+    |users| x d coordinates before one groupBy; scoring joins the
+    bounded candidate set (|users| x (k_neg+1) x d rows) — nothing is
+    corpus x corpus, no item broadcast, no crossJoin beyond the two
+    singleton count frames."""
+    from .sampling import eval_negatives, leave_last_out
+
+    inter = interactions.select(user_col, item_col, *order_cols)
+    split = leave_last_out(inter, user_col=user_col, order_cols=order_cols)
+    pos = split.where(F.col("split") == "test").select(user_col, item_col)
+    train = split.where(F.col("split") == "train").select(user_col, item_col)
+    eligible = train.select(user_col).distinct()
+    pos = pos.join(eligible, user_col)
+    negs = eval_negatives(
+        eligible,
+        item_qvecs.select(item_col),
+        inter.select(user_col, item_col),
+        k=k_neg,
+        user_col=user_col,
+        item_col=item_col,
+    )
+    cands = pos.withColumn("is_pos", F.lit(1)).unionByName(
+        negs.select(
+            user_col, F.col("neg_item").alias(item_col)
+        ).withColumn("is_pos", F.lit(0))
+    )
+    # long-form quantized vectors: every aggregate below is a plain
+    # int64 sum (order-independent, engine-agnostic)
+    iq = item_qvecs.select(
+        item_col, F.posexplode("qvec").alias("dim", "qv")
+    )
+    uq = train.join(iq, item_col).groupBy(user_col, "dim").agg(
+        F.sum("qv").alias("uv")
+    )
+    un = uq.groupBy(user_col).agg(
+        F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("__nu")
+    )
+    inorm = iq.groupBy(item_col).agg(
+        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("__ni")
+    )
+    dots = (
+        cands.join(uq, user_col)
+        .join(iq, [item_col, "dim"])
+        .groupBy(user_col, item_col, "is_pos")
+        .agg(F.sum(F.col("uv") * F.col("qv")).alias("__dp"))
+    )
+    scored = dots.join(un, user_col).join(inorm, item_col).select(
+        user_col,
+        item_col,
+        "is_pos",
+        F.when(
+            F.col("__nu") * F.col("__ni") > 0,
+            F.col("__dp") / (F.col("__nu") * F.col("__ni")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col("score").desc(), F.col(item_col).asc()
+    )
+    wc = Window.partitionBy(user_col)
+    ranked = scored.withColumn("pos_rank", F.row_number().over(w)).withColumn(
+        "n_cands", F.count(F.lit(1)).over(wc)
+    )
+    r = F.col("pos_rank")
+    return ranked.where(F.col("is_pos") == 1).select(
+        user_col,
+        F.col(item_col).alias("pos_item"),
+        F.col("n_cands").cast("long").alias("n_cands"),
+        r.cast("long").alias("pos_rank"),
+        F.when(r <= k, F.lit(1)).otherwise(F.lit(0)).alias(f"hit_at_{k}"),
+        F.round(
+            F.when(r <= k, F.lit(1.0) / F.log2(r + 1)).otherwise(F.lit(0.0)), 6
+        ).alias(f"ndcg_at_{k}"),
+        F.round(F.lit(1.0) / r, 6).alias("mrr"),
+    )

@@ -142,3 +142,59 @@ def test_histogram_quantiles_constant_and_groups(spark):
     # sketch answer within one bin width of the exact quantile
     w = 99.0 / 256
     assert abs(out["u"].p95_lo - 94.05) <= w + 1e-6
+
+
+def test_sampled_holdout_eval_hand_computed(spark):
+    """Composed offline-eval protocol (q172): the held-out item, the
+    >= 2-interactions filter, and the rank math are pinned with
+    candidate scores arranged so every assertion is independent of
+    WHICH negatives the deterministic draws produce."""
+    from streaming_recommendation_spark.operators.metrics import (
+        sampled_holdout_eval,
+    )
+
+    inter = spark.createDataFrame(
+        [
+            # user 1: last interaction (ts=2) is item 2; train = {1}
+            (1, 1, 1),
+            (1, 2, 2),
+            # user 2: single interaction -> excluded (empty train)
+            (2, 1, 1),
+            # user 3: ts tie at 9 -> item_id desc tiebreak holds out 7
+            (3, 5, 9),
+            (3, 7, 9),
+        ],
+        "user_id long, item_id long, ts long",
+    )
+    qv = spark.createDataFrame(
+        [
+            (1, [4, 0]),
+            (2, [0, 4]),
+            (5, [3, 3]),
+            (7, [2, 1]),
+        ],
+        "item_id long, qvec array<long>",
+    )
+    out = {
+        r.user_id: r
+        for r in sampled_holdout_eval(
+            inter, qv, order_cols=("ts", "item_id"), k_neg=4, k=10
+        ).collect()
+    }
+    assert set(out) == {1, 3}  # user 2 excluded
+
+    # user 1: profile = qvec(1) = [4, 0]; pos item 2 scores cos = 0
+    # while every possible negative ({5, 7}) scores > 0 -> the
+    # positive ranks LAST whatever the draws were
+    r1 = out[1]
+    assert r1.pos_item == 2
+    assert r1.pos_rank == r1.n_cands
+    assert r1.mrr == round(1.0 / r1.pos_rank, 6)
+    assert r1.ndcg_at_10 == round(1.0 / math.log2(r1.pos_rank + 1), 6)
+
+    # user 3: profile = qvec(5) = [3, 3]; pos item 7 scores cos ~0.949
+    # while every possible negative ({1, 2}) scores ~0.707 -> the
+    # positive ranks FIRST whatever the draws were
+    r3 = out[3]
+    assert r3.pos_item == 7  # item_id desc broke the ts tie
+    assert (r3.pos_rank, r3.hit_at_10, r3.ndcg_at_10, r3.mrr) == (1, 1, 1.0, 1.0)

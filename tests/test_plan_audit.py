@@ -1062,3 +1062,17 @@ def test_q171_anomalies_single_window_pass(run):
     assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
         "n_broadcast_joins"
     ] <= 2  # the grid-obs left join (+ AQE variance), as in q153
+
+
+def test_q172_offline_eval_candidate_bounded(run):
+    """The composed eval never does corpus x corpus work: no
+    cartesian products anywhere; every nested-loop join is one of
+    the broadcast 1-row count frames (|embeddings| for the vec map,
+    |vocab| for the draw modulus) re-expanded across the plan's
+    branches; the split collapses to a window-group-limit (rn <= 1
+    never materializes full per-user ranks)."""
+    a = run("q172_cascade_offline_eval")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["has_window_group_limit"]
+    assert a["bnl_joins"] <= 9
+    assert a["n_shuffled_hash_joins"] == 0
