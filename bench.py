@@ -213,6 +213,8 @@ HEADLINE = [
     # round-8: composed offline cascade eval (split + negatives +
     # rank-stage scoring + sampled HR/NDCG/MRR)
     "q172_cascade_offline_eval",
+    # streaming rolling-anomaly twin (alerting read over merged state)
+    "q173_streaming_anomaly_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4080,6 +4080,7 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 _DRIVER_PRIORITY.extend([
     # --- new this round (round 8) ---
     "q172_cascade_offline_eval",
+    "q173_streaming_anomaly_twin",
     # --- new round 7 ---
     "q171_rolling_anomalies",
     "q170_fk_profile",
@@ -8076,4 +8077,51 @@ def q172_cascade_offline_eval(spark, sf_dir):
         order_cols=("d", "ok", "ln", "item_id"),
         k_neg=10,
         k=10,
+    )
+
+
+@register(
+    "q173_streaming_anomaly_twin",
+    _REGISTRY["q171_rolling_anomalies"].oracle,
+    doc="Streaming rolling-anomaly twin (streaming/timeseries.py::"
+    "TimeBucketStream.anomalies; VERDICT r7 #5) — the ALERTING read "
+    "a hypertable serves next to its rollups, over the continuously "
+    "maintained per-(key, bucket) last-obs state instead of a "
+    "rescan of event history. The twin folds the events split at "
+    "2024-01-15 through the SAME bucket_last_obs + merge_obs "
+    "operators ingest_batch runs — LATER half FIRST (the merge's "
+    "commutativity IS the out-of-order-safety claim) — then applies "
+    "locf_fill + rolling_anomalies, and must equal q171's one-shot "
+    "batch answer bit-for-bit (oracle = q171's SQL verbatim). The "
+    "anomaly test stays the integer cross-multiplied z-comparison "
+    "(no sqrt, engine-agnostic). Disk legs (scrambled-order ingest, "
+    "same-batch retry, duplicate redelivery — all converging to the "
+    "one-shot flags over the versioned per-bucket state) are pinned "
+    "in tests/test_streaming_timeseries.py.",
+    tags=("timeseries", "streaming-twin", "quality"),
+)
+def q173_streaming_anomaly_twin(spark, sf_dir):
+    from .operators.timeseries import (
+        bucket_last_obs,
+        locf_fill,
+        merge_obs,
+        rolling_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    early = ev.where(F.col("ts") < cut)
+    late = ev.where(F.col("ts") >= cut)
+    obs_early = bucket_last_obs(early, "user_id", "ts", "value", 3600)
+    obs_late = bucket_last_obs(late, "user_id", "ts", "value", 3600)
+    merged = merge_obs(obs_late, obs_early, "user_id", "value")
+    dense = locf_fill(merged.drop("ts_us"), "user_id", "value", 3600)
+    return rolling_anomalies(
+        dense.select("user_id", "bucket_start", "value"),
+        "user_id",
+        "bucket_start",
+        "value",
+        window_rows=24,
+        k_sigma=2,
+        min_baseline=12,
     )

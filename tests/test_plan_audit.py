@@ -1076,3 +1076,14 @@ def test_q172_offline_eval_candidate_bounded(run):
     assert a["has_window_group_limit"]
     assert a["bnl_joins"] <= 9
     assert a["n_shuffled_hash_joins"] == 0
+
+
+def test_q173_anomaly_twin_no_cartesian(run):
+    """q171's shape, fed by the merged two-batch fold: the merge adds
+    one union + max aggregation, never a join blowup."""
+    a = run("q173_streaming_anomaly_twin")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
+        "n_broadcast_joins"
+    ] <= 2  # the grid-obs left join (+ AQE variance), as in q171

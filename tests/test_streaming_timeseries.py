@@ -130,3 +130,40 @@ def test_streaming_query_end_to_end(spark, tmp_path):
         for r in ts.dense(spark).collect()
     }
     assert got == _dense_reference(spark)
+
+
+def test_anomaly_read_matches_batch_after_scrambled_ingest(spark, tmp_path):
+    """The alerting read (q173): rolling_anomalies over the maintained
+    state equals the one-shot batch flags, after scrambled-order
+    ingest PLUS a same-batch retry PLUS a full duplicate redelivery —
+    the idempotent-merge contract carries through the extra window
+    pass unchanged. Window small enough (3 rows, min_baseline 2) that
+    the toy series exercises flagged AND unflagged points."""
+    from streaming_recommendation_spark.operators.timeseries import (
+        rolling_anomalies,
+    )
+
+    ts = _stream(tmp_path)
+    for i in range(3):
+        ts.ingest_batch(spark.createDataFrame(ROWS[BATCHES[i]], SCHEMA), i)
+    ts.ingest_batch(spark.createDataFrame(ROWS[BATCHES[2]], SCHEMA), 2)  # retry
+    ts.ingest_batch(spark.createDataFrame(ROWS[BATCHES[0]], SCHEMA), 3)  # dup
+    kw = dict(window_rows=3, k_sigma=2, min_baseline=2)
+    got = {
+        (r.user_id, r.bucket_start): (r.n_baseline, r.is_anomaly)
+        for r in ts.anomalies(spark, **kw).collect()
+    }
+    dense = gap_fill_locf(
+        spark.createDataFrame(ROWS, SCHEMA), "user_id", "ts", "value", 3600
+    )
+    want = {
+        (r.user_id, r.bucket_start): (r.n_baseline, r.is_anomaly)
+        for r in rolling_anomalies(
+            dense.select("user_id", "bucket_start", "value"),
+            "user_id", "bucket_start", "value", **kw
+        ).collect()
+    }
+    assert got == want
+    # non-vacuous: cold-start rows exist and at least one baseline'd row
+    assert any(n < 2 for n, _ in want.values())
+    assert any(n >= 2 for n, _ in want.values())
