@@ -215,6 +215,8 @@ HEADLINE = [
     "q172_cascade_offline_eval",
     # streaming rolling-anomaly twin (alerting read over merged state)
     "q173_streaming_anomaly_twin",
+    # snapshot-wide DQ gate (null-rate + dup-PK + FK edges, one relation)
+    "q174_snapshot_audit",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4081,6 +4081,7 @@ _DRIVER_PRIORITY.extend([
     # --- new this round (round 8) ---
     "q172_cascade_offline_eval",
     "q173_streaming_anomaly_twin",
+    "q174_snapshot_audit",
     # --- new round 7 ---
     "q171_rolling_anomalies",
     "q170_fk_profile",
@@ -8125,3 +8126,137 @@ def q173_streaming_anomaly_twin(spark, sf_dir):
         k_sigma=2,
         min_baseline=12,
     )
+
+
+# --- q174: snapshot-wide data-quality audit spec + generated oracle ---------
+# Static schema spec for the synthetic snapshot (TESTDATA.md); the
+# oracle SQL is GENERATED from this spec so the two sides can never
+# drift on which checks run.
+_AUDIT_COLS = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+_AUDIT_PKS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    # composite — and genuinely DUPLICATED in this generator (the
+    # audit's non-degenerate failing check)
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_AUDIT_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _audit_oracle() -> str:
+    ctes, selects = [], []
+    for t, cols in _AUDIT_COLS.items():
+        nulls = ", ".join(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS b{i}"
+            for i, c in enumerate(cols)
+        )
+        ctes.append(f"nr_{t} AS (SELECT count(*) AS n, {nulls} FROM {t})")
+        for i, c in enumerate(cols):
+            selects.append(
+                f"SELECT 'null_rate' AS check_type, '{t}.{c}' AS target,\n"
+                f"       CAST(n AS BIGINT) AS n_rows,"
+                f" CAST(b{i} AS BIGINT) AS bad_rows,\n"
+                f"       CASE WHEN n > 0 THEN CAST(n - b{i} AS DOUBLE) / n"
+                f" END AS metric FROM nr_{t}"
+            )
+    for t, pk in _AUDIT_PKS.items():
+        pkl = ", ".join(pk)
+        ctes.append(
+            f"pk_{t} AS (SELECT coalesce(sum(c), 0) AS s, count(*) AS d\n"
+            f"  FROM (SELECT {pkl}, count(*) AS c FROM {t} GROUP BY {pkl}))"
+        )
+        selects.append(
+            f"SELECT 'dup_pk', '{t}.{'+'.join(pk)}', CAST(s AS BIGINT),"
+            f" CAST(s - d AS BIGINT),\n"
+            f"       CASE WHEN s > 0 THEN CAST(d AS DOUBLE) / s END"
+            f" FROM pk_{t}"
+        )
+    for i, (child, fk, parent, pk) in enumerate(_AUDIT_EDGES):
+        name = f"{child}.{fk}->{parent}.{pk}"
+        ctes.append(
+            f"k{i} AS (SELECT {fk} AS fk, count(*) AS cnt FROM {child}"
+            f" GROUP BY 1)"
+        )
+        ctes.append(
+            f"e{i} AS (\n"
+            f"  SELECT CAST(sum(cnt) AS BIGINT) AS child_rows,\n"
+            f"         count(*) AS distinct_fk,\n"
+            f"         CAST(sum(CASE WHEN p.{pk} IS NULL THEN cnt ELSE 0 END)"
+            f" AS BIGINT) AS orphan_rows,\n"
+            f"         CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS orphan_keys,\n"
+            f"         (SELECT count(DISTINCT {pk}) FROM {parent}) AS parents\n"
+            f"  FROM k{i} LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p\n"
+            f"    ON k{i}.fk = p.{pk})"
+        )
+        selects.append(
+            f"SELECT 'fk_orphans', '{name}', child_rows, orphan_rows,\n"
+            f"       CAST(distinct_fk - orphan_keys AS DOUBLE) / parents"
+            f" FROM e{i}"
+        )
+    return (
+        "WITH\n" + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "q174_snapshot_audit",
+    _audit_oracle(),
+    doc="Snapshot-wide data-quality gate (operators/quality.py::"
+    "snapshot_audit; VERDICT r7 #9) — the full pre-training audit as "
+    "ONE relation: null-rate for EVERY column of every table (all of "
+    "a table's columns from ONE aggregation over ONE scan), dup-PK "
+    "uniqueness for every declared key (one groupBy(pk) each — "
+    "composite keys supported, and lineitem's (l_orderkey, "
+    "l_linenumber) is genuinely duplicated in this generator, so the "
+    "failing-check path is externally exercised, not hypothetical), "
+    "and every FK edge through the q170 fk_profile operator (child "
+    "pre-reduced, parent deduped, NULL FKs orphan). The oracle SQL "
+    "is GENERATED from the same static spec the Spark side consumes "
+    "— the check lists cannot drift. Exactness: exact int64 counts; "
+    "each metric is ONE IEEE division. Scale: O(columns + pks + "
+    "edges) output rows; every check is an independent map-side-"
+    "partial subplan; no join ships more than |distinct key| rows.",
+    tags=("quality", "agg"),
+)
+def q174_snapshot_audit(spark, sf_dir):
+    from .operators.quality import snapshot_audit
+
+    tables = {t: _t(spark, sf_dir, t) for t in _AUDIT_COLS}
+    edges = [
+        (tables[c], fk, tables[p], pk, f"{c}.{fk}->{p}.{pk}")
+        for c, fk, p, pk in _AUDIT_EDGES
+    ]
+    return snapshot_audit(tables, _AUDIT_PKS, edges)

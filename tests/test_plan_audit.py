@@ -1087,3 +1087,14 @@ def test_q173_anomaly_twin_no_cartesian(run):
     assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] + a[
         "n_broadcast_joins"
     ] <= 2  # the grid-obs left join (+ AQE variance), as in q171
+
+
+def test_q174_snapshot_audit_no_wide_joins(run):
+    """Every check is a map-side-partial aggregate subplan: the only
+    joins anywhere are the 7 FK edges' |distinct key| equi-joins
+    (broadcast at this SF) and their singleton totals BNLs — nothing
+    shuffles a fact table, no cartesian, no sort-merge."""
+    a = run("q174_snapshot_audit")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert a["bnl_joins"] <= 7  # one 1-row parents frame per FK edge

@@ -70,3 +70,45 @@ def test_fk_profile_duplicate_parent_keys_do_not_inflate(spark):
     assert r.orphan_rows == 1 and r.orphan_keys == 1  # fk=20
     assert r.parents == 2  # distinct {10, 30}
     assert r.coverage == 1 / 2
+
+
+def test_snapshot_audit_all_three_check_families(spark):
+    """One synthetic snapshot exercising a NULL cell, a duplicated
+    composite PK, and an orphaned FK — every check family reports a
+    non-zero bad_rows somewhere and exact metrics everywhere."""
+    from streaming_recommendation_spark.operators.quality import (
+        snapshot_audit,
+    )
+
+    users = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "uid bigint, name string"
+    )
+    # composite PK (uid, day): (1, 5) appears twice
+    visits = spark.createDataFrame(
+        [(1, 5, 10), (1, 5, 11), (2, 6, 12), (9, 7, 13)],
+        "uid bigint, day bigint, visit bigint",
+    )  # uid=9 is an FK orphan
+    out = {
+        (r.check_type, r.target): r
+        for r in snapshot_audit(
+            {"users": users, "visits": visits},
+            {"users": ["uid"], "visits": ["uid", "day"]},
+            [(visits, "uid", users, "uid", "visits.uid->users.uid")],
+        ).collect()
+    }
+    # 2 + 3 columns + 2 pks + 1 edge = 8 checks
+    assert len(out) == 8
+
+    nn = out[("null_rate", "users.name")]
+    assert (nn.n_rows, nn.bad_rows, nn.metric) == (3, 1, 2 / 3)
+    clean = out[("null_rate", "visits.visit")]
+    assert (clean.n_rows, clean.bad_rows, clean.metric) == (4, 0, 1.0)
+
+    dp = out[("dup_pk", "visits.uid+day")]
+    assert (dp.n_rows, dp.bad_rows, dp.metric) == (4, 1, 3 / 4)
+    ok = out[("dup_pk", "users.uid")]
+    assert (ok.n_rows, ok.bad_rows, ok.metric) == (3, 0, 1.0)
+
+    fk = out[("fk_orphans", "visits.uid->users.uid")]
+    assert (fk.n_rows, fk.bad_rows) == (4, 1)
+    assert fk.metric == 2 / 3  # uids 1,2 referenced of 3 parents
