@@ -217,6 +217,8 @@ HEADLINE = [
     "q173_streaming_anomaly_twin",
     # snapshot-wide DQ gate (null-rate + dup-PK + FK edges, one relation)
     "q174_snapshot_audit",
+    # end-to-end near-dup pipeline (LSH -> verify -> CC -> canonical)
+    "q175_near_dedup_pipeline",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -243,6 +245,7 @@ ITERATIVE = {
     "q152_kcore_peeling",  # per-round peel checkpoints
     "q154_weighted_negatives",  # walk corpus materialized at construction
     "q163_lightgcn_propagation",  # per-layer feature checkpoints
+    "q175_near_dedup_pipeline",  # CC star rounds run at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

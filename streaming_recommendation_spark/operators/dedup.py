@@ -1120,3 +1120,81 @@ def substitution_neighbors(
         )
         .select("id_a", "id_b", F.col("pos").alias("diff_pos"))
     )
+
+
+def near_dedup_pipeline(
+    df: DataFrame,
+    threshold_pct: int = 80,
+    num_hashes: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """The COMPLETE near-duplicate deduplication pipeline a corpus
+    curation run actually executes, composed end-to-end from the
+    operators this module already ships (each independently
+    oracle-checked as q37/q36/q129):
+
+      1. MinHash-LSH banding proposes candidate pairs
+         (``minhash_lsh_pairs`` — candidates only form inside a
+         band bucket, never all-pairs);
+      2. candidates are VERIFIED with exact shingle-set Jaccard —
+         the threshold test is the integer cross-multiplication
+         ``100 * |A∩B| >= threshold_pct * |A∪B|`` (no float Jaccard
+         is ever compared, so engines agree exactly). A candidate
+         pair sharing zero shingles (a pure banding coincidence)
+         drops out of the inner intersection join, which IS the
+         correct verdict (Jaccard 0);
+      3. verified pairs become edges of the duplicate graph;
+         ``connected_components_star`` resolves clusters in
+         O(log^2 n) rounds (duplicate clusters are transitive
+         closures, not pairs);
+      4. the minimum doc id of each cluster is elected canonical.
+
+    Returns (id, cluster, kept) for EVERY input document: cluster is
+    the canonical id (self when unduplicated), kept is true exactly
+    once per cluster — filtering on kept yields the deduplicated
+    corpus; grouping on cluster yields the duplicate report.
+
+    Scale shape: candidate volume is bounded by band-bucket
+    co-occupancy (the LSH contract); verification cost is
+    sum over candidate pairs of |A| via two shingle equi-joins —
+    never a corpus self-join; the CC input is only the verified
+    pairs. Every stage is the already-pinned plan of its operator."""
+    cands = minhash_lsh_pairs(df, num_hashes, bands, text_col, id_col, n)
+    sh = shingle_table(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    xa = sh.select(F.col(id_col).alias("a"), "shingle")
+    xb = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cands.join(xa, "a")
+        .join(xb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("__sz").alias("__sa"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("__sz").alias("__sb"))
+    verified = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .where(
+            F.lit(100) * F.col("__i")
+            >= F.lit(int(threshold_pct))
+            * (F.col("__sa") + F.col("__sb") - F.col("__i"))
+        )
+        .select("a", "b")
+    )
+    labels = connected_components_star(verified, src="a", dst="b")
+    return (
+        df.select(F.col(id_col))
+        .join(labels.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+            (
+                F.col(id_col)
+                == F.coalesce(F.col("component"), F.col(id_col))
+            ).alias("kept"),
+        )
+    )

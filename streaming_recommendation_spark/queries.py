@@ -4082,6 +4082,7 @@ _DRIVER_PRIORITY.extend([
     "q172_cascade_offline_eval",
     "q173_streaming_anomaly_twin",
     "q174_snapshot_audit",
+    "q175_near_dedup_pipeline",
     # --- new round 7 ---
     "q171_rolling_anomalies",
     "q170_fk_profile",
@@ -8260,3 +8261,78 @@ def q174_snapshot_audit(spark, sf_dir):
         for c, fk, p, pk in _AUDIT_EDGES
     ]
     return snapshot_audit(tables, _AUDIT_PKS, edges)
+
+
+@register(
+    "q175_near_dedup_pipeline",
+    f"""
+    WITH {_SHINGLE_CTE},
+    params(i, a, b) AS (VALUES {_Q37_PARAMS}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * hv + b) % {dedup.MH_PRIME}) AS mh
+      FROM hashed CROSS JOIN params GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM bands x JOIN bands y USING (band, band_key)
+      WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS i
+      FROM cand c
+      JOIN sh x ON x.doc_id = c.a
+      JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.a, i.b
+      FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+                   JOIN sizes sb ON sb.doc_id = i.b
+      WHERE 100 * i.i >= 80 * (sa.sz + sb.sz - i.i)
+    ),
+    sym AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+    reach AS (
+      WITH RECURSIVE r(u, x) AS (
+        SELECT u, v AS x FROM sym
+        UNION
+        SELECT s.u, r.x FROM sym s JOIN r ON r.u = s.v
+      ) SELECT * FROM r
+    ),
+    m AS (SELECT u, least(min(x), u) AS comp FROM reach GROUP BY u)
+    SELECT d.doc_id, coalesce(m.comp, d.doc_id) AS cluster,
+           (d.doc_id = coalesce(m.comp, d.doc_id)) AS kept
+    FROM documents d LEFT JOIN m ON m.u = d.doc_id
+    """,
+    doc="The COMPLETE near-dup deduplication pipeline "
+    "(operators/dedup.py::near_dedup_pipeline) — what a corpus "
+    "curation run actually executes, composed end-to-end from "
+    "independently-gated operators: MinHash-LSH candidates (q37) -> "
+    "exact shingle-Jaccard VERIFY at 0.8 via the integer "
+    "cross-multiplication 100*|A∩B| >= 80*|A∪B| (no float Jaccard "
+    "compared) -> connected-components cluster resolution (q129's "
+    "alternating-star algorithm; duplicate clusters are transitive "
+    "closures, not pairs) -> min-id canonical election. Returns "
+    "(doc_id, cluster, kept) for every document; kept is true "
+    "exactly once per cluster. Oracle: the q37 signature/banding "
+    "SQL, an independent intersection join for the verify, and a "
+    "recursive-CTE transitive closure (algorithm-independent of the "
+    "star rounds). Non-degenerate at sf0.01: 24 documents dropped "
+    "across 23 clusters. Scale: candidates only inside band "
+    "buckets; verify cost = sum over candidates of |A|; CC input = "
+    "verified pairs only.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q175_near_dedup_pipeline(spark, sf_dir):
+    return dedup.near_dedup_pipeline(
+        _t(spark, sf_dir, "documents"), threshold_pct=80
+    )

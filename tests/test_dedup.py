@@ -683,3 +683,45 @@ def test_substitution_neighbors_ignores_empty_strings(spark):
     }
     # only the genuine equal-length substitution pair survives
     assert got == {(2, 3)}
+
+
+def test_near_dedup_pipeline_transitive_cluster_and_canonicals(spark):
+    """End-to-end pipeline (q175): exact dups A/B band together and
+    verify at Jaccard 1; C is B with one word changed (high overlap);
+    the cluster is the TRANSITIVE closure {A, B, C} with the min id
+    canonical; the unrelated doc keeps itself. A second run with an
+    unsatisfiable threshold (101%) must reject every LSH candidate at
+    the verify gate and keep everything."""
+    from streaming_recommendation_spark.operators.dedup import (
+        near_dedup_pipeline,
+    )
+
+    # long enough that a one-word substitution keeps shingle Jaccard
+    # >= 0.8: W words -> W-2 shingles, a mid-word change breaks 3 of
+    # them, so J = (W-5)/(W+1) — needs W >= 29
+    base = " ".join(
+        f"w{i}" for i in range(20)
+    ) + " the quick brown fox jumps over the lazy dog near the river bank " + " ".join(
+        f"v{i}" for i in range(20)
+    )
+    rows = [
+        (10, base),
+        (11, base),  # exact dup of 10
+        (12, base.replace("river", "creek")),  # near-dup of both
+        (99, "completely different text about distributed query engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cluster, r.kept)
+        for r in near_dedup_pipeline(df, threshold_pct=80).collect()
+    }
+    assert out[10] == (10, True)
+    assert out[11] == (10, False)
+    assert out[12] == (10, False)  # transitive closure, one cluster
+    assert out[99] == (99, True)
+
+    strict = {
+        r.doc_id: (r.cluster, r.kept)
+        for r in near_dedup_pipeline(df, threshold_pct=101).collect()
+    }
+    assert all(v == (k, True) for k, v in strict.items())

@@ -1098,3 +1098,12 @@ def test_q174_snapshot_audit_no_wide_joins(run):
     assert "CartesianProduct" not in a["plan"]
     assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
     assert a["bnl_joins"] <= 7  # one 1-row parents frame per FK edge
+
+
+def test_q175_dedup_pipeline_no_cartesian(run):
+    """Candidates form only inside band buckets; the verify is two
+    shingle equi-joins; the star rounds are min-groupBy + equi-join —
+    a cartesian/BNL anywhere means a blocking key was lost."""
+    a = run("q175_near_dedup_pipeline")
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
