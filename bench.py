@@ -219,6 +219,8 @@ HEADLINE = [
     "q174_snapshot_audit",
     # end-to-end near-dup pipeline (LSH -> verify -> CC -> canonical)
     "q175_near_dedup_pipeline",
+    # PMI collocations (word2phrase phrase detection, decimal products)
+    "q176_pmi_collocations",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

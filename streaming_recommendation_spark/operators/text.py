@@ -545,3 +545,89 @@ def bm25_postings(
             "rank",
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    repartition: int | bool | None = None,
+) -> DataFrame:
+    """PMI collocation scores for adjacent word pairs — the
+    word2phrase-style phrase-detection statistic a training-data
+    pipeline runs BEFORE tokenizer/embedding training (Mikolov et
+    al. 2013 merge high-PMI bigrams into single tokens; the same
+    score drives collocation extraction). Returns (w1, w2,
+    pair_count, w1_count, w2_count, pmi_ratio) for every adjacent
+    pair seen at least ``min_count`` times.
+
+    Exactness — the log never happens: PMI = log(P(w1 w2) /
+    (P(w1) P(w2))) is monotone in the RATIONAL
+
+        pmi_ratio = (c12 * T * T) / (B * c1 * c2)
+
+    (T total tokens, B total bigrams), so the rational itself is
+    emitted: products computed in decimal(38,0) — at corpus scale
+    c12 * T^2 reaches ~1e36, far past int64, while DuckDB promotes
+    to HUGEINT (the same wrap class fixed in encode_from_counts this
+    round) — then ONE IEEE division. Ranking/thresholding on
+    pmi_ratio orders identically to true PMI.
+
+    Scale shape: one doc-local transform builds the bigram stream
+    (no shuffle); one groupBy(w1, w2) and one groupBy(token) build
+    the Zipf-bounded count tables; the two unigram joins key on the
+    word; T and B ride as broadcast singletons. Head-word skew on
+    the count joins is AQE's skew case; at 100 TB floor the unigram
+    table with its own min-count and broadcast it."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = spread(df, repartition).select(F.col(id_col), words.alias("__w"))
+    uni = base.select(F.explode("__w").alias("__t"))
+    u1 = uni.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("__T"))
+    bg = (
+        base.where(F.size("__w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__w) - 1),"
+                    " i -> struct(element_at(__w, i) AS w1,"
+                    "             element_at(__w, i + 1) AS w2))"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+    )
+    b1 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= int(min_count))
+    )
+    btot = bg.agg(F.count(F.lit(1)).alias("__B"))
+    ca = u1.select(F.col("__t").alias("w1"), F.col("__c").alias("w1_count"))
+    cb = u1.select(F.col("__t").alias("w2"), F.col("__c").alias("w2_count"))
+    dec = "decimal(19,0)"
+    num = (
+        F.col("pair_count").cast(dec)
+        * F.col("__T").cast(dec)
+        * F.col("__T").cast(dec)
+    )
+    den = (
+        F.col("__B").cast(dec)
+        * F.col("w1_count").cast(dec)
+        * F.col("w2_count").cast(dec)
+    )
+    return (
+        b1.join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            "w1_count",
+            "w2_count",
+            (num.cast("double") / den.cast("double")).alias("pmi_ratio"),
+        )
+    )

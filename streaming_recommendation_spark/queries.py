@@ -4083,6 +4083,7 @@ _DRIVER_PRIORITY.extend([
     "q173_streaming_anomaly_twin",
     "q174_snapshot_audit",
     "q175_near_dedup_pipeline",
+    "q176_pmi_collocations",
     # --- new round 7 ---
     "q171_rolling_anomalies",
     "q170_fk_profile",
@@ -8336,3 +8337,54 @@ def q175_near_dedup_pipeline(spark, sf_dir):
     return dedup.near_dedup_pipeline(
         _t(spark, sf_dir, "documents"), threshold_pct=80
     )
+
+
+@register(
+    "q176_pmi_collocations",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), uni AS (SELECT unnest(w) AS t FROM words),
+    u1 AS (SELECT t, count(*) AS c FROM uni GROUP BY t),
+    tot AS (SELECT count(*) AS t FROM uni),
+    ex AS (
+      SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+      FROM words WHERE len(w) >= 2
+    ),
+    bg AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM ex),
+    b1 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+      HAVING count(*) >= 5
+    ),
+    btot AS (SELECT count(*) AS b FROM bg)
+    SELECT b1.w1, b1.w2,
+           CAST(c12 AS BIGINT) AS pair_count,
+           CAST(ca.c AS BIGINT) AS w1_count,
+           CAST(cb.c AS BIGINT) AS w2_count,
+           CAST(CAST(c12 AS HUGEINT) * t.t * t.t AS DOUBLE)
+             / CAST(CAST(btot.b AS HUGEINT) * ca.c * cb.c AS DOUBLE)
+             AS pmi_ratio
+    FROM b1 JOIN u1 ca ON b1.w1 = ca.t
+            JOIN u1 cb ON b1.w2 = cb.t, tot t, btot
+    """,
+    doc="PMI collocation scores (operators/text.py::pmi_collocations, "
+    "min_count=5) — word2phrase-style phrase detection, the "
+    "pre-tokenizer pass that merges high-PMI bigrams into single "
+    "tokens (Mikolov et al. 2013); completes the text-statistics leg "
+    "next to unigram (q95) and bigram-LM (q110) rarity. Exactness: "
+    "PMI's log never happens — the emitted pmi_ratio = "
+    "(c12*T^2)/(B*c1*c2) is monotone in PMI and computed as "
+    "decimal(38,0) products (c12*T^2 ~ 1e36 at corpus scale, past "
+    "int64 — the same wrap class fixed in encode_from_counts this "
+    "round; the oracle promotes to HUGEINT) with ONE IEEE division. "
+    "Scale: doc-local bigram stream, Zipf-bounded count tables, "
+    "word-keyed joins, singleton broadcast totals.",
+    tags=("text", "agg"),
+)
+def q176_pmi_collocations(spark, sf_dir):
+    from .operators.text import pmi_collocations
+
+    return pmi_collocations(_t(spark, sf_dir, "documents"), min_count=5)

@@ -1107,3 +1107,13 @@ def test_q175_dedup_pipeline_no_cartesian(run):
     a = run("q175_near_dedup_pipeline")
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q176_pmi_no_cartesian_beyond_singletons(run):
+    """The bigram stream is doc-local (no shuffle before the counts);
+    joins key on words; the only BNLs are the two broadcast 1-row
+    totals (T and B) — no cartesian, no corpus self-join."""
+    a = run("q176_pmi_collocations")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] <= 2
+    assert a["n_sortmerge_joins"] == 0

@@ -259,3 +259,30 @@ def test_bm25_postings_matches_bruteforce(spark):
     assert xs[1] / xs[2] < 2.5
     ranks = [got[("x", d)].rank for d in (1, 2, 3)]
     assert ranks == [1, 2, 3]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Corpus 'a b a b' + 'a c': T=6 tokens (a:3 b:2 c:1), bigrams
+    (a,b)x2 (b,a)x1 (a,c)x1 -> B=4. With min_count=2 only (a,b)
+    survives: pmi_ratio = (2*6*6)/(4*3*2) = 3.0 exactly."""
+    from streaming_recommendation_spark.operators.text import (
+        pmi_collocations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = pmi_collocations(df, min_count=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.pair_count, r.w1_count, r.w2_count) == (
+        "a", "b", 2, 3, 2,
+    )
+    assert r.pmi_ratio == 3.0
+    # min_count=1 admits the rest; (b,a) ratio = (1*36)/(4*2*3) = 1.5
+    all_pairs = {
+        (r.w1, r.w2): r.pmi_ratio
+        for r in pmi_collocations(df, min_count=1).collect()
+    }
+    assert all_pairs[("b", "a")] == 1.5
+    assert all_pairs[("a", "c")] == (1 * 36) / (4 * 3 * 1)
