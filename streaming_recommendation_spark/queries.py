@@ -4060,23 +4060,25 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-7 driver-gate prefix (VERDICT r6 #1 — the staleness rotation
-# that rounds 5 and 6 both deferred). Steady-state policy: lead with
-# queries new this round, then the rows whose last EXTERNAL
+# Round-8 driver-gate prefix (VERDICT r7 #1 — the FINAL leg of the
+# staleness rotation begun in round 7). Steady-state policy: lead
+# with queries new this round, then the rows whose last EXTERNAL
 # driver-verified green is oldest. This round the 50-entry gate =
-# the 35 queries new this round (q137-q171) + the first 15 rows of
-# the round-3-stale cohort (newest external green round 3); verified
-# ZERO overlap with CORRECTNESS_r06's key set. The r3 rows past slot
-# 50 (q91-q104 plus the 5 the round-6 judge already independently
-# re-checked green: q60, q62, q74, q78, q84 — deliberately ordered
-# last) rotate next round together with the round-4 cohort
-# (q105-q129). With the registry at 171 and 50 external slots per
-# round, the structural staleness floor is ~3 rounds even with zero
-# new queries; the per-wave 171-query SELFCHECK (same compare logic,
-# sf0.01) is the internal evidence that bridges the gap. New queries registered this
-# round are inserted at the HEAD of this list at their registration
-# site; the gate takes the first 50, so the tail entries here are
-# the first to yield their slot.
+# the 5 queries new this round (q172-q176) + the ENTIRE remaining
+# stale queue: the 15 round-3 rows past r7's slot 50 (q91-q104 incl.
+# q94b), the 5 rows the round-6 judge independently re-checked green
+# (q60/q62/q74/q78/q84 — deliberately ordered after the pure-r3 rows),
+# and the full round-4 cohort (q105-q129). 5 + 15 + 5 + 25 = 50
+# EXACTLY, zero overlap with CORRECTNESS_r07's key set (verified by
+# scripts/check_rotation.py) — after this round no query's newest
+# external green is older than round 4, and the q91-q129 range is
+# all re-greened this round. With the registry at 176 and 50
+# external slots per round the structural staleness floor is ~3
+# rounds; the per-wave full-registry SELFCHECK (same compare logic,
+# sf0.01) is the internal evidence bridging the gap. New queries
+# registered this round are inserted at the HEAD of this list at
+# their registration site; the gate takes the first 50, so the tail
+# entries here are the first to yield their slot.
 _DRIVER_PRIORITY.extend([
     # --- new this round (round 8) ---
     "q172_cascade_offline_eval",
@@ -4084,62 +4086,7 @@ _DRIVER_PRIORITY.extend([
     "q174_snapshot_audit",
     "q175_near_dedup_pipeline",
     "q176_pmi_collocations",
-    # --- new round 7 ---
-    "q171_rolling_anomalies",
-    "q170_fk_profile",
-    "q167_leave_last_out_split",
-    "q168_eval_sampled_negatives",
-    "q169_random_projection",
-    "q164_streaming_target_encode_twin",
-    "q165_session_sequences",
-    "q166_embedding_covariance",
-    "q161_feature_hashing",
-    "q162_target_encoding",
-    "q163_lightgcn_propagation",
-    "q157_funnel_conversion",
-    "q158_cohort_retention",
-    "q159_event_transitions",
-    "q160_streaming_funnel_twin",
-    "q144_association_rules",
-    "q145_bfs_distances",
-    "q146_skipgram_pairs",
-    "q147_bm25_postings",
-    "q148_personalized_pagerank",
-    "q149_gap_fill_locf",
-    "q150_fuzzy_name_pairs",
-    "q151_skipgram_negatives",
-    "q152_kcore_peeling",
-    "q153_rolling_dense_stats",
-    "q154_weighted_negatives",
-    "q155_continuous_aggregate_twin",
-    "q156_contrastive_triplets",
-    "q139_itemcf_cosine",
-    "q140_itemcf_topk",
-    "q141_incremental_itemcf_twin",
-    "q142_random_walks",
-    "q143_swing_similarity",
-    "q137_compacted_ivf_twin",
-    "q138_mergeable_histogram_twin",
-    # --- last external green: round 3 (full cohort, 35 rows; the 5
-    # rows the round-6 judge ALREADY independently re-checked green
-    # (q60, q62, q74, q78, q84) are ordered LAST so that if new-query
-    # head growth pushes anyone past slot 50, it is the rows with the
-    # freshest independent evidence that yield) ---
-    "q61_shipping_volume_between_nations",
-    "q63_lineitems_by_quantity_band",
-    "q64_brand_revenue_ratio",
-    "q75_order_count_distribution",
-    "q76_important_parts",
-    "q77_top_revenue_supplier",
-    "q79_large_volume_orders",
-    "q80_disjunctive_revenue",
-    "q81_heavy_shippers_of_red_parts",
-    "q82_nation_year_profit",
-    "q83_returned_item_customers",
-    "q87_grouping_sets_events",
-    "q88_embedding_quantization",
-    "q89_decontamination",
-    "q90_repetition_filters",
+    # --- last external green: round 3 (the 15 rows past r7's gate) ---
     "q91_domain_quota",
     "q92_doc_chunking",
     "q93_sequence_packing",
@@ -4155,12 +4102,15 @@ _DRIVER_PRIORITY.extend([
     "q102_pagerank",
     "q103_cascade_lsh_recall",
     "q104_exact_substring_dups",
+    # --- round 3 external, but independently re-checked green by the
+    # round-6 judge (freshest independent evidence -> after the pure
+    # r3 rows) ---
     "q60_cube_order_stats",
     "q62_region_market_share",
     "q74_min_cost_supplier",
     "q78_supplier_part_counts",
     "q84_corpus_curation",
-    # --- last external green: round 4 (registration-oldest 15) ---
+    # --- last external green: round 4 (full cohort) ---
     "q105_bpe_learned_merges",
     "q106_bpe_token_counts",
     "q107_dup_length_profile",
@@ -4176,6 +4126,16 @@ _DRIVER_PRIORITY.extend([
     "q117_histogram_quantiles",
     "q118_hll_distinct",
     "q119_bloom_decontamination",
+    "q120_priority_sample",
+    "q121_scd2_intervals",
+    "q122_local_supplier_volume",
+    "q123_forecast_revenue_change",
+    "q124_cms_heavy_hitters",
+    "q125_column_profile",
+    "q126_kmv_set_stats",
+    "q127_decayed_popularity",
+    "q128_event_transitions",
+    "q129_largestar_components",
 ])
 
 
