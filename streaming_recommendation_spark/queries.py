@@ -8216,7 +8216,13 @@ def _audit_oracle() -> str:
 def q174_snapshot_audit(spark, sf_dir):
     from .operators.quality import snapshot_audit
 
-    tables = {t: _t(spark, sf_dir, t) for t in _AUDIT_COLS}
+    # select the SPEC'd columns explicitly: snapshot_audit iterates
+    # df.columns, so this projection is what makes the no-drift claim
+    # true (both sides consume _AUDIT_COLS, not whatever _t returns)
+    tables = {
+        t: _t(spark, sf_dir, t).select(*cols)
+        for t, cols in _AUDIT_COLS.items()
+    }
     edges = [
         (tables[c], fk, tables[p], pk, f"{c}.{fk}->{p}.{pk}")
         for c, fk, p, pk in _AUDIT_EDGES
