@@ -221,6 +221,8 @@ HEADLINE = [
     "q175_near_dedup_pipeline",
     # PMI collocations (word2phrase phrase detection, decimal products)
     "q176_pmi_collocations",
+    # ANN recall@10 eval (IVF vs brute force over the same queries)
+    "q177_ann_recall_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

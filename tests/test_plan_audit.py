@@ -1117,3 +1117,16 @@ def test_q176_pmi_no_cartesian_beyond_singletons(run):
     assert "CartesianProduct" not in a["plan"]
     assert a["bnl_joins"] <= 2
     assert a["n_sortmerge_joins"] == 0
+
+
+def test_q177_ann_recall_no_corpus_cross(run):
+    """Both rank sets are bounded-query-side plans (q35/q66 shapes);
+    the recall intersection joins two k-rows-per-query frames — the
+    only BNL class allowed is the broadcast bounded query set."""
+    a = run("q177_ann_recall_eval")
+    assert "CartesianProduct" not in a["plan"]
+    # the two post-window intersection/left joins plan as SMJ
+    # statically (no stats after row_number); both sides are k rows
+    # per query, AQE's broadcast-conversion case at runtime — what
+    # must never appear is a corpus-side SMJ beyond those two
+    assert a["n_sortmerge_joins"] <= 2

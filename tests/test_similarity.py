@@ -317,3 +317,27 @@ def test_contrastive_triplets_positive_and_negative_contract(spark):
             (kh(r.anchor_id) + kh(r.positive_id) + r.j * 1000003 + 7) % T31
         )
         assert r.negative_id == idx[h % 5]
+
+
+def test_ann_recall_eval_bounds_and_self_hit(spark):
+    """recall@k of IVF vs brute force composed as in q177: on a tiny
+    corpus where IVF probes every cell, the two rank sets coincide
+    and recall is exactly 1.0 for every query."""
+    from streaming_recommendation_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(4)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qdf = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.knn_brute_force(emb, qdf, k=5)
+    approx = similarity.ivf_knn(emb, qdf, k=5, num_landmarks=2, n_probe=2)
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .count()
+    )
+    got = {r.query_id: r['count'] for r in hits.collect()}
+    assert got == {0: 5, 1: 5, 2: 5}  # full-probe IVF == brute force
