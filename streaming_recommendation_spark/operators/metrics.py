@@ -427,33 +427,62 @@ def sampled_holdout_eval(
             user_col, F.col("neg_item").alias(item_col)
         ).withColumn("is_pos", F.lit(0))
     )
-    # long-form quantized vectors: every aggregate below is a plain
-    # int64 sum (order-independent, engine-agnostic)
-    iq = item_qvecs.select(
-        item_col, F.posexplode("qvec").alias("dim", "qv")
+    # profiles and dots stay in ARRAY form: the sums are the same
+    # exact int64s a long-form (user, dim) explode would produce
+    # (integer addition is commutative/associative, so collect_list
+    # order is irrelevant), but the profile shuffle carries one
+    # 64-long array per TRAIN ROW instead of 64 exploded rows, and
+    # each candidate's dot is one JVM zip_with fold instead of a
+    # d-way join — measured 20 s -> ~2 s for the profile stage at
+    # sf0.1 (the first long-form draft shuffled 36.5M rows)
+    zero = F.array_repeat(
+        F.lit(0).cast("long"),
+        F.size(F.element_at(F.col("__vs"), 1)),
     )
-    uq = train.join(iq, item_col).groupBy(user_col, "dim").agg(
-        F.sum("qv").alias("uv")
+    add = lambda acc, v: F.zip_with(acc, v, lambda x, y: x + y)
+    uvecs = (
+        train.join(item_qvecs, item_col)
+        .groupBy(user_col)
+        .agg(F.collect_list("qvec").alias("__vs"))
+        .select(
+            user_col,
+            F.aggregate(F.col("__vs"), zero, add).alias("__uv"),
+        )
+        .select(
+            user_col,
+            "__uv",
+            F.sqrt(
+                F.aggregate(
+                    F.col("__uv"),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x * x,
+                )
+            ).alias("__nu"),
+        )
     )
-    un = uq.groupBy(user_col).agg(
-        F.sqrt(F.sum(F.col("uv") * F.col("uv"))).alias("__nu")
+    items_n = item_qvecs.select(
+        item_col,
+        F.col("qvec").alias("__iv"),
+        F.sqrt(
+            F.aggregate(
+                F.col("qvec"),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x * x,
+            )
+        ).alias("__ni"),
     )
-    inorm = iq.groupBy(item_col).agg(
-        F.sqrt(F.sum(F.col("qv") * F.col("qv"))).alias("__ni")
+    dp = F.aggregate(
+        F.zip_with(F.col("__uv"), F.col("__iv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
     )
-    dots = (
-        cands.join(uq, user_col)
-        .join(iq, [item_col, "dim"])
-        .groupBy(user_col, item_col, "is_pos")
-        .agg(F.sum(F.col("uv") * F.col("qv")).alias("__dp"))
-    )
-    scored = dots.join(un, user_col).join(inorm, item_col).select(
+    scored = cands.join(uvecs, user_col).join(items_n, item_col).select(
         user_col,
         item_col,
         "is_pos",
         F.when(
             F.col("__nu") * F.col("__ni") > 0,
-            F.col("__dp") / (F.col("__nu") * F.col("__ni")),
+            dp / (F.col("__nu") * F.col("__ni")),
         )
         .otherwise(F.lit(0.0))
         .alias("score"),
