@@ -397,7 +397,12 @@ def sampled_holdout_eval(
     sums; each norm is one sqrt of an exact int64; the score is one
     IEEE division (the q35/q66 cosine recipe); ndcg/mrr are one
     log2/division each, rounded to 6 decimals like q47. The held-out
-    rank is therefore bit-replayable by a SQL oracle.
+    rank is therefore bit-replayable by a SQL oracle. Operand bound:
+    the profile norm squares per-dim sums, so |coordinate| must stay
+    under ~3.8e8 for the 64-dim sum of squares to fit int64 — with
+    the q88 scale of 4096 that is ~93k train interactions per user;
+    cap per-user history (q11's operator) or lower the scale before
+    that regime.
 
     Scale shape: the split is one per-user window pass; negatives are
     |users| x k_neg generated rows through the indexed-vocab equi-join
