@@ -223,6 +223,8 @@ HEADLINE = [
     "q176_pmi_collocations",
     # ANN recall@10 eval (IVF vs brute force over the same queries)
     "q177_ann_recall_eval",
+    # full-corpus cascade hit-rate eval (leave-last-out -> cascade -> HR@10)
+    "q178_cascade_full_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

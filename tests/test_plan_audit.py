@@ -1130,3 +1130,14 @@ def test_q177_ann_recall_no_corpus_cross(run):
     # per query, AQE's broadcast-conversion case at runtime — what
     # must never appear is a corpus-side SMJ beyond those two
     assert a["n_sortmerge_joins"] <= 2
+
+
+def test_q178_full_eval_split_is_window_pass(run):
+    """The leave-last-out split stays a window-group-limit pass and
+    nothing beyond the cascade's own deliberate dense recall
+    (bounded-user-side broadcast) forms a cartesian: the q40 plan
+    plus one split window and one metrics left join."""
+    a = run("q178_cascade_full_eval")
+    assert a["has_window_group_limit"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_shuffled_hash_joins"] == 0
