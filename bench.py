@@ -225,6 +225,9 @@ HEADLINE = [
     "q177_ann_recall_eval",
     # full-corpus cascade hit-rate eval (leave-last-out -> cascade -> HR@10)
     "q178_cascade_full_eval",
+    # beyond-accuracy list evals: intra-list diversity + catalog coverage
+    "q179_list_diversity",
+    "q180_catalog_coverage",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

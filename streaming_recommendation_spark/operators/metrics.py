@@ -511,3 +511,110 @@ def sampled_holdout_eval(
         ).alias(f"ndcg_at_{k}"),
         F.round(F.lit(1.0) / r, 6).alias("mrr"),
     )
+
+
+def intra_list_diversity(
+    recs: DataFrame,
+    item_vecs: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "item_id",
+    vec_col: str = "item_vec",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """Beyond-accuracy list metric #1 — intra-list diversity (ILD):
+    mean pairwise cosine DISTANCE inside each user's recommendation
+    list (Ziegler et al. 2005's diversification target). A cascade
+    tuned only on accuracy often converges to near-duplicate lists;
+    this is the read that shows it.
+
+    Exactness: each pairwise cosine is the standard one-division
+    float (both engines produce the identical double), then
+    QUANTIZED to ``round(cos * quant)`` int64 — the per-user SUM is
+    exact integer arithmetic regardless of pair order (a float sum
+    of 45 pair cosines would reassociate), and the final
+    ild = 1 - sum/(n_pairs * quant) is a fixed two-op IEEE tree.
+
+    Returns (user, n_pairs, sum_qcos, ild). Scale: pairs form
+    per-user from k-row lists (k*(k-1)/2 per user, k bounded by the
+    recommender), vectors join on the item key with norms computed
+    once per row (cosine_from_norms)."""
+    from ..functions.vectors import cosine_from_norms, l2_norm
+
+    v = item_vecs.select(
+        F.col(item_col),
+        F.col(vec_col).alias("__v"),
+        l2_norm(vec_col).alias("__n"),
+    )
+    a = recs.select(F.col(user_col), F.col(item_col).alias("__ia")).join(
+        v.select(
+            F.col(item_col).alias("__ia"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        ),
+        "__ia",
+    )
+    b = recs.select(F.col(user_col), F.col(item_col).alias("__ib")).join(
+        v.select(
+            F.col(item_col).alias("__ib"),
+            F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        ),
+        "__ib",
+    )
+    pairs = a.join(b, user_col).where(F.col("__ia") < F.col("__ib"))
+    qc = F.round(
+        cosine_from_norms("__va", "__vb", "__na", "__nb") * F.lit(int(quant))
+    ).cast("long")
+    return (
+        pairs.select(F.col(user_col), qc.alias("__qc"))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("__qc").alias("sum_qcos"),
+        )
+        .select(
+            user_col,
+            "n_pairs",
+            "sum_qcos",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_qcos")
+                / (F.col("n_pairs") * F.lit(float(quant))),
+                6,
+            ).alias("ild"),
+        )
+    )
+
+
+def recommendation_coverage(
+    recs: DataFrame,
+    items: DataFrame,
+    item_col: str = "item_id",
+) -> DataFrame:
+    """Beyond-accuracy list metric #2 — catalog coverage and
+    concentration: one row with (items_recommended, catalog_items,
+    coverage, total_slots, max_item_slots). A recommender that
+    serves 10 lists from 40 distinct items has a popularity-bias
+    problem accuracy metrics never show; ``max_item_slots`` (the
+    most-recommended item's slot count) is the concentration red
+    flag. Exact counts; coverage is ONE IEEE division. Scale: one
+    groupBy(item) over the k-per-user rec lists + two singleton
+    aggregates broadcast together."""
+    per_item = recs.groupBy(F.col(item_col)).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    stats = per_item.agg(
+        F.count(F.lit(1)).alias("items_recommended"),
+        F.coalesce(F.sum("__c"), F.lit(0)).alias("total_slots"),
+        F.coalesce(F.max("__c"), F.lit(0)).alias("max_item_slots"),
+    )
+    catalog = items.agg(F.count(F.lit(1)).alias("catalog_items"))
+    return stats.crossJoin(F.broadcast(catalog)).select(
+        F.col("items_recommended").cast("long").alias("items_recommended"),
+        F.col("catalog_items").cast("long").alias("catalog_items"),
+        F.round(
+            F.col("items_recommended") / F.col("catalog_items"), 6
+        ).alias("coverage"),
+        F.col("total_slots").cast("long").alias("total_slots"),
+        F.col("max_item_slots").cast("long").alias("max_item_slots"),
+    )

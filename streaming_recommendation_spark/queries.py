@@ -4157,6 +4157,8 @@ _DRIVER_PRIORITY.extend([
     # r4 cohort tail back out of the gate) ---
     "q177_ann_recall_eval",
     "q178_cascade_full_eval",
+    "q179_list_diversity",
+    "q180_catalog_coverage",
 ])
 
 
@@ -8626,3 +8628,124 @@ def q178_cascade_full_eval(spark, sf_dir):
             F.when(r.isNotNull(), F.lit(1.0) / r).otherwise(F.lit(0.0)), 6
         ).alias("mrr"),
     )
+
+
+_RECS_CTE = """, recs AS (
+      SELECT user_id, item_id
+      FROM (SELECT user_id, item_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY rrscore DESC, item_id ASC)
+                     AS rank
+            FROM final)
+      WHERE rank <= 10
+    )"""
+
+_Q179_SUFFIX = (
+    _RECS_CTE
+    + """,
+    pv AS (
+      SELECT item_id, iv,
+             sqrt(list_sum(list_transform(iv, x -> (x*x)::DOUBLE))) AS nv
+      FROM items
+    ),
+    prs AS (
+      SELECT a.user_id,
+             CAST(round(
+               CASE WHEN va.nv * vb.nv > 0
+                    THEN list_sum(list_transform(range(1, 65),
+                           i -> (va.iv[i] * vb.iv[i])::DOUBLE))
+                         / (va.nv * vb.nv)
+                    ELSE 0 END * 1000000) AS BIGINT) AS qc
+      FROM recs a JOIN recs b
+        ON a.user_id = b.user_id AND a.item_id < b.item_id
+      JOIN pv va ON va.item_id = a.item_id
+      JOIN pv vb ON vb.item_id = b.item_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(qc) AS BIGINT) AS sum_qcos,
+           round(1 - CAST(sum(qc) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS ild
+    FROM prs GROUP BY user_id
+    """
+)
+
+_Q180_SUFFIX = (
+    _RECS_CTE
+    + """,
+    pi AS (SELECT item_id, count(*) AS c FROM recs GROUP BY 1),
+    st AS (SELECT count(*) AS ir, coalesce(sum(c), 0) AS ts,
+                  coalesce(max(c), 0) AS mx FROM pi),
+    cat AS (SELECT count(*) AS n FROM items)
+    SELECT CAST(ir AS BIGINT) AS items_recommended,
+           CAST(n AS BIGINT) AS catalog_items,
+           round(CAST(ir AS DOUBLE) / n, 6) AS coverage,
+           CAST(ts AS BIGINT) AS total_slots,
+           CAST(mx AS BIGINT) AS max_item_slots
+    FROM st, cat
+    """
+)
+
+
+def _q40_cascade_inputs(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    users = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("user_id"), F.col("embedding").alias("user_vec")
+    )
+    history = users.select(
+        "user_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    ).select(
+        "user_id", ((F.col("user_id") * 3 + F.col("i")) % 500).alias("item_id")
+    )
+    return emb, users, items, history
+
+
+@register(
+    "q179_list_diversity",
+    _cascade_tail_sql(_Q40_RECALL_CTE, suffix=_Q179_SUFFIX),
+    doc="Beyond-accuracy list eval #1 (operators/metrics.py::"
+    "intra_list_diversity): intra-list diversity of the cascade's "
+    "top-10 — mean pairwise cosine distance inside each user's list "
+    "(Ziegler et al. 2005). An accuracy-only cascade converges to "
+    "near-duplicate lists; this is the read that shows it, next to "
+    "the accuracy evals q172/q178. Exactness: each pairwise cosine "
+    "is the engines' identical one-division double, QUANTIZED to "
+    "round(cos*1e6) int64 — the per-user sum is exact integer "
+    "arithmetic in any pair order (a float sum of 45 pair cosines "
+    "would reassociate); ild is a fixed two-op IEEE tree. Scale: "
+    "pairs form per-user from k-row lists (k*(k-1)/2, k bounded); "
+    "norms computed once per item (cosine_from_norms).",
+    tags=("metrics", "cascade", "vector"),
+)
+def q179_list_diversity(spark, sf_dir):
+    from .cascade import CascadeConfig, recommend
+    from .operators.metrics import intra_list_diversity
+
+    emb, users, items, history = _q40_cascade_inputs(spark, sf_dir)
+    recs = recommend(users, items, history, CascadeConfig())
+    return intra_list_diversity(recs, items)
+
+
+@register(
+    "q180_catalog_coverage",
+    _cascade_tail_sql(_Q40_RECALL_CTE, suffix=_Q180_SUFFIX),
+    doc="Beyond-accuracy list eval #2 (operators/metrics.py::"
+    "recommendation_coverage): catalog coverage and concentration of "
+    "the cascade's top-10 output — (items_recommended, catalog_items, "
+    "coverage, total_slots, max_item_slots). A recommender serving "
+    "every list from the same few head items has a popularity-bias "
+    "problem accuracy never shows; max_item_slots is the "
+    "concentration red flag. Exact counts, ONE IEEE division. "
+    "Scale: one groupBy(item) over k-per-user lists + broadcast "
+    "singleton aggregates.",
+    tags=("metrics", "cascade", "agg"),
+)
+def q180_catalog_coverage(spark, sf_dir):
+    from .cascade import CascadeConfig, recommend
+    from .operators.metrics import recommendation_coverage
+
+    emb, users, items, history = _q40_cascade_inputs(spark, sf_dir)
+    recs = recommend(users, items, history, CascadeConfig())
+    return recommendation_coverage(recs, items)

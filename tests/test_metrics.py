@@ -198,3 +198,48 @@ def test_sampled_holdout_eval_hand_computed(spark):
     r3 = out[3]
     assert r3.pos_item == 7  # item_id desc broke the ts tie
     assert (r3.pos_rank, r3.hit_at_10, r3.ndcg_at_10, r3.mrr) == (1, 1, 1.0, 1.0)
+
+
+def test_intra_list_diversity_hand_computed(spark):
+    """Orthogonal pair -> ild 1; identical-direction pair -> ild 0;
+    3-item list mixes exactly to 1 - (1e6 / 3e6)."""
+    from streaming_recommendation_spark.operators.metrics import (
+        intra_list_diversity,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (3, 2), (3, 3)],
+        "user_id long, item_id long",
+    )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [2.0, 0.0])],
+        "item_id long, item_vec array<float>",
+    )
+    out = {
+        r.user_id: (r.n_pairs, r.sum_qcos, r.ild)
+        for r in intra_list_diversity(recs, vecs).collect()
+    }
+    assert out[1] == (1, 0, 1.0)
+    assert out[2] == (1, 1_000_000, 0.0)
+    assert out[3] == (3, 1_000_000, round(1 - 1 / 3, 6))
+
+
+def test_recommendation_coverage_hand_computed(spark):
+    from streaming_recommendation_spark.operators.metrics import (
+        recommendation_coverage,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1)], "user_id long, item_id long"
+    )
+    items = spark.createDataFrame(
+        [(i,) for i in range(5)], "item_id long"
+    )
+    r = recommendation_coverage(recs, items).collect()[0]
+    assert (
+        r.items_recommended,
+        r.catalog_items,
+        r.coverage,
+        r.total_slots,
+        r.max_item_slots,
+    ) == (2, 5, 0.4, 3, 2)

@@ -1141,3 +1141,19 @@ def test_q178_full_eval_split_is_window_pass(run):
     assert a["has_window_group_limit"]
     assert "CartesianProduct" not in a["plan"]
     assert a["n_shuffled_hash_joins"] == 0
+
+
+def test_q179_ild_pairs_bounded(run):
+    """Pairs form inside per-user k-row lists — the only dense work
+    is the cascade's own deliberate recall; no new cartesians."""
+    a = run("q179_list_diversity")
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q180_coverage_singleton_broadcasts(run):
+    a = run("q180_catalog_coverage")
+    assert "CartesianProduct" not in a["plan"]
+    # one static SMJ: the cascade's post-window shortlist join has no
+    # stats (AQE's broadcast-conversion case at runtime, as in q177);
+    # the coverage stage itself adds only singleton broadcasts
+    assert a["n_sortmerge_joins"] <= 1
