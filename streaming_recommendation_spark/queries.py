@@ -8557,7 +8557,14 @@ _Q178_SUFFIX = """, recs AS (
     "hash-random synthetic interactions (no model can beat chance "
     "on signal-free data; the PROTOCOL and exact metrics are what "
     "is under test; q172's sampled variant shows the discriminating "
-    "case). Oracle: the q40 cascade SQL with the split-derived "
+    "case). Determinism note: the cascade's rank stage mean-pools "
+    "history in float (q40's machinery verbatim) — partial-avg "
+    "combine order can vary a history vector by ~1 ulp between "
+    "runs, which flips an output rank only if two candidates' "
+    "cosines tie at ~1e-16 scale (no such tie exists in this data; "
+    "q172 is the integer-exact protocol for callers who need "
+    "tie-proof replay). Oracle: the q40 cascade SQL with the "
+    "split-derived "
     "users/history prefix and a metric suffix (byte-identical tail "
     "CTEs via the parameterized builder). Scale: the cascade's own "
     "pinned shape (items broadcast, per-user windows); the split is "
