@@ -228,6 +228,8 @@ HEADLINE = [
     # beyond-accuracy list evals: intra-list diversity + catalog coverage
     "q179_list_diversity",
     "q180_catalog_coverage",
+    # the full eval on the LSH (100 TB) recall path — q178's cost twin
+    "q181_cascade_lsh_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -1157,3 +1157,13 @@ def test_q180_coverage_singleton_broadcasts(run):
     # stats (AQE's broadcast-conversion case at runtime, as in q177);
     # the coverage stage itself adds only singleton broadcasts
     assert a["n_sortmerge_joins"] <= 1
+
+
+def test_q181_lsh_eval_no_dense_recall(run):
+    """The 100 TB eval path must NOT contain q178's deliberate dense
+    user x item recall: candidates form through the bucket equi-join
+    (q103's pinned property), so the only BNLs are the broadcast
+    singleton count frames."""
+    a = run("q181_cascade_lsh_eval")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["has_window_group_limit"]
