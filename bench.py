@@ -230,6 +230,8 @@ HEADLINE = [
     "q180_catalog_coverage",
     # the full eval on the LSH (100 TB) recall path — q178's cost twin
     "q181_cascade_lsh_eval",
+    # equi-depth quantile binning from the histogram sketch
+    "q182_quantile_binning",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

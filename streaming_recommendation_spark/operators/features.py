@@ -297,3 +297,75 @@ def random_projection(
         .groupBy(id_col, "j")
         .agg(F.sum(F.col("__q") * sign).alias("y"))
     )
+
+
+def quantile_bin(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_buckets: int = 10,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Equi-depth feature discretization (quantile binning) — the
+    GBDT/embedding-bucket prep pass: every row gets a ``bucket`` in
+    1..n_buckets such that buckets carry ~equal row mass per group,
+    computed from the MERGEABLE histogram sketch (metrics.py
+    histogram_layout/bins — the q117 machinery) instead of a global
+    sort: an exact ntile would single-partition each group's values,
+    the classic scale-killer; here bucket boundaries are accurate to
+    one sketch-bin width (n_bins >> n_buckets).
+
+    Exactness: a row's sketch bin is the same per-scalar IEEE floor
+    both engines compute (q117's pinned expression); the bin's bucket
+    label is ceil(cum * n_buckets / n) in EXACT integer arithmetic —
+    rows in one bin share a label, labels are monotone in the bin,
+    and the whole assignment replays bit-for-bit in SQL. NULL values
+    drop (histogram_bins' contract).
+
+    Scale shape: layout + per-(group, bin) counts are two map-side
+    combinable aggregates; the label table is <= n_bins rows per
+    group (broadcast-size); row assignment is the layout join + one
+    in-row expression + the label equi-join — the scan dominates."""
+    from pyspark.sql import Window
+
+    from .metrics import histogram_bins, histogram_layout
+
+    k = int(n_buckets)
+    layout = histogram_layout(df, value_col, group_cols)
+    bins = histogram_bins(df, layout, value_col, group_cols, n_bins=n_bins)
+    wspec = Window.partitionBy(*group_cols).orderBy("__bin")
+    tot = bins.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.sum("__c").alias("__n")
+    )
+    labels = (
+        bins.withColumn("__cum", F.sum("__c").over(wspec))
+        .join(tot, group_cols)
+        .select(
+            *group_cols,
+            "__bin",
+            F.expr(f"CAST((__cum * {k} + __n - 1) DIV __n AS INT)").alias(
+                "bucket"
+            ),
+        )
+    )
+    w = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins))
+    assigned = (
+        df.where(F.col(value_col).isNotNull())
+        .join(layout, group_cols)
+        .withColumn(
+            "__bin",
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.floor((F.col(value_col) - F.col("__mn")) / w),
+                        F.lit(n_bins - 1),
+                    ),
+                )
+            )
+            .cast("int"),
+        )
+        .drop("__mn", "__mx")
+    )
+    return assigned.join(labels, [*group_cols, "__bin"]).drop("__bin")

@@ -4160,6 +4160,7 @@ _DRIVER_PRIORITY.extend([
     "q179_list_diversity",
     "q180_catalog_coverage",
     "q181_cascade_lsh_eval",
+    "q182_quantile_binning",
 ])
 
 
@@ -8826,3 +8827,61 @@ _Q181_RECALL_CTE = """qb AS (
 )
 def q181_cascade_lsh_eval(spark, sf_dir):
     return _cascade_full_eval(spark, sf_dir, recall_strategy="lsh")
+
+
+@register(
+    "q182_quantile_binning",
+    """WITH rng AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx,
+         count(value) AS n
+  FROM events GROUP BY event_type
+), b AS (
+  SELECT e.event_id, e.event_type,
+         CASE WHEN r.mx = r.mn THEN 0
+              ELSE CAST(greatest(0, least(floor((e.value - r.mn)
+                                    / ((r.mx - r.mn) / 256.0)), 255))
+                   AS INT) END AS bin
+  FROM events e JOIN rng r USING (event_type)
+  WHERE e.value IS NOT NULL
+), c AS (
+  SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+), lab AS (
+  SELECT cum.event_type, cum.bin,
+         CAST((cum.cum * 10 + r.n - 1) // r.n AS INT) AS bucket
+  FROM cum JOIN rng r USING (event_type)
+)
+SELECT b.event_id, b.event_type, lab.bucket
+FROM b JOIN lab ON b.event_type = lab.event_type AND b.bin = lab.bin
+""",
+    doc="Equi-depth feature discretization (operators/features.py::"
+    "quantile_bin, 10 buckets per event type) — the GBDT/"
+    "embedding-bucket prep pass: each event's value maps to a decile "
+    "bucket of ~equal row mass within its type, computed from the "
+    "MERGEABLE 256-bin histogram sketch (q117's machinery) instead "
+    "of a global sort (an exact ntile would single-partition each "
+    "group — the scale-killer). Bucket boundaries are accurate to "
+    "one sketch-bin width; at sf0.01 the ten buckets carry 151-224 "
+    "rows each against the exact-200 ideal. Exactness: the row's "
+    "sketch bin is the q117 per-scalar IEEE floor; the bin's label "
+    "is ceil(cum * 10 / n) in exact integer arithmetic — rows in a "
+    "bin share a label, labels are monotone, the oracle replays "
+    "everything bit-for-bit. Scale: two map-side-combinable "
+    "aggregates, a broadcast-size label table, and one in-row "
+    "assignment join — the scan dominates.",
+    tags=("features", "sketch", "agg"),
+)
+def q182_quantile_binning(spark, sf_dir):
+    from .operators.features import quantile_bin
+
+    ev = _t(spark, sf_dir, "events")
+    return quantile_bin(
+        ev.select("event_id", "event_type", "value"),
+        "value",
+        ["event_type"],
+        n_buckets=10,
+    ).select("event_id", "event_type", "bucket")

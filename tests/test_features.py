@@ -288,3 +288,38 @@ def test_random_projection_preserves_linearity(spark):
     }
     for j in range(4):
         assert got[(3, j)] == got[(1, j)] + got[(2, j)]
+
+
+def test_quantile_bin_equal_mass_hand_check(spark):
+    """Values 1..10 in one group, 2 buckets: cumulative count of value
+    v is v, so bucket = ceil(v*2/10) — exactly 1 for v <= 5 and 2
+    above; a constant group (mx == mn) collapses to one bucket."""
+    from streaming_recommendation_spark.operators.features import (
+        quantile_bin,
+    )
+
+    rows = [(i, "a", float(i)) for i in range(1, 11)] + [
+        (i, "c", 7.0) for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "rid long, g string, v double")
+    out = {
+        (r.g, r.rid): r.bucket
+        for r in quantile_bin(df, "v", ["g"], n_buckets=2).collect()
+    }
+    for i in range(1, 11):
+        assert out[("a", i)] == (1 if i <= 5 else 2), (i, out[("a", i)])
+    for i in range(3):
+        assert out[("c", i)] == 2  # cum == n -> ceil(n*2/n) = 2
+
+
+def test_quantile_bin_drops_null_values(spark):
+    from streaming_recommendation_spark.operators.features import (
+        quantile_bin,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", None), (3, "a", 2.0)],
+        "rid long, g string, v double",
+    )
+    got = {r.rid for r in quantile_bin(df, "v", ["g"]).collect()}
+    assert got == {1, 3}

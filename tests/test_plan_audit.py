@@ -1167,3 +1167,13 @@ def test_q181_lsh_eval_no_dense_recall(run):
     a = run("q181_cascade_lsh_eval")
     assert "CartesianProduct" not in a["plan"]
     assert a["has_window_group_limit"]
+
+
+def test_q182_binning_no_global_sort(run):
+    """Equi-depth binning must NOT single-partition the values (the
+    exact-ntile trap): the only window runs over the <= 256-bin count
+    table per group, and the assignment is two equi-joins — no
+    cartesian, no BNL."""
+    a = run("q182_quantile_binning")
+    assert "CartesianProduct" not in a["plan"]
+    assert a["bnl_joins"] == 0
