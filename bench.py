@@ -232,6 +232,9 @@ HEADLINE = [
     "q181_cascade_lsh_eval",
     # equi-depth quantile binning from the histogram sketch
     "q182_quantile_binning",
+    # round-9: composed tokenizer-production pipeline (learn BPE ->
+    # tokenize corpus -> pack 2048-token training bins)
+    "q183_tokenize_pack_pipeline",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -259,6 +262,7 @@ ITERATIVE = {
     "q154_weighted_negatives",  # walk corpus materialized at construction
     "q163_lightgcn_propagation",  # per-layer feature checkpoints
     "q175_near_dedup_pipeline",  # CC star rounds run at construction
+    "q183_tokenize_pack_pipeline",  # BPE merge rounds run at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

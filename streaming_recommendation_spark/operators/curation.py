@@ -213,6 +213,7 @@ def pack_sequences(
     token_col: str = "n_tokens",
     domain_col: str = "source",
     id_col: str = "doc_id",
+    extra_sum_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign documents to fixed-budget training bins by cumulative
     token count (the streaming approximation of first-fit sequence
@@ -228,7 +229,10 @@ def pack_sequences(
     Scale shape: the window partitions by domain — no global sort, no
     single-partition stage; each domain's packing is an independent
     linear pass, which is how a 1000-executor run shards. Returns the
-    per-bin manifest (domain, bin_id, n_docs, bin_tokens).
+    per-bin manifest (domain, bin_id, n_docs, bin_tokens);
+    ``extra_sum_cols`` adds per-bin long sums of the named columns
+    (e.g. raw word counts riding next to the packing token count —
+    the q183 composition) as ``bin_<col>``.
     """
     w = (
         Window.partitionBy(domain_col)
@@ -242,6 +246,10 @@ def pack_sequences(
     return binned.groupBy(domain_col, "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("bin_tokens"),
+        *[
+            F.sum(F.col(c).cast("long")).alias(f"bin_{c}")
+            for c in extra_sum_cols
+        ],
     )
 
 

@@ -119,13 +119,16 @@ def encode_from_counts(
 
     the second form is what runs: every product exact, ONE IEEE
     division total, so any engine replays the value bit-for-bit (no
-    float prior is ever materialized). The products are computed in
-    decimal(38,0) — NOT int64 — because at the corpus scale this
-    module targets (g_cnt ~1e12, hot-category pos ~1e7) pos * g_cnt
-    exceeds 2^63 and would silently wrap with ANSI off, while the
-    DuckDB oracle's sum() is already HUGEINT (ADVICE r7); decimal 38
-    matches the oracle's int128 headroom (bound: |pos*g_cnt| < 1e38),
-    and both engines convert the exact integer to the nearest double
+    float prior is ever materialized). The operands are cast
+    decimal(38,0) DIRECTLY (ADVICE r8 — explicit intent, not Spark's
+    58->38 allowPrecisionLoss promotion) — NOT int64 — because at
+    the corpus scale this module targets (g_cnt ~1e12, hot-category
+    pos ~1e7) pos * g_cnt exceeds 2^63 and would silently wrap with
+    ANSI off, while the DuckDB oracle's sum() is already HUGEINT
+    (ADVICE r7); decimal 38 matches the oracle's int128 headroom
+    (bound: |pos*g_cnt| < 1e38 — PAST that bound the product is NULL
+    with ANSI off, dropping the row's enc rather than erroring), and
+    both engines convert the exact integer to the nearest double
     before the single division. The global totals are a broadcast
     singleton (the only cross join); the output is the
     |categories|-row lookup table itself — built to be the broadcast
@@ -134,7 +137,7 @@ def encode_from_counts(
     totals = counts.agg(
         F.sum("cnt").alias("__g_cnt"), F.sum("pos").alias("__g_pos")
     )
-    dec = "decimal(19,0)"
+    dec = "decimal(38,0)"
     num = (
         F.col("pos").cast(dec) * F.col("__g_cnt").cast(dec)
         + F.lit(m).cast(dec) * F.col("__g_pos").cast(dec)

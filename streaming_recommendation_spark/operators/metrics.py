@@ -381,7 +381,11 @@ def sampled_holdout_eval(
        pool — the standard >= 2-interactions protocol filter);
     3. ``eval_negatives`` draws ``k_neg`` deterministic uniform
        candidates per user minus the user's full history (collisions
-       drop, the q168 contract);
+       with history drop, the q168 contract), then DEDUPED on
+       (user, item): two draw indices j can hash to the same item,
+       and keeping both would double-count it in ``n_cands`` and
+       inflate ``pos_rank`` — the protocol is without-replacement
+       (ADVICE r8);
     4. each candidate (the held-out positive + the negatives) is
        scored with the CASCADE'S RANK-STAGE MODEL: cosine between the
        user's history profile and the item vector. The profile is the
@@ -410,7 +414,16 @@ def sampled_holdout_eval(
     |users| x d coordinates before one groupBy; scoring joins the
     bounded candidate set (|users| x (k_neg+1) x d rows) — nothing is
     corpus x corpus, no item broadcast, no crossJoin beyond the two
-    singleton count frames."""
+    singleton count frames.
+
+    Coverage contract (ADVICE r8): ``item_qvecs`` must cover the
+    interaction item vocabulary. The candidate->qvec and
+    train->qvec joins are INNER, so a held-out positive with no
+    qvec row — or a user whose entire train history lacks vectors —
+    silently drops that user from the output rather than erroring.
+    Callers mapping items onto a smaller vector table must do the
+    mod-assignment BEFORE calling (the q172 recipe maps item mod
+    |embeddings| so every item has a vector by construction)."""
     from .sampling import eval_negatives, leave_last_out
 
     inter = interactions.select(user_col, item_col, *order_cols)
@@ -427,10 +440,12 @@ def sampled_holdout_eval(
         user_col=user_col,
         item_col=item_col,
     )
+    # distinct: two draw indices can hash to the same item; the
+    # protocol is without-replacement (docstring point 3, ADVICE r8)
     cands = pos.withColumn("is_pos", F.lit(1)).unionByName(
-        negs.select(
-            user_col, F.col("neg_item").alias(item_col)
-        ).withColumn("is_pos", F.lit(0))
+        negs.select(user_col, F.col("neg_item").alias(item_col))
+        .distinct()
+        .withColumn("is_pos", F.lit(0))
     )
     # profiles and dots stay in ARRAY form: the sums are the same
     # exact int64s a long-form (user, dim) explode would produce

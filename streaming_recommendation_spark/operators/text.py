@@ -568,11 +568,14 @@ def pmi_collocations(
         pmi_ratio = (c12 * T * T) / (B * c1 * c2)
 
     (T total tokens, B total bigrams), so the rational itself is
-    emitted: products computed in decimal(38,0) — at corpus scale
-    c12 * T^2 reaches ~1e36, far past int64, while DuckDB promotes
-    to HUGEINT (the same wrap class fixed in encode_from_counts this
-    round) — then ONE IEEE division. Ranking/thresholding on
-    pmi_ratio orders identically to true PMI.
+    emitted: operands cast decimal(38,0) (ADVICE r8 — explicit, not
+    via Spark's 58->38 allowPrecisionLoss promotion) — at corpus
+    scale c12 * T^2 reaches ~1e36, far past int64, while DuckDB
+    promotes to HUGEINT — then ONE IEEE division. Past the ~1e38
+    decimal ceiling the product is NULL with ANSI off, dropping that
+    pair's pmi_ratio rather than erroring (the HUGEINT oracle's own
+    ceiling is ~1.7e38). Ranking/thresholding on pmi_ratio orders
+    identically to true PMI.
 
     Scale shape: one doc-local transform builds the bigram stream
     (no shuffle); one groupBy(w1, w2) and one groupBy(token) build
@@ -606,7 +609,12 @@ def pmi_collocations(
     btot = bg.agg(F.count(F.lit(1)).alias("__B"))
     ca = u1.select(F.col("__t").alias("w1"), F.col("__c").alias("w1_count"))
     cb = u1.select(F.col("__t").alias("w2"), F.col("__c").alias("w2_count"))
-    dec = "decimal(19,0)"
+    # operands cast decimal(38,0) DIRECTLY (ADVICE r8): products then
+    # stay capped at 38 by explicit intent, not by Spark's 58->38
+    # allowPrecisionLoss promotion; past ~1e38 the product is NULL
+    # with ANSI off (dropping that pair's pmi_ratio) rather than an
+    # error — documented bound, same as the DuckDB HUGEINT ceiling
+    dec = "decimal(38,0)"
     num = (
         F.col("pair_count").cast(dec)
         * F.col("__T").cast(dec)

