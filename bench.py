@@ -235,6 +235,8 @@ HEADLINE = [
     # round-9: composed tokenizer-production pipeline (learn BPE ->
     # tokenize corpus -> pack 2048-token training bins)
     "q183_tokenize_pack_pipeline",
+    # model-scored quality filter (linear scorer, exact rational gate)
+    "q184_model_quality_filter",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

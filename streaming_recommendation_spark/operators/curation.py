@@ -380,3 +380,83 @@ def bloom_decontaminate(
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+# "Learned" quality-model coefficients in exact milli units (w = W/1000):
+# a logistic-regression-style linear scorer over the q34 quality
+# features, standing in for the fastText quality classifier production
+# pipelines gate on (torch is absent in this environment; the swap
+# point is these literals — a trained model exports its coefficients
+# here and the plan is unchanged). Signs encode the curation prior:
+# punctuation-dense docs score down, stopword-bearing (real-language)
+# docs score up, length credits cap at 20 tokens.
+QUALITY_MODEL_MILLI = {
+    "bias": -500,  # -0.5
+    "punct_ratio": -4000,  # -4.0 per unit punct/char
+    "stop_ratio": 2000,  # +2.0 per unit stopwords/token
+    "len_capped": 50,  # +0.05 per token up to 20
+}
+
+
+def model_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weights_milli: dict[str, int] | None = None,
+    threshold_milli: int = 500,
+) -> DataFrame:
+    """Model-scored quality gate (VERDICT r8 #4): score every document
+    with a linear model over the q34 quality features and keep docs
+    whose score clears the threshold — the learned-filter complement
+    to the heuristic (q32-q34) and Gopher (q89/q90) rule filters.
+
+    The score is sigmoid-monotone, so the filter decision never
+    computes the sigmoid: with integer milli-weights W and features
+    punct_ratio = P/C, stop_ratio = SW/T, len_capped = least(T0, 20),
+
+        z * 1000 * C * T = W_b*C*T + W_p*P*T + W_s*SW*C + W_l*L*C*T
+
+    every term an exact decimal(38,0) product (C = greatest(chars,1),
+    T = greatest(tokens,1) — both positive), so `kept` is ONE exact
+    integer comparison  S >= threshold_milli * C * T  (threshold =
+    threshold_milli/1000 on the z scale) and the reported score is
+    ONE IEEE division S / (1000*C*T) — any engine replays both
+    bit-for-bit (the q147 BM25 rational-scoring recipe). Past ~1e38
+    a product would be NULL with ANSI off (documents >> 1e15 chars —
+    unreachable); bound noted for parity with encode_from_counts.
+
+    Returns (id, score, kept) for EVERY document — the score column
+    is the distribution read (histogram it with q117's machinery),
+    kept the filter verdict. Scale: one map-side projection over the
+    scan, no shuffle, no UDF."""
+    from .text import STOPWORDS, tokens
+
+    w = {**QUALITY_MODEL_MILLI, **(weights_milli or {})}
+    text = F.col(text_col)
+    dec = "decimal(38,0)"
+    t0 = F.size(tokens(text))
+    c_raw = F.length(text)
+    p = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    all_stop = [s for ws in STOPWORDS.values() for s in ws]
+    sw = F.size(
+        F.filter(F.split(normalize_text(text), " "), lambda x: x.isin(*all_stop))
+    )
+    C = F.greatest(c_raw, F.lit(1)).cast(dec)
+    T = F.greatest(t0, F.lit(1)).cast(dec)
+    L = F.least(t0, F.lit(20)).cast(dec)
+    s_num = (
+        F.lit(int(w["bias"])).cast(dec) * C * T
+        + F.lit(int(w["punct_ratio"])).cast(dec) * p.cast(dec) * T
+        + F.lit(int(w["stop_ratio"])).cast(dec) * sw.cast(dec) * C
+        + F.lit(int(w["len_capped"])).cast(dec) * L * C * T
+    )
+    s_den = F.lit(1000).cast(dec) * C * T
+    return df.select(
+        F.col(id_col),
+        F.round(s_num.cast("double") / s_den.cast("double"), 6).alias("score"),
+        F.when(
+            s_num >= F.lit(int(threshold_milli)).cast(dec) * C * T, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("kept"),
+    )

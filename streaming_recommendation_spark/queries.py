@@ -4096,6 +4096,7 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 _DRIVER_PRIORITY.extend([
     # --- new this round (round 9; registered at the module tail) ---
     "q183_tokenize_pack_pipeline",
+    "q184_model_quality_filter",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -8948,3 +8949,51 @@ def q183_tokenize_pack_pipeline(spark, sf_dir):
         token_col="n_bpe_tokens",
         extra_sum_cols=("n_words",),
     )
+
+
+@register(
+    "q184_model_quality_filter",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '\\S+')) AS t0,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS p,
+             length(text) AS c0,
+             len(list_filter(
+               string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+               w -> list_contains([{_Q34_ALLSTOP}], w))) AS sw
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             greatest(c0, 1)::HUGEINT AS c, greatest(t0, 1)::HUGEINT AS t,
+             p::HUGEINT AS p, sw::HUGEINT AS sw,
+             least(t0, 20)::HUGEINT AS l
+      FROM t
+    ), z AS (
+      SELECT doc_id,
+             (-500*c*t - 4000*p*t + 2000*sw*c + 50*l*c*t) AS s_num,
+             1000*c*t AS s_den, c, t
+      FROM s
+    )
+    SELECT doc_id,
+           round(CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE), 6) AS score,
+           CASE WHEN s_num >= 500 * c * t THEN 1 ELSE 0 END AS kept
+    FROM z
+    """,
+    doc="Model-scored quality filter (VERDICT r8 #4 — the learned "
+    "complement to the heuristic q32-q34 and Gopher q89/q90 rule "
+    "filters; the fastText-classifier slot in a production curation "
+    "stack, with the trained coefficients exported as plan-time "
+    "milli-integer literals since torch is absent): a linear scorer "
+    "over punct_ratio / stop_ratio / capped length, scored as ONE "
+    "exact decimal(38,0) rational (the q147 BM25 recipe — sigmoid is "
+    "monotone so the threshold compares integers, never floats) and "
+    "reported as ONE IEEE division rounded to 6 decimals. Returns "
+    "(doc_id, score, kept) for every document — score is the "
+    "distribution read, kept the gate (465/500 kept at sf0.01: the "
+    "drop path is externally exercised). Scale: one map-side "
+    "projection over the scan — no shuffle, no UDF, no collect.",
+    tags=("text", "curation", "features"),
+)
+def q184_model_quality_filter(spark, sf_dir):
+    return curation.model_quality_filter(_t(spark, sf_dir, "documents"))

@@ -1191,3 +1191,18 @@ def test_q183_pipeline_broadcast_segmentation_partitioned_packing(spark):
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
     assert "SinglePartition" not in a["plan"]
+
+
+def test_q184_model_filter_map_side_only(spark):
+    # the learned quality gate is one projection over the scan: no
+    # shuffle, no join, no UDF anywhere
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q184_model_quality_filter"].fn(spark, SF_DIR))
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
