@@ -237,6 +237,8 @@ HEADLINE = [
     "q183_tokenize_pack_pipeline",
     # model-scored quality filter (linear scorer, exact rational gate)
     "q184_model_quality_filter",
+    # cross-snapshot dedup against the persisted signature index
+    "q185_cross_snapshot_dedup",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -265,6 +267,7 @@ ITERATIVE = {
     "q163_lightgcn_propagation",  # per-layer feature checkpoints
     "q175_near_dedup_pipeline",  # CC star rounds run at construction
     "q183_tokenize_pack_pipeline",  # BPE merge rounds run at construction
+    "q185_cross_snapshot_dedup",  # index write runs at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

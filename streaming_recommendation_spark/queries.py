@@ -4097,6 +4097,7 @@ _DRIVER_PRIORITY.extend([
     # --- new this round (round 9; registered at the module tail) ---
     "q183_tokenize_pack_pipeline",
     "q184_model_quality_filter",
+    "q185_cross_snapshot_dedup",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -8997,3 +8998,91 @@ def q183_tokenize_pack_pipeline(spark, sf_dir):
 )
 def q184_model_quality_filter(spark, sf_dir):
     return curation.model_quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q185_cross_snapshot_dedup",
+    f"""
+    WITH {_SHINGLE_CTE},
+    params(i, a, b) AS (VALUES {_Q37_PARAMS}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i, min((a * hv + b) % {dedup.MH_PRIME}) AS mh
+      FROM hashed CROSS JOIN params
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 4 AS band,
+             string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+      FROM bands n JOIN bands e USING (band, band_key)
+      WHERE n.doc_id >= 250 AND e.doc_id < 250
+    ),
+    agg AS (
+      SELECT new_id, CAST(count(*) AS BIGINT) AS n_index_matches,
+             min(existing_id) AS first_match
+      FROM cand GROUP BY new_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_index_matches, 0) AS BIGINT) AS n_index_matches,
+           CAST(coalesce(a.first_match, -1) AS BIGINT) AS first_match,
+           CASE WHEN a.new_id IS NULL THEN 0 ELSE 1 END AS is_dup
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.new_id
+    WHERE d.doc_id >= 250
+    """,
+    doc="Cross-snapshot dedup/decontamination read against a "
+    "PERSISTED signature index (VERDICT r8 #7 — the "
+    "incremental-corpus-refresh case): the OLD snapshot (doc_id < "
+    "250) is minhashed once and its banded signature table written "
+    "bucketed-by-bucket to the warehouse (sources/layout."
+    "write_bucketed — the layout operators/dedup.py:392 prescribes); "
+    "the NEW snapshot (doc_id >= 250) is then deduped against the "
+    "STORED table: its own signatures join the index on (band, "
+    "bucket) — the old corpus text is never rescanned, exactly how "
+    "a 100 TB refresh amortizes (per refresh: cost ~ |new docs| x "
+    "bands + one index read, not |corpus|; the bucketed layout "
+    "means repeated refreshes never re-shuffle the index side). "
+    "Returns every new doc with (n_index_matches, first_match = min "
+    "matching old id or -1, is_dup). Oracle replays the full "
+    "signature matrix (q37's md5 + Carter-Wegman recipe, q131's "
+    "banding) with the cross-snapshot predicate new >= 250 > old. "
+    "Batch twin of the streaming ingest-dedup state "
+    "(streaming/dedup.py); q131 covers arrival-ordered batches of "
+    "ONE corpus, this covers snapshot N+1 vs the persisted index of "
+    "snapshot N.",
+    tags=("dedup", "layout", "streaming-twin"),
+)
+def q185_cross_snapshot_dedup(spark, sf_dir):
+    from .sources import layout
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    idx = dedup.banded_signature_table(old)
+    layout.write_bucketed(idx, "lsh_sig_index_cross_snapshot", "bucket")
+    stored = layout.read_table(spark, "lsh_sig_index_cross_snapshot")
+    cands = dedup.incremental_lsh_candidates(new, stored)
+    hits = cands.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.min("existing_id").alias("first_match"),
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0))
+            .cast("long")
+            .alias("n_index_matches"),
+            F.coalesce("first_match", F.lit(-1)).cast("long").alias("first_match"),
+            F.when(F.col("new_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_dup"),
+        )
+    )

@@ -725,3 +725,37 @@ def test_near_dedup_pipeline_transitive_cluster_and_canonicals(spark):
         for r in near_dedup_pipeline(df, threshold_pct=101).collect()
     }
     assert all(v == (k, True) for k, v in strict.items())
+
+
+def test_cross_snapshot_dedup_matches_in_memory_path(spark):
+    """q185's persisted-index read must produce exactly what the
+    in-memory candidate computation produces on the same snapshot
+    split — parquet round-trip of the signature index changes
+    nothing."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators import dedup
+    from streaming_recommendation_spark.queries import registry
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    out = {
+        r.doc_id: r
+        for r in registry()["q185_cross_snapshot_dedup"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    mem = dedup.incremental_lsh_candidates(new, dedup.banded_signature_table(old))
+    expected = {}
+    for r in mem.collect():
+        n, e = expected.get(r.new_id, (0, 1 << 62))
+        expected[r.new_id] = (n + 1, min(e, r.existing_id))
+    n_new = new.count()
+    assert len(out) == n_new
+    for doc_id, r in out.items():
+        n, e = expected.get(doc_id, (0, -1))
+        assert (r.n_index_matches, r.first_match, r.is_dup) == (
+            n, e if n else -1, 1 if n else 0
+        ), doc_id

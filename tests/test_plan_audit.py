@@ -1206,3 +1206,18 @@ def test_q184_model_filter_map_side_only(spark):
     )
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q185_reads_index_never_rescans_old_corpus(spark):
+    # the refresh contract: the returned plan scans the PERSISTED
+    # bucketed signature table plus the NEW snapshot only — the old
+    # corpus filter (doc_id < 250) must not appear anywhere in the
+    # read path, and the new-side scans carry the pushed >= filter
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q185_cross_snapshot_dedup"].fn(spark, SF_DIR))
+    assert "lsh_sig_index_cross_snapshot" in a["plan"]
+    assert "LessThan(doc_id,250)" not in a["plan"]
+    assert "GreaterThanOrEqual(doc_id,250)" in a["plan"]
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
