@@ -239,6 +239,8 @@ HEADLINE = [
     "q184_model_quality_filter",
     # cross-snapshot dedup against the persisted signature index
     "q185_cross_snapshot_dedup",
+    # the full composed curation gate (dedup + quality + decontam + quota)
+    "q186_curation_pipeline",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -268,6 +270,7 @@ ITERATIVE = {
     "q175_near_dedup_pipeline",  # CC star rounds run at construction
     "q183_tokenize_pack_pipeline",  # BPE merge rounds run at construction
     "q185_cross_snapshot_dedup",  # index write runs at construction
+    "q186_curation_pipeline",  # CC star rounds run at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

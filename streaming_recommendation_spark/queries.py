@@ -4098,6 +4098,7 @@ _DRIVER_PRIORITY.extend([
     "q183_tokenize_pack_pipeline",
     "q184_model_quality_filter",
     "q185_cross_snapshot_dedup",
+    "q186_curation_pipeline",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -9085,4 +9086,212 @@ def q185_cross_snapshot_dedup(spark, sf_dir):
             .otherwise(F.lit(1))
             .alias("is_dup"),
         )
+    )
+
+
+@register(
+    "q186_curation_pipeline",
+    """
+WITH words AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents WHERE doc_id % 97 <> 0
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) - 2 <= 0
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                  END) AS shingle
+    FROM words)
+),
+params(i, a, b) AS (VALUES (0, 1865203534, 168835628), (1, 962415516, 1078283786), (2, 1816261065, 363371732), (3, 12053569, 652316737), (4, 1198821210, 316870833), (5, 1037323448, 1280089398), (6, 863341097, 1160219801), (7, 2130631427, 1579590697), (8, 938785873, 981318327), (9, 1195543213, 1654982318), (10, 4307558, 210255498), (11, 343227643, 2092473452), (12, 1806962964, 1386745806), (13, 970198099, 1968039246), (14, 756889588, 28555029), (15, 1573970638, 771946195)),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hv + b) % 2147483647) AS mh
+  FROM hashed CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y USING (band, band_key)
+  WHERE x.doc_id < y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.a, c.b, count(*) AS i
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.a
+  JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT i.a, i.b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.a
+               JOIN sizes sb ON sb.doc_id = i.b
+  WHERE 100 * i.i >= 80 * (sa.sz + sb.sz - i.i)
+),
+sym AS (SELECT a AS u, b AS v FROM ver UNION SELECT b, a FROM ver),
+reach AS (
+  WITH RECURSIVE r(u, x) AS (
+    SELECT u, v AS x FROM sym
+    UNION
+    SELECT s.u, r.x FROM sym s JOIN r ON r.u = s.v
+  ) SELECT * FROM r
+),
+m AS (SELECT u, least(min(x), u) AS comp FROM reach GROUP BY u),
+qt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS t0,
+         len(regexp_extract_all(text, '[^\w\s]')) AS p,
+         length(text) AS c0,
+         len(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was', 'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'sich', 'auf', 'le', 'la', 'les', 'et', 'est', 'pas', 'une', 'pour', 'que', 'dans', 'el', 'la', 'los', 'que', 'de', 'no', 'una', 'por', 'con', 'para'], w))) AS sw
+  FROM documents WHERE doc_id % 97 <> 0
+), qs AS (
+  SELECT doc_id,
+         greatest(c0, 1)::HUGEINT AS c, greatest(t0, 1)::HUGEINT AS t,
+         p::HUGEINT AS p, sw::HUGEINT AS sw, least(t0, 20)::HUGEINT AS l
+  FROM qt
+), qz AS (
+  SELECT doc_id,
+         CASE WHEN (-500*c*t - 4000*p*t + 2000*sw*c + 50*l*c*t)
+                   >= 500 * c * t THEN 1 ELSE 0 END AS quality_kept
+  FROM qs
+),
+normw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) <= 4 THEN [array_to_string(w, ' ')]
+              ELSE list_transform(generate_series(1, len(w) - 4),
+                                  i -> array_to_string(w[i:i+4], ' '))
+         END AS gs
+  FROM normw
+), cg AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0)
+), bg AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0)
+), dec AS (
+  SELECT cg.doc_id,
+         CASE WHEN sum(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) > 0
+              THEN 1 ELSE 0 END AS contaminated
+  FROM cg LEFT JOIN bg USING (g) GROUP BY cg.doc_id
+),
+flags AS (
+  SELECT d.doc_id, d.source,
+         coalesce(m.comp, d.doc_id) AS cluster,
+         CASE WHEN d.doc_id = coalesce(m.comp, d.doc_id)
+              THEN 1 ELSE 0 END AS is_canonical,
+         qz.quality_kept,
+         coalesce(dec.contaminated, 0) AS contaminated
+  FROM documents d
+  LEFT JOIN m ON m.u = d.doc_id
+  JOIN qz ON qz.doc_id = d.doc_id
+  LEFT JOIN dec ON dec.doc_id = d.doc_id
+  WHERE d.doc_id % 97 <> 0
+),
+pass AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0, doc_id
+         ) AS rk
+  FROM flags
+  WHERE is_canonical = 1 AND quality_kept = 1 AND contaminated = 0
+)
+SELECT f.doc_id, f.source, f.cluster, f.is_canonical, f.quality_kept,
+       f.contaminated,
+       CAST(coalesce(p.rk, -1) AS BIGINT) AS quota_rank,
+       CASE WHEN p.rk IS NOT NULL AND p.rk <= 15 THEN 1 ELSE 0 END AS selected
+FROM flags f LEFT JOIN pass p ON p.doc_id = f.doc_id
+""",
+    doc="The COMPLETE pretraining-corpus curation gate, composed "
+    "END-TO-END from independently-gated operators (the q175/q183 "
+    "treatment for the whole curation leg — the run a corpus refresh "
+    "actually executes): (1) near-dup dedup with canonical election "
+    "(q175's full LSH -> integer-Jaccard verify -> connected "
+    "components pipeline over the training split), (2) the learned "
+    "quality gate (q184's exact-rational linear scorer), (3) "
+    "benchmark decontamination (q89's 5-gram collision check vs the "
+    "held-out doc_id % 97 == 0 slice, broadcast), (4) per-source "
+    "domain quota (q91's deterministic hash-rank window, 15 docs per "
+    "source). Returns EVERY training doc with its full verdict "
+    "(cluster, is_canonical, quality_kept, contaminated, quota_rank, "
+    "selected) — the curation manifest, with the drop REASON "
+    "preserved per doc. All four gates bind at sf0.01: 24 "
+    "non-canonical, 35 quality-dropped, 1 contaminated, 135 "
+    "over-quota -> 300 selected (15 x 20 sources). Scale: inherits "
+    "each stage's pinned shape (bucketed candidates, map-side "
+    "scoring, broadcast benchmark, per-source window); the "
+    "composition adds only doc_id equi-joins.",
+    tags=("dedup", "text", "curation", "sampling", "iterative", "pipeline"),
+)
+def q186_curation_pipeline(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    ded = dedup.near_dedup_pipeline(corpus, threshold_pct=80).select(
+        "doc_id",
+        "cluster",
+        F.when(F.col("kept"), F.lit(1)).otherwise(F.lit(0)).alias("is_canonical"),
+    )
+    qual = curation.model_quality_filter(corpus).select(
+        "doc_id", F.col("kept").alias("quality_kept")
+    )
+    dec = curation.decontaminate(corpus, bench, n=5).select(
+        "doc_id",
+        F.when(F.col("contaminated"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "contaminated"
+        ),
+    )
+    flags = (
+        corpus.select("doc_id", "source")
+        .join(ded, "doc_id")
+        .join(qual, "doc_id")
+        .join(dec, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "cluster",
+            "is_canonical",
+            "quality_kept",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        det_unit("doc_id").asc(), F.col("doc_id").asc()
+    )
+    ranked = (
+        flags.where(
+            (F.col("is_canonical") == 1)
+            & (F.col("quality_kept") == 1)
+            & (F.col("contaminated") == 0)
+        )
+        .select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "rk")
+    )
+    return flags.join(ranked, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        "cluster",
+        "is_canonical",
+        "quality_kept",
+        "contaminated",
+        F.coalesce("rk", F.lit(-1)).cast("long").alias("quota_rank"),
+        F.when(F.col("rk").isNotNull() & (F.col("rk") <= 15), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("selected"),
     )

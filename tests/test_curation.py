@@ -259,3 +259,48 @@ def test_model_quality_filter_empty_text_guard(spark):
     ).collect()[0]
     assert r.kept == 0
     assert abs(r.score - (-0.5)) < 1e-9
+
+
+def test_curation_pipeline_consistent_with_stage_operators(spark):
+    """q186's composed manifest must agree flag-by-flag with the four
+    stage operators run independently, and `selected` must be exactly
+    the conjunction + quota rank."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators import dedup
+    from streaming_recommendation_spark.operators.curation import (
+        decontaminate,
+        model_quality_filter,
+    )
+    from streaming_recommendation_spark.queries import registry
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    out = {
+        r.doc_id: r
+        for r in registry()["q186_curation_pipeline"].fn(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    ded = {r.doc_id: r for r in dedup.near_dedup_pipeline(corpus).collect()}
+    qual = {r.doc_id: r.kept for r in model_quality_filter(corpus).collect()}
+    dec = {
+        r.doc_id: r.contaminated
+        for r in decontaminate(corpus, bench, n=5).collect()
+    }
+    assert set(out) == set(ded)
+    per_source = {}
+    for doc_id, r in out.items():
+        assert r.cluster == ded[doc_id].cluster
+        assert r.is_canonical == (1 if ded[doc_id].kept else 0)
+        assert r.quality_kept == qual[doc_id]
+        assert r.contaminated == (1 if dec.get(doc_id, False) else 0)
+        passes = r.is_canonical and r.quality_kept and not r.contaminated
+        assert (r.quota_rank >= 1) == bool(passes)
+        assert r.selected == (1 if passes and r.quota_rank <= 15 else 0)
+        if r.selected:
+            per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert per_source, "nothing selected — degenerate"
+    assert all(v <= 15 for v in per_source.values())

@@ -1221,3 +1221,25 @@ def test_q185_reads_index_never_rescans_old_corpus(spark):
     assert "GreaterThanOrEqual(doc_id,250)" in a["plan"]
     assert a["bnl_joins"] == 0
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q186_curation_pipeline_no_pairwise_blowup(spark):
+    # the composed gate inherits each stage's shape: LSH candidates
+    # bucketed (no all-pairs), benchmark broadcast, quality map-side,
+    # quota windows per source — no cartesian/BNL beyond the stages'
+    # own singleton frames, no single-partition stage
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q186_curation_pipeline"].fn(spark, SF_DIR))
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    # every SinglePartition exchange must be Catalyst's own injected
+    # runtime-bloom-filter pushdown (a constant-size bloom BUFFER
+    # merge, not data): no row-bearing stage collapses to one
+    # partition
+    import re as _re
+
+    assert a["plan"].count("SinglePartition") == len(
+        _re.findall(r"partial_bloom_filter_agg", a["plan"])
+    ), a["plan"]
+    assert a["n_broadcast_joins"] >= 1  # the benchmark gram probe
