@@ -9066,7 +9066,14 @@ def q185_cross_snapshot_dedup(spark, sf_dir):
     old = docs.where(F.col("doc_id") < 250)
     new = docs.where(F.col("doc_id") >= 250)
     idx = dedup.banded_signature_table(old)
-    layout.write_bucketed(idx, "lsh_sig_index_cross_snapshot", "bucket")
+    # explicit /tmp location: the driver's own SparkSession may have no
+    # warehouse config, and the default would land in its cwd
+    layout.write_bucketed(
+        idx,
+        "lsh_sig_index_cross_snapshot",
+        "bucket",
+        path="/tmp/spark_graft_state/lsh_sig_index_cross_snapshot",
+    )
     stored = layout.read_table(spark, "lsh_sig_index_cross_snapshot")
     cands = dedup.incremental_lsh_candidates(new, stored)
     hits = cands.groupBy("new_id").agg(

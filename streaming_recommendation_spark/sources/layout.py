@@ -40,18 +40,29 @@ def write_bucketed(
     bucket_col: str,
     num_buckets: int = 32,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
+    """``path`` pins the table's storage location explicitly (an
+    EXTERNAL bucketed table) — callers that must not depend on the
+    session's warehouse config (e.g. q185 running under the driver's
+    own SparkSession, whose warehouse would default to
+    ./spark-warehouse in the driver's cwd) pass an absolute path."""
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # an orphaned location (prior session's table; the in-memory
-    # catalog forgot it) blocks managed-table creation — clear it
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    stale = os.path.join(warehouse, table.split(".")[-1].lower())
+    # catalog forgot it) blocks table creation — clear it
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = os.path.join(warehouse, table.split(".")[-1].lower())
+    else:
+        stale = path
     if os.path.isdir(stale):
         shutil.rmtree(stale)
     writer = df.write.bucketBy(num_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").mode("overwrite").saveAsTable(table)
 
 

@@ -300,3 +300,23 @@ def test_write_zordered_null_column_handling(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "z2"))
     assert back.count() == 100
     assert back.where(F.col("some_null").isNull()).count() == 10
+
+
+def test_bucketed_write_explicit_path(spark):
+    """path= pins the storage location (external bucketed table) so
+    callers never depend on the session's warehouse config — q185's
+    contract under the driver's own SparkSession."""
+    import os
+
+    ev = load_table(spark, "events", SF_DIR).limit(100)
+    loc = "/tmp/spark_graft_state/test_bucketed_explicit_path"
+    write_bucketed(ev, "ev_explicit_path", "user_id", num_buckets=4, path=loc)
+    assert os.path.isdir(loc) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+    back = read_table(spark, "ev_explicit_path")
+    assert back.count() == 100
+    # overwrite works on the external location too (the stale-location
+    # guard clears the pinned path, not the warehouse)
+    write_bucketed(ev, "ev_explicit_path", "user_id", num_buckets=4, path=loc)
+    assert read_table(spark, "ev_explicit_path").count() == 100
