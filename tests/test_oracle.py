@@ -121,8 +121,12 @@ def test_driver_priority_prefix_is_valid():
     assert all(n in reg for n in _DRIVER_PRIORITY)
     assert list(queries())[: len(_DRIVER_PRIORITY)] == _DRIVER_PRIORITY
     # every prefix entry must carry a SQL oracle (that's the point of
-    # spending a driver slot on it)
-    assert all(reg[n].oracle is not None for n in _DRIVER_PRIORITY)
+    # spending a driver slot on it) — EXCEPT q57, rows-only BY DESIGN
+    # (HLL estimate; no SQL replay), which the round-8 verdict queued
+    # into the round-9 gate precisely to record its weaker rows-only
+    # check externally
+    no_oracle = {n for n in _DRIVER_PRIORITY if reg[n].oracle is None}
+    assert no_oracle <= {"q57_approx_distinct"}, no_oracle
 
 
 def test_q25_except_is_non_degenerate(spark):

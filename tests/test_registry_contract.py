@@ -14,8 +14,13 @@ def test_driver_prefix_is_wellformed():
     prefix = names[:50]
     oracles = Q.oracle_sql()
     assert len(set(prefix)) == 50, "duplicate names inside the gate prefix"
+    # rows-only-by-design queries (oracle None) are allowed in the gate
+    # ONLY for q57: the round-8 verdict queued it into the round-9 gate
+    # to record its weaker rows-only check externally
     missing = [n for n in prefix if n not in oracles]
-    assert not missing, f"non-oracle queries in the driver-gate prefix: {missing}"
+    assert set(missing) <= {"q57_approx_distinct"}, (
+        f"non-oracle queries in the driver-gate prefix: {missing}"
+    )
 
 
 def test_priority_names_all_registered():
