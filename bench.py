@@ -241,6 +241,8 @@ HEADLINE = [
     "q185_cross_snapshot_dedup",
     # the full composed curation gate (dedup + quality + decontam + quota)
     "q186_curation_pipeline",
+    # streaming gate-at-ingest curation twin (quality -> arrival dedup)
+    "q187_streaming_curation_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4099,6 +4099,7 @@ _DRIVER_PRIORITY.extend([
     "q184_model_quality_filter",
     "q185_cross_snapshot_dedup",
     "q186_curation_pipeline",
+    "q187_streaming_curation_twin",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -9302,3 +9303,101 @@ def q186_curation_pipeline(spark, sf_dir):
         .otherwise(F.lit(0))
         .alias("selected"),
     )
+
+
+@register(
+    "q187_streaming_curation_twin",
+    """
+WITH qt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\S+')) AS t0,
+         len(regexp_extract_all(text, '[^\w\s]')) AS p,
+         length(text) AS c0,
+         len(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '),
+           w -> list_contains(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'it', 'for', 'was', 'der', 'die', 'das', 'und', 'ist', 'nicht', 'ein', 'mit', 'sich', 'auf', 'le', 'la', 'les', 'et', 'est', 'pas', 'une', 'pour', 'que', 'dans', 'el', 'la', 'los', 'que', 'de', 'no', 'una', 'por', 'con', 'para'], w))) AS sw
+  FROM documents
+), qz AS (
+  SELECT doc_id,
+         CASE WHEN (-500*greatest(c0,1)::HUGEINT*greatest(t0,1)::HUGEINT
+                    - 4000*p::HUGEINT*greatest(t0,1)::HUGEINT
+                    + 2000*sw::HUGEINT*greatest(c0,1)::HUGEINT
+                    + 50*least(t0,20)::HUGEINT*greatest(c0,1)::HUGEINT
+                         *greatest(t0,1)::HUGEINT)
+                   >= 500*greatest(c0,1)::HUGEINT*greatest(t0,1)::HUGEINT
+              THEN 1 ELSE 0 END AS quality_kept
+  FROM qt
+),
+words AS (
+  SELECT d.doc_id,
+         string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents d JOIN qz ON qz.doc_id = d.doc_id AND qz.quality_kept = 1
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) - 2 <= 0
+                       THEN [array_to_string(w, ' ')]
+                       ELSE list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                  END) AS shingle
+    FROM words)
+),
+params(i, a, b) AS (VALUES (0, 1865203534, 168835628), (1, 962415516, 1078283786), (2, 1816261065, 363371732), (3, 12053569, 652316737), (4, 1198821210, 316870833), (5, 1037323448, 1280089398), (6, 863341097, 1160219801), (7, 2130631427, 1579590697), (8, 938785873, 981318327), (9, 1195543213, 1654982318), (10, 4307558, 210255498), (11, 343227643, 2092473452), (12, 1806962964, 1386745806), (13, 970198099, 1968039246), (14, 756889588, 28555029), (15, 1573970638, 771946195)),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS hv FROM sh
+),
+sig AS (
+  SELECT doc_id, i, min((a * hv + b) % 2147483647) AS mh
+  FROM hashed CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_key,
+         CASE WHEN doc_id < 250 THEN 0 ELSE 1 END AS batch
+  FROM sig GROUP BY doc_id, i // 4
+),
+dup AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands e USING (band, band_key)
+  WHERE (e.batch < n.batch)
+     OR (e.batch = n.batch AND e.doc_id < n.doc_id)
+)
+SELECT d.doc_id, qz.quality_kept,
+       CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+       CASE WHEN qz.quality_kept = 1 AND dup.doc_id IS NULL
+            THEN 1 ELSE 0 END AS admitted
+FROM documents d
+JOIN qz ON qz.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id
+""",
+    doc="Batch twin of the STREAMING gate-at-ingest curation pipeline "
+    "(streaming/curation.py — the streaming counterpart of q186's "
+    "batch gate): documents arrive in two batches (doc_id < 250, "
+    "then the rest); each batch is quality-scored MAP-SIDE first "
+    "(q184's learned filter — failing docs are never hashed: the "
+    "production cheap-gate-first ordering), then its quality-passing "
+    "docs are minhashed once and near-dup-checked against the "
+    "signature index AS OF ARRIVAL: a doc is a dup if it shares an "
+    "LSH bucket with any quality-passing doc of an earlier batch or "
+    "a smaller-id doc of its own batch (the deterministic "
+    "within-batch arrival tiebreak; non-recursive — the index keeps "
+    "every quality-passing signature, so duplicate evidence is "
+    "never dropped). Returns (doc_id, quality_kept, is_dup, "
+    "admitted) for EVERY document. The twin replays the exact "
+    "2-batch arrival as direct curation_batch_verdicts calls; "
+    "tests/test_streaming_curation.py pins the actual foreachBatch "
+    "pipeline == this twin bit-for-bit plus retry idempotence. "
+    "Non-degenerate at sf0.01: 465 quality-kept, 23 dups, 442 "
+    "admitted.",
+    tags=("dedup", "curation", "streaming-twin"),
+)
+def q187_streaming_curation_twin(spark, sf_dir):
+    from .streaming.curation import curation_batch_verdicts
+
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    empty_index = dedup.banded_signature_table(docs.where(F.lit(False)))
+    v0, sigs0 = curation_batch_verdicts(b0, empty_index)
+    v1, _ = curation_batch_verdicts(b1, sigs0)
+    return v0.unionByName(v1)

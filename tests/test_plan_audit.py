@@ -1243,3 +1243,16 @@ def test_q186_curation_pipeline_no_pairwise_blowup(spark):
         _re.findall(r"partial_bloom_filter_agg", a["plan"])
     ), a["plan"]
     assert a["n_broadcast_joins"] >= 1  # the benchmark gram probe
+
+
+def test_q187_streaming_curation_twin_bucketed_joins_only(spark):
+    # the arrival-order dup checks are (band, bucket) equi-joins over
+    # quality-passing signatures — no cartesian/BNL anywhere, and the
+    # quality gate stays a projection (no Python eval)
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q187_streaming_curation_twin"].fn(spark, SF_DIR))
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
