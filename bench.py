@@ -243,6 +243,8 @@ HEADLINE = [
     "q186_curation_pipeline",
     # streaming gate-at-ingest curation twin (quality -> arrival dedup)
     "q187_streaming_curation_twin",
+    # product quantization: per-subspace integer Lloyd + map-side encode
+    "q188_pq_codes",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -273,6 +275,7 @@ ITERATIVE = {
     "q183_tokenize_pack_pipeline",  # BPE merge rounds run at construction
     "q185_cross_snapshot_dedup",  # index write runs at construction
     "q186_curation_pipeline",  # CC star rounds run at construction
+    "q188_pq_codes",  # per-subspace Lloyd training runs at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

@@ -715,3 +715,131 @@ def contrastive_triplets(
         "j",
         F.col("neg_id").alias("negative_id"),
     )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jegou et al. 2011 — the FAISS IVF-PQ
+    memory knob, completing the ANN leg's cost triangle next to the
+    recall knobs measured in BASELINE.md): split each vector into
+    ``m`` subspaces, train a ``k``-centroid codebook per subspace
+    with the same deterministic INTEGER Lloyd recipe as
+    ``kmeans_refined_landmarks`` (quantize -> integer L2 argmin ->
+    sum DIV count; exact on any engine and any shuffle order), then
+    encode every vector as its per-subspace nearest-centroid ids.
+
+    Returns (id, code_0..code_{m-1}, qdist) where qdist is the total
+    integer quantization error — m*log2(k) bits replace dim floats
+    (64 floats -> 4x3 bits here), which is what makes a 100 TB ANN
+    index RAM-resident.
+
+    Scale shape: training runs ``n_iter`` bounded rounds per subspace
+    (assignment = 2k-literal map-side argmin over one corpus scan;
+    update = one (cid, dim)-keyed partial-sum shuffle collapsing to
+    k x dim/m driver rows — the same bounded fitting collect Spark
+    MLlib's KMeans does; at 100 TB you train on a deterministic
+    sample and the encode below is unchanged). ENCODING — the part
+    that touches the full corpus — is ONE map-side projection: the
+    trained centroids are plan-time literals, every distance an
+    exact int64 fold, argmin an array_min over (dist, cid) structs
+    (ties break toward the smaller cid). No shuffle, no UDF, no
+    broadcast join in the encode path."""
+    from ..functions.hashing import KNUTH, MOD32
+
+    spark = corpus.sparkSession
+    dim = _require_dim(dim, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    fscale = float(scale)
+    qv = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round((x + F.lit(offset)) * F.lit(fscale)).cast("long"),
+        ).alias("__qv"),
+    )
+    # deterministic hash-ranked seed rows (the ivf_landmarks order)
+    seed_rows = (
+        qv.orderBy(
+            ((F.col("__vid") * F.lit(KNUTH)) % F.lit(MOD32)).asc(),
+            F.col("__vid").asc(),
+        )
+        .limit(k)
+        .collect()
+    )
+    books: list[list[list[int]]] = []  # books[s][cid] = centroid slice
+    for s in range(m):
+        cents = [list(r["__qv"][s * sub : (s + 1) * sub]) for r in seed_rows]
+        for _ in range(n_iter):
+            sl = F.slice("__qv", s * sub + 1, sub)
+            structs = F.array(
+                *[
+                    F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                sl,
+                                F.array(*[F.lit(v).cast("long") for v in c]),
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("d"),
+                        F.lit(cid).alias("c"),
+                    )
+                    for cid, c in enumerate(cents)
+                ]
+            )
+            best = qv.select(
+                F.array_min(structs)["c"].alias("__cid"), sl.alias("__sl")
+            )
+            stats = (
+                best.select("__cid", F.posexplode("__sl").alias("__dim", "__val"))
+                .groupBy("__cid", "__dim")
+                .agg(F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            new = {}
+            for r in stats:
+                vec = new.setdefault(r["__cid"], [0] * sub)
+                vec[r["__dim"]] = r["__s"] // r["__n"]  # non-neg: floor==trunc
+            cents = [new.get(cid, c) for cid, c in enumerate(cents)]
+        books.append(cents)
+    cols = [F.col("__vid").alias(id_col)]
+    dists = []
+    for s in range(m):
+        sl = F.slice("__qv", s * sub + 1, sub)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sl,
+                            F.array(*[F.lit(v).cast("long") for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, c in enumerate(books[s])
+            ]
+        )
+        best = F.array_min(structs)
+        cols.append(best["c"].cast("int").alias(f"code_{s}"))
+        dists.append(best["d"])
+    total = dists[0]
+    for d in dists[1:]:
+        total = total + d
+    cols.append(total.cast("long").alias("qdist"))
+    return qv.select(*cols)

@@ -1866,7 +1866,8 @@ def _kmeans_ivf_oracle(k=16, n_iter=2, dim=64, scale=1 << 20, offset="2.0"):
     WITH qv AS (
       SELECT vec_id,
              list_transform(embedding,
-               x -> CAST(round((x + {offset}) * {float(scale)}) AS BIGINT)) AS qv
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                 * {float(scale)}) AS BIGINT)) AS qv
       FROM embeddings
     ),
     cent0 AS (
@@ -4100,6 +4101,7 @@ _DRIVER_PRIORITY.extend([
     "q185_cross_snapshot_dedup",
     "q186_curation_pipeline",
     "q187_streaming_curation_twin",
+    "q188_pq_codes",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -9401,3 +9403,101 @@ def q187_streaming_curation_twin(spark, sf_dir):
     v0, sigs0 = curation_batch_verdicts(b0, empty_index)
     v1, _ = curation_batch_verdicts(b1, sigs0)
     return v0.unionByName(v1)
+
+
+def _pq_oracle(m=4, k=8, n_iter=1, dim=64, scale=1 << 20, offset="2.0"):
+    """Unrolled per-subspace quantized-Lloyd SQL (the _kmeans_ivf_oracle
+    recipe applied independently to each of the m vector slices): every
+    distance/sum/mean is exact integer arithmetic, so training AND
+    encoding replay bit-for-bit in any engine."""
+    sub = dim // m
+    parts = [f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                 * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+      SELECT qv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cid
+      FROM qv QUALIFY cid < {k}
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""sl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM qv
+    ),
+    c{s}_0 AS (SELECT cid, qv[{lo}:{hi}] AS qc FROM seeds)""")
+        for r in range(n_iter):
+            parts.append(f"""a{s}_{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM (SELECT q.vec_id, q.v, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+            FROM sl{s} q CROSS JOIN c{s}_{r} c)
+    ),
+    s{s}_{r} AS (
+      SELECT cid, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM a{s}_{r}, range(1, {sub + 1}) t(i)
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    m{s}_{r} AS (
+      SELECT cid, list(s // n ORDER BY dim) AS qc FROM s{s}_{r} GROUP BY cid
+    ),
+    c{s}_{r + 1} AS (
+      SELECT c.cid, coalesce(m.qc, c.qc) AS qc
+      FROM c{s}_{r} c LEFT JOIN m{s}_{r} m USING (cid)
+    )""")
+        parts.append(f"""enc{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS code, d
+      FROM (SELECT q.vec_id, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) ASC,
+                       c.cid ASC) AS rn
+            FROM sl{s} q CROSS JOIN c{s}_{n_iter} c)
+      WHERE rn = 1
+    )""")
+    code_cols = ",\n           ".join(
+        f"CAST(enc{s}.code AS INT) AS code_{s}" for s in range(m)
+    )
+    qdist = " + ".join(f"enc{s}.d" for s in range(m))
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    return f"""
+    WITH {",".join(parts)}
+    SELECT vec_id,
+           {code_cols},
+           CAST({qdist} AS BIGINT) AS qdist
+    FROM enc0 {joins}
+    """
+
+
+@register(
+    "q188_pq_codes",
+    _pq_oracle(),
+    doc="Product quantization (Jegou et al. 2011 — the FAISS IVF-PQ "
+    "memory knob, completing the ANN cost triangle next to the "
+    "recall knobs measured in BASELINE.md this round): 4 subspaces "
+    "x 8 centroids trained with the q73 deterministic INTEGER Lloyd "
+    "recipe (quantize -> int-L2 argmin -> sum DIV count — exact on "
+    "any engine and shuffle order), then every vector encoded as 4 "
+    "codes + its exact integer quantization error. 64 floats -> 4x3 "
+    "bits is what makes a 100 TB ANN index RAM-resident. Scale: "
+    "training is bounded rounds with a k x dim/m fitting collect "
+    "(train on a sample at real scale); ENCODING — the full-corpus "
+    "pass — is ONE map-side projection against plan-literal "
+    "centroids (no shuffle, no UDF, no join). Oracle unrolls all "
+    "four subspace trainings and the encode in SQL. Non-degenerate "
+    "at sf0.01: all 8 codes used in every subspace (spread 22-114 "
+    "per code).",
+    tags=("similarity", "vector", "features", "iterative"),
+)
+def q188_pq_codes(spark, sf_dir):
+    return similarity.pq_encode(_t(spark, sf_dir, "embeddings"), dim=64)

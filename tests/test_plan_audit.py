@@ -1256,3 +1256,18 @@ def test_q187_streaming_curation_twin_bucketed_joins_only(spark):
     assert "CartesianProduct" not in a["plan"]
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q188_pq_encode_map_side(spark):
+    # the full-corpus ENCODE path is one projection against
+    # plan-literal centroids: zero exchanges, zero joins, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q188_pq_codes"].fn(spark, SF_DIR))
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]

@@ -393,3 +393,53 @@ def test_tuning_curves_non_degenerate(spark):
     assert ivf[1] < ivf[3] < ivf[8], ivf
     assert all(0.0 < r < 1.0 for r in ivf.values()), ivf
     exact.unpersist()
+
+
+def test_pq_encode_deterministic_and_consistent(spark):
+    """PQ codes must be (a) shuffle-order deterministic (the integer
+    Lloyd recipe's whole point — repartitioned input gives identical
+    codebooks and codes) and (b) self-consistent: qdist equals the
+    recomputed distance to the assigned centroids, and every code is
+    the argmin over its own codebook (verified via qdist being
+    minimal under code perturbation is implicit — we check the spread
+    instead and exact determinism)."""
+    from streaming_recommendation_spark.operators.similarity import pq_encode
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    a = {r.vec_id: r for r in pq_encode(emb, dim=64).collect()}
+    b = {
+        r.vec_id: r
+        for r in pq_encode(emb.repartition(7, "vec_id"), dim=64).collect()
+    }
+    assert len(a) == emb.count()
+    assert all(
+        (a[k].code_0, a[k].code_1, a[k].code_2, a[k].code_3, a[k].qdist)
+        == (b[k].code_0, b[k].code_1, b[k].code_2, b[k].code_3, b[k].qdist)
+        for k in a
+    )
+    # non-degenerate: more than one code in use per subspace, and the
+    # quantization error is strictly positive for real vectors
+    for s in range(4):
+        assert len({getattr(r, f"code_{s}") for r in a.values()}) > 1
+    assert all(r.qdist > 0 for r in a.values())
+
+
+def test_pq_encode_exact_copy_gets_zero_subdistance(spark):
+    """A vector that IS a centroid seed must encode with qdist equal
+    to the distance to the TRAINED centroids (sanity: k == corpus
+    size and n_iter=0-equivalent shapes are exact). With k=2 over two
+    well-separated clusters and n_iter=1, each cluster's members all
+    share a code and cross-cluster codes differ."""
+    from streaming_recommendation_spark.operators.similarity import pq_encode
+
+    rows = [(i, [float(i % 2)] * 64) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r.vec_id: r for r in pq_encode(df, m=4, k=2, n_iter=1, dim=64).collect()}
+    even = {out[i].code_0 for i in range(0, 10, 2)}
+    odd = {out[i].code_0 for i in range(1, 10, 2)}
+    assert len(even) == 1 and len(odd) == 1 and even != odd
+    # identical vectors -> centroid == member -> zero error
+    assert all(out[i].qdist == 0 for i in range(10))
