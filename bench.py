@@ -245,6 +245,8 @@ HEADLINE = [
     "q187_streaming_curation_twin",
     # product quantization: per-subspace integer Lloyd + map-side encode
     "q188_pq_codes",
+    # ADC top-k search over the PQ codes (codes move, vectors do not)
+    "q189_pq_adc_knn",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -276,6 +278,7 @@ ITERATIVE = {
     "q185_cross_snapshot_dedup",  # index write runs at construction
     "q186_curation_pipeline",  # CC star rounds run at construction
     "q188_pq_codes",  # per-subspace Lloyd training runs at construction
+    "q189_pq_adc_knn",  # per-subspace Lloyd training runs at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

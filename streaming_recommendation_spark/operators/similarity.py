@@ -753,21 +753,46 @@ def pq_encode(
     exact int64 fold, argmin an array_min over (dist, cid) structs
     (ties break toward the smaller cid). No shuffle, no UDF, no
     broadcast join in the encode path."""
-    from ..functions.hashing import KNUTH, MOD32
+    books = pq_train(corpus, m, k, n_iter, dim, scale, offset, id_col, vec_col)
+    return pq_encode_with_books(
+        corpus, books, dim=dim, scale=scale, offset=offset,
+        id_col=id_col, vec_col=vec_col,
+    )
 
-    spark = corpus.sparkSession
-    dim = _require_dim(dim, vec_col)
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    sub = dim // m
+
+def _pq_quantized(corpus, dim, scale, offset, id_col, vec_col):
     fscale = float(scale)
-    qv = corpus.select(
+    return corpus.select(
         F.col(id_col).alias("__vid"),
         F.transform(
             F.col(vec_col),
             lambda x: F.round((x + F.lit(offset)) * F.lit(fscale)).cast("long"),
         ).alias("__qv"),
     )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[int]]]:
+    """Train the per-subspace codebooks (books[s][cid] = quantized
+    centroid slice) — the bounded fitting pass ``pq_encode`` and
+    ``pq_adc_knn`` consume. At 100 TB this runs on a deterministic
+    sample; the returned literals parameterize the map-side encode."""
+    from ..functions.hashing import KNUTH, MOD32
+
+    dim = _require_dim(dim, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
     # deterministic hash-ranked seed rows (the ivf_landmarks order)
     seed_rows = (
         qv.orderBy(
@@ -814,6 +839,24 @@ def pq_encode(
                 vec[r["__dim"]] = r["__s"] // r["__n"]  # non-neg: floor==trunc
             cents = [new.get(cid, c) for cid, c in enumerate(cents)]
         books.append(cents)
+    return books
+
+
+def pq_encode_with_books(
+    corpus: DataFrame,
+    books: list[list[list[int]]],
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The map-side encode pass against already-trained codebooks —
+    one projection, no shuffle/join/UDF (see ``pq_encode``)."""
+    m = len(books)
+    dim = _require_dim(dim, vec_col)
+    sub = dim // m
+    qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
     cols = [F.col("__vid").alias(id_col)]
     dists = []
     for s in range(m):
@@ -843,3 +886,84 @@ def pq_encode(
         total = total + d
     cols.append(total.cast("long").alias("qdist"))
     return qv.select(*cols)
+
+
+def pq_adc_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    search half of the ``pq_encode`` story (Jegou et al. 2011 §IV):
+    the corpus exists only as m small codes per vector; each query
+    stays unquantized-to-codebook (asymmetric — only its int-grid
+    quantization applies) and its distance to a corpus vector is the
+    sum over subspaces of the distance to the ASSIGNED CENTROID,
+    looked up rather than recomputed against the raw vector.
+
+    Exactness: every per-subspace distance is an exact int64 fold of
+    (query-slice - centroid) squares, the total one int64 sum, and
+    the per-query top-k breaks ties on neighbor id — bit-replayable.
+
+    Scale shape: the corpus side carries ONLY (id, m codes) — the 64
+    floats never move; queries broadcast; each pair costs m array
+    folds against plan-literal centroids (in a real serving path the
+    per-query LUT has k*m entries and the fold is a table lookup —
+    the plan-literal element_at here IS that lookup). One
+    WindowGroupLimit per query for the top-k; no corpus shuffle."""
+    books = pq_train(corpus, m, k, n_iter, dim, scale, offset, id_col, vec_col)
+    dim = _require_dim(dim, vec_col)
+    sub = dim // m
+    codes = pq_encode_with_books(
+        corpus, books, dim=dim, scale=scale, offset=offset,
+        id_col=id_col, vec_col=vec_col,
+    ).drop("qdist")
+    qq = _pq_quantized(queries, dim, scale, offset, query_id_col, vec_col).select(
+        F.col("__vid").alias(query_id_col), F.col("__qv").alias("__qq")
+    )
+    cent_arrays = [
+        F.array(
+            *[
+                F.array(*[F.lit(v).cast("long") for v in c])
+                for c in books[s]
+            ]
+        )
+        for s in range(m)
+    ]
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("__qq", s * sub + 1, sub),
+                F.element_at(cent_arrays[s], F.col(f"code_{s}") + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for s in range(m)
+    ]
+    total = dists[0]
+    for d in dists[1:]:
+        total = total + d
+    scored = codes.crossJoin(F.broadcast(qq)).select(
+        query_id_col,
+        F.col(id_col).alias("neighbor_id"),
+        total.cast("long").alias("adc_dist"),
+    )
+    return top_k_per_group(
+        scored,
+        k_neighbors,
+        [query_id_col],
+        F.col("adc_dist").asc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adc_dist")

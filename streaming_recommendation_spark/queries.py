@@ -4102,6 +4102,7 @@ _DRIVER_PRIORITY.extend([
     "q186_curation_pipeline",
     "q187_streaming_curation_twin",
     "q188_pq_codes",
+    "q189_pq_adc_knn",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -9501,3 +9502,124 @@ def _pq_oracle(m=4, k=8, n_iter=1, dim=64, scale=1 << 20, offset="2.0"):
 )
 def q188_pq_codes(spark, sf_dir):
     return similarity.pq_encode(_t(spark, sf_dir, "embeddings"), dim=64)
+
+
+def _pq_adc_oracle(m=4, k=8, n_iter=1, dim=64, scale=1 << 20, offset="2.0",
+                   n_queries=5, topk=10):
+    """ADC search SQL on top of the _pq_oracle training CTEs: corpus
+    codes + per-query k x m lookup tables, total distance = sum of m
+    integer lookups, per-query top-k with neighbor-id tie-break."""
+    sub = dim // m
+    parts = [f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                               * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS MATERIALIZED (
+      SELECT qv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cid
+      FROM qv QUALIFY cid < {k}
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""sl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM qv
+    ),
+    c{s}_0 AS (SELECT cid, qv[{lo}:{hi}] AS qc FROM seeds)""")
+        for r in range(n_iter):
+            parts.append(f"""a{s}_{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM (SELECT q.vec_id, q.v, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+            FROM sl{s} q CROSS JOIN c{s}_{r} c)
+    ),
+    s{s}_{r} AS (
+      SELECT cid, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM a{s}_{r}, range(1, {sub + 1}) t(i)
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    m{s}_{r} AS (
+      SELECT cid, list(s // n ORDER BY dim) AS qc FROM s{s}_{r} GROUP BY cid
+    ),
+    c{s}_{r + 1} AS (
+      SELECT c.cid, coalesce(m.qc, c.qc) AS qc
+      FROM c{s}_{r} c LEFT JOIN m{s}_{r} m USING (cid)
+    )""")
+        parts.append(f"""enc{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS code
+      FROM (SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) ASC,
+                       c.cid ASC) AS rn
+            FROM sl{s} q CROSS JOIN c{s}_{n_iter} c)
+      WHERE rn = 1
+    ),
+    lut{s} AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.cid,
+             list_sum(list_transform(range(1, {sub + 1}),
+               i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+      FROM (SELECT vec_id, v FROM sl{s} WHERE vec_id < {n_queries}) q
+      CROSS JOIN c{s}_{n_iter} c
+    )""")
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = qs.query_id"
+        f" AND lut{s}.cid = enc{s}.code" for s in range(m)
+    )
+    enc_joins = " ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = enc0.vec_id" for s in range(1, m)
+    )
+    total = " + ".join(f"lut{s}.d" for s in range(m))
+    return f"""
+    WITH {",".join(parts)},
+    qs AS (SELECT vec_id AS query_id FROM embeddings
+           WHERE vec_id < {n_queries}),
+    tot AS (
+      SELECT qs.query_id, enc0.vec_id AS neighbor_id,
+             CAST({total} AS BIGINT) AS adc_dist
+      FROM qs CROSS JOIN enc0 {enc_joins} {lut_joins}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rn AS INT) AS rank, adc_dist
+    FROM (SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rn
+          FROM tot)
+    WHERE rn <= {topk}
+    """
+
+
+@register(
+    "q189_pq_adc_knn",
+    _pq_adc_oracle(),
+    doc="ADC top-10 search over the q188 PQ codes (Jegou et al. 2011 "
+    "SIV — the SEARCH half of product quantization): the corpus "
+    "exists only as 4 codes per vector (the 64 floats never move); "
+    "each of the 5 broadcast queries computes its distance to a "
+    "corpus vector as the sum over subspaces of the exact int64 "
+    "distance to the ASSIGNED centroid — in a serving path a k x m "
+    "lookup table per query, realized here as plan-literal "
+    "element_at lookups. Per-query top-10 ties break on neighbor id "
+    "(same-code vectors are indistinguishable to ADC by "
+    "construction, so the tie-break is part of the contract). "
+    "Oracle replays the subspace trainings, corpus codes, per-query "
+    "LUTs, and the ranked lookup-sum join. Scale: the only thing "
+    "that moves per query is m integer lookups per corpus CODE row "
+    "(12 bits of payload vs 256 bytes of floats) and a "
+    "WindowGroupLimit — the RAM-resident 100 TB ANN serving shape.",
+    tags=("similarity", "vector", "topk", "iterative"),
+)
+def q189_pq_adc_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_knn(emb, qdf, k_neighbors=10, dim=64)

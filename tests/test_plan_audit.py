@@ -1271,3 +1271,16 @@ def test_q188_pq_encode_map_side(spark):
     )
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q189_adc_codes_only_no_vector_shuffle(spark):
+    # the corpus side of the search carries codes, not vectors: the
+    # only join is the broadcast of the 5 queries; top-k is a
+    # WindowGroupLimit; no sort-merge, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q189_pq_adc_knn"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]

@@ -443,3 +443,49 @@ def test_pq_encode_exact_copy_gets_zero_subdistance(spark):
     assert len(even) == 1 and len(odd) == 1 and even != odd
     # identical vectors -> centroid == member -> zero error
     assert all(out[i].qdist == 0 for i in range(10))
+
+
+def test_pq_adc_knn_recall_and_self_rank(spark):
+    """ADC search sanity: (a) every query's own vector ranks at a
+    zero-extra-distance position (the self pair's ADC distance equals
+    the query's own quantization error, so it sits at/near rank 1);
+    (b) ADC recall@10 vs exact cosine is non-degenerate (in (0,1) —
+    12-bit codes are lossy by design but far better than chance);
+    (c) output is deterministic under repartition."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.similarity import (
+        knn_brute_force,
+        pq_adc_knn,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    adc = pq_adc_knn(emb, qdf, k_neighbors=10, dim=64)
+    rows = adc.collect()
+    assert len(rows) == 20 * 10
+    # self-retrieval: the query's own id must appear in its top-10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(q in ns for q, ns in by_q.items())
+    exact = knn_brute_force(emb, qdf, k=10).select("query_id", "neighbor_id")
+    hits = exact.join(
+        adc.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).count()
+    recall = hits / 200.0
+    assert 0.05 < recall < 1.0, recall
+    again = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_dist)
+        for r in pq_adc_knn(
+            emb.repartition(7, "vec_id"), qdf, k_neighbors=10, dim=64
+        ).collect()
+    }
+    assert again == {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in rows
+    }
