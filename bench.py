@@ -247,6 +247,16 @@ HEADLINE = [
     "q188_pq_codes",
     # ADC top-k search over the PQ codes (codes move, vectors do not)
     "q189_pq_adc_knn",
+    # the IVF-PQ composition: probed cells + residual codes + ADC
+    "q190_ivfpq_adc_knn",
+    # end-to-end retrieval: chunk -> hash-embed (map-side) -> top-5
+    "q191_chunk_retrieval",
+    # passage-level exact dedup with per-doc reconstruction manifest
+    "q192_passage_dedup",
+    # cross-snapshot PQ encode against frozen codebooks
+    "q193_frozen_codebook_encode",
+    # retrieval precision@5 vs exact set-Jaccard ground truth
+    "q194_retrieval_quality_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -279,6 +289,8 @@ ITERATIVE = {
     "q186_curation_pipeline",  # CC star rounds run at construction
     "q188_pq_codes",  # per-subspace Lloyd training runs at construction
     "q189_pq_adc_knn",  # per-subspace Lloyd training runs at construction
+    "q190_ivfpq_adc_knn",  # coarse collect + residual Lloyd at construction
+    "q193_frozen_codebook_encode",  # old-snapshot Lloyd at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

@@ -460,3 +460,90 @@ def model_quality_filter(
         .otherwise(F.lit(0))
         .alias("kept"),
     )
+
+
+def passage_dedup(
+    df: DataFrame,
+    window: int = 16,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus PASSAGE-level exact dedup with per-document
+    reconstruction manifest — the CCNet/RefinedWeb line-dedup move at
+    a granularity BELOW the document: boilerplate passages repeated
+    across (or within) documents are dropped everywhere except their
+    first occurrence, while the unique remainder of each document
+    survives. Document-level dedup (q31/q175) keeps or kills whole
+    docs; this recovers the partial value of documents that share
+    only SOME content.
+
+    Passages are the non-overlapping ``window``-token chunks of
+    :func:`chunk_documents` (this corpus has no newline structure, so
+    fixed token windows stand in for paragraphs; on real text pass
+    the paragraph split upstream and window=stride=1 paragraph). The
+    corpus-wide FIRST occurrence of a passage hash — ordered by
+    (doc_id, chunk_idx), a total order — is kept; every later copy is
+    dropped, including later copies inside the same document
+    (intra-doc repetition is removed too, the Gopher dup-line
+    semantic).
+
+    Returns the per-document reconstruction manifest
+    (id, n_passages, n_dup_passages, n_tokens_total, n_tokens_kept):
+    the packer/quota stages downstream consume kept token counts, and
+    reconstruction itself (concat of kept chunks in chunk_idx order)
+    is embarrassingly local. Scale shape: one chunk_hash-keyed window
+    (groups = duplicate families, bounded by real duplication) + one
+    per-doc groupBy — no all-pairs, no global sort; the chunking is
+    map-side (q92).
+    """
+    ch = chunk_documents(
+        df, window=window, stride=stride, text_col=text_col, id_col=id_col
+    )
+    w = Window.partitionBy("chunk_hash").orderBy(
+        F.col(id_col).asc(), F.col("chunk_idx").asc()
+    )
+    flagged = ch.withColumn("__rn", F.row_number().over(w))
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_passages"),
+        F.sum(F.col("n_chunk_tokens").cast("long")).alias("n_tokens_total"),
+        F.sum(
+            F.when(F.col("__rn") == 1, F.col("n_chunk_tokens").cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("n_tokens_kept"),
+    )
+
+
+def chunk_word_sets(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_idx, word): the DISTINCT words of every chunk under
+    the :func:`chunk_documents` boundary recipe — the exact
+    set-overlap side of retrieval evaluation (q194): ground-truth
+    chunk similarity is set Jaccard over these rows, computed with a
+    word equi-join, never a pairwise text comparison. One map-side
+    chunk/explode projection + one distinct."""
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * stride + 1, window),
+    )
+    ex = df.select(F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "__cw"))
+    return (
+        ex.select(F.col(id_col), F.col("chunk_idx"), F.explode("__cw").alias("word"))
+        .where(F.col("word") != "")
+        .distinct()
+    )

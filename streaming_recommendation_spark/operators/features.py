@@ -372,3 +372,73 @@ def quantile_bin(
         .drop("__mn", "__mx")
     )
     return assigned.join(labels, [*group_cols, "__bin"]).drop("__bin")
+
+
+def chunk_hash_embed(
+    df: DataFrame,
+    window: int = 32,
+    stride: int = 32,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk each document into fixed-size token windows and embed
+    every chunk as a DENSE ``n_features``-dim signed-count vector via
+    the hashing trick — the ingest half of a retrieval (RAG) pipeline
+    fused into ONE map-side projection: chunking (curation.
+    chunk_documents' recipe), tokenization, hashing (feature_hash's
+    slot/sign recipe), and dense assembly all happen inside a single
+    SELECT over the scan.
+
+    Returns (id, chunk_idx, vec array<long>). The dense form exists
+    because the consumer is a vector index / similarity join, which
+    wants fixed-width arrays, not (id, slot, value) sparse rows —
+    and building it map-side (an aggregate over the token list that
+    increments one slot per token) means a 100 TB ingest costs ONE
+    scan with ZERO shuffles: no explode-regroup round trip, no
+    vocabulary, nothing to broadcast. Exactness: slots/signs from the
+    cross-engine md5-prefix word hash; counts are int64 additions —
+    order-free, so any engine replays the vectors bit-for-bit.
+    """
+    from .dedup import normalize_text
+
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(window) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+        + F.lit(1),
+    )
+    chunk_words = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(words, i * stride + 1, window),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunk_words).alias("chunk_idx", "__cw")
+    )
+    toks = F.filter(F.col("__cw"), lambda w: w != "")
+    entries = F.transform(
+        toks,
+        lambda w: F.struct(
+            F.pmod(_word_hash(w), F.lit(n_features)).cast("int").alias("slot"),
+            F.when(
+                F.pmod(F.floor(_word_hash(w) / n_features), F.lit(2)) == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        ),
+    )
+    vec = F.aggregate(
+        entries,
+        F.array_repeat(F.lit(0).cast("long"), n_features),
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(i == e["slot"], e["sgn"]).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return ex.select(id_col, "chunk_idx", vec.alias("vec"))

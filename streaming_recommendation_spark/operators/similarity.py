@@ -771,6 +771,29 @@ def _pq_quantized(corpus, dim, scale, offset, id_col, vec_col):
     )
 
 
+def _int_l2_structs(sl, cents: list[list[int]]):
+    """array<struct<d,c>> of exact-int64 squared L2 distances from the
+    ``sl`` slice to each plan-literal centroid — array_min over it is
+    the deterministic argmin (ties toward the smaller centroid id)."""
+    return F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        sl,
+                        F.array(*[F.lit(v).cast("long") for v in c]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, c in enumerate(cents)
+        ]
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 4,
@@ -786,13 +809,23 @@ def pq_train(
     centroid slice) — the bounded fitting pass ``pq_encode`` and
     ``pq_adc_knn`` consume. At 100 TB this runs on a deterministic
     sample; the returned literals parameterize the map-side encode."""
-    from ..functions.hashing import KNUTH, MOD32
-
     dim = _require_dim(dim, vec_col)
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
     qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
+    return _pq_train_quantized(qv, m, k, n_iter, sub)
+
+
+def _pq_train_quantized(
+    qv: DataFrame, m: int, k: int, n_iter: int, sub: int
+) -> list[list[list[int]]]:
+    """The quantized-input training body shared by :func:`pq_train`
+    (raw vectors) and :func:`ivf_pq_adc_knn` (coarse-cell RESIDUALS):
+    deterministic hash-ranked seeds, then ``n_iter`` integer Lloyd
+    rounds per subspace. ``qv`` must carry (__vid, __qv)."""
+    from ..functions.hashing import KNUTH, MOD32
+
     # deterministic hash-ranked seed rows (the ivf_landmarks order)
     seed_rows = (
         qv.orderBy(
@@ -807,25 +840,9 @@ def pq_train(
         cents = [list(r["__qv"][s * sub : (s + 1) * sub]) for r in seed_rows]
         for _ in range(n_iter):
             sl = F.slice("__qv", s * sub + 1, sub)
-            structs = F.array(
-                *[
-                    F.struct(
-                        F.aggregate(
-                            F.zip_with(
-                                sl,
-                                F.array(*[F.lit(v).cast("long") for v in c]),
-                                lambda a, b: (a - b) * (a - b),
-                            ),
-                            F.lit(0).cast("long"),
-                            lambda acc, v: acc + v,
-                        ).alias("d"),
-                        F.lit(cid).alias("c"),
-                    )
-                    for cid, c in enumerate(cents)
-                ]
-            )
             best = qv.select(
-                F.array_min(structs)["c"].alias("__cid"), sl.alias("__sl")
+                F.array_min(_int_l2_structs(sl, cents))["c"].alias("__cid"),
+                sl.alias("__sl"),
             )
             stats = (
                 best.select("__cid", F.posexplode("__sl").alias("__dim", "__val"))
@@ -836,7 +853,13 @@ def pq_train(
             new = {}
             for r in stats:
                 vec = new.setdefault(r["__cid"], [0] * sub)
-                vec[r["__dim"]] = r["__s"] // r["__n"]  # non-neg: floor==trunc
+                # TRUNCATING int division (DuckDB BIGINT // semantics;
+                # Python // floors — they differ on NEGATIVE sums, which
+                # the ivf_pq_adc_knn RESIDUAL path produces; raw-vector
+                # quantized sums are non-negative, so q188/q189 are
+                # bit-identical either way)
+                s_, n_ = r["__s"], r["__n"]
+                vec[r["__dim"]] = -((-s_) // n_) if s_ < 0 else s_ // n_
             cents = [new.get(cid, c) for cid, c in enumerate(cents)]
         books.append(cents)
     return books
@@ -857,28 +880,26 @@ def pq_encode_with_books(
     dim = _require_dim(dim, vec_col)
     sub = dim // m
     qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
-    cols = [F.col("__vid").alias(id_col)]
+    return _pq_encode_quantized(qv, books, sub, id_col)
+
+
+def _pq_encode_quantized(
+    qv: DataFrame,
+    books: list[list[list[int]]],
+    sub: int,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Encode a quantized (__vid, __qv) relation against trained books
+    — the shared map-side projection behind :func:`pq_encode_with_books`
+    and the residual encode inside :func:`ivf_pq_adc_knn`.
+    ``extra_cols`` ride through unchanged (e.g. the coarse cell id)."""
+    m = len(books)
+    cols = [F.col("__vid").alias(id_col), *[F.col(c) for c in extra_cols]]
     dists = []
     for s in range(m):
         sl = F.slice("__qv", s * sub + 1, sub)
-        structs = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sl,
-                            F.array(*[F.lit(v).cast("long") for v in c]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(cid).alias("c"),
-                )
-                for cid, c in enumerate(books[s])
-            ]
-        )
-        best = F.array_min(structs)
+        best = F.array_min(_int_l2_structs(sl, books[s]))
         cols.append(best["c"].cast("int").alias(f"code_{s}"))
         dists.append(best["d"])
     total = dists[0]
@@ -967,3 +988,164 @@ def pq_adc_knn(
         F.col("neighbor_id").asc(),
         rank_col="rank",
     ).select(query_id_col, "neighbor_id", F.col("rank").cast("int").alias("rank"), "adc_dist")
+
+
+def ivf_pq_adc_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ / IVFADC (Jegou et al. 2011 SV — the composition the two
+    halves q188/q189 exist for, and the index FAISS actually ships):
+    a coarse inverted file prunes WHICH vectors are scored, product
+    quantization on the coarse RESIDUALS decides at what MEMORY cost,
+    and asymmetric distance computation scores the survivors without
+    ever touching the raw floats.
+
+    Pipeline (all exact int64 on the shared quantization grid, so any
+    engine replays it bit-for-bit):
+      1. coarse codebook = ``num_cells`` hash-ranked corpus vectors
+         (the ivf_landmarks order, quantized);
+      2. every corpus vector joins its nearest coarse cell (map-side
+         argmin over plan-literal centroids — NO crossJoin, no
+         shuffle) and is reduced to its residual vs that centroid;
+      3. per-subspace codebooks train on the residuals (textbook
+         IVFADC — residuals concentrate around 0, so the same k
+         centroids spend their resolution where the mass is) and the
+         corpus residuals encode to m codes, map-side;
+      4. each query probes its ``n_probe`` nearest cells, forms one
+         residual PER PROBED CELL (the asymmetric part — the query is
+         never code-quantized), and ADC-scores only rows in probed
+         cells: distance = sum over subspaces of the exact int64
+         distance from the query-residual slice to the row's ASSIGNED
+         centroid (the k x m per-(query,cell) LUT, realized as
+         plan-literal element_at lookups);
+      5. per-query top-k, ties to the smaller neighbor id (same-code
+         rows are indistinguishable to ADC by construction).
+
+    Scale shape: the corpus-touching passes (assign, residual, encode)
+    are each ONE map-side projection against plan literals; searching
+    moves only (cell, m codes) per corpus row — n_probe/num_cells of
+    the corpus, 12 bits of payload instead of 256 bytes of floats;
+    probes broadcast (|queries| x n_probe rows); one WindowGroupLimit.
+    Training collects k x dim/m integers per subspace (sample-train at
+    real scale). This is the RAM-resident 100 TB ANN shape: recall
+    knob = n_probe (measured in BASELINE.md), memory knob = m*log2(k)
+    bits/vector, and both knobs turn without re-planning the scan."""
+    from ..functions.hashing import KNUTH, MOD32
+
+    dim = _require_dim(dim, vec_col)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
+    # coarse codebook: hash-ranked quantized corpus rows (bounded
+    # num_cells-row fitting collect, the ivf_landmarks recipe)
+    lrows = (
+        qv.orderBy(
+            ((F.col("__vid") * F.lit(KNUTH)) % F.lit(MOD32)).asc(),
+            F.col("__vid").asc(),
+        )
+        .limit(num_cells)
+        .collect()
+    )
+    lcents = [list(r["__qv"]) for r in lrows]
+    lcent_arr = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in c]) for c in lcents]
+    )
+
+    def _resid(vec_expr, cell_expr):
+        return F.zip_with(
+            vec_expr,
+            F.element_at(lcent_arr, cell_expr + 1),
+            lambda a, b: a - b,
+        )
+
+    assigned = qv.select(
+        "__vid",
+        F.array_min(_int_l2_structs(F.col("__qv"), lcents))["c"].alias("__cell"),
+        "__qv",
+    ).select(
+        "__vid", "__cell", _resid(F.col("__qv"), F.col("__cell")).alias("__qv")
+    )
+    # persist the TRAINING input across the bounded Lloyd jobs (seeds
+    # collect + one assignment/update job per subspace each re-derive
+    # it otherwise — the quantize+coarse-argmin+residual chain is the
+    # expensive part of this plan, measured 24 s -> ~its q188 share at
+    # sf0.1 with the cache). Training at real scale runs on a SAMPLE,
+    # so this persist is sample-sized; the full-corpus ENCODE below is
+    # one uncached pass either way. Unpersisted as soon as the books
+    # are fitted — training jobs run eagerly inside _pq_train_quantized.
+    train_in = assigned.select("__vid", "__qv").persist()
+    try:
+        books = _pq_train_quantized(train_in, m, k, n_iter, sub)
+    finally:
+        train_in.unpersist(blocking=False)
+    codes = _pq_encode_quantized(
+        assigned, books, sub, "neighbor_id", extra_cols=("__cell",)
+    ).drop("qdist")
+
+    qq = _pq_quantized(queries, dim, scale, offset, query_id_col, vec_col)
+    probe_structs = F.array_sort(_int_l2_structs(F.col("__qv"), lcents))
+    probes = (
+        qq.select(
+            F.col("__vid").alias(query_id_col),
+            "__qv",
+            F.explode(F.slice(probe_structs, 1, n_probe)).alias("__p"),
+        )
+        .select(
+            query_id_col,
+            F.col("__p")["c"].alias("__cell"),
+            _resid(F.col("__qv"), F.col("__p")["c"]).alias("__qrv"),
+        )
+    )
+    cent_arrays = [
+        F.array(
+            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in books[s]]
+        )
+        for s in range(m)
+    ]
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.slice("__qrv", s * sub + 1, sub),
+                F.element_at(cent_arrays[s], F.col(f"code_{s}") + 1),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        for s in range(m)
+    ]
+    total = dists[0]
+    for d in dists[1:]:
+        total = total + d
+    scored = codes.join(F.broadcast(probes), "__cell").select(
+        query_id_col,
+        "neighbor_id",
+        total.cast("long").alias("adc_dist"),
+    )
+    return top_k_per_group(
+        scored,
+        k_neighbors,
+        [query_id_col],
+        F.col("adc_dist").asc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        "adc_dist",
+    )

@@ -4103,6 +4103,11 @@ _DRIVER_PRIORITY.extend([
     "q187_streaming_curation_twin",
     "q188_pq_codes",
     "q189_pq_adc_knn",
+    "q190_ivfpq_adc_knn",
+    "q191_chunk_retrieval",
+    "q192_passage_dedup",
+    "q193_frozen_codebook_encode",
+    "q194_retrieval_quality_eval",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -9623,3 +9628,746 @@ def q189_pq_adc_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.pq_adc_knn(emb, qdf, k_neighbors=10, dim=64)
+
+
+def _ivfpq_oracle(num_cells=16, n_probe=4, m=4, k=8, n_iter=1, dim=64,
+                  scale=1 << 20, offset="2.0", n_queries=5, topk=10):
+    """IVF-PQ (IVFADC) SQL replay: coarse hash-ranked cells, per-vector
+    residuals, per-subspace residual codebooks (the _pq_oracle Lloyd
+    recipe re-sourced from the residual table), per-(query, probed
+    cell) LUTs, and the ranked probed-cells-only lookup-sum join —
+    every distance an exact int64 fold, bit-replayable."""
+    sub = dim // m
+    d1 = dim + 1
+
+    def il2(a, b, n):
+        return (f"list_sum(list_transform(range(1, {n + 1}),"
+                f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))")
+
+    parts = [f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                               * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    lm AS MATERIALIZED (
+      SELECT qv AS lv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cell
+      FROM qv QUALIFY cell < {num_cells}
+    ),
+    cas AS MATERIALIZED (
+      SELECT vec_id, cell, lv FROM (
+        SELECT q.vec_id, l.cell, l.lv,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {il2('q.qv', 'l.lv', dim)} ASC,
+                                  l.cell ASC) AS rn
+        FROM qv q CROSS JOIN lm l)
+      WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+      SELECT c.vec_id, c.cell,
+             list_transform(range(1, {d1}), i -> q.qv[i] - c.lv[i]) AS qv
+      FROM cas c JOIN qv q USING (vec_id)
+    ),
+    seeds AS MATERIALIZED (
+      SELECT qv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cid
+      FROM resid QUALIFY cid < {k}
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""sl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM resid
+    ),
+    c{s}_0 AS (SELECT cid, qv[{lo}:{hi}] AS qc FROM seeds)""")
+        for r in range(n_iter):
+            parts.append(f"""a{s}_{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM (SELECT q.vec_id, q.v, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+            FROM sl{s} q CROSS JOIN c{s}_{r} c)
+    ),
+    s{s}_{r} AS (
+      SELECT cid, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM a{s}_{r}, range(1, {sub + 1}) t(i)
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    m{s}_{r} AS (
+      SELECT cid, list(s // n ORDER BY dim) AS qc FROM s{s}_{r} GROUP BY cid
+    ),
+    c{s}_{r + 1} AS (
+      SELECT c.cid, coalesce(m.qc, c.qc) AS qc
+      FROM c{s}_{r} c LEFT JOIN m{s}_{r} m USING (cid)
+    )""")
+        parts.append(f"""enc{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS code
+      FROM (SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) ASC,
+                       c.cid ASC) AS rn
+            FROM sl{s} q CROSS JOIN c{s}_{n_iter} c)
+      WHERE rn = 1
+    )""")
+    parts.append(f"""qs AS MATERIALIZED (
+      SELECT vec_id AS query_id, qv FROM qv WHERE vec_id < {n_queries}
+    ),
+    qprobe AS MATERIALIZED (
+      SELECT query_id, cell, lv FROM (
+        SELECT q.query_id, l.cell, l.lv,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {il2('q.qv', 'l.lv', dim)} ASC,
+                                  l.cell ASC) AS rn
+        FROM qs q CROSS JOIN lm l)
+      WHERE rn <= {n_probe}
+    ),
+    qresid AS MATERIALIZED (
+      SELECT p.query_id, p.cell,
+             list_transform(range(1, {d1}), i -> q.qv[i] - p.lv[i]) AS rv
+      FROM qprobe p JOIN qs q USING (query_id)
+    )""")
+    for s in range(m):
+        lo = s * sub
+        parts.append(f"""lut{s} AS MATERIALIZED (
+      SELECT r.query_id, r.cell, c.cid,
+             list_sum(list_transform(range(1, {sub + 1}),
+               i -> (r.rv[{lo} + i] - c.qc[i])
+                    * (r.rv[{lo} + i] - c.qc[i]))) AS d
+      FROM qresid r CROSS JOIN c{s}_{n_iter} c
+    )""")
+    enc_joins = " ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = enc0.vec_id" for s in range(1, m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = r.query_id"
+        f" AND lut{s}.cell = r.cell AND lut{s}.cid = enc{s}.code"
+        for s in range(m)
+    )
+    total = " + ".join(f"lut{s}.d" for s in range(m))
+    return f"""
+    WITH {",".join(parts)},
+    tot AS (
+      SELECT r.query_id, enc0.vec_id AS neighbor_id,
+             CAST({total} AS BIGINT) AS adc_dist
+      FROM qresid r
+      JOIN cas ON cas.cell = r.cell
+      JOIN enc0 ON enc0.vec_id = cas.vec_id {enc_joins} {lut_joins}
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist
+    FROM (SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rn
+          FROM tot)
+    WHERE rn <= {topk}
+    """
+
+
+@register(
+    "q190_ivfpq_adc_knn",
+    _ivfpq_oracle(),
+    doc="IVF-PQ / IVFADC (Jegou et al. 2011 SV — the composition "
+    "q188/q189 exist for, and the index FAISS actually ships): a "
+    "16-cell coarse inverted file prunes WHICH vectors are scored "
+    "(each query probes its 4 nearest cells — the recall knob "
+    "measured in BASELINE.md), product quantization on the coarse "
+    "RESIDUALS decides at what memory cost (residuals concentrate "
+    "around zero, so the 8 centroids per subspace spend their "
+    "resolution where the mass is — the textbook IVFADC detail), and "
+    "ADC scores the survivors as the sum of 4 exact-int64 lookups "
+    "against the row's 12-bit code. Everything corpus-wide (coarse "
+    "assign, residual, encode) is ONE map-side projection against "
+    "plan literals; the search moves only (cell, codes) rows from "
+    "probed cells with broadcast probes and one WindowGroupLimit. "
+    "Oracle replays coarse cells, residuals, per-subspace residual "
+    "trainings, per-(query,cell) LUTs, and the probed-only ranked "
+    "sum. Ties to the smaller neighbor id (same-code rows are "
+    "indistinguishable to ADC by construction).",
+    tags=("similarity", "vector", "topk", "iterative"),
+)
+def q190_ivfpq_adc_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_pq_adc_knn(
+        emb, qdf, k_neighbors=10, num_cells=16, n_probe=4, dim=64
+    )
+
+
+@register(
+    "q191_chunk_retrieval",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 32 + 31) / 32.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    ), ch AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             w[(i-1)*32+1 : (i-1)*32+32] AS cw
+      FROM ex
+    ), tok AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substr(md5(t.w), 1, 8))::BIGINT AS h
+      FROM ch, unnest(cw) AS t(w) WHERE t.w <> ''
+    ), sp AS (
+      SELECT doc_id, chunk_idx, CAST(h % 64 AS INT) AS slot,
+             CAST(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS sgn
+      FROM tok
+    ), agg AS (
+      SELECT doc_id, chunk_idx, slot, CAST(sum(sgn) AS BIGINT) AS v
+      FROM sp GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT doc_id, chunk_idx, s.slot
+      FROM (SELECT DISTINCT doc_id, chunk_idx FROM ch)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS slot) s
+    ), dense AS MATERIALIZED (
+      SELECT g.doc_id, g.chunk_idx, list(coalesce(a.v, 0) ORDER BY g.slot)
+               AS vec
+      FROM grid g LEFT JOIN agg a
+        ON a.doc_id = g.doc_id AND a.chunk_idx = g.chunk_idx
+       AND a.slot = g.slot
+      GROUP BY g.doc_id, g.chunk_idx
+    ), q AS (
+      SELECT doc_id AS query_doc, chunk_idx AS query_chunk, vec AS qv
+      FROM dense WHERE doc_id < 3
+    ), pairs AS (
+      SELECT q.query_doc, q.query_chunk,
+             d.doc_id AS neighbor_doc, d.chunk_idx AS neighbor_chunk,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> q.qv[i] * d.vec[i]))
+                  AS BIGINT) AS dot,
+             list_sum(list_transform(q.qv, x -> x * x)) AS na,
+             list_sum(list_transform(d.vec, x -> x * x)) AS nb
+      FROM q CROSS JOIN dense d
+      WHERE d.doc_id <> q.query_doc
+    ), scored AS (
+      SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk, dot,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                  ELSE 0.0 END AS score
+      FROM pairs
+    )
+    SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk,
+           CAST(rn AS INT) AS rank, dot, score
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc, query_chunk
+                                       ORDER BY score DESC, neighbor_doc ASC,
+                                                neighbor_chunk ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    doc="End-to-end retrieval (RAG) ingest + search composed as ONE "
+    "plan over raw text: chunk every document into 32-token windows, "
+    "embed each chunk as a dense 64-dim signed-count vector via the "
+    "hashing trick (features.chunk_hash_embed — chunking, "
+    "tokenization, hashing, and dense assembly FUSED into one "
+    "map-side projection: a 100 TB ingest is ONE scan, ZERO "
+    "shuffles, no vocabulary), then retrieve the top-5 cross-document "
+    "chunks for every chunk of 3 query documents by cosine over the "
+    "hash-embeddings. Exactness: dot products and norms are exact "
+    "int64 folds; the reported score is sqrt+divide on exact-int "
+    "doubles (correctly-rounded IEEE — bit-identical cross-engine, "
+    "the q147 recipe), so the DESC ranking replays exactly. Scale: "
+    "queries broadcast — search cost is one corpus scan x |query "
+    "chunks| dots with a WindowGroupLimit; for corpus-x-corpus "
+    "retrieval swap the scorer for the SRP-LSH bucketed leg "
+    "(q45/q103's machinery) without touching the ingest half.",
+    tags=("similarity", "text", "features", "vector"),
+)
+def q191_chunk_retrieval(spark, sf_dir):
+    from .operators.features import chunk_hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = chunk_hash_embed(docs, window=32, stride=32, n_features=64)
+    qs = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("chunk_idx").alias("query_chunk"),
+        F.col("vec").alias("__qv"),
+    )
+    corpus = emb.select(
+        F.col("doc_id").alias("neighbor_doc"),
+        F.col("chunk_idx").alias("neighbor_chunk"),
+        F.col("vec").alias("__cv"),
+    )
+    lit0 = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        lit0,
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("__qv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    nb = F.aggregate(
+        F.transform(F.col("__cv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_doc") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "query_chunk",
+            "neighbor_doc",
+            "neighbor_chunk",
+            dot.alias("dot"),
+            F.when(
+                (na > 0) & (nb > 0),
+                dot.cast("double")
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    return topk.top_k_per_group(
+        scored,
+        5,
+        ["query_doc", "query_chunk"],
+        F.col("score").desc(),
+        F.col("neighbor_doc").asc(),
+        F.col("neighbor_chunk").asc(),
+        rank_col="rank",
+    ).select(
+        "query_doc",
+        "query_chunk",
+        "neighbor_doc",
+        "neighbor_chunk",
+        F.col("rank").cast("int").alias("rank"),
+        "dot",
+        "score",
+    )
+
+
+@register(
+    "q192_passage_dedup",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 16 + 15) / 16.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    ), ch AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             len(w[(i-1)*16+1 : (i-1)*16+16]) AS n_tok,
+             md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS h
+      FROM ex
+    ), flagged AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+      FROM ch
+    )
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM flagged GROUP BY doc_id
+    """,
+    doc="Cross-corpus PASSAGE-level exact dedup with per-document "
+    "reconstruction manifest (curation.passage_dedup — the CCNet/"
+    "RefinedWeb line-dedup move at sub-document granularity): "
+    "boilerplate 16-token windows repeated across or within "
+    "documents are dropped everywhere except their corpus-wide FIRST "
+    "occurrence by the (doc_id, chunk_idx) total order, recovering "
+    "the partial value of documents that share only SOME content "
+    "(document-level dedup q31/q175 keeps or kills whole docs). "
+    "Non-degenerate on the testdata: 78 duplicate passages at "
+    "sf0.01. Scale: map-side chunking (q92), ONE chunk_hash-keyed "
+    "window whose groups are duplicate families, one per-doc "
+    "groupBy — no all-pairs, no global sort.",
+    tags=("dedup", "text", "curation"),
+)
+def q192_passage_dedup(spark, sf_dir):
+    return curation.passage_dedup(
+        _t(spark, sf_dir, "documents"), window=16, stride=16
+    )
+
+
+def _pq_frozen_oracle(cutoff=250, m=4, k=8, n_iter=1, dim=64,
+                      scale=1 << 20, offset="2.0"):
+    """q188's training/encode replay with the snapshot split: the
+    codebooks train ONLY on the old snapshot (vec_id < cutoff); the
+    encode slices come ONLY from the new snapshot (vec_id >= cutoff).
+    Training CTEs are _pq_oracle's verbatim, re-sourced."""
+    sub = dim // m
+    parts = [f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                               * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    old AS MATERIALIZED (SELECT * FROM qv WHERE vec_id < {cutoff}),
+    newv AS MATERIALIZED (SELECT * FROM qv WHERE vec_id >= {cutoff}),
+    seeds AS MATERIALIZED (
+      SELECT qv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cid
+      FROM old QUALIFY cid < {k}
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""sl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM old
+    ),
+    nsl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM newv
+    ),
+    c{s}_0 AS (SELECT cid, qv[{lo}:{hi}] AS qc FROM seeds)""")
+        for r in range(n_iter):
+            parts.append(f"""a{s}_{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM (SELECT q.vec_id, q.v, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+            FROM sl{s} q CROSS JOIN c{s}_{r} c)
+    ),
+    s{s}_{r} AS (
+      SELECT cid, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM a{s}_{r}, range(1, {sub + 1}) t(i)
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    m{s}_{r} AS (
+      SELECT cid, list(s // n ORDER BY dim) AS qc FROM s{s}_{r} GROUP BY cid
+    ),
+    c{s}_{r + 1} AS (
+      SELECT c.cid, coalesce(m.qc, c.qc) AS qc
+      FROM c{s}_{r} c LEFT JOIN m{s}_{r} m USING (cid)
+    )""")
+        parts.append(f"""enc{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS code, d
+      FROM (SELECT q.vec_id, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) ASC,
+                       c.cid ASC) AS rn
+            FROM nsl{s} q CROSS JOIN c{s}_{n_iter} c)
+      WHERE rn = 1
+    )""")
+    code_cols = ",\n           ".join(
+        f"CAST(enc{s}.code AS INT) AS code_{s}" for s in range(m)
+    )
+    qdist = " + ".join(f"enc{s}.d" for s in range(m))
+    joins = " ".join(f"JOIN enc{s} USING (vec_id)" for s in range(1, m))
+    return f"""
+    WITH {",".join(parts)}
+    SELECT vec_id,
+           {code_cols},
+           CAST({qdist} AS BIGINT) AS qdist
+    FROM enc0 {joins}
+    """
+
+
+@register(
+    "q193_frozen_codebook_encode",
+    _pq_frozen_oracle(),
+    doc="Cross-snapshot PQ encode against FROZEN codebooks — the "
+    "incremental-index-refresh read for the quantized leg (the q185 "
+    "pattern applied to q188, and the exact contract streaming/"
+    "vectors.py documents for its landmarks: re-training on every "
+    "refresh would split the index across incompatible quantizers, "
+    "so codebooks train ONCE on the old snapshot and every NEW "
+    "vector encodes against them): books fit on vec_id < 250 only, "
+    "the new snapshot (vec_id >= 250) encodes map-side against the "
+    "plan-literal books — the old corpus is never re-scanned by the "
+    "encode and refresh cost is ~|new|. qdist here is the honest "
+    "drift readout: codebook-misfit error on vectors the training "
+    "never saw. Oracle replays the split trainings + new-only "
+    "encode. Scale: encode stays ONE projection (zero shuffles/"
+    "joins); training cost is bounded by the frozen snapshot.",
+    tags=("similarity", "vector", "features", "iterative"),
+)
+def q193_frozen_codebook_encode(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    old = emb.where(F.col("vec_id") < 250)
+    new = emb.where(F.col("vec_id") >= 250)
+    books = similarity.pq_train(old, m=4, k=8, n_iter=1, dim=64)
+    return similarity.pq_encode_with_books(new, books, dim=64)
+
+
+@register(
+    "q194_retrieval_quality_eval",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 32 + 31) / 32.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    ), ch AS MATERIALIZED (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             w[(i-1)*32+1 : (i-1)*32+32] AS cw
+      FROM ex
+    ), tok AS (
+      SELECT doc_id, chunk_idx,
+             ('0x' || substr(md5(t.w), 1, 8))::BIGINT AS h
+      FROM ch, unnest(cw) AS t(w) WHERE t.w <> ''
+    ), sp AS (
+      SELECT doc_id, chunk_idx, CAST(h % 64 AS INT) AS slot,
+             CAST(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS sgn
+      FROM tok
+    ), agg AS (
+      SELECT doc_id, chunk_idx, slot, CAST(sum(sgn) AS BIGINT) AS v
+      FROM sp GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT doc_id, chunk_idx, s.slot
+      FROM (SELECT DISTINCT doc_id, chunk_idx FROM ch)
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS slot) s
+    ), dense AS MATERIALIZED (
+      SELECT g.doc_id, g.chunk_idx, list(coalesce(a.v, 0) ORDER BY g.slot)
+               AS vec
+      FROM grid g LEFT JOIN agg a
+        ON a.doc_id = g.doc_id AND a.chunk_idx = g.chunk_idx
+       AND a.slot = g.slot
+      GROUP BY g.doc_id, g.chunk_idx
+    ), q AS (
+      SELECT doc_id AS query_doc, chunk_idx AS query_chunk, vec AS qv
+      FROM dense WHERE doc_id < 3
+    ), pairs AS (
+      SELECT q.query_doc, q.query_chunk,
+             d.doc_id AS neighbor_doc, d.chunk_idx AS neighbor_chunk,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> q.qv[i] * d.vec[i]))
+                  AS BIGINT) AS dot,
+             list_sum(list_transform(q.qv, x -> x * x)) AS na,
+             list_sum(list_transform(d.vec, x -> x * x)) AS nb
+      FROM q CROSS JOIN dense d
+      WHERE d.doc_id <> q.query_doc
+    ), hscored AS (
+      SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                  ELSE 0.0 END AS score
+      FROM pairs
+    ), htop AS MATERIALIZED (
+      SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc, query_chunk
+                                         ORDER BY score DESC,
+                                                  neighbor_doc ASC,
+                                                  neighbor_chunk ASC) AS rn
+            FROM hscored)
+      WHERE rn <= 5
+    ), wset AS MATERIALIZED (
+      SELECT DISTINCT doc_id, chunk_idx, t.w AS word
+      FROM ch, unnest(cw) AS t(w) WHERE t.w <> ''
+    ), sizes AS (
+      SELECT doc_id, chunk_idx, count(*) AS nw FROM wset GROUP BY 1, 2
+    ), qw AS (
+      SELECT doc_id AS query_doc, chunk_idx AS query_chunk, word
+      FROM wset WHERE doc_id < 3
+    ), inter AS (
+      SELECT q.query_doc, q.query_chunk,
+             c.doc_id AS neighbor_doc, c.chunk_idx AS neighbor_chunk,
+             count(*) AS inter
+      FROM qw q JOIN wset c USING (word)
+      WHERE c.doc_id <> q.query_doc
+      GROUP BY 1, 2, 3, 4
+    ), jac AS (
+      SELECT i.query_doc, i.query_chunk, i.neighbor_doc, i.neighbor_chunk,
+             CAST(i.inter AS DOUBLE) / (qs.nw + cs.nw - i.inter) AS jac
+      FROM inter i
+      JOIN sizes qs ON qs.doc_id = i.query_doc
+                   AND qs.chunk_idx = i.query_chunk
+      JOIN sizes cs ON cs.doc_id = i.neighbor_doc
+                   AND cs.chunk_idx = i.neighbor_chunk
+    ), jtop AS MATERIALIZED (
+      SELECT query_doc, query_chunk, neighbor_doc, neighbor_chunk
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc, query_chunk
+                                         ORDER BY jac DESC,
+                                                  neighbor_doc ASC,
+                                                  neighbor_chunk ASC) AS rn
+            FROM jac)
+      WHERE rn <= 5
+    ), ov AS (
+      SELECT query_doc, query_chunk, count(*) AS n
+      FROM htop JOIN jtop
+        USING (query_doc, query_chunk, neighbor_doc, neighbor_chunk)
+      GROUP BY 1, 2
+    )
+    SELECT d.doc_id AS query_doc, d.chunk_idx AS query_chunk,
+           CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(ov.n, 0) AS DOUBLE) / 5.0 AS precision_at_5
+    FROM (SELECT DISTINCT doc_id, chunk_idx FROM ch WHERE doc_id < 3) d
+    LEFT JOIN ov ON ov.query_doc = d.doc_id AND ov.query_chunk = d.chunk_idx
+    """,
+    doc="Retrieval-quality eval for the hash-embedding retriever — "
+    "the q177 index-quality readout applied to the TEXT leg: for "
+    "every query chunk, precision@5 of q191's hash-embedding cosine "
+    "top-5 against the exact set-Jaccard-over-distinct-words top-5 "
+    "ground truth (the signal 64 hashed slots approximate). Ground "
+    "truth is computed with a word equi-join (curation."
+    "chunk_word_sets) — intersections/sizes exact int64, jac ONE "
+    "IEEE division — never a pairwise text scan; queries broadcast. "
+    "Zero-overlap query chunks stay in the output at precision 0 "
+    "(LEFT join), so degradation is visible, not silently dropped. "
+    "Oracle replays both rankings and the overlap count.",
+    tags=("similarity", "text", "metrics"),
+)
+def q194_retrieval_quality_eval(spark, sf_dir):
+    from .operators.features import chunk_hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = chunk_hash_embed(docs, window=32, stride=32, n_features=64)
+    qs = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("chunk_idx").alias("query_chunk"),
+        F.col("vec").alias("__qv"),
+    )
+    corpus = emb.select(
+        F.col("doc_id").alias("neighbor_doc"),
+        F.col("chunk_idx").alias("neighbor_chunk"),
+        F.col("vec").alias("__cv"),
+    )
+    lit0 = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        lit0,
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("__qv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    nb = F.aggregate(
+        F.transform(F.col("__cv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    hscored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("neighbor_doc") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "query_chunk",
+            "neighbor_doc",
+            "neighbor_chunk",
+            F.when(
+                (na > 0) & (nb > 0),
+                dot.cast("double")
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    htop = topk.top_k_per_group(
+        hscored,
+        5,
+        ["query_doc", "query_chunk"],
+        F.col("score").desc(),
+        F.col("neighbor_doc").asc(),
+        F.col("neighbor_chunk").asc(),
+    ).select("query_doc", "query_chunk", "neighbor_doc", "neighbor_chunk")
+
+    ws = curation.chunk_word_sets(docs, window=32, stride=32)
+    sizes = ws.groupBy("doc_id", "chunk_idx").agg(F.count(F.lit(1)).alias("nw"))
+    qw = ws.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("chunk_idx").alias("query_chunk"),
+        "word",
+    )
+    inter = (
+        ws.join(F.broadcast(qw), "word")
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .groupBy(
+            "query_doc",
+            "query_chunk",
+            F.col("doc_id").alias("neighbor_doc"),
+            F.col("chunk_idx").alias("neighbor_chunk"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("query_doc"),
+                    F.col("chunk_idx").alias("query_chunk"),
+                    F.col("nw").alias("__qn"),
+                ).where(F.col("query_doc") < 3)
+            ),
+            ["query_doc", "query_chunk"],
+        )
+        # the candidate table is query-bounded — broadcast IT into the
+        # corpus-wide sizes join (never shuffle the corpus for it)
+        .hint("broadcast")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("neighbor_doc"),
+                F.col("chunk_idx").alias("neighbor_chunk"),
+                F.col("nw").alias("__cn"),
+            ),
+            ["neighbor_doc", "neighbor_chunk"],
+        )
+        .select(
+            "query_doc",
+            "query_chunk",
+            "neighbor_doc",
+            "neighbor_chunk",
+            (
+                F.col("inter").cast("double")
+                / (F.col("__qn") + F.col("__cn") - F.col("inter"))
+            ).alias("jac"),
+        )
+    )
+    jtop = topk.top_k_per_group(
+        jac,
+        5,
+        ["query_doc", "query_chunk"],
+        F.col("jac").desc(),
+        F.col("neighbor_doc").asc(),
+        F.col("neighbor_chunk").asc(),
+    ).select("query_doc", "query_chunk", "neighbor_doc", "neighbor_chunk")
+    ov = htop.join(
+        F.broadcast(jtop),
+        ["query_doc", "query_chunk", "neighbor_doc", "neighbor_chunk"],
+    ).groupBy("query_doc", "query_chunk").agg(F.count(F.lit(1)).alias("__n"))
+    allq = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"),
+        F.col("chunk_idx").alias("query_chunk"),
+    )
+    return allq.join(F.broadcast(ov), ["query_doc", "query_chunk"], "left").select(
+        "query_doc",
+        "query_chunk",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap"),
+        (F.coalesce(F.col("__n"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "precision_at_5"
+        ),
+    )

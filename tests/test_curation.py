@@ -304,3 +304,91 @@ def test_curation_pipeline_consistent_with_stage_operators(spark):
             per_source[r.source] = per_source.get(r.source, 0) + 1
     assert per_source, "nothing selected — degenerate"
     assert all(v <= 15 for v in per_source.values())
+
+
+def test_passage_dedup_first_occurrence_and_conservation(spark):
+    """Planted-duplicate manifest check: the corpus-wide FIRST
+    occurrence by (doc_id, chunk_idx) survives, every later copy —
+    cross-doc AND intra-doc — is a dup; token totals conserve
+    (kept + dropped == total) and the global dup count equals
+    passages minus distinct hashes."""
+    from streaming_recommendation_spark.operators.curation import (
+        passage_dedup,
+    )
+
+    p1 = "w1 w2 w3 w4"
+    p2 = "v1 v2 v3 v4"
+    p3 = "u1 u2 u3 u4"
+    rows = [
+        (0, f"{p1} {p2}"),          # both first occurrences
+        (1, f"{p2} {p3}"),          # p2 dup, p3 first
+        (2, f"{p1} {p1}"),          # intra-doc: BOTH are dups (p1 first in doc 0)
+        (3, f"{p3} w9"),            # p3 dup + ragged 1-token unique tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {
+        r.doc_id: r
+        for r in passage_dedup(df, window=4, stride=4).collect()
+    }
+    assert out[0].n_passages == 2 and out[0].n_dup_passages == 0
+    assert out[0].n_tokens_kept == 8 and out[0].n_tokens_total == 8
+    assert out[1].n_passages == 2 and out[1].n_dup_passages == 1
+    assert out[1].n_tokens_kept == 4
+    assert out[2].n_passages == 2 and out[2].n_dup_passages == 2
+    assert out[2].n_tokens_kept == 0 and out[2].n_tokens_total == 8
+    assert out[3].n_passages == 2 and out[3].n_dup_passages == 1
+    assert out[3].n_tokens_kept == 1  # the ragged unique tail
+    assert all(
+        0 <= r.n_tokens_kept <= r.n_tokens_total for r in out.values()
+    )
+
+
+def test_passage_dedup_nondegenerate_on_testdata(spark):
+    """The generated corpus genuinely contains aligned duplicate
+    passages (planted near/exact dups), so the drop path is exercised
+    on real inputs, and dedup is conservative: total kept tokens plus
+    dup-passage tokens equals the chunked total."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.curation import (
+        passage_dedup,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    out = passage_dedup(docs, window=16, stride=16)
+    agg = out.agg(
+        F.sum("n_dup_passages").alias("dups"),
+        F.sum("n_tokens_total").alias("tot"),
+        F.sum("n_tokens_kept").alias("kept"),
+    ).collect()[0]
+    assert agg.dups > 0  # 85 at sf0.001
+    assert agg.kept < agg.tot
+    assert out.count() == docs.count()
+
+
+def test_chunk_word_sets_distinct_and_boundary_parity(spark):
+    """chunk_word_sets emits each chunk's DISTINCT words under the
+    exact chunk_documents boundaries (repeated words collapse; ragged
+    tail chunk included)."""
+    from streaming_recommendation_spark.operators.curation import (
+        chunk_documents,
+        chunk_word_sets,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "x")], "doc_id: long, text: string"
+    )
+    ws = chunk_word_sets(df, window=4, stride=4).collect()
+    got = {}
+    for r in ws:
+        got.setdefault((r.doc_id, r.chunk_idx), set()).add(r.word)
+    assert got == {
+        (0, 0): {"a", "b"},  # "a b a b" -> distinct {a, b}
+        (0, 1): {"c"},
+        (1, 0): {"x"},
+    }
+    ch = chunk_documents(df, window=4, stride=4).collect()
+    assert set(got) == {(r.doc_id, r.chunk_idx) for r in ch}

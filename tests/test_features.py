@@ -323,3 +323,78 @@ def test_quantile_bin_drops_null_values(spark):
     )
     got = {r.rid for r in quantile_bin(df, "v", ["g"]).collect()}
     assert got == {1, 3}
+
+
+def test_chunk_hash_embed_matches_feature_hash_and_boundaries(spark):
+    """The fused map-side embed must equal the reference composition:
+    chunk boundaries identical to curation.chunk_documents (same
+    window/stride recipe), and each chunk's dense vector identical to
+    operators.features.feature_hash run on that chunk's text alone
+    (sparse rows densified). Also pins: trailing ragged chunk, the
+    1-chunk short-doc case, and exact-zero sign cancellations staying
+    IN the dense vector (dense zero == absent sparse row)."""
+    from streaming_recommendation_spark.operators.curation import (
+        chunk_documents,
+    )
+    from streaming_recommendation_spark.operators.features import (
+        chunk_hash_embed,
+        feature_hash,
+    )
+
+    rows = [
+        (0, "Alpha beta  gamma delta epsilon"),  # 5 words -> 2+1 ragged
+        (1, "x"),  # short doc: 1 chunk
+        (2, "a b a b a"),  # repeats
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = chunk_hash_embed(
+        df, window=2, stride=2, n_features=8, text_col="text"
+    ).collect()
+    ch = chunk_documents(df, window=2, stride=2).collect()
+    assert {(r.doc_id, r.chunk_idx) for r in out} == {
+        (r.doc_id, r.chunk_idx) for r in ch
+    }
+    # per-chunk vectors == feature_hash over the chunk's own text
+    chunk_text = {
+        (0, 0): "alpha beta", (0, 1): "gamma delta", (0, 2): "epsilon",
+        (1, 0): "x",
+        (2, 0): "a b", (2, 1): "a b", (2, 2): "a",
+    }
+    assert {(r.doc_id, r.chunk_idx) for r in out} == set(chunk_text)
+    sub = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(chunk_text.values())],
+        "doc_id: long, text: string",
+    )
+    sparse = feature_hash(sub, n_features=8)
+    expect = {i: [0] * 8 for i in range(len(chunk_text))}
+    for r in sparse.collect():
+        expect[r.doc_id][r.slot] = r.value
+    for r in out:
+        key = list(chunk_text).index((r.doc_id, r.chunk_idx))
+        assert list(r.vec) == expect[key], (r.doc_id, r.chunk_idx)
+    # identical chunks embed identically
+    vecs = {(r.doc_id, r.chunk_idx): list(r.vec) for r in out}
+    assert vecs[(2, 0)] == vecs[(2, 1)]
+
+
+def test_chunk_hash_embed_zero_shuffle_plan(spark):
+    """The ingest half of the retrieval pipeline is ONE map-side
+    projection: chunking, tokenization, hashing, and dense assembly
+    never shuffle and never leave the JVM."""
+    from streaming_recommendation_spark.operators.features import (
+        chunk_hash_embed,
+    )
+    from streaming_recommendation_spark.plans import audit
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    a = audit(chunk_hash_embed(docs, window=32, stride=32, n_features=64))
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]

@@ -1284,3 +1284,73 @@ def test_q189_adc_codes_only_no_vector_shuffle(spark):
     assert a["has_window_group_limit"]
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q190_ivfpq_probed_cells_broadcast_no_python(spark):
+    # IVFADC search: corpus side carries (cell, codes) only; probes
+    # broadcast into the cell equi-join (never sort-merge); the
+    # corpus-wide assign/residual/encode passes are projections, so
+    # the only exchanges belong to the top-k window; no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q190_ivfpq_adc_knn"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["n_broadcast_joins"] >= 1  # probes joined broadcast
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q191_retrieval_ingest_map_side_queries_broadcast(spark):
+    # chunk->embed ingest is map-side (no exchange before the scoring
+    # join); the query side broadcasts; top-k is a WindowGroupLimit;
+    # no sort-merge join, no Python anywhere
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q191_chunk_retrieval"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["bnl_joins"] >= 1 or a["n_broadcast_joins"] >= 1
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q192_passage_dedup_single_hash_shuffle(spark):
+    # chunking is map-side; the dedup is ONE chunk_hash-keyed window
+    # exchange plus the per-doc aggregation — no joins at all
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q192_passage_dedup"].fn(spark, SF_DIR))
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q193_frozen_encode_map_side(spark):
+    # the refresh-cost claim: with frozen books the NEW-snapshot
+    # encode is one projection — zero exchanges, zero joins, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q193_frozen_codebook_encode"].fn(spark, SF_DIR))
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q194_retrieval_eval_no_pairwise_text(spark):
+    # ground truth via the word equi-join + query-side broadcasts —
+    # no sort-merge anywhere and no pairwise text comparison; the
+    # only cartesian is the broadcast of the bounded query side
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q194_retrieval_quality_eval"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]

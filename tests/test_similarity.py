@@ -489,3 +489,131 @@ def test_pq_adc_knn_recall_and_self_rank(spark):
     assert again == {
         (r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in rows
     }
+
+
+def test_ivfpq_adc_knn_self_probe_recall_determinism(spark):
+    """IVF-PQ composition sanity: (a) per-query row count and rank
+    contiguity; (b) self-retrieval — a query's own cell is its first
+    probe and its residual re-encodes to its own code, so the self
+    pair sits at the cell-minimal ADC distance and must appear in the
+    top-10; (c) recall@10 vs exact cosine is non-degenerate at every
+    n_probe setting (NOT asserted monotone: more probes grow the
+    CANDIDATE set monotonically, but after lossy 12-bit ADC ranking
+    a new candidate can displace a true neighbor from the top-10 —
+    at this corpus size the measured curve is flat-to-slightly-down,
+    the honest readout); (d) bit-determinism under repartition — the whole
+    pipeline (coarse cells, residuals, codebooks, codes, LUTs) is the
+    integer Lloyd recipe."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.similarity import (
+        ivf_pq_adc_knn,
+        knn_brute_force,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in knn_brute_force(emb, qdf, k=10).collect()
+    }
+
+    def run(n_probe, src=emb):
+        return ivf_pq_adc_knn(
+            src, qdf, k_neighbors=10, num_cells=16, n_probe=n_probe, dim=64
+        ).collect()
+
+    rows = run(4)
+    assert len(rows) == 20 * 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, 11))
+        assert q in {x.neighbor_id for x in rs}  # self-retrieval
+        assert all(x.adc_dist >= 0 for x in rs)
+
+    def recall(res):
+        pairs = {(r.query_id, r.neighbor_id) for r in res}
+        return len(pairs & exact) / len(exact)
+
+    r2, r4, r16 = recall(run(2)), recall(rows), recall(run(16))
+    assert all(0.0 < r < 1.0 for r in (r2, r4, r16)), (r2, r4, r16)
+    again = {
+        (r.query_id, r.neighbor_id, r.rank, r.adc_dist)
+        for r in run(4, emb.repartition(7, "vec_id"))
+    }
+    assert again == {(r.query_id, r.neighbor_id, r.rank, r.adc_dist) for r in rows}
+
+
+def test_ivfpq_residual_duplicates_tie_to_same_distance(spark):
+    """Exact duplicate corpus vectors land in the same coarse cell
+    with the same residual, hence the same codes and — for any query
+    — the same ADC distance; the contract tie-break (smaller
+    neighbor id first) then orders them deterministically."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.similarity import (
+        ivf_pq_adc_knn,
+    )
+
+    base = [float(j % 5) / 4.0 for j in range(64)]
+    rows = [(i, [v + 0.001 * i for v in base]) for i in range(30)]
+    # plant exact duplicates: ids 40/41 copy id 3's vector
+    rows += [(40, rows[3][1]), (41, rows[3][1])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qdf = df.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # retrieve the FULL corpus so the duplicate family is guaranteed
+    # in the output regardless of how many other rows code-tie
+    out = ivf_pq_adc_knn(
+        df, qdf, k_neighbors=32, num_cells=4, n_probe=4, m=4, k=4, dim=64
+    ).collect()
+    assert len(out) == 32
+    d = {r.neighbor_id: (r.rank, r.adc_dist) for r in out}
+    assert d[3][1] == d[40][1] == d[41][1]  # identical ADC distance
+    assert d[3][0] < d[40][0] < d[41][0]  # id tie-break among ties
+
+
+def test_frozen_codebook_encode_is_pure_and_incremental(spark):
+    """The q193 contract (streaming/vectors.py's frozen-quantizer
+    rule applied to PQ): with books trained ONCE, encode is a pure
+    per-row function — so (a) encoding the new snapshot in two halves
+    and unioning equals encoding it whole (batch-incremental index
+    refresh == one-shot), (b) repartition changes nothing, and (c)
+    training on old-only genuinely differs from training on the full
+    corpus (codebook drift is real, not a no-op)."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.similarity import (
+        pq_encode_with_books,
+        pq_train,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    old = emb.where(F.col("vec_id") < 250)
+    new = emb.where(F.col("vec_id") >= 250)
+    books = pq_train(old, m=4, k=8, n_iter=1, dim=64)
+
+    def rows(df):
+        return {
+            (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qdist)
+            for r in pq_encode_with_books(df, books, dim=64).collect()
+        }
+
+    whole = rows(new)
+    assert len(whole) == new.count()
+    halves = rows(new.where(F.col("vec_id") < 375)) | rows(
+        new.where(F.col("vec_id") >= 375)
+    )
+    assert halves == whole  # incremental refresh == one-shot
+    assert rows(new.repartition(7, "vec_id")) == whole
+    full_books = pq_train(emb, m=4, k=8, n_iter=1, dim=64)
+    assert full_books != books  # drift: frozen vs retrained differ
