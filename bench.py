@@ -257,6 +257,10 @@ HEADLINE = [
     "q193_frozen_codebook_encode",
     # retrieval precision@5 vs exact set-Jaccard ground truth
     "q194_retrieval_quality_eval",
+    # dedup-then-pack: passage dedup -> surviving-token packing
+    "q195_dedup_pack_pipeline",
+    # streaming passage-dedup twin (ordered 2-batch fold == q192)
+    "q196_streaming_passage_dedup",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

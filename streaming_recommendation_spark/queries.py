@@ -4108,6 +4108,8 @@ _DRIVER_PRIORITY.extend([
     "q192_passage_dedup",
     "q193_frozen_codebook_encode",
     "q194_retrieval_quality_eval",
+    "q195_dedup_pack_pipeline",
+    "q196_streaming_passage_dedup",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -10371,3 +10373,118 @@ def q194_retrieval_quality_eval(spark, sf_dir):
             "precision_at_5"
         ),
     )
+
+
+@register(
+    "q195_dedup_pack_pipeline",
+    rf"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 16 + 15) / 16.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    ), ch AS (
+      SELECT doc_id, i - 1 AS chunk_idx,
+             len(w[(i-1)*16+1 : (i-1)*16+16]) AS n_tok,
+             md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS h
+      FROM ex
+    ), flagged AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+      FROM ch
+    ), perdoc AS (
+      SELECT doc_id,
+             sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS kept,
+             sum(n_tok) AS tot
+      FROM flagged GROUP BY doc_id
+    ), k AS (
+      SELECT d.source, p.doc_id, p.kept, p.tot
+      FROM perdoc p JOIN documents d USING (doc_id)
+      WHERE p.kept > 0
+    ), cum AS (
+      SELECT source, doc_id, kept, tot,
+             sum(kept) OVER (
+               PARTITION BY source
+               ORDER BY ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0, doc_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM k
+    )
+    SELECT source,
+           CAST(floor((cum - kept) / 256.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS bin_tokens,
+           CAST(sum(tot) AS BIGINT) AS bin_n_tokens_total
+    FROM cum GROUP BY source, bin_id
+    """,
+    doc="Dedup-then-pack — the q183 composition treatment applied to "
+    "the q192 passage-dedup leg: passage-dedup every document "
+    "(corpus-wide first-occurrence manifest), drop documents whose "
+    "every passage was boilerplate (kept == 0 — the production rule: "
+    "fully-duplicated docs contribute nothing), and pack the "
+    "SURVIVING token counts into 256-token training bins per source "
+    "(q93's hash-ordered window), with the pre-dedup totals riding "
+    "as bin_n_tokens_total so every bin reports its dedup savings. "
+    "This is the curation -> batch-manifest run a training-data "
+    "pipeline executes after passage dedup; oracle replays chunking, "
+    "first-occurrence flags, per-doc fold, the PK re-join for "
+    "source, and the packing window end-to-end. Scale: q192's one "
+    "hash window + one per-doc groupBy + one PK equi-join (carry "
+    "source through the chunker to elide it) + q93's per-source "
+    "packing window — no global sort anywhere.",
+    tags=("dedup", "curation", "sampling", "window"),
+)
+def q195_dedup_pack_pipeline(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    manifest = curation.passage_dedup(docs, window=16, stride=16)
+    kept = (
+        manifest.where(F.col("n_tokens_kept") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return curation.pack_sequences(
+        kept,
+        context_len=256,
+        token_col="n_tokens_kept",
+        extra_sum_cols=("n_tokens_total",),
+    )
+
+
+@register(
+    "q196_streaming_passage_dedup",
+    _REGISTRY["q192_passage_dedup"].oracle,
+    doc="Streaming passage-dedup twin (streaming/passages.py): the "
+    "q192 batch run replayed as a doc_id-ordered TWO-BATCH ingest — "
+    "batch 0 (doc_id < 250) dedups against an empty index, batch 1 "
+    "against the index batch 0 left behind (cross-batch copies point "
+    "backwards; within-batch ties break on (doc_id, chunk_idx), so "
+    "the ordered split replays the batch operator's global total "
+    "order EXACTLY). Oracle = q192's VERBATIM — the equality is the "
+    "claim: gate-at-ingest passage dedup over ordered arrivals == "
+    "the one-shot batch manifest, so the index can be maintained "
+    "continuously without ever rescanning admitted batches. State = "
+    "one row per DISTINCT passage hash (bounded by content novelty, "
+    "not event volume); the real foreachBatch leg (partitioned "
+    "idempotent writes, retry redelivery, 2-batch carry) is pinned "
+    "in tests/test_streaming_passages.py.",
+    tags=("dedup", "streaming", "text", "curation"),
+)
+def q196_streaming_passage_dedup(spark, sf_dir):
+    from .streaming.passages import passage_batch_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    empty_index = docs.where(F.lit(False)).select(
+        F.md5(F.col("text")).alias("chunk_hash")
+    )
+    m0, h0 = passage_batch_manifest(b0, empty_index)
+    m1, _ = passage_batch_manifest(b1, h0)
+    return m0.unionByName(m1)

@@ -392,3 +392,40 @@ def test_chunk_word_sets_distinct_and_boundary_parity(spark):
     }
     ch = chunk_documents(df, window=4, stride=4).collect()
     assert set(got) == {(r.doc_id, r.chunk_idx) for r in ch}
+
+
+def test_dedup_pack_pipeline_matches_stages(spark):
+    """q195 composition check: the packed-bin manifest conserves the
+    passage-dedup stage's per-doc totals — sum(bin_tokens) == total
+    kept tokens over surviving docs, sum(bin_n_tokens_total) == their
+    pre-dedup totals, and fully-duplicated docs (kept == 0) are
+    excluded from packing."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.curation import (
+        passage_dedup,
+    )
+    from streaming_recommendation_spark.queries import registry
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    out = registry()["q195_dedup_pack_pipeline"].fn(spark, SF_DIR)
+    got = out.agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("bin_tokens").alias("kept"),
+        F.sum("bin_n_tokens_total").alias("tot"),
+    ).collect()[0]
+    docs = load_table(spark, "documents", SF_DIR)
+    stage = (
+        passage_dedup(docs, window=16, stride=16)
+        .where(F.col("n_tokens_kept") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens_kept").alias("kept"),
+            F.sum("n_tokens_total").alias("tot"),
+        )
+        .collect()[0]
+    )
+    assert (got.docs, got.kept, got.tot) == (stage.docs, stage.kept, stage.tot)
+    assert got.kept < got.tot  # dedup savings are visible per bin

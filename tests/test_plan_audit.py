@@ -1354,3 +1354,16 @@ def test_q194_retrieval_eval_no_pairwise_text(spark):
     assert a["n_sortmerge_joins"] == 0
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q195_dedup_pack_no_global_sort(spark):
+    # dedup window keys on chunk_hash, packing window keys on source,
+    # the only join is the PK re-attach of source — never a global
+    # sort, never a cartesian, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q195_dedup_pack_pipeline"].fn(spark, SF_DIR))
+    assert a["bnl_joins"] == 0
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
