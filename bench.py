@@ -261,6 +261,8 @@ HEADLINE = [
     "q195_dedup_pack_pipeline",
     # streaming passage-dedup twin (ordered 2-batch fold == q192)
     "q196_streaming_passage_dedup",
+    # content-defined chunking dedup (alignment-proof passages)
+    "q197_cdc_passage_dedup",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -547,3 +547,72 @@ def chunk_word_sets(
         .where(F.col("word") != "")
         .distinct()
     )
+
+
+def cdc_passage_dedup(
+    df: DataFrame,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking passage dedup — the alignment-proof
+    sibling of :func:`passage_dedup`: fixed windows miss a duplicated
+    passage whose copy sits at a different word OFFSET (insert one
+    word before it and every aligned window shifts), which is exactly
+    how boilerplate appears in crawled text. CDC (the storage-dedup
+    move: Rabin/gear chunking, here on the word stream) cuts a
+    segment boundary wherever ``word_hash % divisor == 0`` — the
+    boundary decision depends only on LOCAL content, so a shared
+    passage produces the SAME segments at any offset, and copies
+    collide by content hash wherever they sit. Mean segment length
+    ~``divisor`` words (geometric; no min/max clamp — the textbook
+    refinement — so the boundary rule stays a pure per-word
+    predicate).
+
+    Same manifest contract as passage_dedup (corpus-wide first
+    occurrence by the (doc, segment) total order survives; intra-doc
+    repeats drop). Scale shape: one doc-keyed window for the running
+    boundary count (each doc's segmentation is an independent linear
+    pass — how 1000 executors shard it), one (doc, seg) groupBy, one
+    segment-hash window, one per-doc groupBy. No all-pairs, no global
+    sort; the per-word hash is the cross-engine md5-prefix recipe.
+    """
+    from .features import _word_hash
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    ex = df.select(F.col(id_col), F.posexplode(words).alias("__pos", "__w"))
+    boundary = (F.pmod(_word_hash(F.col("__w")), F.lit(divisor)) == 0).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy(F.col("__pos").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = ex.withColumn("__seg", F.sum(boundary).over(w))
+    passages = seg.groupBy(id_col, "__seg").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+                    ),
+                    lambda s: s["__w"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    fw = Window.partitionBy("chunk_hash").orderBy(
+        F.col(id_col).asc(), F.col("__seg").asc()
+    )
+    flagged = passages.withColumn("__rn", F.row_number().over(fw))
+    tok = F.col("n_tok").cast("long")
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("__rn") > 1).cast("long")).alias("n_dup_passages"),
+        F.sum(tok).alias("n_tokens_total"),
+        F.sum(F.when(F.col("__rn") == 1, tok).otherwise(F.lit(0).cast("long")))
+        .alias("n_tokens_kept"),
+    )

@@ -4110,6 +4110,7 @@ _DRIVER_PRIORITY.extend([
     "q194_retrieval_quality_eval",
     "q195_dedup_pack_pipeline",
     "q196_streaming_passage_dedup",
+    "q197_cdc_passage_dedup",
     # --- no external green under current name (registered past r8's
     # slot 50 / renamed / rows-only) ---
     "q177_ann_recall_eval",
@@ -10488,3 +10489,65 @@ def q196_streaming_passage_dedup(spark, sf_dir):
     m0, h0 = passage_batch_manifest(b0, empty_index)
     m1, _ = passage_batch_manifest(b1, h0)
     return m0.unionByName(m1)
+
+
+@register(
+    "q197_cdc_passage_dedup",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS word
+      FROM norm, unnest(generate_series(1, len(w))) t(i)
+    ), b AS (
+      SELECT doc_id, pos, word,
+             CASE WHEN ('0x' || substr(md5(word), 1, 8))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS bnd
+      FROM ex
+    ), s AS (
+      SELECT doc_id, pos, word,
+             sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS seg
+      FROM b
+    ), p AS (
+      SELECT doc_id, seg,
+             md5(array_to_string(list(word ORDER BY pos), ' ')) AS h,
+             count(*) AS n_tok
+      FROM s GROUP BY 1, 2
+    ), f AS (
+      SELECT doc_id, n_tok,
+             row_number() OVER (PARTITION BY h
+                                ORDER BY doc_id, seg) AS rn
+      FROM p
+    )
+    SELECT doc_id,
+           count(*) AS n_passages,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+           CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS n_tokens_kept
+    FROM f GROUP BY doc_id
+    """,
+    doc="Content-defined-chunking passage dedup (curation."
+    "cdc_passage_dedup — the alignment-proof sibling of q192): fixed "
+    "windows miss a duplicated passage whose copy sits at a shifted "
+    "word offset; CDC (the storage-dedup move, Rabin/gear chunking "
+    "on the word stream) cuts a boundary wherever word_hash % 8 == 0 "
+    "— a PURE LOCAL predicate, so a shared passage yields identical "
+    "segments at ANY offset and copies collide by content hash "
+    "wherever they sit (pinned by the shifted-duplicate test q192 "
+    "provably misses). Mean segment ~6.7 words at sf0.01, 1088/4052 "
+    "segments are later copies (no min-length clamp, so 1-word "
+    "common-token segments collide — the documented trade of keeping "
+    "the boundary rule a per-word predicate; divisor is the knob). "
+    "Same manifest contract and scale shape as q192 plus one "
+    "doc-keyed running-boundary window — each doc segments as an "
+    "independent linear pass.",
+    tags=("dedup", "text", "curation"),
+)
+def q197_cdc_passage_dedup(spark, sf_dir):
+    return curation.cdc_passage_dedup(_t(spark, sf_dir, "documents"), divisor=8)

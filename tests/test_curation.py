@@ -429,3 +429,64 @@ def test_dedup_pack_pipeline_matches_stages(spark):
     )
     assert (got.docs, got.kept, got.tot) == (stage.docs, stage.kept, stage.tot)
     assert got.kept < got.tot  # dedup savings are visible per bin
+
+
+def test_cdc_passage_dedup_catches_shifted_duplicates(spark):
+    """The CDC point: a passage duplicated at a DIFFERENT word offset
+    is invisible to aligned fixed windows (every window shifts) but
+    collides under content-defined boundaries (the boundary rule is a
+    pure local predicate). Doc 1 repeats doc 0's tail passage after a
+    one-word prefix; passage_dedup(window=4) sees no dup, while
+    cdc_passage_dedup drops the shifted copy's tokens. Conservation
+    and intra-doc totals hold as in q192."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.curation import (
+        cdc_passage_dedup,
+        passage_dedup,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, shared),
+        (1, f"prefixword {shared}"),  # SHIFTED copy of doc 0's content
+        (2, "totally different words here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    aligned = {
+        r.doc_id: r.n_dup_passages
+        for r in passage_dedup(df, window=4, stride=4).collect()
+    }
+    assert aligned[1] == 0  # the one-word shift defeats aligned windows
+    cdc = {r.doc_id: r for r in cdc_passage_dedup(df, divisor=8).collect()}
+    assert cdc[1].n_dup_passages > 0  # CDC catches the shifted copy
+    assert cdc[2].n_dup_passages == 0  # no false positives
+    for r in cdc.values():
+        assert 0 <= r.n_tokens_kept <= r.n_tokens_total
+        assert r.n_passages >= r.n_dup_passages
+    # doc 0 is the first occurrence everywhere: nothing dropped
+    assert cdc[0].n_tokens_kept == cdc[0].n_tokens_total
+
+
+def test_cdc_passage_dedup_segments_conserve_tokens(spark):
+    """Every word lands in exactly one CDC segment: per-doc
+    n_tokens_total equals the doc's word count, on real data."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.curation import (
+        cdc_passage_dedup,
+    )
+    from streaming_recommendation_spark.operators.dedup import normalize_text
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    out = cdc_passage_dedup(docs, divisor=8)
+    wc = docs.select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("__n"),
+    )
+    joined = out.join(wc, "doc_id")
+    assert joined.where(F.col("n_tokens_total") != F.col("__n")).count() == 0
+    assert out.agg(F.sum("n_dup_passages")).collect()[0][0] > 0

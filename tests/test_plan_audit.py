@@ -1367,3 +1367,18 @@ def test_q195_dedup_pack_no_global_sort(spark):
     assert "Exchange SinglePartition" not in a["plan"]
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q197_cdc_dedup_no_global_sort(spark):
+    # segmentation is one doc-keyed window; dedup one hash window;
+    # zero joins, no SinglePartition, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q197_cdc_passage_dedup"].fn(spark, SF_DIR))
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "Exchange SinglePartition" not in a["plan"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
