@@ -442,3 +442,48 @@ def chunk_hash_embed(
         ),
     )
     return ex.select(id_col, "chunk_idx", vec.alias("vec"))
+
+
+def doc_hash_embed(
+    df: DataFrame,
+    n_features: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Whole-document dense hash-embedding: chunk_hash_embed's fused
+    map-side projection without the chunking — one ``n_features``-dim
+    signed-count vector per document (id, vec array<long>), built in
+    a single SELECT over the scan (zero shuffles, no vocabulary).
+    The doc-level unit the hybrid-retrieval and rerank legs consume
+    when the corpus item IS the document (chunk-level retrieval keeps
+    using chunk_hash_embed). Same slot/sign recipe, same int64
+    order-free exactness.
+    """
+    from .dedup import normalize_text
+
+    toks = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
+    )
+    entries = F.transform(
+        toks,
+        lambda w: F.struct(
+            F.pmod(_word_hash(w), F.lit(n_features)).cast("int").alias("slot"),
+            F.when(
+                F.pmod(F.floor(_word_hash(w) / n_features), F.lit(2)) == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("sgn"),
+        ),
+    )
+    vec = F.aggregate(
+        entries,
+        F.array_repeat(F.lit(0).cast("long"), n_features),
+        lambda acc, e: F.transform(
+            acc,
+            lambda v, i: v
+            + F.when(i == e["slot"], e["sgn"]).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return df.select(id_col, vec.alias("vec"))

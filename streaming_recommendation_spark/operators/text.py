@@ -547,6 +547,203 @@ def bm25_postings(
     )
 
 
+def bm25_search(
+    df: DataFrame,
+    is_query: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Multi-term BM25 top-k SEARCH — the query-time half of the
+    retrieval index whose build-time half is ``bm25_postings``
+    (reference analog: the recall stage of
+    `eval_online/main/recall.py`, which fetches candidates by a
+    lexical score before dense ranking). Documents selected by
+    ``is_query`` act as queries (their distinct terms form the query
+    bag); every OTHER document is scored by the sum of its per-term
+    BM25 contributions over the shared terms, and the top ``k`` per
+    query are returned.
+
+    Exactness: summing per-term float scores would reintroduce the
+    reassociation hazard bm25_postings dodges, so each term score is
+    first quantized to an int64 in 1/``scale`` units with ONE
+    truncating integer division of two int64 products —
+
+        term_milli = (22*D*T*tf*scale)
+                     div (df * (10*T*tf + 3*T + 9*dl*D))
+
+    (k1 = 6/5, b = 3/4, linear idf — bm25_postings' algebra) — and
+    the per-document score is an int64 SUM of those units:
+    order-free, so any engine replays the ranking bit-for-bit
+    (the q179/q180 quantize-then-sum recipe). The reported double
+    ``score`` is one IEEE division by ``scale`` at the very end.
+    Overflow bound: 22*D*T*tf*scale must stay under 2^63 — at corpus
+    sizes where it would not, reduce D and T by a common factor (the
+    score is invariant in T/D) and/or lower ``scale``; both sides
+    just need the SAME constants.
+
+    Scale shape: one explode -> (doc, term) tf shuffle (shared with
+    the index build); dl/df/totals are aggregates of that table; the
+    query-term table (|queries| x their distinct terms, with df
+    attached) is broadcast into the corpus tf scan, so search cost is
+    one filtered corpus pass + one doc-keyed join for dl + a
+    WindowGroupLimit k-heap. No float summation, no all-pairs, no
+    driver loop.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    totals = df.agg(F.countDistinct(id_col).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("t_tokens"))
+    )
+    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
+    # query-term table with df attached: tiny on the query side, so it
+    # broadcasts INTO the corpus-wide df join and then into the tf scan
+    qterms = (
+        tf.join(F.broadcast(qids), tf[id_col] == qids["query_doc"])
+        .select("query_doc", "term")
+        .join(doc_freq, "term")
+    )
+    num = (
+        F.lit(22).cast("long")
+        * F.col("n_docs")
+        * F.col("t_tokens")
+        * F.col("tf")
+        * F.lit(scale).cast("long")
+    )
+    den = F.col("df") * (
+        F.lit(10).cast("long") * F.col("t_tokens") * F.col("tf")
+        + F.lit(3).cast("long") * F.col("t_tokens")
+        + F.lit(9).cast("long") * F.col("dl") * F.col("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .where(F.col(id_col) != F.col("query_doc"))
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_doc",
+            F.col(id_col),
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .select("query_doc", id_col, F.expr("__num div __den").alias("term_milli"))
+    )
+    agg = scored.groupBy("query_doc", id_col).agg(
+        F.sum("term_milli").alias("score_milli"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_doc").orderBy(
+        F.desc("score_milli"), F.asc(id_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_doc",
+            id_col,
+            "n_terms_matched",
+            "score_milli",
+            (F.col("score_milli") / F.lit(float(scale))).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def bm25_hard_negatives(
+    df: DataFrame,
+    is_query: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_cand: int = 20,
+    k_pos: int = 5,
+    k_neg: int = 8,
+    scale: int = 1000,
+) -> DataFrame:
+    """BM25 hard-negative mining for retriever training (DPR/ANCE
+    prep, Karpukhin et al. 2020): per query document, the BM25
+    top-``k_cand`` candidates (bm25_search) MINUS the ground-truth
+    relevant set (top-``k_pos`` by exact doc-level word-set Jaccard)
+    — the lexically-plausible non-relevant documents that actually
+    teach a dense retriever, re-ranked 1..``k_neg``.
+
+    Returns (query_doc, id, bm25_rank, score_milli, neg_rank).
+    Exactness: BM25 is bm25_search's quantize-then-sum int64;
+    Jaccard is ONE IEEE division of exact int64 counts; subtraction
+    is a left anti-join. Scale: both legs are query-bounded
+    broadcasts into single corpus scans; the anti-join sees
+    |queries| x k_cand rows.
+    """
+    from .dedup import normalize_text
+    from .topk import top_k_per_group
+
+    bm = bm25_search(
+        df, is_query, text_col=text_col, id_col=id_col, k=k_cand, scale=scale
+    ).select("query_doc", id_col, F.col("rank").alias("bm25_rank"), "score_milli")
+    ws = (
+        df.select(
+            id_col,
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
+    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
+    qws = ws.join(
+        F.broadcast(qids), ws[id_col] == qids["query_doc"]
+    ).select("query_doc", "word")
+    inter = (
+        ws.join(F.broadcast(qws), "word")
+        .where(F.col(id_col) != F.col("query_doc"))
+        .groupBy("query_doc", id_col)
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    qsizes = sizes.join(
+        F.broadcast(qids), sizes[id_col] == qids["query_doc"]
+    ).select("query_doc", F.col("nw").alias("__qn"))
+    jac = (
+        inter.join(F.broadcast(qsizes), "query_doc")
+        # query-bounded candidate table broadcasts INTO the corpus-wide
+        # sizes join (the q194 plan fix)
+        .hint("broadcast")
+        .join(sizes, id_col)
+        .select(
+            "query_doc",
+            id_col,
+            (
+                F.col("it").cast("double")
+                / (F.col("__qn") + F.col("nw") - F.col("it"))
+            ).alias("jac"),
+        )
+    )
+    pos = top_k_per_group(
+        jac, k_pos, ["query_doc"], F.col("jac").desc(), F.col(id_col).asc()
+    ).select("query_doc", id_col)
+    negs = bm.join(F.broadcast(pos), ["query_doc", id_col], "left_anti")
+    return top_k_per_group(
+        negs,
+        k_neg,
+        ["query_doc"],
+        F.col("score_milli").desc(),
+        F.col(id_col).asc(),
+        rank_col="neg_rank",
+    ).select(
+        "query_doc",
+        id_col,
+        "bm25_rank",
+        "score_milli",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    )
+
+
 def pmi_collocations(
     df: DataFrame,
     min_count: int = 5,

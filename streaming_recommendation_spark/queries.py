@@ -10551,3 +10551,394 @@ def q196_streaming_passage_dedup(spark, sf_dir):
 )
 def q197_cdc_passage_dedup(spark, sf_dir):
     return curation.cdc_passage_dedup(_t(spark, sf_dir, "documents"), divisor=8)
+
+
+@register(
+    "q198_bm25_search",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q AS (
+      SELECT tf.doc_id AS query_doc, tf.term, dfq.df
+      FROM tf JOIN dfq USING (term) WHERE tf.doc_id < 3
+    ), scored AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (q.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), agg AS (
+      SELECT query_doc, doc_id,
+             CAST(sum(term_milli) AS BIGINT) AS score_milli,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM scored GROUP BY query_doc, doc_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_doc
+                                   ORDER BY score_milli DESC, doc_id ASC)
+                  AS rn
+      FROM agg
+    )
+    SELECT query_doc, doc_id, n_terms_matched, score_milli,
+           score_milli / 1000.0 AS score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 10
+    """,
+    doc="Multi-term BM25 top-k SEARCH (text.bm25_search — the "
+    "query-time half of q147's impact-ordered index; reference "
+    "analog: the lexical recall stage feeding the ranker in "
+    "eval_online/main/recall.py): 3 query documents' distinct terms "
+    "score every other document, top-10 per query. Exactness: "
+    "summing per-term float scores would reintroduce the "
+    "reassociation hazard q147 dodges, so each term score is "
+    "quantized to int64 milli-units with ONE truncating div of two "
+    "int64 products ((22*D*T*tf*1000) div (df*(10*T*tf+3*T+9*dl*D)), "
+    "k1=6/5 b=3/4 linear idf), then per-doc scores are int64 SUMS "
+    "(order-free — the q179/q180 quantize-then-sum recipe); the "
+    "reported double is one IEEE division at the end. Scale: one "
+    "explode->tf shuffle shared with the index build; the query-term "
+    "table (with df attached) broadcasts into the corpus tf scan; "
+    "one doc-keyed dl join; WindowGroupLimit k-heap. Overflow bound "
+    "22*D*T*tf*1000 < 2^63 documented with the reduce-T-and-D escape.",
+    tags=("text", "retrieval", "window"),
+)
+def q198_bm25_search(spark, sf_dir):
+    return text.bm25_search(
+        _t(spark, sf_dir, "documents"), F.col("doc_id") < 3, k=10, scale=1000
+    )
+
+
+@register(
+    "q199_hybrid_rrf_fusion",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q AS (
+      SELECT tf.doc_id AS query_doc, tf.term, dfq.df
+      FROM tf JOIN dfq USING (term) WHERE tf.doc_id < 3
+    ), bscored AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (q.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), bagg AS (
+      SELECT query_doc, doc_id, CAST(sum(term_milli) AS BIGINT) AS sm
+      FROM bscored GROUP BY query_doc, doc_id
+    ), brank AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS bm25_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY sm DESC, doc_id ASC) AS rn
+            FROM bagg)
+      WHERE rn <= 20
+    ), tok AS (
+      SELECT n.doc_id,
+             CAST(('0x' || substr(md5(t.w), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                    'g')), ' ') AS w
+            FROM documents) n, unnest(n.w) AS t(w)
+      WHERE t.w <> ''
+    ), sp AS (
+      SELECT doc_id, CAST(h % 64 AS INT) AS slot,
+             CAST(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS sgn
+      FROM tok
+    ), aggv AS (
+      SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS v
+      FROM sp GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.doc_id, s.slot
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS slot) s
+    ), dense AS MATERIALIZED (
+      SELECT g.doc_id, list(coalesce(a.v, 0) ORDER BY g.slot) AS vec
+      FROM grid g LEFT JOIN aggv a ON a.doc_id = g.doc_id AND a.slot = g.slot
+      GROUP BY g.doc_id
+    ), eq AS (
+      SELECT doc_id AS query_doc, vec AS qv FROM dense WHERE doc_id < 3
+    ), epairs AS (
+      SELECT eq.query_doc, d.doc_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> eq.qv[i] * d.vec[i]))
+                  AS BIGINT) AS dot,
+             list_sum(list_transform(eq.qv, x -> x * x)) AS na,
+             list_sum(list_transform(d.vec, x -> x * x)) AS nb
+      FROM eq CROSS JOIN dense d
+      WHERE d.doc_id <> eq.query_doc
+    ), escored AS (
+      SELECT query_doc, doc_id,
+             CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                  ELSE 0.0 END AS score
+      FROM epairs
+    ), erank AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS emb_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY score DESC, doc_id ASC)
+                        AS rn
+            FROM escored)
+      WHERE rn <= 20
+    ), fused AS (
+      SELECT coalesce(b.query_doc, e.query_doc) AS query_doc,
+             coalesce(b.doc_id, e.doc_id) AS doc_id,
+             b.bm25_rank, e.emb_rank,
+             CAST(coalesce(1000000 // (60 + b.bm25_rank), 0)
+                + coalesce(1000000 // (60 + e.emb_rank), 0) AS BIGINT)
+               AS rrf_ppm
+      FROM brank b FULL OUTER JOIN erank e
+        ON b.query_doc = e.query_doc AND b.doc_id = e.doc_id
+    )
+    SELECT query_doc, doc_id, bm25_rank, emb_rank, rrf_ppm,
+           CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                       ORDER BY rrf_ppm DESC, doc_id ASC)
+                      AS rn
+          FROM fused)
+    WHERE rn <= 10
+    """,
+    doc="Hybrid lexical+dense retrieval with reciprocal-rank fusion "
+    "(the standard production hybrid-search move, Cormack et al. "
+    "2009): BM25 top-20 per query (q198's integer machinery) and "
+    "hash-embedding cosine top-20 per query (features.doc_hash_embed "
+    "— q191's fused map-side ingest at document granularity) are "
+    "fused by RRF with k=60, scored in exact integer ppm units "
+    "(1000000 div (60+rank), summed as int64 — rank fusion never "
+    "touches a float until display), top-10 per query with rank "
+    "provenance from both legs (NULL = not in that leg's list). "
+    "Exactness: both input rankings replay bit-for-bit (q198's "
+    "quantize-then-sum; q191's exact-int sqrt+divide), and the "
+    "fusion is pure integer arithmetic. Scale: each leg is its own "
+    "bounded top-k (WindowGroupLimit); the fusion joins two "
+    "|queries| x 20 tables — trivially broadcast; the corpus is "
+    "scanned once per leg and never all-pairs.",
+    tags=("text", "retrieval", "similarity", "window"),
+)
+def q199_hybrid_rrf_fusion(spark, sf_dir):
+    from .operators.features import doc_hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = text.bm25_search(docs, F.col("doc_id") < 3, k=20, scale=1000).select(
+        "query_doc", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    emb = doc_hash_embed(docs, n_features=64)
+    qs = emb.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc"), F.col("vec").alias("__qv")
+    )
+    corpus = emb.select("doc_id", F.col("vec").alias("__cv"))
+    lit0 = F.lit(0).cast("long")
+    dot = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        lit0,
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("__qv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    nb = F.aggregate(
+        F.transform(F.col("__cv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    escored = (
+        corpus.crossJoin(F.broadcast(qs))
+        .where(F.col("doc_id") != F.col("query_doc"))
+        .select(
+            "query_doc",
+            "doc_id",
+            F.when(
+                (na > 0) & (nb > 0),
+                dot.cast("double")
+                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+    )
+    er = topk.top_k_per_group(
+        escored,
+        20,
+        ["query_doc"],
+        F.col("score").desc(),
+        F.col("doc_id").asc(),
+        rank_col="emb_rank",
+    ).select("query_doc", "doc_id", F.col("emb_rank").cast("int").alias("emb_rank"))
+    fused = (
+        bm.withColumnRenamed("query_doc", "__bq").withColumnRenamed(
+            "doc_id", "__bd"
+        )
+        .join(
+            er.withColumnRenamed("query_doc", "__eq").withColumnRenamed(
+                "doc_id", "__ed"
+            ),
+            (F.col("__bq") == F.col("__eq")) & (F.col("__bd") == F.col("__ed")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce("__bq", "__eq").alias("query_doc"),
+            F.coalesce("__bd", "__ed").alias("doc_id"),
+            "bm25_rank",
+            "emb_rank",
+            (
+                F.coalesce(
+                    F.expr("1000000 div (60 + bm25_rank)"), lit0
+                )
+                + F.coalesce(F.expr("1000000 div (60 + emb_rank)"), lit0)
+            )
+            .cast("long")
+            .alias("rrf_ppm"),
+        )
+    )
+    return topk.top_k_per_group(
+        fused,
+        10,
+        ["query_doc"],
+        F.col("rrf_ppm").desc(),
+        F.col("doc_id").asc(),
+        rank_col="rank",
+    ).select(
+        "query_doc",
+        "doc_id",
+        "bm25_rank",
+        "emb_rank",
+        "rrf_ppm",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "q200_bm25_hard_negatives",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q AS (
+      SELECT tf.doc_id AS query_doc, tf.term, dfq.df
+      FROM tf JOIN dfq USING (term) WHERE tf.doc_id < 3
+    ), bscored AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (q.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), bagg AS (
+      SELECT query_doc, doc_id,
+             CAST(sum(term_milli) AS BIGINT) AS score_milli
+      FROM bscored GROUP BY query_doc, doc_id
+    ), brank AS (
+      SELECT query_doc, doc_id, score_milli, CAST(rn AS INT) AS bm25_rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY score_milli DESC,
+                                                  doc_id ASC) AS rn
+            FROM bagg)
+      WHERE rn <= 20
+    ), ws AS (
+      SELECT DISTINCT doc_id, term AS word FROM words WHERE term <> ''
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM ws GROUP BY doc_id
+    ), qws AS (
+      SELECT doc_id AS query_doc, word FROM ws WHERE doc_id < 3
+    ), inter AS (
+      SELECT q.query_doc, w.doc_id, CAST(count(*) AS BIGINT) AS it
+      FROM ws w JOIN qws q USING (word)
+      WHERE w.doc_id <> q.query_doc
+      GROUP BY q.query_doc, w.doc_id
+    ), jac AS (
+      SELECT i.query_doc, i.doc_id,
+             CAST(i.it AS DOUBLE) / (qs.nw + cs.nw - i.it) AS jac
+      FROM inter i
+      JOIN sizes qs ON qs.doc_id = i.query_doc
+      JOIN sizes cs ON cs.doc_id = i.doc_id
+    ), pos AS (
+      SELECT query_doc, doc_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY jac DESC, doc_id ASC) AS rn
+            FROM jac)
+      WHERE rn <= 5
+    ), negs AS (
+      SELECT b.query_doc, b.doc_id, b.bm25_rank, b.score_milli
+      FROM brank b LEFT JOIN pos p
+        ON p.query_doc = b.query_doc AND p.doc_id = b.doc_id
+      WHERE p.doc_id IS NULL
+    )
+    SELECT query_doc, doc_id, bm25_rank, score_milli,
+           CAST(rn AS INT) AS neg_rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                       ORDER BY score_milli DESC, doc_id ASC)
+                      AS rn
+          FROM negs)
+    WHERE rn <= 8
+    """,
+    doc="BM25 hard-negative mining for retriever training (the DPR/"
+    "ANCE training-data prep move, Karpukhin et al. 2020: the "
+    "negatives that teach a dense model are the lexically-plausible "
+    "NON-relevant documents, not random draws — the same motivation "
+    "as the interaction-graph negative samplers q18/q151/q154, here "
+    "for the text-retrieval leg): per query document, take the BM25 "
+    "top-20 (q198's integer machinery), subtract the ground-truth "
+    "relevant set (top-5 by exact doc-level word-set Jaccard — the "
+    "q194 truth protocol at document granularity), and emit the 8 "
+    "highest-scoring survivors with both their original bm25_rank "
+    "and their negative rank. Exactness: BM25 is the q198 "
+    "quantize-then-sum int64; Jaccard is one IEEE division of exact "
+    "int64s; the subtraction is a left anti-join. Scale: both legs "
+    "are query-bounded broadcasts into single corpus scans; the "
+    "anti-join operates on |queries| x 20 rows.",
+    tags=("text", "retrieval", "sampling", "window"),
+)
+def q200_bm25_hard_negatives(spark, sf_dir):
+    return text.bm25_hard_negatives(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") < 3,
+        k_cand=20,
+        k_pos=5,
+        k_neg=8,
+        scale=1000,
+    )

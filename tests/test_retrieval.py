@@ -1,0 +1,178 @@
+"""Retrieval leg: BM25 multi-term search, doc-level hash embedding,
+RRF hybrid fusion, hard-negative mining — hand-computed exactness,
+planted-scenario semantics, and plan pins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.operators.features import (
+    chunk_hash_embed,
+    doc_hash_embed,
+)
+from streaming_recommendation_spark.operators.text import (
+    bm25_hard_negatives,
+    bm25_search,
+)
+from streaming_recommendation_spark.plans import audit
+from streaming_recommendation_spark.sources.testdata import load_table
+
+from .conftest import SF_DIR
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bm25_search_hand_computed(spark):
+    """Milliscore sums match the integer formula computed by hand:
+    term_milli = (22*D*T*tf*1000) div (df*(10*T*tf + 3*T + 9*dl*D)),
+    summed per doc; ranking by (score_milli desc, doc asc)."""
+    df = _docs(spark, [
+        (0, "x y"),        # the query: terms {x, y}
+        (1, "x y z"),      # matches both
+        (2, "x a b"),      # matches x
+        (3, "a b c"),      # matches none -> absent
+        (4, "y y y y"),    # matches y, tf 4 (saturation)
+    ])
+    out = {r.doc_id: r for r in
+           bm25_search(df, F.col("doc_id") == 0, k=10).collect()}
+    # D=5, T=15; df(x)=3, df(y)=3
+    # term_milli(tf, dl, df) = 1650000*tf // (df*(150*tf + 45 + 45*dl))
+    def tm(tf, dl, dfreq):
+        return (1650000 * tf) // (dfreq * (150 * tf + 45 + 45 * dl))
+
+    assert set(out) == {1, 2, 4}  # query doc excluded, doc3 no match
+    assert out[1].score_milli == tm(1, 3, 3) + tm(1, 3, 3) == 3332
+    assert out[1].n_terms_matched == 2
+    assert out[2].score_milli == tm(1, 3, 3) == 1666
+    assert out[4].score_milli == tm(4, 4, 3) == 2666
+    assert [out[d].rank for d in (1, 4, 2)] == [1, 2, 3]
+    assert out[1].score == 3.332
+
+
+def test_bm25_search_k_bound_and_multi_query(spark):
+    df = _docs(spark, [
+        (0, "x"), (1, "y"),
+        (2, "x y"), (3, "x y"), (4, "x"), (5, "y"),
+    ])
+    out = bm25_search(df, F.col("doc_id") < 2, k=2).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_doc, []).append(r)
+    assert set(per_q) == {0, 1}
+    for q, rows in per_q.items():
+        assert len(rows) <= 2
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        # queries never retrieve themselves or each other's slot rows
+        assert all(r.doc_id != q for r in rows)
+
+
+def test_bm25_search_no_python_and_broadcast_query_side(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    a = audit(bm25_search(docs, F.col("doc_id") < 3, k=10))
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+    # query-term table and totals ride as broadcasts into the corpus scan
+    assert a["n_broadcast_joins"] + a["bnl_joins"] >= 2
+
+
+def test_doc_hash_embed_equals_single_chunk(spark):
+    """doc_hash_embed is chunk_hash_embed with the chunking removed:
+    for docs shorter than the window the chunk-0 vector is identical."""
+    docs = load_table(spark, "documents", SF_DIR)
+    whole = {r.doc_id: list(r.vec)
+             for r in doc_hash_embed(docs, n_features=64).collect()}
+    chunked = chunk_hash_embed(
+        docs, window=4096, stride=4096, n_features=64
+    ).collect()
+    assert {r.chunk_idx for r in chunked} == {0}
+    for r in chunked:
+        assert list(r.vec) == whole[r.doc_id], r.doc_id
+    assert len(whole) == len(chunked)
+
+
+def test_doc_hash_embed_zero_shuffle_plan(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    a = audit(doc_hash_embed(docs, n_features=64))
+    assert a["n_exchanges"] == 0
+    assert (
+        a["n_broadcast_joins"] + a["n_sortmerge_joins"]
+        + a["n_shuffled_hash_joins"] + a["bnl_joins"] == 0
+    )
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_hard_negatives_exclude_planted_positive(spark):
+    """The near-copy of the query is BM25 rank 1 AND the Jaccard
+    ground-truth positive -> it must be excluded; the
+    lexically-overlapping junk docs survive as the hard negatives."""
+    df = _docs(spark, [
+        (0, "alpha beta gamma delta"),            # query
+        (1, "alpha beta gamma delta epsilon"),    # near-copy: positive
+        (2, "alpha beta junk1 junk2"),            # hard negative 1
+        (3, "alpha junk3 junk4 junk5"),           # hard negative 2
+        (4, "filler1 filler2 filler3"),
+        (5, "filler4 filler5 filler6"),
+    ])
+    out = bm25_hard_negatives(
+        df, F.col("doc_id") == 0, k_cand=10, k_pos=1, k_neg=8
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+    assert 1 not in by_doc           # the true positive is mined OUT
+    assert 0 not in by_doc           # the query never self-retrieves
+    assert set(by_doc) == {2, 3}     # fillers share no term -> no score
+    # doc 2 (2 shared terms) outranks doc 3 (1 shared term)
+    assert by_doc[2].neg_rank == 1 and by_doc[3].neg_rank == 2
+    # bm25_rank provenance proves the positive occupied rank 1
+    assert by_doc[2].bm25_rank == 2
+    assert by_doc[3].bm25_rank == 3
+
+
+def test_hard_negatives_neg_rank_contiguous_on_testdata(spark):
+    docs = load_table(spark, "documents", SF_DIR)
+    out = bm25_hard_negatives(
+        docs, F.col("doc_id") < 3, k_cand=20, k_pos=5, k_neg=8
+    ).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_doc, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 8
+        scores = [r.score_milli for r in rows]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_fusion_arithmetic_and_provenance(spark):
+    """q199 on testdata: rrf_ppm recomputes exactly from the two rank
+    columns (1000000 div (60+rank), absent leg contributes 0), every
+    row has at least one leg, per-query output is rrf-ordered."""
+    from streaming_recommendation_spark.queries import _REGISTRY
+
+    out = _REGISTRY["q199_hybrid_rrf_fusion"].fn(spark, SF_DIR).collect()
+    assert out
+    per_q = {}
+    for r in out:
+        assert r.bm25_rank is not None or r.emb_rank is not None
+        expect = 0
+        if r.bm25_rank is not None:
+            expect += 1000000 // (60 + r.bm25_rank)
+        if r.emb_rank is not None:
+            expect += 1000000 // (60 + r.emb_rank)
+        assert r.rrf_ppm == expect, (r.query_doc, r.doc_id)
+        per_q.setdefault(r.query_doc, []).append(r)
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) <= 10
+        keys = [(-r.rrf_ppm, r.doc_id) for r in rows]
+        assert keys == sorted(keys)
+    # fusion is non-degenerate: at least one row fused BOTH legs and
+    # at least one row came from a single leg
+    both = [r for r in out if r.bm25_rank is not None and r.emb_rank is not None]
+    single = [r for r in out if (r.bm25_rank is None) != (r.emb_rank is None)]
+    assert both and single
