@@ -263,6 +263,14 @@ HEADLINE = [
     "q196_streaming_passage_dedup",
     # content-defined chunking dedup (alignment-proof passages)
     "q197_cdc_passage_dedup",
+    # multi-term BM25 top-k search (quantize-then-sum int64 scores)
+    "q198_bm25_search",
+    # hybrid lexical+dense reciprocal-rank fusion
+    "q199_hybrid_rrf_fusion",
+    # DPR-style BM25 hard-negative mining
+    "q200_bm25_hard_negatives",
+    # streaming postings-index twin (2-batch ingest == q198 search)
+    "q201_streaming_postings_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

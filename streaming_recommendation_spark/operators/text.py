@@ -591,19 +591,39 @@ def bm25_search(
     WindowGroupLimit k-heap. No float summation, no all-pairs, no
     driver loop.
     """
-    from pyspark.sql import Window
-
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
+    return bm25_rank_from_postings(tf, qids, id_col=id_col, k=k, scale=scale)
+
+
+def bm25_rank_from_postings(
+    tf: DataFrame,
+    qids: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """bm25_search's scoring core over a POSTINGS table ``(id, term,
+    tf)`` — every corpus statistic (dl, df, T, and D = the number of
+    INDEXED documents, i.e. docs with >= 1 token) derives from the
+    postings alone, so a search never needs the raw text. This is
+    what makes the index a first-class stored artifact: the streaming
+    ingest (streaming/postings.py) appends per-batch postings and
+    this core answers queries over the accumulated table as-of-now
+    (the q185 stored-index contract for the lexical leg).
+    ``qids`` is a 1-column (query_doc) frame naming the query docs.
+    """
+    from pyspark.sql import Window
+
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    totals = df.agg(F.countDistinct(id_col).alias("n_docs")).crossJoin(
+    totals = tf.agg(F.countDistinct(id_col).alias("n_docs")).crossJoin(
         dl.agg(F.sum("dl").alias("t_tokens"))
     )
-    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
     # query-term table with df attached: tiny on the query side, so it
     # broadcasts INTO the corpus-wide df join and then into the tf scan
     qterms = (

@@ -10569,7 +10569,7 @@ def q197_cdc_passage_dedup(spark, sf_dir):
     ), dfq AS (
       SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
     ), tot AS (
-      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
              (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
     ), q AS (
       SELECT tf.doc_id AS query_doc, tf.term, dfq.df
@@ -10639,7 +10639,7 @@ def q198_bm25_search(spark, sf_dir):
     ), dfq AS (
       SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
     ), tot AS (
-      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
              (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
     ), q AS (
       SELECT tf.doc_id AS query_doc, tf.term, dfq.df
@@ -10853,7 +10853,7 @@ def q199_hybrid_rrf_fusion(spark, sf_dir):
     ), dfq AS (
       SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
     ), tot AS (
-      SELECT (SELECT count(DISTINCT doc_id) FROM documents) AS n_docs,
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
              (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
     ), q AS (
       SELECT tf.doc_id AS query_doc, tf.term, dfq.df
@@ -10942,3 +10942,36 @@ def q200_bm25_hard_negatives(spark, sf_dir):
         k_neg=8,
         scale=1000,
     )
+
+
+@register(
+    "q201_streaming_postings_twin",
+    _REGISTRY["q198_bm25_search"].oracle,
+    doc="Batch-equivalence twin of the STREAMING inverted-index "
+    "ingest (streaming/postings.py): documents arrive in two "
+    "doc_id-ordered batches, each batch is reduced to its (doc, "
+    "term, tf) postings AT ARRIVAL (raw text tokenized exactly "
+    "once), and a BM25 search over the accumulated index "
+    "(text.bm25_rank_from_postings — every corpus statistic derives "
+    "from the postings alone) must equal q198's one-shot batch "
+    "search VERBATIM (same oracle). The union-of-batches == "
+    "whole-corpus postings identity holds because a document arrives "
+    "whole in exactly one batch — no cross-batch merge state. The "
+    "real foreachBatch carry, retry idempotence, and "
+    "search-from-disk equality are pinned in "
+    "tests/test_streaming_postings.py. Scale: per-batch cost is one "
+    "batch-local (doc, term) aggregation + one partitioned append; "
+    "the stored index is one row per distinct (doc, term).",
+    tags=("streaming", "text", "retrieval"),
+)
+def q201_streaming_postings_twin(spark, sf_dir):
+    from .streaming.postings import postings_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = postings_batch(docs.where(F.col("doc_id") < 250)).unionByName(
+        postings_batch(docs.where(F.col("doc_id") >= 250))
+    )
+    qids = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    return text.bm25_rank_from_postings(tf, qids, k=10, scale=1000)

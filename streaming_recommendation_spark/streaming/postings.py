@@ -1,0 +1,135 @@
+"""Streaming inverted-index (postings) maintenance: the continuous
+ingest counterpart of the batch BM25 leg (operators/text.py — q147
+builds the impact-ordered index, q198 searches it) under the same
+foreachBatch/idempotence contract as the other ingest pipelines
+(streaming/passages.py, streaming/curation.py).
+
+Per micro-batch:
+
+  1. tokenize the arriving documents map-side and reduce them to
+     their ``(doc_id, term, tf)`` postings — one (doc, term)-keyed
+     aggregation over the BATCH only;
+  2. append the batch's postings partitioned by batch_id with
+     dynamic partition overwrite — a retried batch overwrites
+     exactly its own partition (idempotent under at-least-once
+     foreachBatch).
+
+Because a document arrives WHOLE in exactly one batch (the arrival
+unit is the document, the same contract as the passage/curation
+ingests), the union of per-batch postings IS the whole-corpus
+postings table — no cross-batch merge state at all. Every corpus
+statistic BM25 needs (dl, df, T, D) derives from the accumulated
+postings at query time (text.bm25_rank_from_postings), so:
+
+  * the raw text is tokenized exactly once, at arrival;
+  * a search answers over the index AS OF NOW without rescanning
+    any document (the q185 stored-index contract, lexical leg);
+  * the state is one row per distinct (doc, term) — bounded by
+    corpus vocabulary incidence, not event volume.
+
+Batch twin: q201_streaming_postings_twin replays a doc_id-ordered
+two-batch split and is oracle-checked against q198's oracle VERBATIM
+— ingest-then-search over ordered arrivals == the one-shot batch
+search.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import normalize_text
+
+_POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, batch_id bigint"
+
+
+def postings_batch(
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pure core shared by the streaming loop and the q201 batch twin:
+    one arrival batch's ``(id, term, tf)`` postings. Map-side
+    tokenization (the q147 normalization) + one batch-local
+    (doc, term) aggregation."""
+    return (
+        batch_df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def postings_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    postings_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the postings-ingest loop (also directly
+    callable for batch backfills)."""
+    (
+        postings_batch(batch_df, text_col, id_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(postings_dir)
+    )
+
+
+def postings_ingest_pipeline(
+    doc_stream: DataFrame,
+    postings_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Start the streaming postings-ingest query over a document
+    stream (columns: ``id_col``, ``text_col``). Returns the
+    StreamingQuery. State = the postings directory (it outlives the
+    query; the checkpoint tracks only source offsets)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        postings_ingest_batch(
+            batch_df, batch_id, postings_dir, text_col, id_col
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
+    """The accumulated postings table (all batches so far)."""
+    return spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+
+
+def bm25_query(
+    spark: SparkSession,
+    postings_dir: str,
+    qids: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """BM25 top-k over the PERSISTED index as of now — raw text never
+    rescanned; all corpus statistics derive from the stored postings
+    (text.bm25_rank_from_postings). ``qids`` is a 1-column
+    (query_doc) frame naming the query documents."""
+    from ..operators.text import bm25_rank_from_postings
+
+    tf = read_postings(spark, postings_dir).select(id_col, "term", "tf")
+    return bm25_rank_from_postings(tf, qids, id_col=id_col, k=k, scale=scale)
