@@ -271,6 +271,8 @@ HEADLINE = [
     "q200_bm25_hard_negatives",
     # streaming postings-index twin (2-batch ingest == q198 search)
     "q201_streaming_postings_twin",
+    # pseudo-relevance-feedback query expansion (two-round BM25)
+    "q202_prf_query_expansion",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -602,10 +602,11 @@ def bm25_search(
 
 def bm25_rank_from_postings(
     tf: DataFrame,
-    qids: DataFrame,
+    qids: DataFrame | None,
     id_col: str = "doc_id",
     k: int = 10,
     scale: int = 1000,
+    query_terms: DataFrame | None = None,
 ) -> DataFrame:
     """bm25_search's scoring core over a POSTINGS table ``(id, term,
     tf)`` — every corpus statistic (dl, df, T, and D = the number of
@@ -615,7 +616,10 @@ def bm25_rank_from_postings(
     ingest (streaming/postings.py) appends per-batch postings and
     this core answers queries over the accumulated table as-of-now
     (the q185 stored-index contract for the lexical leg).
-    ``qids`` is a 1-column (query_doc) frame naming the query docs.
+    ``qids`` is a 1-column (query_doc) frame naming the query docs;
+    alternatively pass ``query_terms`` — an explicit (query_doc,
+    term) bag (e.g. an expanded query from pseudo-relevance
+    feedback) — and ``qids`` is ignored.
     """
     from pyspark.sql import Window
 
@@ -626,11 +630,11 @@ def bm25_rank_from_postings(
     )
     # query-term table with df attached: tiny on the query side, so it
     # broadcasts INTO the corpus-wide df join and then into the tf scan
-    qterms = (
-        tf.join(F.broadcast(qids), tf[id_col] == qids["query_doc"])
-        .select("query_doc", "term")
-        .join(doc_freq, "term")
-    )
+    if query_terms is None:
+        query_terms = tf.join(
+            F.broadcast(qids), tf[id_col] == qids["query_doc"]
+        ).select("query_doc", "term")
+    qterms = query_terms.join(doc_freq, "term")
     num = (
         F.lit(22).cast("long")
         * F.col("n_docs")
@@ -674,6 +678,67 @@ def bm25_rank_from_postings(
             (F.col("score_milli") / F.lit(float(scale))).alias("score"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def bm25_prf_search(
+    df: DataFrame,
+    is_query: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_fb: int = 3,
+    n_exp: int = 5,
+    k: int = 10,
+    scale: int = 1000,
+) -> DataFrame:
+    """Pseudo-relevance-feedback BM25 search (the Rocchio/RM3 query-
+    expansion move — Lavrenko & Croft 2001's relevance models are the
+    probabilistic version; this is the classic tf-ranked variant):
+    run the plain BM25 search, treat each query's top ``k_fb`` hits
+    as pseudo-relevant, expand the query with the ``n_exp`` terms
+    that occur most in those feedback documents but NOT in the
+    original query (total feedback tf desc, term asc tie-break), and
+    re-search with the expanded term bag. The production fix for
+    vocabulary mismatch: a query about 'cars' retrieves docs that
+    say 'automobile'.
+
+    Exactness: both rounds are bm25_rank_from_postings (quantize-
+    then-sum int64); expansion selection compares exact int64 tf
+    sums. Scale: round 1 is q198's shape; the feedback join touches
+    |queries| x k_fb docs' postings; round 2 re-broadcasts the
+    (slightly larger) query-term bag into the same corpus tf scan —
+    the corpus is scanned per round, never all-pairs.
+    """
+    from .dedup import normalize_text
+    from .topk import top_k_per_group
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
+    q_orig = tf.join(
+        F.broadcast(qids), tf[id_col] == qids["query_doc"]
+    ).select("query_doc", "term")
+    fb = bm25_rank_from_postings(
+        tf, qids, id_col=id_col, k=k_fb, scale=scale
+    ).select("query_doc", id_col)
+    fb_tf = (
+        tf.join(F.broadcast(fb), id_col)
+        .groupBy("query_doc", "term")
+        .agg(F.sum("tf").alias("fb_tf"))
+    )
+    exp = top_k_per_group(
+        fb_tf.join(F.broadcast(q_orig), ["query_doc", "term"], "left_anti"),
+        n_exp,
+        ["query_doc"],
+        F.col("fb_tf").desc(),
+        F.col("term").asc(),
+    ).select("query_doc", "term")
+    q2 = q_orig.unionByName(exp)  # disjoint by the anti-join
+    return bm25_rank_from_postings(
+        tf, None, id_col=id_col, k=k, scale=scale, query_terms=q2
     )
 
 

@@ -10975,3 +10975,110 @@ def q201_streaming_postings_twin(spark, sf_dir):
         F.col("doc_id").alias("query_doc")
     )
     return text.bm25_rank_from_postings(tf, qids, k=10, scale=1000)
+
+
+@register(
+    "q202_prf_query_expansion",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q_orig AS (
+      SELECT doc_id AS query_doc, term FROM tf WHERE doc_id < 3
+    ), scored1 AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (d.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q_orig q USING (term)
+      JOIN dfq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), fb AS (
+      SELECT query_doc, doc_id
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM scored1 GROUP BY query_doc, doc_id)
+      WHERE rn <= 3
+    ), fb_tf AS (
+      SELECT fb.query_doc, tf.term, CAST(sum(tf.tf) AS BIGINT) AS fb_tf
+      FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+      GROUP BY fb.query_doc, tf.term
+    ), exp AS (
+      SELECT query_doc, term
+      FROM (SELECT f.query_doc, f.term,
+                   row_number() OVER (PARTITION BY f.query_doc
+                                      ORDER BY f.fb_tf DESC, f.term ASC) AS rn
+            FROM fb_tf f
+            WHERE NOT EXISTS (SELECT 1 FROM q_orig q
+                              WHERE q.query_doc = f.query_doc
+                                AND q.term = f.term))
+      WHERE rn <= 5
+    ), q2 AS (
+      SELECT query_doc, term FROM q_orig
+      UNION ALL
+      SELECT query_doc, term FROM exp
+    ), scored2 AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (d.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q2 q USING (term)
+      JOIN dfq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), agg2 AS (
+      SELECT query_doc, doc_id,
+             CAST(sum(term_milli) AS BIGINT) AS score_milli,
+             CAST(count(*) AS BIGINT) AS n_terms_matched
+      FROM scored2 GROUP BY query_doc, doc_id
+    )
+    SELECT query_doc, doc_id, n_terms_matched, score_milli,
+           score_milli / 1000.0 AS score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                       ORDER BY score_milli DESC, doc_id ASC)
+                      AS rn
+          FROM agg2)
+    WHERE rn <= 10
+    """,
+    doc="Pseudo-relevance-feedback BM25 search (text.bm25_prf_search "
+    "— the Rocchio/RM3 query-expansion move): each query's plain "
+    "BM25 top-3 hits are treated as pseudo-relevant, the 5 terms "
+    "most frequent in them but absent from the original query expand "
+    "the term bag (exact int64 tf-sum selection, term-asc tie), and "
+    "the expanded query re-searches the same postings — the classic "
+    "fix for vocabulary mismatch. Exactness: both rounds are the "
+    "q198 quantize-then-sum core; expansion selection compares exact "
+    "int64 sums. Non-degenerate: the expanded ranking differs from "
+    "q198's for every query at sf0.01 (pinned in tests). Scale: two "
+    "broadcast-query-bag corpus scans + one |queries| x 3-doc "
+    "feedback join; never all-pairs.",
+    tags=("text", "retrieval", "window"),
+)
+def q202_prf_query_expansion(spark, sf_dir):
+    return text.bm25_prf_search(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") < 3,
+        k_fb=3,
+        n_exp=5,
+        k=10,
+        scale=1000,
+    )

@@ -176,3 +176,48 @@ def test_rrf_fusion_arithmetic_and_provenance(spark):
     both = [r for r in out if r.bm25_rank is not None and r.emb_rank is not None]
     single = [r for r in out if (r.bm25_rank is None) != (r.emb_rank is None)]
     assert both and single
+
+
+def test_prf_expansion_bridges_vocabulary_mismatch(spark):
+    """The PRF claim in one scenario: doc 2 shares NO term with the
+    query ('automobile highway' vs 'car road') so plain BM25 cannot
+    retrieve it; expansion pulls 'automobile' from the feedback docs
+    and round 2 finds it."""
+    from streaming_recommendation_spark.operators.text import bm25_prf_search
+
+    df = _docs(spark, [
+        (0, "car road"),
+        (1, "car road automobile"),   # feedback doc carrying the synonym
+        (2, "automobile highway"),    # vocabulary-mismatched target
+        (3, "car tree"),
+        (4, "x y"),
+        (5, "z w"),
+    ])
+    plain = {r.doc_id for r in
+             bm25_search(df, F.col("doc_id") == 0, k=10).collect()}
+    assert 2 not in plain
+    expanded = {r.doc_id: r for r in bm25_prf_search(
+        df, F.col("doc_id") == 0, k_fb=3, n_exp=2, k=10
+    ).collect()}
+    assert 2 in expanded
+    assert 0 not in expanded  # still never self-retrieves
+    # doc 2 matched exactly one (expansion) term
+    assert expanded[2].n_terms_matched == 1
+
+
+def test_prf_changes_ranking_on_testdata(spark):
+    """Non-degeneracy on the real corpus: the expanded ranking
+    differs from the plain one for EVERY query (the doc claim)."""
+    from streaming_recommendation_spark.queries import _REGISTRY
+
+    plain = _REGISTRY["q198_bm25_search"].fn(spark, SF_DIR).collect()
+    prf = _REGISTRY["q202_prf_query_expansion"].fn(spark, SF_DIR).collect()
+    p = {}
+    for r in plain:
+        p.setdefault(r.query_doc, []).append((r.rank, r.doc_id))
+    e = {}
+    for r in prf:
+        e.setdefault(r.query_doc, []).append((r.rank, r.doc_id))
+    assert set(p) == set(e)
+    for q in p:
+        assert sorted(p[q]) != sorted(e[q]), q
