@@ -273,6 +273,8 @@ HEADLINE = [
     "q201_streaming_postings_twin",
     # pseudo-relevance-feedback query expansion (two-round BM25)
     "q202_prf_query_expansion",
+    # best-passage snippet extraction over BM25 top-5
+    "q203_best_passage",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -11082,3 +11082,130 @@ def q202_prf_query_expansion(spark, sf_dir):
         k=10,
         scale=1000,
     )
+
+
+@register(
+    "q203_best_passage",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q AS (
+      SELECT tf.doc_id AS query_doc, tf.term, dfq.df
+      FROM tf JOIN dfq USING (term) WHERE tf.doc_id < 3
+    ), bscored AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (q.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), brank AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS bm25_rank
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM bscored GROUP BY query_doc, doc_id)
+      WHERE rn <= 5
+    ), norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS w
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w,
+             greatest(1, CAST(floor((len(w) - 16 + 15) / 16.0) AS INT) + 1)
+               AS nc
+      FROM norm
+    ), ex AS (
+      SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM c
+    ), cws AS (
+      SELECT DISTINCT doc_id, i - 1 AS chunk_idx, t.w AS word
+      FROM ex, unnest(w[(i-1)*16+1 : (i-1)*16+16]) AS t(w)
+      WHERE t.w <> ''
+    ), qw AS (
+      SELECT doc_id AS query_doc, term AS word FROM tf WHERE doc_id < 3
+    ), hits AS (
+      SELECT b.query_doc, b.doc_id, b.bm25_rank, c.chunk_idx,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM brank b
+      JOIN cws c ON c.doc_id = b.doc_id
+      JOIN qw q ON q.query_doc = b.query_doc AND q.word = c.word
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT query_doc, doc_id, bm25_rank, chunk_idx AS best_chunk_idx, n_hits
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc, doc_id
+                                       ORDER BY n_hits DESC, chunk_idx ASC)
+                      AS rn
+          FROM hits)
+    WHERE rn <= 1
+    """,
+    doc="Best-passage (snippet) extraction — the presentation half of "
+    "search (Lucene's highlighter / passage-retrieval move): for each "
+    "of the BM25 top-5 documents per query (q198's machinery), find "
+    "the 16-token window (q92's chunk boundary recipe via "
+    "curation.chunk_word_sets) containing the MOST distinct query "
+    "terms; ties break to the earliest window. Every retrieved doc "
+    "has a best window by construction (it matched >= 1 query term, "
+    "and that term sits in some chunk). Exactness: n_hits is an "
+    "exact distinct-word intersection count (the q194 word equi-join "
+    "protocol), selection is integer-ordered. Scale: the candidate "
+    "set (|queries| x 5 docs) broadcasts into the corpus chunk-word "
+    "scan, so snippet cost is one filtered map-side pass + a "
+    "per-(query, doc) WindowGroupLimit over that doc's chunks only.",
+    tags=("text", "retrieval", "window"),
+)
+def q203_best_passage(spark, sf_dir):
+    from .operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    top = text.bm25_search(docs, F.col("doc_id") < 3, k=5, scale=1000).select(
+        "query_doc", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    ws = curation.chunk_word_sets(docs, window=16, stride=16)
+    qw = (
+        docs.where(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.explode(
+                F.split(normalize_text(F.col("text")), " ")
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    hits = (
+        ws.join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(qw), ["query_doc", "word"])
+        .groupBy("query_doc", "doc_id", "bm25_rank", "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return topk.top_k_per_group(
+        hits,
+        1,
+        ["query_doc", "doc_id"],
+        F.col("n_hits").desc(),
+        F.col("chunk_idx").asc(),
+    ).select(
+        "query_doc",
+        "doc_id",
+        "bm25_rank",
+        F.col("chunk_idx").alias("best_chunk_idx"),
+        "n_hits",
+    )

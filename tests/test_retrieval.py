@@ -221,3 +221,61 @@ def test_prf_changes_ranking_on_testdata(spark):
     assert set(p) == set(e)
     for q in p:
         assert sorted(p[q]) != sorted(e[q]), q
+
+
+def test_best_passage_finds_term_cluster_and_breaks_ties_early(spark):
+    """q203's operator logic on a crafted doc: the query terms cluster
+    in the SECOND 4-token window, so it must win; on an exact tie the
+    earliest window wins."""
+    from streaming_recommendation_spark.operators import curation
+    from streaming_recommendation_spark.operators.dedup import normalize_text
+    from streaming_recommendation_spark.operators import topk as _topk
+
+    df = _docs(spark, [
+        (0, "alpha beta"),                                  # query
+        # windows of 4: [f1 f2 f3 f4] [alpha beta f5 f6] [f7 f8 f9 f10]
+        (1, "f1 f2 f3 f4 alpha beta f5 f6 f7 f8 f9 f10"),
+        # tie: alpha in window 0 AND alpha in window 1 -> window 0 wins
+        (2, "alpha g1 g2 g3 alpha g4 g5 g6"),
+    ])
+    top = bm25_search(df, F.col("doc_id") == 0, k=5).select(
+        "query_doc", "doc_id", F.col("rank").alias("bm25_rank")
+    )
+    ws = curation.chunk_word_sets(df, window=4, stride=4)
+    qw = (
+        df.where(F.col("doc_id") == 0)
+        .select(
+            F.col("doc_id").alias("query_doc"),
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    hits = (
+        ws.join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(qw), ["query_doc", "word"])
+        .groupBy("query_doc", "doc_id", "bm25_rank", "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    best = {r.doc_id: r for r in _topk.top_k_per_group(
+        hits, 1, ["query_doc", "doc_id"],
+        F.col("n_hits").desc(), F.col("chunk_idx").asc(),
+    ).collect()}
+    assert best[1].chunk_idx == 1 and best[1].n_hits == 2
+    assert best[2].chunk_idx == 0 and best[2].n_hits == 1  # earliest tie
+
+
+def test_best_passage_covers_every_retrieved_doc(spark):
+    """Every (query, retrieved doc) pair gets exactly one snippet with
+    n_hits >= 1 (a retrieved doc matched >= 1 query term, and that
+    term sits in some window)."""
+    from streaming_recommendation_spark.queries import _REGISTRY
+
+    docs = load_table(spark, "documents", SF_DIR)
+    retrieved = {
+        (r.query_doc, r.doc_id)
+        for r in bm25_search(docs, F.col("doc_id") < 3, k=5).collect()
+    }
+    out = _REGISTRY["q203_best_passage"].fn(spark, SF_DIR).collect()
+    assert {(r.query_doc, r.doc_id) for r in out} == retrieved
+    assert all(r.n_hits >= 1 for r in out)
