@@ -10742,8 +10742,10 @@ def q198_bm25_search(spark, sf_dir):
     "Exactness: both input rankings replay bit-for-bit (q198's "
     "quantize-then-sum; q191's exact-int sqrt+divide), and the "
     "fusion is pure integer arithmetic. Scale: each leg is its own "
-    "bounded top-k (WindowGroupLimit); the fusion joins two "
-    "|queries| x 20 tables — trivially broadcast; the corpus is "
+    "bounded top-k (WindowGroupLimit); the fusion is one small "
+    "(query, doc)-keyed union+max-agg of two |queries| x 20 tables "
+    "(a full-outer join cannot broadcast, so it is rewritten away); "
+    "the corpus is "
     "scanned once per leg and never all-pairs.",
     tags=("text", "retrieval", "similarity", "window"),
 )
@@ -10794,20 +10796,33 @@ def q199_hybrid_rrf_fusion(spark, sf_dir):
         F.col("doc_id").asc(),
         rank_col="emb_rank",
     ).select("query_doc", "doc_id", F.col("emb_rank").cast("int").alias("emb_rank"))
+    # full-outer merge of the two rank lists WITHOUT a join: Spark
+    # cannot broadcast a full-outer join, and a sort-merge is silly for
+    # two (query, doc)-unique lists — union + one (query, doc)-keyed
+    # max-agg is the same relation in a single small shuffle
     fused = (
-        bm.withColumnRenamed("query_doc", "__bq").withColumnRenamed(
-            "doc_id", "__bd"
+        bm.select(
+            "query_doc",
+            "doc_id",
+            "bm25_rank",
+            F.lit(None).cast("int").alias("emb_rank"),
         )
-        .join(
-            er.withColumnRenamed("query_doc", "__eq").withColumnRenamed(
-                "doc_id", "__ed"
-            ),
-            (F.col("__bq") == F.col("__eq")) & (F.col("__bd") == F.col("__ed")),
-            "full_outer",
+        .unionByName(
+            er.select(
+                "query_doc",
+                "doc_id",
+                F.lit(None).cast("int").alias("bm25_rank"),
+                "emb_rank",
+            )
+        )
+        .groupBy("query_doc", "doc_id")
+        .agg(
+            F.max("bm25_rank").alias("bm25_rank"),
+            F.max("emb_rank").alias("emb_rank"),
         )
         .select(
-            F.coalesce("__bq", "__eq").alias("query_doc"),
-            F.coalesce("__bd", "__ed").alias("doc_id"),
+            "query_doc",
+            "doc_id",
             "bm25_rank",
             "emb_rank",
             (
