@@ -275,6 +275,8 @@ HEADLINE = [
     "q202_prf_query_expansion",
     # best-passage snippet extraction over BM25 top-5
     "q203_best_passage",
+    # bm25-vs-prf-vs-hybrid accuracy readout vs Jaccard truth
+    "q204_retrieval_ablation",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

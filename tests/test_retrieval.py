@@ -279,3 +279,26 @@ def test_best_passage_covers_every_retrieved_doc(spark):
     out = _REGISTRY["q203_best_passage"].fn(spark, SF_DIR).collect()
     assert {(r.query_doc, r.doc_id) for r in out} == retrieved
     assert all(r.n_hits >= 1 for r in out)
+
+
+def test_retrieval_ablation_metric_arithmetic(spark):
+    """q204's metrics are internally consistent: 3 retrievers x 3
+    queries, prec5_ppm == n_hits * 200000, MRR positive iff any hit,
+    and the three retrievers are not all identical."""
+    from streaming_recommendation_spark.queries import _REGISTRY
+
+    rows = _REGISTRY["q204_retrieval_ablation"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 9
+    assert {r.retriever for r in rows} == {"bm25", "prf", "hybrid"}
+    for r in rows:
+        assert r.prec5_ppm == r.n_hits * 200000
+        assert 0 <= r.n_hits <= 5
+        assert (r.mrr_ppm > 0) == (r.n_hits > 0)
+        if r.mrr_ppm:
+            assert r.mrr_ppm >= 200000  # first hit within rank 5
+    per = {}
+    for r in rows:
+        per.setdefault(r.retriever, set()).add(
+            (r.query_doc, r.n_hits, r.mrr_ppm)
+        )
+    assert len({frozenset(v) for v in per.values()}) > 1
