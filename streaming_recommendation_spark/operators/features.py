@@ -419,6 +419,18 @@ def chunk_hash_embed(
         F.col(id_col), F.posexplode(chunk_words).alias("chunk_idx", "__cw")
     )
     toks = F.filter(F.col("__cw"), lambda w: w != "")
+    return ex.select(
+        id_col, "chunk_idx", _signed_count_vec(toks, n_features).alias("vec")
+    )
+
+
+def _signed_count_vec(toks, n_features: int):
+    """The slot/sign dense-assembly core both hash-embedding shapes
+    share (chunk_hash_embed, doc_hash_embed): one slot increment of
+    ±1 per token, signs from the hash bit above the slot bits, int64
+    additions — order-free, single-sourced so the exactness contract
+    (and its DuckDB oracle fragment) cannot drift between the chunk-
+    and doc-level legs."""
     entries = F.transform(
         toks,
         lambda w: F.struct(
@@ -432,7 +444,7 @@ def chunk_hash_embed(
             .alias("sgn"),
         ),
     )
-    vec = F.aggregate(
+    return F.aggregate(
         entries,
         F.array_repeat(F.lit(0).cast("long"), n_features),
         lambda acc, e: F.transform(
@@ -441,7 +453,6 @@ def chunk_hash_embed(
             + F.when(i == e["slot"], e["sgn"]).otherwise(F.lit(0).cast("long")),
         ),
     )
-    return ex.select(id_col, "chunk_idx", vec.alias("vec"))
 
 
 def doc_hash_embed(
@@ -464,26 +475,6 @@ def doc_hash_embed(
     toks = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda w: w != ""
     )
-    entries = F.transform(
-        toks,
-        lambda w: F.struct(
-            F.pmod(_word_hash(w), F.lit(n_features)).cast("int").alias("slot"),
-            F.when(
-                F.pmod(F.floor(_word_hash(w) / n_features), F.lit(2)) == 0,
-                F.lit(1),
-            )
-            .otherwise(F.lit(-1))
-            .cast("long")
-            .alias("sgn"),
-        ),
+    return df.select(
+        id_col, _signed_count_vec(toks, n_features).alias("vec")
     )
-    vec = F.aggregate(
-        entries,
-        F.array_repeat(F.lit(0).cast("long"), n_features),
-        lambda acc, e: F.transform(
-            acc,
-            lambda v, i: v
-            + F.when(i == e["slot"], e["sgn"]).otherwise(F.lit(0).cast("long")),
-        ),
-    )
-    return df.select(id_col, vec.alias("vec"))

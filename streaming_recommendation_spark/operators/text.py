@@ -658,7 +658,28 @@ def bm25_rank_from_postings(
             num.alias("__num"),
             den.alias("__den"),
         )
-        .select("query_doc", id_col, F.expr("__num div __den").alias("term_milli"))
+        .select(
+            "query_doc",
+            id_col,
+            # overflow guard: past the documented 22*D*T*tf*scale < 2^63
+            # bound Spark's non-ANSI long multiply would WRAP silently
+            # (possibly negative) while the DuckDB oracle errors — fail
+            # loudly in-plan instead, with the documented escape hatch.
+            # All operands are non-negative counts, so a negative
+            # product is exactly the wrap signature.
+            F.when(
+                F.col("__num") < 0,
+                F.raise_error(
+                    F.lit(
+                        "bm25 milliscore overflow (22*D*T*tf*scale >= "
+                        "2^63): reduce T and D by a common factor "
+                        "and/or lower scale"
+                    )
+                ),
+            )
+            .otherwise(F.expr("__num div __den"))
+            .alias("term_milli"),
+        )
     )
     agg = scored.groupBy("query_doc", id_col).agg(
         F.sum("term_milli").alias("score_milli"),
@@ -721,8 +742,10 @@ def bm25_prf_search(
     q_orig = tf.join(
         F.broadcast(qids), tf[id_col] == qids["query_doc"]
     ).select("query_doc", "term")
+    # round 1 reuses q_orig as the explicit bag — passing qids instead
+    # would rebuild the identical tf-join subtree inside the core
     fb = bm25_rank_from_postings(
-        tf, qids, id_col=id_col, k=k_fb, scale=scale
+        tf, None, id_col=id_col, k=k_fb, scale=scale, query_terms=q_orig
     ).select("query_doc", id_col)
     fb_tf = (
         tf.join(F.broadcast(fb), id_col)
@@ -740,6 +763,124 @@ def bm25_prf_search(
     return bm25_rank_from_postings(
         tf, None, id_col=id_col, k=k, scale=scale, query_terms=q2
     )
+
+
+def best_passage(
+    df: DataFrame,
+    is_query: Column,
+    window: int = 16,
+    k_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Best-passage (snippet) extraction — the presentation half of
+    search (Lucene's highlighter / passage-retrieval move): for each
+    of the BM25 top-``k_docs`` documents per query, the ``window``-
+    token chunk (chunk_documents boundary recipe) containing the MOST
+    distinct query terms; ties break to the earliest window. Every
+    retrieved doc has a best window by construction (it matched >= 1
+    query term, and that term sits in some chunk).
+
+    Returns (query_doc, id, bm25_rank, chunk_idx, n_hits).
+    Exactness: n_hits is an exact distinct-word intersection count
+    (the q194 word equi-join protocol), selection integer-ordered.
+    Scale: the candidate set (|queries| x k_docs) broadcasts into the
+    corpus chunk-word scan — one filtered map-side pass + a
+    per-(query, doc) WindowGroupLimit over that doc's chunks only.
+    """
+    from .curation import chunk_word_sets
+    from .dedup import normalize_text
+    from .topk import top_k_per_group
+
+    top = bm25_search(
+        df, is_query, text_col=text_col, id_col=id_col, k=k_docs, scale=scale
+    ).select("query_doc", id_col, F.col("rank").alias("bm25_rank"))
+    ws = chunk_word_sets(
+        df, window=window, stride=window, text_col=text_col, id_col=id_col
+    )
+    qw = (
+        df.where(is_query)
+        .select(
+            F.col(id_col).alias("query_doc"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    hits = (
+        ws.join(F.broadcast(top), id_col)
+        .join(F.broadcast(qw), ["query_doc", "word"])
+        .groupBy("query_doc", id_col, "bm25_rank", "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return top_k_per_group(
+        hits,
+        1,
+        ["query_doc", id_col],
+        F.col("n_hits").desc(),
+        F.col("chunk_idx").asc(),
+    ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
+
+
+def doc_jaccard_topk(
+    df: DataFrame,
+    is_query: Column,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Doc-level exact word-set-Jaccard top-k per query — the shared
+    ground-truth protocol of the hard-negative miner (q200) and the
+    retrieval ablation (q204), single-sourced so the two truths can
+    never drift (the q194 protocol at document granularity). Returns
+    (query_doc, id). Exactness: intersections/sizes are exact int64
+    counts from a word equi-join; jac is ONE IEEE division; k-list by
+    (jac desc, id asc). Scale: the query side broadcasts into one
+    corpus word scan, and the query-bounded candidate table
+    broadcasts INTO the corpus-wide sizes join (the q194 plan fix) —
+    never a pairwise text comparison."""
+    from .dedup import normalize_text
+    from .topk import top_k_per_group
+
+    ws = (
+        df.select(
+            id_col,
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
+    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
+    qws = ws.join(
+        F.broadcast(qids), ws[id_col] == qids["query_doc"]
+    ).select("query_doc", "word")
+    inter = (
+        ws.join(F.broadcast(qws), "word")
+        .where(F.col(id_col) != F.col("query_doc"))
+        .groupBy("query_doc", id_col)
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    qsizes = sizes.join(
+        F.broadcast(qids), sizes[id_col] == qids["query_doc"]
+    ).select("query_doc", F.col("nw").alias("__qn"))
+    jac = (
+        inter.join(F.broadcast(qsizes), "query_doc")
+        .hint("broadcast")
+        .join(sizes, id_col)
+        .select(
+            "query_doc",
+            id_col,
+            (
+                F.col("it").cast("double")
+                / (F.col("__qn") + F.col("nw") - F.col("it"))
+            ).alias("jac"),
+        )
+    )
+    return top_k_per_group(
+        jac, k, ["query_doc"], F.col("jac").desc(), F.col(id_col).asc()
+    ).select("query_doc", id_col)
 
 
 def bm25_hard_negatives(
@@ -766,52 +907,14 @@ def bm25_hard_negatives(
     broadcasts into single corpus scans; the anti-join sees
     |queries| x k_cand rows.
     """
-    from .dedup import normalize_text
     from .topk import top_k_per_group
 
     bm = bm25_search(
         df, is_query, text_col=text_col, id_col=id_col, k=k_cand, scale=scale
     ).select("query_doc", id_col, F.col("rank").alias("bm25_rank"), "score_milli")
-    ws = (
-        df.select(
-            id_col,
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .distinct()
+    pos = doc_jaccard_topk(
+        df, is_query, k=k_pos, text_col=text_col, id_col=id_col
     )
-    sizes = ws.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
-    qids = df.where(is_query).select(F.col(id_col).alias("query_doc"))
-    qws = ws.join(
-        F.broadcast(qids), ws[id_col] == qids["query_doc"]
-    ).select("query_doc", "word")
-    inter = (
-        ws.join(F.broadcast(qws), "word")
-        .where(F.col(id_col) != F.col("query_doc"))
-        .groupBy("query_doc", id_col)
-        .agg(F.count(F.lit(1)).alias("it"))
-    )
-    qsizes = sizes.join(
-        F.broadcast(qids), sizes[id_col] == qids["query_doc"]
-    ).select("query_doc", F.col("nw").alias("__qn"))
-    jac = (
-        inter.join(F.broadcast(qsizes), "query_doc")
-        # query-bounded candidate table broadcasts INTO the corpus-wide
-        # sizes join (the q194 plan fix)
-        .hint("broadcast")
-        .join(sizes, id_col)
-        .select(
-            "query_doc",
-            id_col,
-            (
-                F.col("it").cast("double")
-                / (F.col("__qn") + F.col("nw") - F.col("it"))
-            ).alias("jac"),
-        )
-    )
-    pos = top_k_per_group(
-        jac, k_pos, ["query_doc"], F.col("jac").desc(), F.col(id_col).asc()
-    ).select("query_doc", id_col)
     negs = bm.join(F.broadcast(pos), ["query_doc", id_col], "left_anti")
     return top_k_per_group(
         negs,

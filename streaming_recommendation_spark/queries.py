@@ -11187,36 +11187,12 @@ def q202_prf_query_expansion(spark, sf_dir):
     tags=("text", "retrieval", "window"),
 )
 def q203_best_passage(spark, sf_dir):
-    from .operators.dedup import normalize_text
-
-    docs = _t(spark, sf_dir, "documents")
-    top = text.bm25_search(docs, F.col("doc_id") < 3, k=5, scale=1000).select(
-        "query_doc", "doc_id", F.col("rank").alias("bm25_rank")
-    )
-    ws = curation.chunk_word_sets(docs, window=16, stride=16)
-    qw = (
-        docs.where(F.col("doc_id") < 3)
-        .select(
-            F.col("doc_id").alias("query_doc"),
-            F.explode(
-                F.split(normalize_text(F.col("text")), " ")
-            ).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .distinct()
-    )
-    hits = (
-        ws.join(F.broadcast(top), "doc_id")
-        .join(F.broadcast(qw), ["query_doc", "word"])
-        .groupBy("query_doc", "doc_id", "bm25_rank", "chunk_idx")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return topk.top_k_per_group(
-        hits,
-        1,
-        ["query_doc", "doc_id"],
-        F.col("n_hits").desc(),
-        F.col("chunk_idx").asc(),
+    return text.best_passage(
+        _t(spark, sf_dir, "documents"),
+        F.col("doc_id") < 3,
+        window=16,
+        k_docs=5,
+        scale=1000,
     ).select(
         "query_doc",
         "doc_id",
@@ -11463,8 +11439,6 @@ def q203_best_passage(spark, sf_dir):
     tags=("text", "retrieval", "eval"),
 )
 def q204_retrieval_ablation(spark, sf_dir):
-    from .operators.dedup import normalize_text
-
     docs = _t(spark, sf_dir, "documents")
     is_q = F.col("doc_id") < 3
     bm = text.bm25_search(docs, is_q, k=5, scale=1000).select(
@@ -11482,50 +11456,7 @@ def q204_retrieval_ablation(spark, sf_dir):
     )
     lists = bm.unionByName(prf).unionByName(hybrid)
 
-    ws = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                F.split(normalize_text(F.col("text")), " ")
-            ).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .distinct()
-    )
-    sizes = ws.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
-    qws = ws.where(F.col("doc_id") < 3).select(
-        F.col("doc_id").alias("query_doc"), "word"
-    )
-    inter = (
-        ws.join(F.broadcast(qws), "word")
-        .where(F.col("doc_id") != F.col("query_doc"))
-        .groupBy("query_doc", "doc_id")
-        .agg(F.count(F.lit(1)).alias("it"))
-    )
-    jac = (
-        inter.join(
-            F.broadcast(
-                sizes.where(F.col("doc_id") < 3).select(
-                    F.col("doc_id").alias("query_doc"),
-                    F.col("nw").alias("__qn"),
-                )
-            ),
-            "query_doc",
-        )
-        .hint("broadcast")
-        .join(sizes, "doc_id")
-        .select(
-            "query_doc",
-            "doc_id",
-            (
-                F.col("it").cast("double")
-                / (F.col("__qn") + F.col("nw") - F.col("it"))
-            ).alias("jac"),
-        )
-    )
-    truth = topk.top_k_per_group(
-        jac, 5, ["query_doc"], F.col("jac").desc(), F.col("doc_id").asc()
-    ).select("query_doc", "doc_id")
+    truth = text.doc_jaccard_topk(docs, is_q, k=5)
 
     m = (
         lists.join(F.broadcast(truth), ["query_doc", "doc_id"], "left_semi")

@@ -40,7 +40,13 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import normalize_text
 
-_POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, batch_id bigint"
+def _postings_schema(id_col: str = "doc_id") -> str:
+    # document ids are bigint throughout the engine; the column NAME
+    # follows whatever id_col the write half was given
+    return f"{id_col} bigint, term string, tf bigint, batch_id bigint"
+
+
+_POSTINGS_SCHEMA = _postings_schema()
 
 
 def postings_batch(
@@ -112,9 +118,14 @@ def postings_ingest_pipeline(
     return writer.start()
 
 
-def read_postings(spark: SparkSession, postings_dir: str) -> DataFrame:
-    """The accumulated postings table (all batches so far)."""
-    return spark.read.schema(_POSTINGS_SCHEMA).parquet(postings_dir)
+def read_postings(
+    spark: SparkSession, postings_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The accumulated postings table (all batches so far). Pass the
+    same ``id_col`` the ingest was given — the read schema is built
+    from it (a mismatched name would resolve to all-NULL ids under
+    parquet name-based resolution, silently emptying every search)."""
+    return spark.read.schema(_postings_schema(id_col)).parquet(postings_dir)
 
 
 def bm25_query(
@@ -128,8 +139,11 @@ def bm25_query(
     """BM25 top-k over the PERSISTED index as of now — raw text never
     rescanned; all corpus statistics derive from the stored postings
     (text.bm25_rank_from_postings). ``qids`` is a 1-column
-    (query_doc) frame naming the query documents."""
+    (query_doc) frame naming the query documents; ``id_col`` must
+    match the ingest's."""
     from ..operators.text import bm25_rank_from_postings
 
-    tf = read_postings(spark, postings_dir).select(id_col, "term", "tf")
+    tf = read_postings(spark, postings_dir, id_col).select(
+        id_col, "term", "tf"
+    )
     return bm25_rank_from_postings(tf, qids, id_col=id_col, k=k, scale=scale)

@@ -224,12 +224,10 @@ def test_prf_changes_ranking_on_testdata(spark):
 
 
 def test_best_passage_finds_term_cluster_and_breaks_ties_early(spark):
-    """q203's operator logic on a crafted doc: the query terms cluster
-    in the SECOND 4-token window, so it must win; on an exact tie the
-    earliest window wins."""
-    from streaming_recommendation_spark.operators import curation
-    from streaming_recommendation_spark.operators.dedup import normalize_text
-    from streaming_recommendation_spark.operators import topk as _topk
+    """The SHIPPED q203 operator on a crafted doc: the query terms
+    cluster in the SECOND 4-token window, so it must win; on an exact
+    tie the earliest window wins."""
+    from streaming_recommendation_spark.operators.text import best_passage
 
     df = _docs(spark, [
         (0, "alpha beta"),                                  # query
@@ -238,28 +236,8 @@ def test_best_passage_finds_term_cluster_and_breaks_ties_early(spark):
         # tie: alpha in window 0 AND alpha in window 1 -> window 0 wins
         (2, "alpha g1 g2 g3 alpha g4 g5 g6"),
     ])
-    top = bm25_search(df, F.col("doc_id") == 0, k=5).select(
-        "query_doc", "doc_id", F.col("rank").alias("bm25_rank")
-    )
-    ws = curation.chunk_word_sets(df, window=4, stride=4)
-    qw = (
-        df.where(F.col("doc_id") == 0)
-        .select(
-            F.col("doc_id").alias("query_doc"),
-            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .distinct()
-    )
-    hits = (
-        ws.join(F.broadcast(top), "doc_id")
-        .join(F.broadcast(qw), ["query_doc", "word"])
-        .groupBy("query_doc", "doc_id", "bm25_rank", "chunk_idx")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    best = {r.doc_id: r for r in _topk.top_k_per_group(
-        hits, 1, ["query_doc", "doc_id"],
-        F.col("n_hits").desc(), F.col("chunk_idx").asc(),
+    best = {r.doc_id: r for r in best_passage(
+        df, F.col("doc_id") == 0, window=4, k_docs=5
     ).collect()}
     assert best[1].chunk_idx == 1 and best[1].n_hits == 2
     assert best[2].chunk_idx == 0 and best[2].n_hits == 1  # earliest tie
