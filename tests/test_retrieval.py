@@ -4,6 +4,7 @@ planted-scenario semantics, and plan pins."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streaming_recommendation_spark.operators.features import (
@@ -280,3 +281,50 @@ def test_retrieval_ablation_metric_arithmetic(spark):
             (r.query_doc, r.n_hits, r.mrr_ppm)
         )
     assert len({frozenset(v) for v in per.values()}) > 1
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_bm25_search_matches_python_reference_on_random_corpus(spark, seed):
+    """Exactness across random corpora: the engine's milliscore sums
+    and ranking equal an independent pure-Python recomputation of the
+    same integer formula, word for word."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 20))))
+        for i in range(15)
+    ]
+    df = _docs(spark, docs)
+    got = {
+        (r.query_doc, r.doc_id): (r.score_milli, r.n_terms_matched, r.rank)
+        for r in bm25_search(df, F.col("doc_id") < 2, k=50).collect()
+    }
+
+    # independent reference
+    tf, dl = {}, {}
+    for i, text in docs:
+        for w in text.split():
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+            dl[i] = dl.get(i, 0) + 1
+    dfreq = {}
+    for (_, w) in tf:
+        dfreq[w] = dfreq.get(w, 0) + 1
+    D, T = len(dl), sum(dl.values())
+    want = {}
+    for q in (0, 1):
+        qterms = {w for (i, w) in tf if i == q}
+        scores = {}
+        for (i, w), t in tf.items():
+            if i == q or w not in qterms:
+                continue
+            milli = (22 * D * T * t * 1000) // (
+                dfreq[w] * (10 * T * t + 3 * T + 9 * dl[i] * D)
+            )
+            s, n = scores.get(i, (0, 0))
+            scores[i] = (s + milli, n + 1)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        for rank, (i, (s, n)) in enumerate(ranked, 1):
+            want[(q, i)] = (s, n, rank)
+    assert got == want, seed
