@@ -277,6 +277,8 @@ HEADLINE = [
     "q203_best_passage",
     # bm25-vs-prf-vs-hybrid accuracy readout vs Jaccard truth
     "q204_retrieval_ablation",
+    # per-source curation funnel (first-failing-gate attrition)
+    "q205_curation_funnel_report",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -307,6 +309,7 @@ ITERATIVE = {
     "q183_tokenize_pack_pipeline",  # BPE merge rounds run at construction
     "q185_cross_snapshot_dedup",  # index write runs at construction
     "q186_curation_pipeline",  # CC star rounds run at construction
+    "q205_curation_funnel_report",  # q186's CC rounds run at construction
     "q188_pq_codes",  # per-subspace Lloyd training runs at construction
     "q189_pq_adc_knn",  # per-subspace Lloyd training runs at construction
     "q190_ivfpq_adc_knn",  # coarse collect + residual Lloyd at construction

@@ -11487,3 +11487,60 @@ def q204_retrieval_ablation(spark, sf_dir):
             F.expr("1000000 div first_hit"), F.lit(0).cast("long")
         ).alias("mrr_ppm"),
     )
+
+
+_Q205_ORACLE = (
+    "WITH base AS (\n"
+    + _REGISTRY["q186_curation_pipeline"].oracle
+    + """
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(1 - is_canonical) AS BIGINT) AS n_non_canonical,
+       CAST(sum(CASE WHEN is_canonical = 1 AND quality_kept = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+       CAST(sum(CASE WHEN is_canonical = 1 AND quality_kept = 1
+                      AND contaminated = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN quota_rank > 15 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_over_quota,
+       CAST(sum(selected) AS BIGINT) AS n_selected
+FROM base GROUP BY source
+"""
+)
+
+
+@register(
+    "q205_curation_funnel_report",
+    _Q205_ORACLE,
+    doc="Per-source curation funnel report — the pipeline-"
+    "observability readout every production curation stack emits "
+    "(how much each SOURCE loses at each gate, the number a data "
+    "buyer actually reads): q186's per-doc manifest aggregated by "
+    "source with attrition attributed to the FIRST failing gate "
+    "(non-canonical -> quality-dropped -> contaminated -> "
+    "over-quota -> selected), so the five buckets PARTITION each "
+    "source exactly (n_docs == their sum — pinned in tests). Built "
+    "entirely on q186's proven machinery (its oracle is reused "
+    "verbatim as the base CTE — the two can never drift); the "
+    "aggregate adds one |sources|-group groupBy on top. Scale: "
+    "q186's shape + one tiny shuffle.",
+    tags=("curation", "agg", "eval"),
+)
+def q205_curation_funnel_report(spark, sf_dir):
+    base = q186_curation_pipeline(spark, sf_dir)
+    can = F.col("is_canonical") == 1
+    qual = F.col("quality_kept") == 1
+    dec = F.col("contaminated") == 1
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(1 - F.col("is_canonical")).alias("n_non_canonical"),
+        F.sum(F.when(can & ~qual, 1).otherwise(0)).alias("n_quality_dropped"),
+        F.sum(F.when(can & qual & dec, 1).otherwise(0)).alias(
+            "n_contaminated"
+        ),
+        F.sum(F.when(F.col("quota_rank") > 15, 1).otherwise(0)).alias(
+            "n_over_quota"
+        ),
+        F.sum("selected").alias("n_selected"),
+    )

@@ -490,3 +490,28 @@ def test_cdc_passage_dedup_segments_conserve_tokens(spark):
     joined = out.join(wc, "doc_id")
     assert joined.where(F.col("n_tokens_total") != F.col("__n")).count() == 0
     assert out.agg(F.sum("n_dup_passages")).collect()[0][0] > 0
+
+
+def test_curation_funnel_buckets_partition_each_source(spark):
+    """q205: attrition is attributed to the FIRST failing gate, so
+    the five buckets partition each source's docs exactly and the
+    corpus totals match q186's manifest."""
+    from streaming_recommendation_spark.queries import _REGISTRY
+
+    from .conftest import SF_DIR_ORACLE
+
+    rows = (
+        _REGISTRY["q205_curation_funnel_report"]
+        .fn(spark, SF_DIR_ORACLE)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert (
+            r.n_non_canonical + r.n_quality_dropped + r.n_contaminated
+            + r.n_over_quota + r.n_selected
+            == r.n_docs
+        ), r.source
+    base = _REGISTRY["q186_curation_pipeline"].fn(spark, SF_DIR_ORACLE).collect()
+    assert sum(r.n_docs for r in rows) == len(base)
+    assert sum(r.n_selected for r in rows) == sum(b.selected for b in base)
