@@ -279,6 +279,8 @@ HEADLINE = [
     "q204_retrieval_ablation",
     # per-source curation funnel (first-failing-gate attrition)
     "q205_curation_funnel_report",
+    # snapshot distribution-drift monitor (log-free chi-square ppm)
+    "q206_snapshot_drift_report",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -203,3 +203,104 @@ def snapshot_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    nbins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Distribution-drift report between two snapshots of a numeric
+    column — the production data monitor run before a model retrain
+    (the PSI dashboard slot). The reference snapshot fixes the
+    binning (equi-width over ITS min/max, in integer cents so the
+    grid is exact; out-of-range current values clamp to the edge
+    bins, the standard convention), and each bin contributes one
+    term of the discrete chi-square distance
+
+        D = sum_i (p_i - q_i)^2 / (p_i + q_i),
+        p_i = c_ref_i / n_ref,  q_i = c_cur_i / n_cur
+
+    which algebraically clears to the all-integer form
+
+        term = (c_ref*n_cur - c_cur*n_ref)^2
+               / (n_ref*n_cur*(c_ref*n_cur + c_cur*n_ref)).
+
+    Chi-square distance instead of PSI because PSI's log term would
+    hang the cross-engine twin on libm ULPs (the same reason the
+    tf-idf/BM25 leg uses linear idf); D is bounded in [0, 2], 0 iff
+    identical, and moves monotonically with the same shifts a PSI
+    alarm watches. Each term is quantized to int64 units of
+    1/``scale`` with ONE truncating division of two decimal(38,0)
+    products (operands cast to decimal(38,0) DIRECTLY — the q176
+    convention), so the total drift is an exact int64 SUM of the
+    returned terms: order-free, bit-identical on any engine. Empty
+    bins on both sides contribute exactly 0 (guarded — the division
+    never sees a zero denominator).
+
+    Returns one row per bin: (bin, c_ref, c_cur, drift_term).
+    Scale shape: two map-side binning scans + two nbins-row
+    aggregates joined on a literal grid — no shuffle touches more
+    than nbins rows after the per-bin counts.
+    """
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    lohi = ref.agg(
+        F.min(cents).alias("__lo"), F.max(cents).alias("__hi")
+    )
+
+    def binned(df):
+        b = F.least(
+            F.lit(nbins - 1),
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    f"((__c - __lo) * {nbins}) div (__hi - __lo + 1)"
+                ).cast("int"),
+            ),
+        )
+        return (
+            df.select(cents.alias("__c"))
+            .where(F.col("__c").isNotNull())
+            .crossJoin(F.broadcast(lohi))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rc = binned(ref).withColumnRenamed("c", "c_ref")
+    cc = binned(cur).withColumnRenamed("c", "c_cur")
+    spark = ref.sparkSession
+    grid = spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    totals = rc.agg(F.sum("c_ref").alias("n_ref")).crossJoin(
+        cc.agg(F.sum("c_cur").alias("n_cur"))
+    )
+    joined = (
+        grid.join(F.broadcast(rc), "bin", "left")
+        .join(F.broadcast(cc), "bin", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            F.coalesce("c_ref", F.lit(0).cast("long")).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0).cast("long")).alias("c_cur"),
+            "n_ref",
+            "n_cur",
+        )
+    )
+    num = (
+        "CAST((c_ref * n_cur - c_cur * n_ref) AS DECIMAL(38,0))"
+        f" * (c_ref * n_cur - c_cur * n_ref) * {scale}"
+    )
+    den = (
+        "CAST(n_ref AS DECIMAL(38,0)) * n_cur"
+        " * (c_ref * n_cur + c_cur * n_ref)"
+    )
+    return joined.select(
+        "bin",
+        "c_ref",
+        "c_cur",
+        F.expr(
+            f"CASE WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(({num}) div ({den}) AS BIGINT) END"
+        ).alias("drift_term"),
+    )

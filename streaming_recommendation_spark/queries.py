@@ -11544,3 +11544,85 @@ def q205_curation_funnel_report(spark, sf_dir):
         ),
         F.sum("selected").alias("n_selected"),
     )
+
+
+@register(
+    "q206_snapshot_drift_report",
+    """
+    WITH ref AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        AND o_totalprice IS NOT NULL
+    ), cur AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_totalprice IS NOT NULL
+    ), lh AS (
+      SELECT min(c) AS lo, max(c) AS hi FROM ref
+    ), rb AS (
+      SELECT least(9, greatest(0,
+               CAST(((c - lo) * 10) // (hi - lo + 1) AS INT))) AS bin,
+             CAST(count(*) AS BIGINT) AS c_ref
+      FROM ref, lh GROUP BY 1
+    ), cb AS (
+      SELECT least(9, greatest(0,
+               CAST(((c - lo) * 10) // (hi - lo + 1) AS INT))) AS bin,
+             CAST(count(*) AS BIGINT) AS c_cur
+      FROM cur, lh GROUP BY 1
+    ), g AS (
+      SELECT CAST(unnest(range(0, 10)) AS INT) AS bin
+    ), t AS (
+      SELECT (SELECT CAST(sum(c_ref) AS BIGINT) FROM rb) AS n_ref,
+             (SELECT CAST(sum(c_cur) AS BIGINT) FROM cb) AS n_cur
+    )
+    SELECT g.bin,
+           CAST(coalesce(rb.c_ref, 0) AS BIGINT) AS c_ref,
+           CAST(coalesce(cb.c_cur, 0) AS BIGINT) AS c_cur,
+           CASE WHEN coalesce(rb.c_ref, 0) + coalesce(cb.c_cur, 0) = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(
+                  (CAST(coalesce(rb.c_ref, 0) * t.n_cur
+                        - coalesce(cb.c_cur, 0) * t.n_ref AS HUGEINT)
+                   * (coalesce(rb.c_ref, 0) * t.n_cur
+                      - coalesce(cb.c_cur, 0) * t.n_ref)
+                   * 1000000)
+                  // (CAST(t.n_ref AS HUGEINT) * t.n_cur
+                      * (coalesce(rb.c_ref, 0) * t.n_cur
+                         + coalesce(cb.c_cur, 0) * t.n_ref))
+                  AS BIGINT) END AS drift_term
+    FROM g LEFT JOIN rb ON rb.bin = g.bin
+           LEFT JOIN cb ON cb.bin = g.bin
+           CROSS JOIN t
+    """,
+    doc="Snapshot distribution-drift report (operators/quality.py::"
+    "drift_report — the PSI-dashboard slot a production pipeline "
+    "checks before retraining): order totals before vs from 1997 "
+    "binned on the REFERENCE snapshot's equi-width 10-bin cent grid "
+    "(out-of-range current values clamp to edge bins), each bin "
+    "contributing one term of the discrete chi-square distance "
+    "sum (p-q)^2/(p+q) in its all-integer cleared form "
+    "(c_ref*n_cur - c_cur*n_ref)^2 div (n_ref*n_cur*(c_ref*n_cur + "
+    "c_cur*n_ref)). Chi-square distance, NOT PSI, because PSI's log "
+    "would hang the cross-engine twin on libm ULPs (the q68/q147 "
+    "linear-idf move); D is 0 iff identical, bounded by 2, moves "
+    "with the same shifts a PSI alarm watches. Terms quantized to "
+    "int64 ppm with ONE truncating decimal(38,0) division "
+    "(operands cast directly — the q176 convention), so total drift "
+    "is an exact int64 SUM. Scale: two map-side binning scans + "
+    "nbins-row joins on a literal grid.",
+    tags=("quality", "agg", "eval"),
+)
+def q206_snapshot_drift_report(spark, sf_dir):
+    from .operators.quality import drift_report
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cut = F.lit("1997-01-01").cast("timestamp")
+    return drift_report(
+        o.where(F.col("o_orderdate") < cut),
+        o.where(F.col("o_orderdate") >= cut),
+        "o_totalprice",
+        nbins=10,
+        scale=1_000_000,
+    )

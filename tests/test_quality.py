@@ -112,3 +112,68 @@ def test_snapshot_audit_all_three_check_families(spark):
     fk = out[("fk_orphans", "visits.uid->users.uid")]
     assert (fk.n_rows, fk.bad_rows) == (4, 1)
     assert fk.metric == 2 / 3  # uids 1,2 referenced of 3 parents
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(v),) for v in xs], "v double")
+
+
+def test_drift_report_zero_for_identical_distributions(spark):
+    from streaming_recommendation_spark.operators.quality import drift_report
+
+    ref = _vals(spark, [i / 10 for i in range(100)])
+    out = drift_report(ref, ref, "v", nbins=10).collect()
+    assert len(out) == 10
+    assert all(r.drift_term == 0 for r in out)
+    assert all(r.c_ref == r.c_cur for r in out)
+
+
+def test_drift_report_matches_python_reference_on_planted_shift(spark):
+    """All current mass moved into the top reference bin: every term
+    equals the integer formula recomputed in pure Python, and the
+    summed distance is large."""
+    from streaming_recommendation_spark.operators.quality import drift_report
+
+    ref_xs = [i / 10 for i in range(100)]        # uniform over 10 bins
+    cur_xs = [9.9] * 50                          # all in the last bin
+    out = {r.bin: r for r in drift_report(
+        _vals(spark, ref_xs), _vals(spark, cur_xs), "v", nbins=10
+    ).collect()}
+
+    # python reference: cents grid fixed by ref min/max
+    cents_r = [int(v * 100) for v in ref_xs]
+    cents_c = [int(v * 100) for v in cur_xs]
+    lo, hi = min(cents_r), max(cents_r)
+
+    def b(c):
+        return min(9, max(0, ((c - lo) * 10) // (hi - lo + 1)))
+
+    cr = [0] * 10
+    for c in cents_r:
+        cr[b(c)] += 1
+    cc = [0] * 10
+    for c in cents_c:
+        cc[b(c)] += 1
+    n_r, n_c = sum(cr), sum(cc)
+    for i in range(10):
+        if cr[i] + cc[i] == 0:
+            want = 0
+        else:
+            d = cr[i] * n_c - cc[i] * n_r
+            want = (d * d * 1_000_000) // (
+                n_r * n_c * (cr[i] * n_c + cc[i] * n_r)
+            )
+        assert out[i].drift_term == want, i
+        assert (out[i].c_ref, out[i].c_cur) == (cr[i], cc[i]), i
+    total = sum(r.drift_term for r in out.values())
+    assert total > 1_000_000  # a gross shift reads as major drift
+
+
+def test_drift_report_clamps_out_of_range_current_values(spark):
+    from streaming_recommendation_spark.operators.quality import drift_report
+
+    ref = _vals(spark, [1.0, 2.0, 3.0, 4.0])
+    cur = _vals(spark, [-50.0, 999.0])
+    out = {r.bin: r for r in drift_report(ref, cur, "v", nbins=4).collect()}
+    assert out[0].c_cur == 1 and out[3].c_cur == 1
+    assert sum(r.c_cur for r in out.values()) == 2
