@@ -281,6 +281,8 @@ HEADLINE = [
     "q205_curation_funnel_report",
     # snapshot distribution-drift monitor (log-free chi-square ppm)
     "q206_snapshot_drift_report",
+    # streaming drift twin (merged per-batch counts == one-shot)
+    "q207_streaming_drift_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

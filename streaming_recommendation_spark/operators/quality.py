@@ -245,32 +245,65 @@ def drift_report(
     aggregates joined on a literal grid — no shuffle touches more
     than nbins rows after the per-bin counts.
     """
+    lohi = ref_grid(ref, value_col)
+    rc = bin_counts(ref, value_col, lohi, nbins).withColumnRenamed(
+        "c", "c_ref"
+    )
+    cc = bin_counts(cur, value_col, lohi, nbins).withColumnRenamed(
+        "c", "c_cur"
+    )
+    return drift_from_counts(rc, cc, ref.sparkSession, nbins, scale)
+
+
+def ref_grid(ref: DataFrame, value_col: str) -> DataFrame:
+    """The reference snapshot's 1-row (lo, hi) cent grid — computed
+    ONCE and frozen; the streaming monitor (streaming/drift.py) bins
+    every arrival batch against it (re-deriving the grid per batch
+    would make bins incomparable across time)."""
     cents = F.floor(F.col(value_col) * 100).cast("long")
-    lohi = ref.agg(
-        F.min(cents).alias("__lo"), F.max(cents).alias("__hi")
+    return ref.agg(F.min(cents).alias("__lo"), F.max(cents).alias("__hi"))
+
+
+def bin_counts(
+    df: DataFrame,
+    value_col: str,
+    lohi: DataFrame,
+    nbins: int = 10,
+) -> DataFrame:
+    """(bin, c) counts of ``df`` on the frozen grid — the MERGEABLE
+    unit of the drift monitor: counts are int64 sums, so per-batch
+    count frames union+sum to exactly the one-shot counts (the
+    q132/q133 mergeable-state property, which is what makes the
+    streaming twin exact)."""
+    cents = F.floor(F.col(value_col) * 100).cast("long")
+    b = F.least(
+        F.lit(nbins - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(
+                f"((__c - __lo) * {nbins}) div (__hi - __lo + 1)"
+            ).cast("int"),
+        ),
+    )
+    return (
+        df.select(cents.alias("__c"))
+        .where(F.col("__c").isNotNull())
+        .crossJoin(F.broadcast(lohi))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
 
-    def binned(df):
-        b = F.least(
-            F.lit(nbins - 1),
-            F.greatest(
-                F.lit(0),
-                F.expr(
-                    f"((__c - __lo) * {nbins}) div (__hi - __lo + 1)"
-                ).cast("int"),
-            ),
-        )
-        return (
-            df.select(cents.alias("__c"))
-            .where(F.col("__c").isNotNull())
-            .crossJoin(F.broadcast(lohi))
-            .groupBy(b.alias("bin"))
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
 
-    rc = binned(ref).withColumnRenamed("c", "c_ref")
-    cc = binned(cur).withColumnRenamed("c", "c_cur")
-    spark = ref.sparkSession
+def drift_from_counts(
+    rc: DataFrame,
+    cc: DataFrame,
+    spark,
+    nbins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The drift arithmetic over pre-binned (bin, c_ref)/(bin, c_cur)
+    frames — shared by the batch report and the streaming monitor's
+    read path (which feeds it MERGED per-batch counts)."""
     grid = spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
     totals = rc.agg(F.sum("c_ref").alias("n_ref")).crossJoin(
         cc.agg(F.sum("c_cur").alias("n_cur"))

@@ -11626,3 +11626,43 @@ def q206_snapshot_drift_report(spark, sf_dir):
         nbins=10,
         scale=1_000_000,
     )
+
+
+@register(
+    "q207_streaming_drift_twin",
+    _REGISTRY["q206_snapshot_drift_report"].oracle,
+    doc="Batch-equivalence twin of the STREAMING drift monitor "
+    "(streaming/drift.py): the current snapshot's orders arrive in "
+    "two batches (split by o_orderkey parity — any split works), "
+    "each batch is binned AT ARRIVAL against the frozen reference "
+    "grid, and the merged per-batch counts feed the shared integer "
+    "chi-square arithmetic — which must equal q206's one-shot "
+    "report VERBATIM (same oracle), because bin counts are "
+    "mergeable int64 sums (the q132/q133 property). The real "
+    "foreachBatch carry, retry idempotence, and report-from-store "
+    "equality are pinned in tests/test_streaming_drift.py. Scale: "
+    "per-batch cost is one map-side binning + an nbins-row append; "
+    "the drift read touches nbins x |batches| rows.",
+    tags=("streaming", "quality", "eval"),
+)
+def q207_streaming_drift_twin(spark, sf_dir):
+    from .operators.quality import bin_counts, drift_from_counts, ref_grid
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    cut = F.lit("1997-01-01").cast("timestamp")
+    ref = o.where(F.col("o_orderdate") < cut)
+    cur = o.where(F.col("o_orderdate") >= cut)
+    lohi = ref_grid(ref, "o_totalprice")
+    b0 = bin_counts(
+        cur.where(F.col("o_orderkey") % 2 == 0), "o_totalprice", lohi, 10
+    )
+    b1 = bin_counts(
+        cur.where(F.col("o_orderkey") % 2 == 1), "o_totalprice", lohi, 10
+    )
+    merged = b0.unionByName(b1).groupBy("bin").agg(F.sum("c").alias("c"))
+    rc = bin_counts(ref, "o_totalprice", lohi, 10).withColumnRenamed(
+        "c", "c_ref"
+    )
+    return drift_from_counts(
+        rc, merged.withColumnRenamed("c", "c_cur"), spark, 10, 1_000_000
+    )
