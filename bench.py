@@ -283,6 +283,8 @@ HEADLINE = [
     "q206_snapshot_drift_report",
     # streaming drift twin (merged per-batch counts == one-shot)
     "q207_streaming_drift_twin",
+    # categorical drift (event-type mix, exact appear/disappear terms)
+    "q208_categorical_drift",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -337,3 +337,69 @@ def drift_from_counts(
             f"ELSE CAST(({num}) div ({den}) AS BIGINT) END"
         ).alias("drift_term"),
     )
+
+
+def categorical_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    cat_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Categorical counterpart of :func:`drift_report` — the other
+    half of a production drift dashboard (numeric columns bin on a
+    grid; categorical columns ARE their own bins). Per category
+    present in EITHER snapshot, one term of the same all-integer
+    discrete chi-square distance; a category that appears or
+    disappears contributes its full one-sided mass (the alarm case
+    — with PSI that term would be log(0)-undefined and need an
+    epsilon fudge; here it is exact). NULLs are dropped on both
+    sides: the null-RATE audit is snapshot_audit's job, and mixing
+    the two would conflate missingness drift with value drift.
+
+    Returns (category, c_ref, c_cur, drift_term) with the same int64
+    ppm quantization as drift_report, so total drift is an exact
+    order-free sum. Scale: two map-side count aggregates merged by
+    one |categories|-keyed union+sum (no join — the q199 full-outer
+    rewrite), then the nbins... |categories|-row arithmetic.
+    """
+    lit0 = F.lit(0).cast("long")
+    rc = (
+        ref.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("c_ref"))
+        .select("category", "c_ref", lit0.alias("c_cur"))
+    )
+    cc = (
+        cur.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("c_cur"))
+        .select("category", lit0.alias("c_ref"), "c_cur")
+    )
+    merged = (
+        rc.unionByName(cc)
+        .groupBy("category")
+        .agg(F.sum("c_ref").alias("c_ref"), F.sum("c_cur").alias("c_cur"))
+    )
+    totals = merged.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    num = (
+        "CAST((c_ref * n_cur - c_cur * n_ref) AS DECIMAL(38,0))"
+        f" * (c_ref * n_cur - c_cur * n_ref) * {scale}"
+    )
+    den = (
+        "CAST(n_ref AS DECIMAL(38,0)) * n_cur"
+        " * (c_ref * n_cur + c_cur * n_ref)"
+    )
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "c_ref",
+            "c_cur",
+            F.expr(
+                f"CASE WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST(({num}) div ({den}) AS BIGINT) END"
+            ).alias("drift_term"),
+        )
+    )

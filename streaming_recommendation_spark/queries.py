@@ -11666,3 +11666,68 @@ def q207_streaming_drift_twin(spark, sf_dir):
     return drift_from_counts(
         rc, merged.withColumnRenamed("c", "c_cur"), spark, 10, 1_000_000
     )
+
+
+@register(
+    "q208_categorical_drift",
+    """
+    WITH ref AS (
+      SELECT event_type AS category FROM events
+      WHERE ts < TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+    ), cur AS (
+      SELECT event_type AS category FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' AND event_type IS NOT NULL
+    ), rc AS (
+      SELECT category, CAST(count(*) AS BIGINT) AS c_ref,
+             CAST(0 AS BIGINT) AS c_cur
+      FROM ref GROUP BY category
+    ), cc AS (
+      SELECT category, CAST(0 AS BIGINT) AS c_ref,
+             CAST(count(*) AS BIGINT) AS c_cur
+      FROM cur GROUP BY category
+    ), merged AS (
+      SELECT category, CAST(sum(c_ref) AS BIGINT) AS c_ref,
+             CAST(sum(c_cur) AS BIGINT) AS c_cur
+      FROM (SELECT * FROM rc UNION ALL SELECT * FROM cc)
+      GROUP BY category
+    ), t AS (
+      SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM merged
+    )
+    SELECT m.category, m.c_ref, m.c_cur,
+           CASE WHEN m.c_ref + m.c_cur = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(
+                  (CAST(m.c_ref * t.n_cur - m.c_cur * t.n_ref AS HUGEINT)
+                   * (m.c_ref * t.n_cur - m.c_cur * t.n_ref) * 1000000)
+                  // (CAST(t.n_ref AS HUGEINT) * t.n_cur
+                      * (m.c_ref * t.n_cur + m.c_cur * t.n_ref))
+                  AS BIGINT) END AS drift_term
+    FROM merged m CROSS JOIN t
+    """,
+    doc="Categorical distribution-drift report (operators/quality.py"
+    "::categorical_drift — the other half of the q206 drift "
+    "dashboard: categorical columns ARE their own bins): event_type "
+    "mix in the first vs second half of the events window, one "
+    "all-integer chi-square-distance term per category present in "
+    "EITHER snapshot. An appearing/disappearing category "
+    "contributes its full one-sided mass exactly — the alarm case "
+    "PSI needs an epsilon fudge for (log(0)) and this form does "
+    "not. Same int64 ppm quantization as q206, so total drift is "
+    "an exact order-free sum; NULLs excluded on both sides "
+    "(missingness drift is snapshot_audit's job). Scale: two "
+    "map-side count aggregates merged by one |categories|-keyed "
+    "union+sum (no join — the q199 full-outer rewrite).",
+    tags=("quality", "agg", "eval"),
+)
+def q208_categorical_drift(spark, sf_dir):
+    from .operators.quality import categorical_drift
+
+    e = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return categorical_drift(
+        e.where(F.col("ts") < cut),
+        e.where(F.col("ts") >= cut),
+        "event_type",
+        scale=1_000_000,
+    )

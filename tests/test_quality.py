@@ -177,3 +177,48 @@ def test_drift_report_clamps_out_of_range_current_values(spark):
     out = {r.bin: r for r in drift_report(ref, cur, "v", nbins=4).collect()}
     assert out[0].c_cur == 1 and out[3].c_cur == 1
     assert sum(r.c_cur for r in out.values()) == 2
+
+
+def _cats(spark, xs):
+    return spark.createDataFrame([(x,) for x in xs], "k string")
+
+
+def test_categorical_drift_appearing_category_is_exact(spark):
+    """A category present only in the current snapshot contributes
+    its full one-sided mass (the PSI log(0) alarm case, exact here),
+    and identical mixes read zero."""
+    from streaming_recommendation_spark.operators.quality import (
+        categorical_drift,
+    )
+
+    ref = _cats(spark, ["a"] * 60 + ["b"] * 40)
+    cur = _cats(spark, ["a"] * 30 + ["b"] * 20 + ["NEW"] * 50)
+    out = {r.category: r for r in
+           categorical_drift(ref, cur, "k").collect()}
+    assert set(out) == {"a", "b", "NEW"}
+    n_r, n_c = 100, 100
+
+    def term(cr, cc):
+        d = cr * n_c - cc * n_r
+        return (d * d * 1_000_000) // (n_r * n_c * (cr * n_c + cc * n_r))
+
+    assert out["NEW"].drift_term == term(0, 50)
+    assert out["a"].drift_term == term(60, 30)
+    assert out["b"].drift_term == term(40, 20)
+    same = {r.category: r.drift_term for r in
+            categorical_drift(ref, ref, "k").collect()}
+    assert all(v == 0 for v in same.values())
+
+
+def test_categorical_drift_drops_nulls_both_sides(spark):
+    from streaming_recommendation_spark.operators.quality import (
+        categorical_drift,
+    )
+
+    ref = _cats(spark, ["a", "a", None])
+    cur = _cats(spark, ["a", None, None])
+    out = categorical_drift(ref, cur, "k").collect()
+    assert [r.category for r in out] == ["a"]
+    assert (out[0].c_ref, out[0].c_cur) == (2, 1)
+    # both sides all-'a' after null drop -> identical mix, zero drift
+    assert out[0].drift_term == 0
