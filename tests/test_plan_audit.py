@@ -1382,3 +1382,73 @@ def test_q197_cdc_dedup_no_global_sort(spark):
     assert "Exchange SinglePartition" not in a["plan"]
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q199_rrf_fusion_no_sortmerge_no_python(spark):
+    # both legs bounded top-k; the full-outer merge is rewritten as
+    # union + one (query, doc)-keyed agg, so NO sort-merge join
+    # survives anywhere in the plan
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q199_hybrid_rrf_fusion"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q200_hard_negatives_broadcast_only_joins(spark):
+    # BM25 candidates + Jaccard truth + anti-join: every join
+    # broadcasts (candidate/query tables are query-bounded)
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q200_bm25_hard_negatives"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert a["n_broadcast_joins"] >= 5
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q202_prf_two_rounds_no_sortmerge(spark):
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q202_prf_query_expansion"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q203_best_passage_candidates_broadcast(spark):
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q203_best_passage"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q206_drift_report_map_side_binning(spark):
+    # two binning scans against a broadcast 1-row grid + literal-grid
+    # joins on nbins rows: no sort-merge, no Python, no cartesian
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q206_snapshot_drift_report"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q208_categorical_drift_no_join_merge(spark):
+    # the category merge is union+sum (the q199 rewrite): the only
+    # joins are the broadcast totals singletons
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q208_categorical_drift"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] == 0
+    assert a["n_broadcast_joins"] + a["bnl_joins"] <= 2
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
