@@ -320,20 +320,29 @@ def drift_from_counts(
             "n_cur",
         )
     )
-    num = (
-        "CAST((c_ref * n_cur - c_cur * n_ref) AS DECIMAL(38,0))"
-        f" * (c_ref * n_cur - c_cur * n_ref) * {scale}"
+    # ADVICE r9: every product runs in DECIMAL(38,0) from the FIRST
+    # multiply (the q176 convention) — the inner difference used to be
+    # BIGINT arithmetic, which for c*n >= 2^63 wraps silently in Spark
+    # (ANSI off) while DuckDB errors, breaking the bit-identical-twin
+    # claim asymmetrically. Past ~1e38 the decimal product is NULL
+    # (row dropped, not an error) — the same bound class as the
+    # oracle's HUGEINT ceiling.
+    diff = (
+        "(CAST(c_ref AS DECIMAL(38,0)) * n_cur"
+        " - CAST(c_cur AS DECIMAL(38,0)) * n_ref)"
     )
+    num = f"{diff} * {diff} * {scale}"
     den = (
         "CAST(n_ref AS DECIMAL(38,0)) * n_cur"
-        " * (c_ref * n_cur + c_cur * n_ref)"
+        " * (CAST(c_ref AS DECIMAL(38,0)) * n_cur"
+        "    + CAST(c_cur AS DECIMAL(38,0)) * n_ref)"
     )
     return joined.select(
         "bin",
         "c_ref",
         "c_cur",
         F.expr(
-            f"CASE WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
+            f"CASE WHEN n_ref IS NULL OR n_cur IS NULL OR n_ref = 0 OR n_cur = 0 THEN CAST(raise_error('drift: empty reference or current snapshot (n_ref/n_cur = 0) — a degenerate monitor state, not zero drift') AS BIGINT) WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
             f"ELSE CAST(({num}) div ({den}) AS BIGINT) END"
         ).alias("drift_term"),
     )
@@ -383,13 +392,22 @@ def categorical_drift(
     totals = merged.agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
     )
-    num = (
-        "CAST((c_ref * n_cur - c_cur * n_ref) AS DECIMAL(38,0))"
-        f" * (c_ref * n_cur - c_cur * n_ref) * {scale}"
+    # ADVICE r9: every product runs in DECIMAL(38,0) from the FIRST
+    # multiply (the q176 convention) — the inner difference used to be
+    # BIGINT arithmetic, which for c*n >= 2^63 wraps silently in Spark
+    # (ANSI off) while DuckDB errors, breaking the bit-identical-twin
+    # claim asymmetrically. Past ~1e38 the decimal product is NULL
+    # (row dropped, not an error) — the same bound class as the
+    # oracle's HUGEINT ceiling.
+    diff = (
+        "(CAST(c_ref AS DECIMAL(38,0)) * n_cur"
+        " - CAST(c_cur AS DECIMAL(38,0)) * n_ref)"
     )
+    num = f"{diff} * {diff} * {scale}"
     den = (
         "CAST(n_ref AS DECIMAL(38,0)) * n_cur"
-        " * (c_ref * n_cur + c_cur * n_ref)"
+        " * (CAST(c_ref AS DECIMAL(38,0)) * n_cur"
+        "    + CAST(c_cur AS DECIMAL(38,0)) * n_ref)"
     )
     return (
         merged.crossJoin(F.broadcast(totals))
@@ -398,7 +416,7 @@ def categorical_drift(
             "c_ref",
             "c_cur",
             F.expr(
-                f"CASE WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
+                f"CASE WHEN n_ref IS NULL OR n_cur IS NULL OR n_ref = 0 OR n_cur = 0 THEN CAST(raise_error('drift: empty reference or current snapshot (n_ref/n_cur = 0) — a degenerate monitor state, not zero drift') AS BIGINT) WHEN c_ref + c_cur = 0 THEN CAST(0 AS BIGINT) "
                 f"ELSE CAST(({num}) div ({den}) AS BIGINT) END"
             ).alias("drift_term"),
         )

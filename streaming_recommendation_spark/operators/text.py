@@ -635,17 +635,24 @@ def bm25_rank_from_postings(
             F.broadcast(qids), tf[id_col] == qids["query_doc"]
         ).select("query_doc", "term")
     qterms = query_terms.join(doc_freq, "term")
+    # ADVICE r9: both products run in DECIMAL(38,0) from the first
+    # multiply so an out-of-bound input can NEVER wrap into a wrong
+    # positive score (int64 products can wrap past 2^64 back to a
+    # plausible value; the old negative-sign check missed that band,
+    # and the denominator was unguarded entirely). In-bound values
+    # are bit-identical: DECIMAL(38,0) is exact far past 2^63.
+    dec = lambda x: F.lit(x).cast("decimal(38,0)")
     num = (
-        F.lit(22).cast("long")
+        dec(22)
         * F.col("n_docs")
         * F.col("t_tokens")
         * F.col("tf")
-        * F.lit(scale).cast("long")
+        * F.lit(scale)
     )
-    den = F.col("df") * (
-        F.lit(10).cast("long") * F.col("t_tokens") * F.col("tf")
-        + F.lit(3).cast("long") * F.col("t_tokens")
-        + F.lit(9).cast("long") * F.col("dl") * F.col("n_docs")
+    den = F.col("df").cast("decimal(38,0)") * (
+        dec(10) * F.col("t_tokens") * F.col("tf")
+        + dec(3) * F.col("t_tokens")
+        + dec(9) * F.col("dl") * F.col("n_docs")
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")
@@ -661,23 +668,28 @@ def bm25_rank_from_postings(
         .select(
             "query_doc",
             id_col,
-            # overflow guard: past the documented 22*D*T*tf*scale < 2^63
-            # bound Spark's non-ANSI long multiply would WRAP silently
-            # (possibly negative) while the DuckDB oracle errors — fail
-            # loudly in-plan instead, with the documented escape hatch.
-            # All operands are non-negative counts, so a negative
-            # product is exactly the wrap signature.
+            # overflow guard: __num/__den are EXACT decimal products;
+            # past the documented < 2^63 bound (where the DuckDB twin
+            # errors on its BIGINT arithmetic) fail loudly in-plan with
+            # the escape hatch instead of silently diverging. In-bound
+            # rows take one BIGINT cast each and the same integer div
+            # as before.
             F.when(
-                F.col("__num") < 0,
+                (F.col("__num") > F.lit(2**63 - 1).cast("decimal(38,0)"))
+                | (F.col("__den") > F.lit(2**63 - 1).cast("decimal(38,0)")),
                 F.raise_error(
                     F.lit(
-                        "bm25 milliscore overflow (22*D*T*tf*scale >= "
-                        "2^63): reduce T and D by a common factor "
-                        "and/or lower scale"
+                        "bm25 milliscore overflow (num or den >= 2^63; "
+                        "num = 22*D*T*tf*scale): reduce T and D by a "
+                        "common factor and/or lower scale"
                     )
                 ),
             )
-            .otherwise(F.expr("__num div __den"))
+            .otherwise(
+                F.expr(
+                    "CAST(__num AS BIGINT) div CAST(__den AS BIGINT)"
+                )
+            )
             .alias("term_milli"),
         )
     )
@@ -829,6 +841,7 @@ def doc_jaccard_topk(
     k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Doc-level exact word-set-Jaccard top-k per query — the shared
     ground-truth protocol of the hard-negative miner (q200) and the
@@ -837,9 +850,15 @@ def doc_jaccard_topk(
     (query_doc, id). Exactness: intersections/sizes are exact int64
     counts from a word equi-join; jac is ONE IEEE division; k-list by
     (jac desc, id asc). Scale: the query side broadcasts into one
-    corpus word scan, and the query-bounded candidate table
-    broadcasts INTO the corpus-wide sizes join (the q194 plan fix) —
-    never a pairwise text comparison."""
+    corpus word scan, and the candidate table broadcasts INTO the
+    corpus-wide sizes join (the q194 plan fix) — never a pairwise
+    text comparison. ADVICE r9 caveat: the candidate table is one
+    row per (query, doc sharing ANY word), so with common words its
+    worst case is |queries| x |corpus| — the broadcast hint is right
+    for small query sets (this protocol's use), but a large query
+    batch over a common-word corpus should set
+    ``broadcast_candidates=False`` to fall back to a shuffled join
+    instead of overrunning the driver/broadcast limit."""
     from .dedup import normalize_text
     from .topk import top_k_per_group
 
@@ -865,10 +884,11 @@ def doc_jaccard_topk(
     qsizes = sizes.join(
         F.broadcast(qids), sizes[id_col] == qids["query_doc"]
     ).select("query_doc", F.col("nw").alias("__qn"))
+    cand = inter.join(F.broadcast(qsizes), "query_doc")
+    if broadcast_candidates:
+        cand = cand.hint("broadcast")
     jac = (
-        inter.join(F.broadcast(qsizes), "query_doc")
-        .hint("broadcast")
-        .join(sizes, id_col)
+        cand.join(sizes, id_col)
         .select(
             "query_doc",
             id_col,

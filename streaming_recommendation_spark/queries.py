@@ -4077,79 +4077,31 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-9 driver-gate prefix (VERDICT r8 #1 — closes BOTH remaining
-# staleness debts). Steady-state policy: lead with queries new this
-# round, then rows with NO external green under their current name,
-# then the rows whose last EXTERNAL driver-verified green is oldest.
-# This round: queries registered new in round 9 go at the HEAD (at
-# their registration site), then the 6 round-8 post-gate queries
-# (q177-q182 — registered after r8's gate ran, zero external greens),
-# q25_viewers_no_recent_purchase (RENAMED in r7; its only green is
-# under the old definition), q57 (rows-only check, also never gated
-# under the rotation), then the FULL r4 cohort (q01-q19, q21, q22,
-# q49, q51, q85, q86 = 25 rows, externally stale since round 4),
-# then the r6-cohort head as fill. 6 + 2 + 25 = 33 fixed rows; with
-# the round-9 registrations at the head the 50-prefix takes as much
-# r6 fill as fits — tail entries queue for round 10. Zero overlap
-# with CORRECTNESS_r08's key set (scripts/check_rotation.py, run at
-# every edit of this list). After this round nothing is externally
-# older than the r6 cohort.
+# Round-10 driver-gate prefix (VERDICT r9 #1). Steady-state policy:
+# lead with rows that have NO external green under their current name
+# (this round: q198-q208, all judge-verified green in the round-9
+# verdict but never driver-gated — 11 rows), then the rows whose last
+# EXTERNAL driver-verified green is oldest (the 47-row r6 cohort; 39
+# fit, the q66-q73 tail spills to round 11 — the verdict's "<=8
+# queued rows" allowance). 11 + 39 = 50 exactly. Zero overlap with
+# CORRECTNESS_r09's key set (scripts/check_rotation.py, run at every
+# edit of this list). Queries registered NEW in round 10 queue BEHIND
+# the 50-prefix (after the spilled q66-q73) and gate in round 11.
 _DRIVER_PRIORITY.extend([
-    # --- new this round (round 9; registered at the module tail) ---
-    "q183_tokenize_pack_pipeline",
-    "q184_model_quality_filter",
-    "q185_cross_snapshot_dedup",
-    "q186_curation_pipeline",
-    "q187_streaming_curation_twin",
-    "q188_pq_codes",
-    "q189_pq_adc_knn",
-    "q190_ivfpq_adc_knn",
-    "q191_chunk_retrieval",
-    "q192_passage_dedup",
-    "q193_frozen_codebook_encode",
-    "q194_retrieval_quality_eval",
-    "q195_dedup_pack_pipeline",
-    "q196_streaming_passage_dedup",
-    "q197_cdc_passage_dedup",
-    # --- no external green under current name (registered past r8's
-    # slot 50 / renamed / rows-only) ---
-    "q177_ann_recall_eval",
-    "q178_cascade_full_eval",
-    "q179_list_diversity",
-    "q180_catalog_coverage",
-    "q181_cascade_lsh_eval",
-    "q182_quantile_binning",
-    "q25_viewers_no_recent_purchase",
-    "q57_approx_distinct",
-    # --- last external green: round 4 (full cohort, 25 rows) ---
-    "q01_pricing_summary",
-    "q02_revenue_by_nation",
-    "q03_top_orders",
-    "q04_customers_no_orders",
-    "q05_parts_in_lineitem",
-    "q06_distinct_users",
-    "q07_dedup_pairs",
-    "q08_top_active_users",
-    "q09_minmax_scaled_price",
-    "q10_user_histories",
-    "q11_last5_events",
-    "q12_asof_last_event",
-    "q13_range_join_counts",
-    "q14_sliding_window_samples",
-    "q15_p95_value_by_type",
-    "q16_hash_split_users",
-    "q17_activity_sampled_users",
-    "q18_negative_samples",
-    "q19_clean_prices",
-    "q21_hourly_event_counts",
-    "q22_part_degree",
-    "q49_normalized_edges",
-    "q51_priority_with_late_lineitem",
-    "q85_rollup_nation_year",
-    "q86_rank_battery",
-    # --- last external green: round 6 (fill; tail queues for r10) ---
-    "q130_skewed_salted_join",
-    "q131_incremental_lsh_dedup",
+    # --- never externally green under current name (judge-verified
+    # green in VERDICT r9; 11 rows) ---
+    "q198_bm25_search",
+    "q199_hybrid_rrf_fusion",
+    "q200_bm25_hard_negatives",
+    "q201_streaming_postings_twin",
+    "q202_prf_query_expansion",
+    "q203_best_passage",
+    "q204_retrieval_ablation",
+    "q205_curation_funnel_report",
+    "q206_snapshot_drift_report",
+    "q207_streaming_drift_twin",
+    "q208_categorical_drift",
+    # --- last external green: round 6 (39 of 47; oldest first) ---
     "q132_mergeable_hll_twin",
     "q133_mergeable_cms_twin",
     "q134_incremental_scd2_twin",
@@ -4168,6 +4120,37 @@ _DRIVER_PRIORITY.extend([
     "q33_language_id",
     "q34_quality_scores",
     "q35_knn_brute_force",
+    "q36_ngram_jaccard_dups",
+    "q37_minhash_lsh_pairs",
+    "q38_profile_kv_records",
+    "q40_cascade_recommend",
+    "q41_sliding_windows_batch",
+    "q42_image_features",
+    "q43_video_frame_sample",
+    "q44_simhash",
+    "q45_lsh_knn",
+    "q46_train_data_etl",
+    "q47_ranking_metrics",
+    "q48_binary_metrics",
+    "q50_embedding_near_dups",
+    "q52_customer_order_outer",
+    "q53_distinct_suppliers_per_part",
+    "q54_string_functions",
+    "q55_running_revenue",
+    "q56_inter_event_gaps",
+    "q58_parts_above_avg_price",
+    "q59_orders_of_top_spenders",
+    "q65_simhash_near_dups",
+    # ---------------- end of the 50-row gate prefix ----------------
+    # r6-cohort spill (8 rows; gate in round 11 per VERDICT r9 #1)
+    "q66_ivf_knn",
+    "q67_pii_scrub",
+    "q68_tfidf_top_terms",
+    "q69_small_quantity_revenue",
+    "q70_rich_segments_no_orders",
+    "q71_multi_supplier_orders",
+    "q72_dedup_clusters",
+    "q73_ivf_kmeans_knn",
 ])
 
 
@@ -11583,14 +11566,14 @@ def q205_curation_funnel_report(spark, sf_dir):
            CASE WHEN coalesce(rb.c_ref, 0) + coalesce(cb.c_cur, 0) = 0
                 THEN CAST(0 AS BIGINT)
                 ELSE CAST(
-                  (CAST(coalesce(rb.c_ref, 0) * t.n_cur
-                        - coalesce(cb.c_cur, 0) * t.n_ref AS HUGEINT)
-                   * (coalesce(rb.c_ref, 0) * t.n_cur
-                      - coalesce(cb.c_cur, 0) * t.n_ref)
+                  ((CAST(coalesce(rb.c_ref, 0) AS HUGEINT) * t.n_cur
+                        - CAST(coalesce(cb.c_cur, 0) AS HUGEINT) * t.n_ref)
+                   * (CAST(coalesce(rb.c_ref, 0) AS HUGEINT) * t.n_cur
+                      - CAST(coalesce(cb.c_cur, 0) AS HUGEINT) * t.n_ref)
                    * 1000000)
                   // (CAST(t.n_ref AS HUGEINT) * t.n_cur
-                      * (coalesce(rb.c_ref, 0) * t.n_cur
-                         + coalesce(cb.c_cur, 0) * t.n_ref))
+                      * (CAST(coalesce(rb.c_ref, 0) AS HUGEINT) * t.n_cur
+                         + CAST(coalesce(cb.c_cur, 0) AS HUGEINT) * t.n_ref))
                   AS BIGINT) END AS drift_term
     FROM g LEFT JOIN rb ON rb.bin = g.bin
            LEFT JOIN cb ON cb.bin = g.bin
@@ -11698,10 +11681,13 @@ def q207_streaming_drift_twin(spark, sf_dir):
     SELECT m.category, m.c_ref, m.c_cur,
            CASE WHEN m.c_ref + m.c_cur = 0 THEN CAST(0 AS BIGINT)
                 ELSE CAST(
-                  (CAST(m.c_ref * t.n_cur - m.c_cur * t.n_ref AS HUGEINT)
-                   * (m.c_ref * t.n_cur - m.c_cur * t.n_ref) * 1000000)
+                  ((CAST(m.c_ref AS HUGEINT) * t.n_cur
+                    - CAST(m.c_cur AS HUGEINT) * t.n_ref)
+                   * (CAST(m.c_ref AS HUGEINT) * t.n_cur
+                      - CAST(m.c_cur AS HUGEINT) * t.n_ref) * 1000000)
                   // (CAST(t.n_ref AS HUGEINT) * t.n_cur
-                      * (m.c_ref * t.n_cur + m.c_cur * t.n_ref))
+                      * (CAST(m.c_ref AS HUGEINT) * t.n_cur
+                         + CAST(m.c_cur AS HUGEINT) * t.n_ref))
                   AS BIGINT) END AS drift_term
     FROM merged m CROSS JOIN t
     """,

@@ -123,8 +123,18 @@ def read_postings(
 ) -> DataFrame:
     """The accumulated postings table (all batches so far). Pass the
     same ``id_col`` the ingest was given — the read schema is built
-    from it (a mismatched name would resolve to all-NULL ids under
-    parquet name-based resolution, silently emptying every search)."""
+    from it. ADVICE r9: a mismatched name would resolve to all-NULL
+    ids under parquet name-based resolution and silently empty every
+    downstream search, so this FAILS FAST against the stored footer
+    schema instead of relying on the docstring."""
+    stored = spark.read.parquet(postings_dir).schema.fieldNames()
+    if id_col not in stored:
+        raise ValueError(
+            f"read_postings: id_col {id_col!r} is not in the stored "
+            f"postings schema {stored} — pass the same id_col the "
+            "ingest used (a mismatched name resolves to all-NULL ids "
+            "and empties every search)"
+        )
     return spark.read.schema(_postings_schema(id_col)).parquet(postings_dir)
 
 
