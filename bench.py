@@ -396,18 +396,33 @@ def main() -> None:
             fh, indent=1,
         )
     short = {n.split("_", 1)[0]: t for n, t in timings.items()}
-    # the one-line summary is the LAST stdout line (driver contract)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": short,
-                "sf": sf_val,
-            }
-        )
+    # the one-line summary is the LAST stdout line (driver contract).
+    # VERDICT r9 #7: the driver tail-captures only the LAST ~2000
+    # stdout bytes — a full 160+-query map outgrows that and the
+    # whole external artifact parses as null (BENCH_r09 lesson). Fit
+    # a hard byte budget: 2-decimal values, lock-in-tier rows always
+    # kept, then drop the CHEAPEST non-lock-in rows until the line
+    # fits; the omission is EXPLICIT (queries_omitted + the detail
+    # file carries every row at 3 decimals).
+    lock_short = {n.split("_", 1)[0] for n in HEADLINE if n in LOCKIN}
+    qmap = {q: round(t, 2) for q, t in short.items()}
+    droppable = sorted(
+        (q for q in qmap if q not in lock_short), key=lambda q: (qmap[q], q)
     )
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": qmap,
+        "sf": sf_val,
+        "queries_omitted": 0,
+        "detail": DETAIL_PATH,
+    }
+    budget = int(os.environ.get("SPARK_GRAFT_SUMMARY_BYTES", "1900"))
+    while len(json.dumps(summary)) > budget and droppable:
+        del qmap[droppable.pop(0)]
+        summary["queries_omitted"] = len(short) - len(qmap)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

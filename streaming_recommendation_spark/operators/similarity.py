@@ -71,6 +71,63 @@ def knn_brute_force(
     ).select(query_id_col, "neighbor_id", "rank")
 
 
+def cosine_topk_i64(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    rank_col: str = "emb_rank",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k over INTEGER vectors (``array<long>`` —
+    the hash-embedding domain of features.doc_hash_embed): dot and
+    both squared norms are exact int64 sums, the score is one
+    IEEE sqrt+divide, so the ranking replays bit-for-bit on any
+    engine (the q191/q199 dense-leg recipe, single-sourced here so
+    the batch query and the store-backed streaming read can never
+    drift). ``queries`` is (query_doc, __qv); ``corpus`` is
+    (id_col, __cv). Returns (query_doc, id, rank_col). Scale: the
+    query side broadcasts into ONE corpus scan — never all-pairs;
+    an all-zero vector scores 0.0 (guarded divide).
+    """
+    lit0 = F.lit(0).cast("long")
+    dot_i = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
+        lit0,
+        lambda acc, v: acc + v,
+    )
+    na = F.aggregate(
+        F.transform(F.col("__qv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    nb = F.aggregate(
+        F.transform(F.col("__cv"), lambda x: x * x), lit0, lambda a, v: a + v
+    )
+    scored = corpus.crossJoin(F.broadcast(queries))
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("query_doc"))
+    scored = scored.select(
+        "query_doc",
+        id_col,
+        F.when(
+            (na > 0) & (nb > 0),
+            dot_i.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        ["query_doc"],
+        F.col("score").desc(),
+        F.col(id_col).asc(),
+        rank_col=rank_col,
+    ).select(
+        "query_doc", id_col, F.col(rank_col).cast("int").alias(rank_col)
+    )
+
+
 def _require_dim(dim: int | None, vec_col: str) -> int:
     """Plan builders must not run Spark jobs; callers pass the vector
     width explicitly (it is part of the table contract, e.g. 64 for
@@ -1147,5 +1204,102 @@ def ivf_pq_adc_knn(
         query_id_col,
         "neighbor_id",
         F.col("rank").cast("int").alias("rank"),
+        "adc_dist",
+    )
+
+
+def ivf_pq_refine_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 10,
+    k_cand: int = 50,
+    num_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 1,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ with an exact re-rank tail — FAISS's ``refine`` stage
+    (IndexRefineFlat over an IVFADC base): the lossy 12-bit ADC
+    ranking shortlists ``k_cand`` candidates per query, their EXACT
+    vectors are fetched by id (ONE candidate-broadcast equi-join
+    against the corpus — the only time the floats move, and only
+    |queries| x k_cand of them), and the final top-``k_neighbors``
+    re-ranks on the exact int64 squared L2 of the shared quantization
+    grid. This recovers the recall the code-compressed ADC ordering
+    loses among near-ties (q190's documented non-monotone-recall
+    caveat) at a bounded exact-scoring cost — the recall knob that
+    turns WITHOUT raising n_probe (both stages see only probed
+    cells, so the probe ceiling still binds; measured in
+    BASELINE.md).
+
+    Exactness: the shortlist is ivf_pq_adc_knn's bit-replayable
+    ranking; the re-rank distance is an exact int64 fold over the
+    full ``dim`` grid values; ties to the smaller neighbor id.
+    Returns (query_id, neighbor_id, rank, exact_dist, adc_dist) —
+    adc_dist rides along as shortlist provenance.
+
+    Scale shape: everything q190 says, plus one fetch join where the
+    |queries| x k_cand shortlist BROADCASTS into a single corpus scan
+    (the corpus never shuffles; with a cell-partitioned store the
+    fetch prunes to probed cells on disk) and one
+    |queries| x k_cand re-scoring projection. At serving scale this
+    is the standard two-tier memory story: codes stay RAM-resident,
+    exact vectors page in only for the shortlist."""
+    cands = ivf_pq_adc_knn(
+        corpus,
+        queries,
+        k_neighbors=k_cand,
+        num_cells=num_cells,
+        n_probe=n_probe,
+        m=m,
+        k=k,
+        n_iter=n_iter,
+        dim=dim,
+        scale=scale,
+        offset=offset,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select(query_id_col, "neighbor_id", "adc_dist")
+    dim = _require_dim(dim, vec_col)
+    qv = _pq_quantized(corpus, dim, scale, offset, id_col, vec_col)
+    qq = _pq_quantized(
+        queries, dim, scale, offset, query_id_col, vec_col
+    ).select(F.col("__vid").alias(query_id_col), F.col("__qv").alias("__qq"))
+    fetched = qv.join(
+        F.broadcast(cands), qv["__vid"] == cands["neighbor_id"]
+    ).select(query_id_col, "neighbor_id", "adc_dist", F.col("__qv").alias("__cv"))
+    exact = F.aggregate(
+        F.zip_with(
+            F.col("__qq"), F.col("__cv"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rescored = fetched.join(F.broadcast(qq), query_id_col).select(
+        query_id_col,
+        "neighbor_id",
+        exact.cast("long").alias("exact_dist"),
+        "adc_dist",
+    )
+    return top_k_per_group(
+        rescored,
+        k_neighbors,
+        [query_id_col],
+        F.col("exact_dist").asc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(
+        query_id_col,
+        "neighbor_id",
+        F.col("rank").cast("int").alias("rank"),
+        "exact_dist",
         "adc_dist",
     )

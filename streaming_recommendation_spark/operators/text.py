@@ -835,6 +835,80 @@ def best_passage(
     ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
 
 
+def rrf_fuse(
+    bm: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 10,
+    k_rrf: int = 60,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a dense rank list in
+    exact integer ppm units (Cormack et al. 2009; the q199 fusion,
+    single-sourced so the raw-text query and the store-backed read
+    share one arithmetic). ``bm`` is (query_doc, id, bm25_rank);
+    ``emb`` is (query_doc, id, emb_rank). Score per doc =
+    sum over legs of ppm div (k_rrf + rank) — int64, order-free;
+    a doc absent from a leg contributes 0 (NULL rank rides along as
+    provenance). Scale: Spark cannot broadcast a full-outer join and
+    a sort-merge is silly for two (query, doc)-unique top-k lists —
+    union + ONE (query, doc)-keyed max-agg is the same relation in a
+    single small shuffle (|queries| x 2k rows)."""
+    from .topk import top_k_per_group
+
+    lit0 = F.lit(0).cast("long")
+    fused = (
+        bm.select(
+            "query_doc",
+            id_col,
+            "bm25_rank",
+            F.lit(None).cast("int").alias("emb_rank"),
+        )
+        .unionByName(
+            emb.select(
+                "query_doc",
+                id_col,
+                F.lit(None).cast("int").alias("bm25_rank"),
+                "emb_rank",
+            )
+        )
+        .groupBy("query_doc", id_col)
+        .agg(
+            F.max("bm25_rank").alias("bm25_rank"),
+            F.max("emb_rank").alias("emb_rank"),
+        )
+        .select(
+            "query_doc",
+            id_col,
+            "bm25_rank",
+            "emb_rank",
+            (
+                F.coalesce(
+                    F.expr(f"{ppm} div ({k_rrf} + bm25_rank)"), lit0
+                )
+                + F.coalesce(F.expr(f"{ppm} div ({k_rrf} + emb_rank)"), lit0)
+            )
+            .cast("long")
+            .alias("rrf_ppm"),
+        )
+    )
+    return top_k_per_group(
+        fused,
+        k,
+        ["query_doc"],
+        F.col("rrf_ppm").desc(),
+        F.col(id_col).asc(),
+        rank_col="rank",
+    ).select(
+        "query_doc",
+        id_col,
+        "bm25_rank",
+        "emb_rank",
+        "rrf_ppm",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def doc_jaccard_topk(
     df: DataFrame,
     is_query: Column,

@@ -4151,6 +4151,12 @@ _DRIVER_PRIORITY.extend([
     "q71_multi_supplier_orders",
     "q72_dedup_clusters",
     "q73_ivf_kmeans_knn",
+    # --- new in round 10 (gate in round 11) ---
+    "q209_store_hybrid_search",
+    "q210_ivfpq_refine_knn",
+    "q211_salvaged_curation_manifest",
+    "q212_salvage_savings_report",
+    "q213_streaming_salvage_twin",
 ])
 
 
@@ -9617,7 +9623,8 @@ def q189_pq_adc_knn(spark, sf_dir):
 
 
 def _ivfpq_oracle(num_cells=16, n_probe=4, m=4, k=8, n_iter=1, dim=64,
-                  scale=1 << 20, offset="2.0", n_queries=5, topk=10):
+                  scale=1 << 20, offset="2.0", n_queries=5, topk=10,
+                  refine_topk=None):
     """IVF-PQ (IVFADC) SQL replay: coarse hash-ranked cells, per-vector
     residuals, per-subspace residual codebooks (the _pq_oracle Lloyd
     recipe re-sourced from the residual table), per-(query, probed
@@ -9737,7 +9744,7 @@ def _ivfpq_oracle(num_cells=16, n_probe=4, m=4, k=8, n_iter=1, dim=64,
         for s in range(m)
     )
     total = " + ".join(f"lut{s}.d" for s in range(m))
-    return f"""
+    head = f"""
     WITH {",".join(parts)},
     tot AS (
       SELECT r.query_id, enc0.vec_id AS neighbor_id,
@@ -9745,7 +9752,9 @@ def _ivfpq_oracle(num_cells=16, n_probe=4, m=4, k=8, n_iter=1, dim=64,
       FROM qresid r
       JOIN cas ON cas.cell = r.cell
       JOIN enc0 ON enc0.vec_id = cas.vec_id {enc_joins} {lut_joins}
-    )
+    )"""
+    if refine_topk is None:
+        return head + f"""
     SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, adc_dist
     FROM (SELECT query_id, neighbor_id, adc_dist,
                  row_number() OVER (PARTITION BY query_id
@@ -9753,6 +9762,35 @@ def _ivfpq_oracle(num_cells=16, n_probe=4, m=4, k=8, n_iter=1, dim=64,
                    AS rn
           FROM tot)
     WHERE rn <= {topk}
+    """
+    # FAISS refine stage: ADC top-{topk} shortlist, exact int64 L2
+    # re-rank on the shared quantization grid, top-{refine_topk} out
+    return head + f""",
+    cand AS (
+      SELECT query_id, neighbor_id, adc_dist
+      FROM (SELECT query_id, neighbor_id, adc_dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_dist ASC,
+                                               neighbor_id ASC) AS rn
+            FROM tot)
+      WHERE rn <= {topk}
+    ),
+    ref AS (
+      SELECT c.query_id, c.neighbor_id, c.adc_dist,
+             CAST(list_sum(list_transform(range(1, {d1}),
+                    i -> (q.qv[i] - v.qv[i]) * (q.qv[i] - v.qv[i])))
+                  AS BIGINT) AS exact_dist
+      FROM cand c
+      JOIN qv v ON v.vec_id = c.neighbor_id
+      JOIN qs q ON q.query_id = c.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank,
+           exact_dist, adc_dist
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY exact_dist ASC,
+                                                neighbor_id ASC) AS rn
+          FROM ref)
+    WHERE rn <= {refine_topk}
     """
 
 
@@ -10734,6 +10772,7 @@ def q198_bm25_search(spark, sf_dir):
 )
 def q199_hybrid_rrf_fusion(spark, sf_dir):
     from .operators.features import doc_hash_embed
+    from .operators.similarity import cosine_topk_i64
 
     docs = _t(spark, sf_dir, "documents")
     bm = text.bm25_search(docs, F.col("doc_id") < 3, k=20, scale=1000).select(
@@ -10744,95 +10783,8 @@ def q199_hybrid_rrf_fusion(spark, sf_dir):
         F.col("doc_id").alias("query_doc"), F.col("vec").alias("__qv")
     )
     corpus = emb.select("doc_id", F.col("vec").alias("__cv"))
-    lit0 = F.lit(0).cast("long")
-    dot = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("__cv"), lambda x, y: x * y),
-        lit0,
-        lambda acc, v: acc + v,
-    )
-    na = F.aggregate(
-        F.transform(F.col("__qv"), lambda x: x * x), lit0, lambda a, v: a + v
-    )
-    nb = F.aggregate(
-        F.transform(F.col("__cv"), lambda x: x * x), lit0, lambda a, v: a + v
-    )
-    escored = (
-        corpus.crossJoin(F.broadcast(qs))
-        .where(F.col("doc_id") != F.col("query_doc"))
-        .select(
-            "query_doc",
-            "doc_id",
-            F.when(
-                (na > 0) & (nb > 0),
-                dot.cast("double")
-                / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("score"),
-        )
-    )
-    er = topk.top_k_per_group(
-        escored,
-        20,
-        ["query_doc"],
-        F.col("score").desc(),
-        F.col("doc_id").asc(),
-        rank_col="emb_rank",
-    ).select("query_doc", "doc_id", F.col("emb_rank").cast("int").alias("emb_rank"))
-    # full-outer merge of the two rank lists WITHOUT a join: Spark
-    # cannot broadcast a full-outer join, and a sort-merge is silly for
-    # two (query, doc)-unique lists — union + one (query, doc)-keyed
-    # max-agg is the same relation in a single small shuffle
-    fused = (
-        bm.select(
-            "query_doc",
-            "doc_id",
-            "bm25_rank",
-            F.lit(None).cast("int").alias("emb_rank"),
-        )
-        .unionByName(
-            er.select(
-                "query_doc",
-                "doc_id",
-                F.lit(None).cast("int").alias("bm25_rank"),
-                "emb_rank",
-            )
-        )
-        .groupBy("query_doc", "doc_id")
-        .agg(
-            F.max("bm25_rank").alias("bm25_rank"),
-            F.max("emb_rank").alias("emb_rank"),
-        )
-        .select(
-            "query_doc",
-            "doc_id",
-            "bm25_rank",
-            "emb_rank",
-            (
-                F.coalesce(
-                    F.expr("1000000 div (60 + bm25_rank)"), lit0
-                )
-                + F.coalesce(F.expr("1000000 div (60 + emb_rank)"), lit0)
-            )
-            .cast("long")
-            .alias("rrf_ppm"),
-        )
-    )
-    return topk.top_k_per_group(
-        fused,
-        10,
-        ["query_doc"],
-        F.col("rrf_ppm").desc(),
-        F.col("doc_id").asc(),
-        rank_col="rank",
-    ).select(
-        "query_doc",
-        "doc_id",
-        "bm25_rank",
-        "emb_rank",
-        "rrf_ppm",
-        F.col("rank").cast("int").alias("rank"),
-    )
+    er = cosine_topk_i64(qs, corpus, k=20)
+    return text.rrf_fuse(bm, er, k=10)
 
 
 @register(
@@ -11717,3 +11669,318 @@ def q208_categorical_drift(spark, sf_dir):
         "event_type",
         scale=1_000_000,
     )
+
+
+@register(
+    "q209_store_hybrid_search",
+    _REGISTRY["q199_hybrid_rrf_fusion"].oracle,
+    doc="Store-backed hybrid retrieval — the RAG SERVING read "
+    "(VERDICT r9 #2): the RRF fusion of BM25 and exact-cosine "
+    "top-20 answered ENTIRELY from the two ingest-time indexes — "
+    "the streaming postings store (q201's lexical leg) and the "
+    "doc-level hash-embedding vector store "
+    "(streaming/hybrid.py's dense leg) — with documents arriving "
+    "in two doc_id-ordered batches and each store built AT "
+    "ARRIVAL. Raw text is tokenized and embedded exactly once; "
+    "the search itself touches no document text (every BM25 "
+    "statistic derives from the postings, every query vector is "
+    "FETCHED from the vector store by qid). Must equal q199's "
+    "one-shot batch fusion VERBATIM (same oracle): the "
+    "union-of-batches == whole-corpus identity holds for both "
+    "stores because a document arrives whole in exactly one "
+    "batch. Reference analog: the serving cascade reads only "
+    "precomputed state (model_service/models.py:20-40). The real "
+    "foreachBatch carry, retry idempotence, and search-from-disk "
+    "equality are pinned in tests/test_streaming_hybrid.py. "
+    "Scale: per-batch ingest is one batch-local aggregation "
+    "(postings) + one zero-shuffle projection (vectors); the "
+    "search is two qid-broadcast store scans + a |queries| x 2k "
+    "fusion shuffle.",
+    tags=("streaming", "text", "retrieval", "similarity"),
+)
+def q209_store_hybrid_search(spark, sf_dir):
+    from .streaming.hybrid import doc_vectors_batch, hybrid_search_from_stores
+    from .streaming.postings import postings_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    tf = postings_batch(b1).unionByName(postings_batch(b2))
+    vectors = doc_vectors_batch(b1, n_features=64).unionByName(
+        doc_vectors_batch(b2, n_features=64)
+    )
+    qids = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    return hybrid_search_from_stores(
+        tf, vectors, qids, k_leg=20, k=10, scale=1000
+    )
+
+
+@register(
+    "q210_ivfpq_refine_knn",
+    _ivfpq_oracle(topk=50, refine_topk=10),
+    doc="IVF-PQ with the exact re-rank tail — FAISS's refine stage "
+    "(IndexRefineFlat over an IVFADC base; VERDICT r9 #5): q190's "
+    "lossy 12-bit ADC ranking shortlists the top-50 candidates per "
+    "query, their EXACT vectors are fetched by id (one shortlist-"
+    "broadcast equi-join against the corpus — the only time floats "
+    "move, |queries| x 50 of them), and the final top-10 re-ranks on "
+    "the exact int64 squared L2 of the shared quantization grid. "
+    "Recovers the recall the code-compressed ordering loses among "
+    "near-ties at bounded exact-scoring cost (measured vs raw ADC at "
+    "equal n_probe in BASELINE.md; the n_probe ceiling still binds "
+    "— both stages see only probed cells). Oracle replays the whole "
+    "IVFADC pipeline plus the shortlist fetch and exact re-rank. "
+    "Scale: q190's shape plus one broadcast fetch join into a single "
+    "corpus scan and one |queries| x 50 projection — the two-tier "
+    "serving memory story (codes RAM-resident, exact vectors paged "
+    "in only for the shortlist).",
+    tags=("similarity", "vector", "topk", "iterative"),
+)
+def q210_ivfpq_refine_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_pq_refine_knn(
+        emb, qdf, k_neighbors=10, k_cand=50, num_cells=16, n_probe=4, dim=64
+    )
+
+
+_Q192_PASSAGE_TAIL = r"""
+pnorm AS (
+  SELECT d.doc_id,
+         string_split(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents d JOIN __POP__
+), pc AS (
+  SELECT doc_id, w,
+         greatest(1, CAST(floor((len(w) - 16 + 15) / 16.0) AS INT) + 1) AS nc
+  FROM pnorm
+), pex AS (
+  SELECT doc_id, w, unnest(generate_series(1, nc)) AS i FROM pc
+), pch AS (
+  SELECT doc_id, i - 1 AS chunk_idx,
+         len(w[(i-1)*16+1 : (i-1)*16+16]) AS n_tok,
+         md5(array_to_string(w[(i-1)*16+1 : (i-1)*16+16], ' ')) AS h
+  FROM pex
+), pflag AS (
+  SELECT doc_id, n_tok,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+  FROM pch
+), pm AS (
+  SELECT doc_id,
+         count(*) AS n_passages,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_passages,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+         CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+           AS n_tokens_kept
+  FROM pflag GROUP BY doc_id
+)"""
+
+_Q211_ORACLE = (
+    "WITH base AS (\n"
+    + _REGISTRY["q186_curation_pipeline"].oracle
+    + "\n),"
+    + _Q192_PASSAGE_TAIL.replace(
+        "__POP__", "base b ON b.doc_id = d.doc_id AND b.selected = 1"
+    )
+    + """
+SELECT b.doc_id, b.source, b.cluster, b.is_canonical, b.quality_kept,
+       b.contaminated, b.quota_rank, b.selected,
+       pm.n_passages, pm.n_dup_passages, pm.n_tokens_total,
+       pm.n_tokens_kept
+FROM base b LEFT JOIN pm ON pm.doc_id = b.doc_id
+"""
+)
+
+
+@register(
+    "q211_salvaged_curation_manifest",
+    _Q211_ORACLE,
+    doc="The curation gate with PASSAGE-LEVEL SALVAGE (VERDICT r9 "
+    "#3): q186's composed doc gate (near-dup canonical election -> "
+    "learned quality -> decontamination -> per-source quota) admits "
+    "or drops whole documents; the passage stage (q192's exact "
+    "16-token-window dedup) then runs over the SELECTED corpus, so "
+    "a selected document that shares only SOME content (below the "
+    "80% near-dup threshold, so it survives doc-level dedup) is "
+    "salvaged — its repeated passages drop everywhere but their "
+    "first (doc_id, chunk_idx) occurrence, its unique remainder "
+    "survives with exact kept-token counts. ONE manifest reconciles "
+    "both verdict levels per doc: every corpus doc carries the full "
+    "q186 verdict (cluster, is_canonical, quality_kept, "
+    "contaminated, quota_rank, selected) plus the passage columns "
+    "(n_passages, n_dup_passages, n_tokens_total, n_tokens_kept) — "
+    "NULL for unselected docs (not evaluated, not zero: a dropped "
+    "doc's passages never enter the dedup population, so a later "
+    "selected copy of its content is NOT flagged). Oracle = q186's "
+    "verbatim as the base CTE + q192's passage replay over the "
+    "selected set. Scale: q186's pinned shape + q192's one "
+    "chunk_hash window over the selected corpus + a doc_id left "
+    "join.",
+    tags=("dedup", "curation", "text", "pipeline", "iterative"),
+)
+def q211_salvaged_curation_manifest(spark, sf_dir):
+    base = q186_curation_pipeline(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    sel = docs.join(
+        base.where(F.col("selected") == 1).select("doc_id"), "doc_id"
+    )
+    pm = curation.passage_dedup(sel, window=16, stride=16)
+    return base.join(pm, "doc_id", "left")
+
+
+_Q212_ORACLE = (
+    "WITH base AS (\n"
+    + _REGISTRY["q186_curation_pipeline"].oracle
+    + "\n),"
+    + _Q192_PASSAGE_TAIL.replace(
+        "__POP__", "base b ON b.doc_id = d.doc_id AND b.selected = 1"
+    )
+    + f""",
+k AS (
+  SELECT b.source, p.doc_id, p.n_tokens_kept AS kept
+  FROM pm p JOIN base b ON b.doc_id = p.doc_id
+  WHERE p.n_tokens_kept > 0
+), cum AS (
+  SELECT source, kept,
+         sum(kept) OVER (
+           PARTITION BY source
+           ORDER BY ((doc_id * {KNUTH}) % {MOD32}) / {MOD32}.0, doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum
+  FROM k
+), nb AS (
+  SELECT source,
+         CAST(count(DISTINCT CAST(floor((cum - kept) / 256.0) AS BIGINT))
+              AS BIGINT) AS n_bins
+  FROM cum GROUP BY source
+), sav AS (
+  SELECT b.source,
+         CAST(count(*) AS BIGINT) AS n_selected,
+         CAST(sum(CASE WHEN p.n_dup_passages > 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_salvaged,
+         CAST(sum(p.n_tokens_total) AS BIGINT) AS tokens_total,
+         CAST(sum(p.n_tokens_kept) AS BIGINT) AS tokens_kept
+  FROM base b JOIN pm p ON p.doc_id = b.doc_id
+  WHERE b.selected = 1
+  GROUP BY b.source
+)
+SELECT s.source, s.n_selected, s.n_salvaged, s.tokens_total, s.tokens_kept,
+       CASE WHEN s.tokens_total = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(((s.tokens_total - s.tokens_kept) * 1000000)
+                      // s.tokens_total AS BIGINT) END AS saved_ppm,
+       coalesce(nb.n_bins, 0) AS n_bins
+FROM sav s LEFT JOIN nb ON nb.source = s.source
+"""
+)
+
+
+@register(
+    "q212_salvage_savings_report",
+    _Q212_ORACLE,
+    doc="Per-source savings readout of the salvaged curation "
+    "pipeline (the q195 readout applied to q211 — what the passage "
+    "stage actually bought, per source): for each source's SELECTED "
+    "docs, the doc count, how many were salvaged (>= 1 duplicate "
+    "passage dropped), pre- vs post-salvage exact token totals, the "
+    "integer ppm saving, and the number of 256-token training bins "
+    "the kept tokens pack into (q93's deterministic hash-ordered "
+    "packing window; fully-boilerplate docs with kept == 0 "
+    "contribute no bin). Built entirely on q211's machinery — the "
+    "manifest and this readout share one arithmetic on BOTH "
+    "engines. Scale: q211's shape + one per-source window + two "
+    "tiny groupBys.",
+    tags=("curation", "agg", "eval", "iterative"),
+)
+def q212_salvage_savings_report(spark, sf_dir):
+    m = q211_salvaged_curation_manifest(spark, sf_dir)
+    sel = m.where(F.col("selected") == 1)
+    packed = curation.pack_sequences(
+        sel.where(F.col("n_tokens_kept") > 0),
+        context_len=256,
+        token_col="n_tokens_kept",
+    )
+    bins = packed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins")
+    )
+    sav = sel.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum((F.col("n_dup_passages") > 0).cast("long")).alias("n_salvaged"),
+        F.sum("n_tokens_total").alias("tokens_total"),
+        F.sum("n_tokens_kept").alias("tokens_kept"),
+    )
+    return sav.join(bins, "source", "left").select(
+        "source",
+        "n_selected",
+        "n_salvaged",
+        "tokens_total",
+        "tokens_kept",
+        F.expr(
+            "CASE WHEN tokens_total = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(((tokens_total - tokens_kept) * 1000000) "
+            "div tokens_total AS BIGINT) END"
+        ).alias("saved_ppm"),
+        F.coalesce("n_bins", F.lit(0).cast("long")).alias("n_bins"),
+    )
+
+
+_Q213_ORACLE = (
+    "WITH gate AS (\n"
+    + _REGISTRY["q187_streaming_curation_twin"].oracle
+    + "\n),"
+    + _Q192_PASSAGE_TAIL.replace(
+        "__POP__", "gate g ON g.doc_id = d.doc_id AND g.admitted = 1"
+    )
+    + """
+SELECT g.doc_id, g.quality_kept, g.is_dup, g.admitted,
+       pm.n_passages, pm.n_dup_passages, pm.n_tokens_total,
+       pm.n_tokens_kept
+FROM gate g LEFT JOIN pm ON pm.doc_id = g.doc_id
+"""
+)
+
+
+@register(
+    "q213_streaming_salvage_twin",
+    _Q213_ORACLE,
+    doc="Batch twin of the STREAMING passage-salvage ingest "
+    "(streaming/curation.py::salvage_batch_manifest — the q187 "
+    "gate-at-ingest pipeline COMPOSED with the q196 passage-index "
+    "stage): documents arrive in two doc_id-ordered batches; each "
+    "batch is quality-gated map-side first, near-dup-checked "
+    "against the signature index as of arrival, and the docs the "
+    "gate ADMITS are passage-deduped against the passage-hash index "
+    "as of arrival (cross-batch copies point backwards; within-batch "
+    "ties break on (doc_id, chunk_idx) — so the ordered split "
+    "replays BOTH stages' global total orders exactly, which is why "
+    "the oracle is q187's gate + q192's passage replay over the "
+    "admitted set, no streaming simulation needed). A rejected "
+    "doc's passages never enter the index (its content was refused "
+    "entirely — a later admitted copy must not read as seen); "
+    "rejected docs carry NULL passage columns (not evaluated, not "
+    "zero). ONE manifest row per doc with both verdict levels. The "
+    "real foreachBatch carry, retry idempotence, and index-bound "
+    "state are pinned in tests/test_streaming_salvage.py. Scale: "
+    "per batch = one map-side quality projection + |passing| x "
+    "bands signature rows + one batch-local chunk window + two "
+    "index equi-joins; both indexes grow by content novelty only.",
+    tags=("dedup", "curation", "streaming-twin", "text"),
+)
+def q213_streaming_salvage_twin(spark, sf_dir):
+    from .streaming.curation import salvage_batch_manifest
+
+    docs = _t(spark, sf_dir, "documents")
+    b0 = docs.where(F.col("doc_id") < 250)
+    b1 = docs.where(F.col("doc_id") >= 250)
+    empty_sigs = dedup.banded_signature_table(docs.where(F.lit(False)))
+    empty_hashes = docs.where(F.lit(False)).select(
+        F.md5(F.col("text")).alias("chunk_hash")
+    )
+    m0, sigs0, h0 = salvage_batch_manifest(b0, empty_sigs, empty_hashes)
+    m1, _, _ = salvage_batch_manifest(b1, sigs0, h0)
+    return m0.unionByName(m1)

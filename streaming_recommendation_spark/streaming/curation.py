@@ -196,3 +196,172 @@ def read_verdicts(spark: SparkSession, verdicts_dir: str) -> DataFrame:
     """All verdicts emitted so far: (doc_id, quality_kept, is_dup,
     admitted, batch_id)."""
     return spark.read.schema(_VERDICT_SCHEMA).parquet(verdicts_dir)
+
+
+# ---------------------------------------------------------------------------
+# Passage-salvage composition (VERDICT r9 #3): the curation gate above
+# admits or drops WHOLE documents; the salvage stage runs the passage
+# dedup (streaming/passages.py) over the docs the gate ADMITS, so a
+# partially-duplicated admitted document is salvaged — its repeated
+# passages drop, its unique remainder survives with exact kept-token
+# counts for the packer. One composed manifest carries BOTH verdict
+# levels per doc. Batch twin: q213_streaming_salvage_twin (oracle =
+# q187's gate + q192's passage stage over the admitted set — the
+# doc_id-ordered split replays both stages' global total orders).
+# ---------------------------------------------------------------------------
+
+_SALVAGE_SCHEMA = (
+    "doc_id bigint, quality_kept int, is_dup int, admitted int, "
+    "n_passages bigint, n_dup_passages bigint, n_tokens_total bigint, "
+    "n_tokens_kept bigint, batch_id bigint"
+)
+
+
+def salvage_batch_manifest(
+    batch_df: DataFrame,
+    stored_sigs: DataFrame,
+    stored_passage_hashes: DataFrame,
+    threshold_milli: int = 500,
+    num_hashes: int = 16,
+    bands: int = 4,
+    window: int = 16,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Pure core shared by the streaming loop and the q213 batch twin:
+    (manifest, new_signatures, new_passage_hashes) for one arrival
+    batch. The doc gate (curation_batch_verdicts — quality map-side
+    FIRST, then the signature index) decides admission; ONLY admitted
+    docs are chunked for the passage stage (a rejected doc's passages
+    never enter the index — its content was refused entirely, so a
+    later legitimate copy must not read as already-seen). Manifest =
+    the gate verdict per doc, plus passage columns for admitted docs
+    (NULL for rejected — not evaluated, not zero)."""
+    from .passages import passage_batch_manifest
+
+    verdicts, new_sigs = curation_batch_verdicts(
+        batch_df, stored_sigs, threshold_milli, num_hashes, bands,
+        text_col, id_col, n,
+    )
+    admitted = batch_df.join(
+        verdicts.where(F.col("admitted") == 1).select(id_col), id_col
+    )
+    pm, new_hashes = passage_batch_manifest(
+        admitted, stored_passage_hashes, window, stride, text_col, id_col
+    )
+    manifest = verdicts.join(pm, id_col, "left")
+    return manifest, new_sigs, new_hashes
+
+
+def salvage_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    sig_index_dir: str,
+    passage_index_dir: str,
+    manifest_dir: str,
+    threshold_milli: int = 500,
+    num_hashes: int = 16,
+    bands: int = 4,
+    window: int = 16,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """One micro-batch of the salvage ingest loop (also directly
+    callable for batch backfills). Both indexes and the manifest
+    write partitioned by batch_id with dynamic overwrite — a retried
+    batch overwrites exactly its own partitions (idempotent under
+    at-least-once foreachBatch); both index reads exclude THIS
+    batch_id so a retry recomputes from clean state."""
+    from .passages import _PSIG_SCHEMA
+
+    spark = batch_df.sparkSession
+    not_this = F.col("batch_id") != F.lit(batch_id)
+    stored_sigs = (
+        _read_or_empty(spark, sig_index_dir, _SIG_SCHEMA)
+        .where(not_this)
+        .select(id_col, "band", "bucket")
+    )
+    stored_hashes = (
+        _read_or_empty(spark, passage_index_dir, _PSIG_SCHEMA)
+        .where(not_this)
+        .select("chunk_hash")
+    )
+    manifest, new_sigs, new_hashes = salvage_batch_manifest(
+        batch_df, stored_sigs, stored_hashes, threshold_milli, num_hashes,
+        bands, window, stride, text_col, id_col, n,
+    )
+    new_sigs = new_sigs.persist()
+    new_hashes = new_hashes.persist()
+    try:
+        (
+            manifest.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(manifest_dir)
+        )
+        (
+            new_sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sig_index_dir)
+        )
+        (
+            new_hashes.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(passage_index_dir)
+        )
+    finally:
+        new_sigs.unpersist()
+        new_hashes.unpersist()
+
+
+def salvage_ingest_pipeline(
+    doc_stream: DataFrame,
+    sig_index_dir: str,
+    passage_index_dir: str,
+    manifest_dir: str,
+    checkpoint_dir: str,
+    threshold_milli: int = 500,
+    num_hashes: int = 16,
+    bands: int = 4,
+    window: int = 16,
+    stride: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    trigger_available_now: bool = True,
+):
+    """Start the streaming salvage-ingest query. State = the two index
+    directories (they outlive the query; the checkpoint tracks only
+    source offsets)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        salvage_ingest_batch(
+            batch_df, batch_id, sig_index_dir, passage_index_dir,
+            manifest_dir, threshold_milli, num_hashes, bands, window,
+            stride, text_col, id_col, n,
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_salvage_manifests(
+    spark: SparkSession, manifest_dir: str
+) -> DataFrame:
+    """All salvage manifests emitted so far."""
+    return spark.read.schema(_SALVAGE_SCHEMA).parquet(manifest_dir)

@@ -617,3 +617,100 @@ def test_frozen_codebook_encode_is_pure_and_incremental(spark):
     assert rows(new.repartition(7, "vec_id")) == whole
     full_books = pq_train(emb, m=4, k=8, n_iter=1, dim=64)
     assert full_books != books  # drift: frozen vs retrained differ
+
+
+def test_ivfpq_refine_shortlist_exactdist_recall_determinism(spark):
+    """FAISS refine stage (ivf_pq_refine_knn) sanity: (a) the refined
+    top-10 is a SUBSET of its own ADC top-50 shortlist at identical
+    parameters; (b) every reported exact_dist replays in pure Python
+    as the int64 squared L2 of the shared quantization grid (HALF_UP
+    rounding, the _pq_quantized recipe); (c) recall@10 vs the exact
+    grid-L2 ground truth is >= raw ADC's at EQUAL n_probe — the
+    guarantee is structural: any true top-10 member that reaches the
+    shortlist has < 10 corpus vectors closer, so the exact re-rank
+    must keep it, while lossy ADC ordering may not; (d) self
+    retrieval at rank 1 (own exact distance is 0); (e)
+    bit-determinism under repartition."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.similarity import (
+        ivf_pq_adc_knn,
+        ivf_pq_refine_knn,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    kw = dict(num_cells=16, n_probe=4, dim=64)
+    ref = ivf_pq_refine_knn(emb, qdf, k_neighbors=10, k_cand=50, **kw)
+    rows = ref.collect()
+    assert len(rows) == 20 * 10
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, 11))
+        # self-retrieval at rank 1: own exact distance is 0, ties to
+        # the smallest id cannot displace the query itself from rank 1
+        # unless an exact duplicate with a smaller id exists (none in
+        # this testdata)
+        best = min(rs, key=lambda x: x.rank)
+        assert best.neighbor_id == q and best.exact_dist == 0
+
+    # (a) subset of the ADC shortlist
+    shortlist = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_adc_knn(emb, qdf, k_neighbors=50, **kw).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in rows} <= shortlist
+
+    # (b) exact_dist replay: HALF_UP grid quantization then int64 L2
+    def grid(vec):
+        return [int(math.floor((float(x) + 2.0) * (1 << 20) + 0.5)) for x in vec]
+
+    vecs = {r.vec_id: grid(r.embedding) for r in emb.collect()}
+    for r in rows:
+        want = sum(
+            (a - b) * (a - b)
+            for a, b in zip(vecs[r.query_id], vecs[r.neighbor_id])
+        )
+        assert r.exact_dist == want, (r.query_id, r.neighbor_id)
+
+    # (c) refine recall >= raw ADC recall vs exact grid-L2 truth
+    truth = set()
+    for q in range(20):
+        dists = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(vecs[q], v)),
+                nid,
+            )
+            for nid, v in vecs.items()
+        )[:10]
+        truth |= {(q, nid) for _, nid in dists}
+    adc10 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_pq_adc_knn(emb, qdf, k_neighbors=10, **kw).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    r_ref = len(got & truth) / len(truth)
+    r_adc = len(adc10 & truth) / len(truth)
+    assert r_ref >= r_adc, (r_ref, r_adc)
+    assert r_ref > 0
+
+    # (e) bit-determinism under repartition
+    again = {
+        (r.query_id, r.neighbor_id, r.rank, r.exact_dist, r.adc_dist)
+        for r in ivf_pq_refine_knn(
+            emb.repartition(7, "vec_id"), qdf, k_neighbors=10, k_cand=50, **kw
+        ).collect()
+    }
+    assert again == {
+        (r.query_id, r.neighbor_id, r.rank, r.exact_dist, r.adc_dist)
+        for r in rows
+    }
