@@ -285,6 +285,13 @@ HEADLINE = [
     "q207_streaming_drift_twin",
     # categorical drift (event-type mix, exact appear/disappear terms)
     "q208_categorical_drift",
+    # round-10 additions: store-backed hybrid search, IVF-PQ refine,
+    # passage-salvage curation (manifest + savings + streaming twin)
+    "q209_store_hybrid_search",
+    "q210_ivfpq_refine_knn",
+    "q211_salvaged_curation_manifest",
+    "q212_salvage_savings_report",
+    "q213_streaming_salvage_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -320,6 +327,9 @@ ITERATIVE = {
     "q189_pq_adc_knn",  # per-subspace Lloyd training runs at construction
     "q190_ivfpq_adc_knn",  # coarse collect + residual Lloyd at construction
     "q193_frozen_codebook_encode",  # old-snapshot Lloyd at construction
+    "q210_ivfpq_refine_knn",  # q190's coarse collect + Lloyd at construction
+    "q211_salvaged_curation_manifest",  # q186's CC rounds at construction
+    "q212_salvage_savings_report",  # q186's CC rounds at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

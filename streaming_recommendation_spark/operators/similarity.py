@@ -1000,11 +1000,41 @@ def pq_adc_knn(
     WindowGroupLimit per query for the top-k; no corpus shuffle."""
     books = pq_train(corpus, m, k, n_iter, dim, scale, offset, id_col, vec_col)
     dim = _require_dim(dim, vec_col)
-    sub = dim // m
     codes = pq_encode_with_books(
         corpus, books, dim=dim, scale=scale, offset=offset,
         id_col=id_col, vec_col=vec_col,
     ).drop("qdist")
+    return pq_adc_from_codes(
+        codes, queries, books, k_neighbors=k_neighbors, dim=dim,
+        scale=scale, offset=offset, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    )
+
+
+def pq_adc_from_codes(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[int]]],
+    k_neighbors: int = 10,
+    dim: int | None = None,
+    scale: int = 1 << 20,
+    offset: float = 2.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k over a MATERIALIZED codes relation with FROZEN
+    codebooks — the SERVING half of product quantization factored
+    away from training/encoding (pq_adc_knn composes this after its
+    own train+encode; the streaming codes store, streaming/pqcodes.py,
+    calls it over codes read straight from disk). ``corpus_codes`` is
+    (id, code_0..code_{m-1}); the floats never appear. Every distance
+    is the sum of m exact-int64 centroid lookups against plan-literal
+    books; queries quantize map-side and broadcast; one
+    WindowGroupLimit; the codes relation never shuffles."""
+    m = len(books)
+    dim = _require_dim(dim, vec_col)
+    sub = dim // m
     qq = _pq_quantized(queries, dim, scale, offset, query_id_col, vec_col).select(
         F.col("__vid").alias(query_id_col), F.col("__qv").alias("__qq")
     )
@@ -1032,7 +1062,7 @@ def pq_adc_knn(
     total = dists[0]
     for d in dists[1:]:
         total = total + d
-    scored = codes.crossJoin(F.broadcast(qq)).select(
+    scored = corpus_codes.crossJoin(F.broadcast(qq)).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),
         total.cast("long").alias("adc_dist"),

@@ -835,6 +835,63 @@ def best_passage(
     ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
 
 
+def best_passage_from_positions(
+    pos_postings: DataFrame,
+    qids: DataFrame,
+    window: int = 16,
+    k_docs: int = 5,
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """best_passage answered entirely from a POSITIONAL postings
+    relation (id, term, pos) — the Lucene positional-index move: one
+    index supports ranking AND snippet selection with the raw text
+    never rescanned at query time. tf postings derive from the
+    positions (tf = count of a term's positions), BM25 ranks the
+    top-``k_docs`` (bm25_rank_from_postings), chunk word sets derive
+    as distinct (id, pos div window, term) — identical to
+    chunk_word_sets' aligned windows because pos is the 0-based index
+    into the same normalized word sequence the chunker slices — and
+    the best window per retrieved doc maximizes distinct query-term
+    hits, earliest on ties (q203's exact semantics; oracle equality
+    is the claim). Scale: the derivations are one groupBy and one
+    distinct over the store; the candidate set broadcasts into the
+    chunk-word relation; per-(query, doc) WindowGroupLimit."""
+    from .topk import top_k_per_group
+
+    tf = pos_postings.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    top = bm25_rank_from_postings(
+        tf, qids, id_col=id_col, k=k_docs, scale=scale
+    ).select("query_doc", id_col, F.col("rank").alias("bm25_rank"))
+    ws = pos_postings.select(
+        id_col,
+        F.expr(f"CAST(pos div {window} AS INT)").alias("chunk_idx"),
+        F.col("term").alias("word"),
+    ).distinct()
+    qw = (
+        pos_postings.join(
+            F.broadcast(qids), pos_postings[id_col] == qids["query_doc"]
+        )
+        .select("query_doc", F.col("term").alias("word"))
+        .distinct()
+    )
+    hits = (
+        ws.join(F.broadcast(top), id_col)
+        .join(F.broadcast(qw), ["query_doc", "word"])
+        .groupBy("query_doc", id_col, "bm25_rank", "chunk_idx")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return top_k_per_group(
+        hits,
+        1,
+        ["query_doc", id_col],
+        F.col("n_hits").desc(),
+        F.col("chunk_idx").asc(),
+    ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
+
+
 def rrf_fuse(
     bm: DataFrame,
     emb: DataFrame,

@@ -4157,6 +4157,8 @@ _DRIVER_PRIORITY.extend([
     "q211_salvaged_curation_manifest",
     "q212_salvage_savings_report",
     "q213_streaming_salvage_twin",
+    "q214_store_best_passage",
+    "q215_streaming_pq_codes_twin",
 ])
 
 
@@ -11984,3 +11986,192 @@ def q213_streaming_salvage_twin(spark, sf_dir):
     m0, sigs0, h0 = salvage_batch_manifest(b0, empty_sigs, empty_hashes)
     m1, _, _ = salvage_batch_manifest(b1, sigs0, h0)
     return m0.unionByName(m1)
+
+
+@register(
+    "q214_store_best_passage",
+    _REGISTRY["q203_best_passage"].oracle,
+    doc="Store-backed search WITH snippets — the Lucene positional-"
+    "index move: documents arriving in two doc_id-ordered batches "
+    "are reduced AT ARRIVAL to positional postings (id, term, pos — "
+    "pos is the 0-based index into the normalized word sequence, "
+    "streaming/postings.py::positional_postings_batch), and ONE "
+    "stored relation then answers the whole q203 read: tf postings "
+    "derive as position counts (BM25 top-5 via "
+    "bm25_rank_from_postings), chunk word sets derive as distinct "
+    "(id, pos div 16, term) — identical to chunk_word_sets' aligned "
+    "windows because pos indexes the same word sequence the chunker "
+    "slices — and query term bags are fetched from the store by "
+    "qid. Must equal q203's one-shot batch run VERBATIM (same "
+    "oracle); raw text is tokenized exactly once and never touched "
+    "at query time — ranking AND presentation both serve from the "
+    "index. The real foreachBatch carry, retry idempotence, and "
+    "serve-from-disk equality are pinned in "
+    "tests/test_streaming_positional.py. Scale: ingest is one "
+    "map-side posexplode per batch; the store is one row per token "
+    "occurrence (the standard positional-index cost, ~2-3x the tf "
+    "index); the search derivations are one groupBy + one distinct "
+    "with candidate/query sides broadcast.",
+    tags=("streaming", "text", "retrieval"),
+)
+def q214_store_best_passage(spark, sf_dir):
+    from .operators.text import best_passage_from_positions
+    from .streaming.postings import positional_postings_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = positional_postings_batch(
+        docs.where(F.col("doc_id") < 250)
+    ).unionByName(positional_postings_batch(docs.where(F.col("doc_id") >= 250)))
+    qids = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    return best_passage_from_positions(pos, qids, window=16, k_docs=5).select(
+        "query_doc",
+        "doc_id",
+        "bm25_rank",
+        F.col("chunk_idx").alias("best_chunk_idx"),
+        "n_hits",
+    )
+
+
+def _pq_frozen_adc_oracle(cutoff=250, m=4, k=8, n_iter=1, dim=64,
+                          scale=1 << 20, offset="2.0", n_queries=5,
+                          topk=10):
+    """ADC search replay under FROZEN books: the codebooks train ONLY
+    on the old snapshot (vec_id < cutoff — _pq_frozen_oracle's
+    training CTEs verbatim), the ENCODE and the query LUTs run over
+    the WHOLE corpus (both snapshots — the streaming codes store's
+    accumulated state), and the ranked lookup-sum tail is
+    _pq_adc_oracle's verbatim."""
+    sub = dim // m
+    parts = [f"""qv AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round((CAST(x AS DOUBLE) + {offset})
+                 * {float(scale)}) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    old AS MATERIALIZED (SELECT * FROM qv WHERE vec_id < {cutoff}),
+    seeds AS MATERIALIZED (
+      SELECT qv,
+             row_number() OVER (ORDER BY (vec_id * {KNUTH}) % {MOD32} ASC,
+                                vec_id ASC) - 1 AS cid
+      FROM old QUALIFY cid < {k}
+    )"""]
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        parts.append(f"""sl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM qv
+    ),
+    osl{s} AS MATERIALIZED (
+      SELECT vec_id, qv[{lo}:{hi}] AS v FROM old
+    ),
+    c{s}_0 AS (SELECT cid, qv[{lo}:{hi}] AS qc FROM seeds)""")
+        for r in range(n_iter):
+            parts.append(f"""a{s}_{r} AS MATERIALIZED (
+      SELECT vec_id, v, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d ASC, cid ASC) AS rn
+      FROM (SELECT q.vec_id, q.v, c.cid,
+                   list_sum(list_transform(range(1, {sub + 1}),
+                     i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+            FROM osl{s} q CROSS JOIN c{s}_{r} c)
+    ),
+    s{s}_{r} AS (
+      SELECT cid, i AS dim, sum(v[i]) AS s, count(*) AS n
+      FROM a{s}_{r}, range(1, {sub + 1}) t(i)
+      WHERE rn = 1
+      GROUP BY cid, i
+    ),
+    m{s}_{r} AS (
+      SELECT cid, list(s // n ORDER BY dim) AS qc FROM s{s}_{r} GROUP BY cid
+    ),
+    c{s}_{r + 1} AS (
+      SELECT c.cid, coalesce(m.qc, c.qc) AS qc
+      FROM c{s}_{r} c LEFT JOIN m{s}_{r} m USING (cid)
+    )""")
+        parts.append(f"""enc{s} AS MATERIALIZED (
+      SELECT vec_id, cid AS code
+      FROM (SELECT q.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_sum(list_transform(range(1, {sub + 1}),
+                       i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) ASC,
+                       c.cid ASC) AS rn
+            FROM sl{s} q CROSS JOIN c{s}_{n_iter} c)
+      WHERE rn = 1
+    ),
+    lut{s} AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.cid,
+             list_sum(list_transform(range(1, {sub + 1}),
+               i -> (q.v[i] - c.qc[i]) * (q.v[i] - c.qc[i]))) AS d
+      FROM (SELECT vec_id, v FROM sl{s} WHERE vec_id < {n_queries}) q
+      CROSS JOIN c{s}_{n_iter} c
+    )""")
+    lut_joins = " ".join(
+        f"JOIN lut{s} ON lut{s}.query_id = qs.query_id"
+        f" AND lut{s}.cid = enc{s}.code" for s in range(m)
+    )
+    enc_joins = " ".join(
+        f"JOIN enc{s} ON enc{s}.vec_id = enc0.vec_id" for s in range(1, m)
+    )
+    total = " + ".join(f"lut{s}.d" for s in range(m))
+    return f"""
+    WITH {",".join(parts)},
+    qs AS (SELECT vec_id AS query_id FROM embeddings
+           WHERE vec_id < {n_queries}),
+    tot AS (
+      SELECT qs.query_id, enc0.vec_id AS neighbor_id,
+             CAST({total} AS BIGINT) AS adc_dist
+      FROM qs CROSS JOIN enc0 {enc_joins} {lut_joins}
+    )
+    SELECT query_id, neighbor_id,
+           CAST(rn AS INT) AS rank, adc_dist
+    FROM (SELECT query_id, neighbor_id, adc_dist,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY adc_dist ASC, neighbor_id ASC)
+                   AS rn
+          FROM tot)
+    WHERE rn <= {topk}
+    """
+
+
+@register(
+    "q215_streaming_pq_codes_twin",
+    _pq_frozen_adc_oracle(),
+    doc="Batch twin of the STREAMING PQ-codes store "
+    "(streaming/pqcodes.py — the RAM-residency counterpart of the "
+    "float IVF store q135/q137, completing the streaming ANN "
+    "triangle): codebooks train ONCE on the first snapshot "
+    "(vec_id < 250 — the q193 frozen-codebook contract, persisted "
+    "next to the index and RAISED-on-missing so the index can never "
+    "split across incompatible quantizers), vectors arriving in two "
+    "vec_id-ordered batches encode MAP-SIDE under the frozen "
+    "plan-literal books (re-encode cost ~ |new|, no shuffle, no "
+    "join), and ADC top-10 answers from the ACCUMULATED codes alone "
+    "(similarity.pq_adc_from_codes — only (id, 4 codes) rows move; "
+    "the floats never leave disk). Must equal the one-shot "
+    "frozen-books encode+search (same oracle: frozen training + "
+    "whole-corpus encode + the q189 ranked lookup-sum). The real "
+    "foreachBatch carry, retry idempotence, missing-books raise, "
+    "and serve-from-disk equality are pinned in "
+    "tests/test_streaming_pqcodes.py. Scale: per-batch ingest is "
+    "one projection; the store is m*log2(k) bits per vector; the "
+    "search broadcasts queries into one codes scan.",
+    tags=("similarity", "vector", "streaming-twin", "iterative"),
+)
+def q215_streaming_pq_codes_twin(spark, sf_dir):
+    from .streaming.pqcodes import pq_codes_batch
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb.where(F.col("vec_id") < 250), dim=64)
+    codes = pq_codes_batch(
+        emb.where(F.col("vec_id") < 250), books, dim=64
+    ).unionByName(
+        pq_codes_batch(emb.where(F.col("vec_id") >= 250), books, dim=64)
+    ).drop("qdist")
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_from_codes(
+        codes, qdf, books, k_neighbors=10, dim=64
+    )

@@ -157,3 +157,121 @@ def bm25_query(
         id_col, "term", "tf"
     )
     return bm25_rank_from_postings(tf, qids, id_col=id_col, k=k, scale=scale)
+
+
+# ---------------------------------------------------------------------------
+# Positional postings: the Lucene positional-index variant — one store
+# that supports BM25 ranking (tf = count of positions) AND snippet
+# (best-passage) selection, so the SERVING read never rescans text.
+# Batch twin: q214_store_best_passage (oracle = q203's verbatim).
+# ---------------------------------------------------------------------------
+
+
+def _positional_schema(id_col: str = "doc_id") -> str:
+    return f"{id_col} bigint, term string, pos int, batch_id bigint"
+
+
+def positional_postings_batch(
+    batch_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One arrival batch's (id, term, pos) positional postings: pos is
+    the 0-based index into the normalized word sequence (the SAME
+    sequence chunk_documents slices, so pos div window == the aligned
+    chunk_idx). Map-side posexplode; empty tokens dropped AFTER
+    position assignment so positions always match the chunker's array
+    indices."""
+    return (
+        batch_df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos", "term"),
+        )
+        .where(F.col("term") != "")
+        .select(id_col, "term", F.col("pos").cast("int").alias("pos"))
+    )
+
+
+def positional_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    postings_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the positional-postings ingest loop."""
+    (
+        positional_postings_batch(batch_df, text_col, id_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(postings_dir)
+    )
+
+
+def positional_ingest_pipeline(
+    doc_stream: DataFrame,
+    postings_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_available_now: bool = True,
+):
+    """Start the streaming positional-postings ingest. Same contract
+    as postings_ingest_pipeline."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        positional_ingest_batch(
+            batch_df, batch_id, postings_dir, text_col, id_col
+        )
+
+    writer = (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_positional_postings(
+    spark: SparkSession, postings_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The accumulated positional postings (all batches so far), with
+    the same fail-fast id_col guard as read_postings."""
+    stored = spark.read.parquet(postings_dir).schema.fieldNames()
+    if id_col not in stored:
+        raise ValueError(
+            f"read_positional_postings: id_col {id_col!r} is not in the "
+            f"stored schema {stored} — pass the same id_col the ingest "
+            "used (a mismatched name resolves to all-NULL ids and "
+            "empties every search)"
+        )
+    return spark.read.schema(_positional_schema(id_col)).parquet(postings_dir)
+
+
+def best_passage_query(
+    spark: SparkSession,
+    postings_dir: str,
+    qids: DataFrame,
+    window: int = 16,
+    k_docs: int = 5,
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """BM25 top-k + best-passage snippet per retrieved doc, answered
+    ENTIRELY from the persisted positional index as of now (ranking
+    statistics AND chunk word sets both derive from the stored
+    positions — text.best_passage_from_positions)."""
+    from ..operators.text import best_passage_from_positions
+
+    pos = read_positional_postings(spark, postings_dir, id_col).select(
+        id_col, "term", "pos"
+    )
+    return best_passage_from_positions(
+        pos, qids, window=window, k_docs=k_docs, id_col=id_col, scale=scale
+    )

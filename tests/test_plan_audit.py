@@ -1452,3 +1452,72 @@ def test_q208_categorical_drift_no_join_merge(spark):
     assert a["n_broadcast_joins"] + a["bnl_joins"] <= 2
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q209_store_hybrid_no_sortmerge_no_python(spark):
+    # both legs answered from the store relations: the BM25 leg's
+    # query-bounded tables broadcast, the dense leg's queries
+    # broadcast into one corpus scan, the fusion is union+agg (the
+    # q199 rewrite) — NO sort-merge join anywhere
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q209_store_hybrid_search"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q210_refine_broadcast_fetch_no_python(spark):
+    # the shortlist fetch must BROADCAST the |queries| x k_cand
+    # candidate table into the corpus scan (the corpus never
+    # shuffles for the re-rank); no Python, no cartesian
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q210_ivfpq_refine_knn"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["n_broadcast_joins"] >= 2  # fetch join + query-vector join
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q213_salvage_twin_no_cartesian_no_python(spark):
+    # gate (LSH bucket equi-joins) + passage stage (hash window +
+    # hash equi-join): bucketed candidates only — no cartesian, no
+    # broadcast-nested-loop beyond none, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q213_streaming_salvage_twin"].fn(spark, SF_DIR))
+    assert a["bnl_joins"] == 0
+    assert "CartesianProduct" not in a["plan"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q214_positional_store_broadcast_no_python(spark):
+    # tf/chunk-word derivations over the store; candidate + query
+    # word tables broadcast into them — no SMJ, no Python/cartesian
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q214_store_best_passage"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q215_pq_codes_store_shape(spark):
+    # the ADC scan moves only (id, codes) rows against plan-literal
+    # books: queries broadcast, the codes relation never shuffles
+    # before the top-k window; no Python anywhere
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q215_streaming_pq_codes_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
