@@ -292,6 +292,9 @@ HEADLINE = [
     "q211_salvaged_curation_manifest",
     "q212_salvage_savings_report",
     "q213_streaming_salvage_twin",
+    "q214_store_best_passage",
+    "q215_streaming_pq_codes_twin",
+    "q216_forgetful_dedup_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -330,6 +333,7 @@ ITERATIVE = {
     "q210_ivfpq_refine_knn",  # q190's coarse collect + Lloyd at construction
     "q211_salvaged_curation_manifest",  # q186's CC rounds at construction
     "q212_salvage_savings_report",  # q186's CC rounds at construction
+    "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

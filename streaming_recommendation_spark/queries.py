@@ -4159,6 +4159,7 @@ _DRIVER_PRIORITY.extend([
     "q213_streaming_salvage_twin",
     "q214_store_best_passage",
     "q215_streaming_pq_codes_twin",
+    "q216_forgetful_dedup_twin",
 ])
 
 
@@ -12174,4 +12175,63 @@ def q215_streaming_pq_codes_twin(spark, sf_dir):
     )
     return similarity.pq_adc_from_codes(
         codes, qdf, books, k_neighbors=10, dim=64
+    )
+
+
+_Q216_ORACLE = _REGISTRY["q185_cross_snapshot_dedup"].oracle.replace(
+    "WHERE n.doc_id >= 250 AND e.doc_id < 250",
+    "WHERE n.doc_id >= 250 AND e.doc_id < 250 AND e.doc_id % 2 <> 0",
+)
+assert "e.doc_id % 2 <> 0" in _Q216_ORACLE  # replace target must exist
+
+
+@register(
+    "q216_forgetful_dedup_twin",
+    _Q216_ORACLE,
+    doc="Deletion propagation through the dedup index — the GDPR-"
+    "erasure / takedown read (streaming/dedup.py tombstone API): "
+    "q185's cross-snapshot dedup replayed with a FORGET SET (every "
+    "even-id old doc, an arbitrary erasure batch) tombstoned out of "
+    "the persisted signature index before the new snapshot dedups "
+    "against it. A forgotten doc stops being duplicate EVIDENCE "
+    "immediately (reads anti-join the tombstone log; "
+    "compact_tombstones later rewrites the stored bytes — the "
+    "Delta/Iceberg delete-then-compact shape), so new docs whose "
+    "only match was forgotten now read as novel, while matches to "
+    "surviving docs persist — both paths bind at sf0.01 (13 -> 4 "
+    "dups, 9 verdicts flip) and sf0.1 (23 -> 10). Oracle = q185's "
+    "verbatim with the forget set excluded from the candidate "
+    "predicate (single-sourced by string surgery on the registered "
+    "oracle — the two can never drift). The disk path (tombstone "
+    "log, live-index read, ingest exclusion, physical compaction) "
+    "is pinned in tests/test_streaming_dedup.py. Scale: one extra "
+    "broadcast anti-join on the id per read — deletions are tiny "
+    "relative to the corpus; compaction is one partitioned rewrite.",
+    tags=("dedup", "streaming-twin", "layout"),
+)
+def q216_forgetful_dedup_twin(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    idx = dedup.banded_signature_table(old)
+    forget = old.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    live = idx.join(F.broadcast(forget), "doc_id", "left_anti")
+    cands = dedup.incremental_lsh_candidates(new, live)
+    hits = cands.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.min("existing_id").alias("first_match"),
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0))
+            .cast("long")
+            .alias("n_index_matches"),
+            F.coalesce("first_match", F.lit(-1)).cast("long").alias("first_match"),
+            F.when(F.col("new_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_dup"),
+        )
     )

@@ -63,6 +63,7 @@ def dedup_ingest_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    tombstones_dir: str | None = None,
 ) -> None:
     """One micro-batch of the ingest loop (also directly callable for
     batch backfills — the streaming pipeline is just this under
@@ -78,6 +79,13 @@ def dedup_ingest_batch(
             # from its own (complete) signatures
             F.col("batch_id") != F.lit(batch_id)
         ).select(id_col, "band", "bucket")
+        if tombstones_dir is not None:
+            # forgotten docs stop being duplicate evidence immediately
+            # (erasure of the stored bytes is compact_tombstones' job)
+            tombs = _read_or_empty(
+                spark, tombstones_dir, _TOMB_SCHEMA
+            ).select(id_col)
+            stored = stored.join(F.broadcast(tombs), id_col, "left_anti")
         index = stored.unionByName(new_sigs)
         cands = lsh_candidates_from_signatures(new_sigs, index, id_col)
         # writes stay partition-parallel (no coalesce-to-1): at scale
@@ -152,3 +160,94 @@ def read_candidates(spark: SparkSession, candidates_dir: str) -> DataFrame:
     batch_id). Distinct across batches is NOT applied — each row
     records which batch surfaced the pair."""
     return spark.read.schema(_CAND_SCHEMA).parquet(candidates_dir)
+
+
+# ---------------------------------------------------------------------------
+# Deletion propagation ("forget this document" — the GDPR-erasure /
+# takedown path every production corpus index needs): deletions are
+# recorded as TOMBSTONES next to the index (cheap, idempotent,
+# batch-keyed like everything else here), every read anti-joins them
+# out (a forgotten doc stops being duplicate EVIDENCE immediately),
+# and `compact_tombstones` physically rewrites the index without the
+# dead rows (soft-deleted bytes persist in storage until it runs —
+# erasure is only complete after compaction, which is why it exists
+# as a separate explicit step, exactly the Delta/Iceberg
+# delete-then-compact shape). Batch twin: q216_forgetful_dedup_twin
+# (q185's cross-snapshot read with the forget set removed from the
+# index side; oracle excludes the forgotten ids from the candidate
+# predicate).
+# ---------------------------------------------------------------------------
+
+_TOMB_SCHEMA = "doc_id bigint, tomb_batch_id bigint"
+
+
+def tombstone_docs(
+    ids_df: DataFrame,
+    tomb_batch_id: int,
+    tombstones_dir: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Record a deletion request: one row per forgotten id, appended
+    partitioned by tomb_batch_id with dynamic overwrite (a retried
+    deletion batch overwrites exactly its own partition)."""
+    (
+        ids_df.select(F.col(id_col))
+        .distinct()
+        .withColumn("tomb_batch_id", F.lit(tomb_batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tomb_batch_id")
+        .parquet(tombstones_dir)
+    )
+
+
+def read_live_index(
+    spark: SparkSession,
+    index_dir: str,
+    tombstones_dir: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The signature index MINUS tombstoned docs — the only read any
+    dedup/search path should use once deletions exist. One anti-join
+    on the id (tombstone side broadcast at scale: deletions are tiny
+    relative to the corpus)."""
+    idx = _read_or_empty(spark, index_dir, _SIG_SCHEMA).select(
+        id_col, "band", "bucket"
+    )
+    if tombstones_dir is None:
+        return idx
+    tombs = _read_or_empty(spark, tombstones_dir, _TOMB_SCHEMA).select(id_col)
+    return idx.join(F.broadcast(tombs), id_col, "left_anti")
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    tombstones_dir: str,
+    id_col: str = "doc_id",
+) -> None:
+    """Physically rewrite the index without the tombstoned rows and
+    clear the tombstone log — the erasure step (until this runs the
+    dead rows still exist as bytes in storage; reads just skip them).
+    The rewrite keeps the batch_id partitioning so ingest idempotence
+    semantics survive compaction."""
+    import shutil
+    import uuid
+
+    live = (
+        _read_or_empty(spark, index_dir, _SIG_SCHEMA)
+        .join(
+            F.broadcast(
+                _read_or_empty(spark, tombstones_dir, _TOMB_SCHEMA).select(
+                    id_col
+                )
+            ),
+            id_col,
+            "left_anti",
+        )
+    )
+    tmp_dir = f"{index_dir.rstrip('/')}.__compact_{uuid.uuid4().hex[:8]}"
+    live.write.mode("overwrite").partitionBy("batch_id").parquet(tmp_dir)
+    shutil.rmtree(index_dir)
+    shutil.move(tmp_dir, index_dir)
+    shutil.rmtree(tombstones_dir, ignore_errors=True)

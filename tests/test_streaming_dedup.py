@@ -207,3 +207,72 @@ def test_randomized_incremental_equals_single_plan(spark):
             .collect()
         }
         assert got == want, (seed, cuts)
+
+
+def test_tombstone_forgets_duplicate_evidence(spark, tmp_path):
+    """Deletion propagation: after doc 3 is tombstoned, its exact
+    copy 13 arriving later is NOVEL (no candidate); matches to
+    surviving docs persist; compaction physically erases the rows
+    and clears the log; ingest-time exclusion == read-time
+    exclusion."""
+    from streaming_recommendation_spark.streaming.dedup import (
+        compact_tombstones,
+        read_live_index,
+        tombstone_docs,
+    )
+
+    b0 = spark.createDataFrame(BATCH0, DOC_SCHEMA)
+    b1 = spark.createDataFrame(BATCH1, DOC_SCHEMA)
+    idir, cdir, tdir = (
+        str(tmp_path / "index"),
+        str(tmp_path / "cands"),
+        str(tmp_path / "tombs"),
+    )
+    dedup_ingest_batch(b0, 0, idir, cdir)
+    # forget doc 3 (the future cross-batch duplicate's evidence)
+    tombstone_docs(
+        spark.createDataFrame([(3,)], "doc_id bigint"), 0, tdir
+    )
+    # read-time: the live index no longer contains doc 3
+    live = read_live_index(spark, idir, tdir)
+    assert live.where(F.col("doc_id") == 3).count() == 0
+    assert live.count() > 0
+    # but the BYTES still exist until compaction (soft delete)
+    assert (
+        spark.read.parquet(idir).where(F.col("doc_id") == 3).count() > 0
+    )
+
+    # ingest-time: batch 1 dedups against the tombstone-filtered index
+    dedup_ingest_batch(b1, 1, idir, cdir, tombstones_dir=tdir)
+    got = {
+        (r.new_id, r.existing_id)
+        for r in read_candidates(spark, cdir)
+        .where(F.col("batch_id") == 1)
+        .collect()
+    }
+    assert (13, 3) not in got  # forgotten evidence
+    assert (12, 11) in got  # surviving within-batch pair unaffected
+
+    # retombstoning the same batch is idempotent
+    tombstone_docs(
+        spark.createDataFrame([(3,)], "doc_id bigint"), 0, tdir
+    )
+    assert read_live_index(spark, idir, tdir).where(
+        F.col("doc_id") == 3
+    ).count() == 0
+
+    # compaction: physical erasure + log cleared + live view unchanged
+    before = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in read_live_index(spark, idir, tdir).collect()
+    )
+    compact_tombstones(spark, idir, tdir)
+    assert spark.read.parquet(idir).where(F.col("doc_id") == 3).count() == 0
+    import os as _os
+
+    assert not _os.path.exists(tdir)
+    after = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in read_live_index(spark, idir).collect()
+    )
+    assert after == before
