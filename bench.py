@@ -295,6 +295,7 @@ HEADLINE = [
     "q214_store_best_passage",
     "q215_streaming_pq_codes_twin",
     "q216_forgetful_dedup_twin",
+    "q217_learned_rerank",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

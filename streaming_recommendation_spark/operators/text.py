@@ -835,6 +835,109 @@ def best_passage(
     ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
 
 
+def learned_rerank(
+    df: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    w_overlap: int = 2000,
+    w_rrf: int = 1,
+    w_len: int = -3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learned re-rank slot over (query, candidate) pairs — the
+    CROSS-ENCODER stage of a production retrieval stack (bi-encoder /
+    BM25 retrieve -> cross-encoder re-rank, Nogueira & Cho 2019),
+    realized the q184 way: pair features are exact integers computed
+    in-plan, the scorer is a LINEAR model with integer milli-unit
+    coefficients, so the ranking replays bit-for-bit on any engine
+    and the gate stays Catalyst-only (zero Python). The torch
+    cross-encoder swap point is exactly this slot: a user with a
+    traced pair-scorer replaces the weighted sum with an Arrow
+    pandas-UDF scorer (cascade/scorers.py pattern) and everything
+    around it — candidate generation, feature join, top-k — is
+    unchanged.
+
+    ``candidates`` is a (query_doc, id, rrf_ppm) list (the q199/q209
+    fusion output or any rank list with an integer prior score).
+    Features per pair: n_overlap — exact count of DISTINCT shared
+    normalized words (word equi-join, never a pairwise text
+    comparison); rrf_ppm — the fusion prior, riding through;
+    n_tokens — the candidate's token count (length prior). Score =
+    w_overlap*n_overlap + w_rrf*rrf_ppm + w_len*n_tokens, exact
+    int64; top-``k`` per query by (score desc, id asc). Scale: the
+    candidate list is |queries| x k_in and broadcasts into one
+    corpus word scan; one small per-query WindowGroupLimit."""
+    from .dedup import normalize_text
+    from .topk import top_k_per_group
+
+    words = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    cand = candidates.select("query_doc", id_col, "rrf_ppm")
+    qw = words.join(
+        F.broadcast(
+            cand.select("query_doc").distinct()
+        ),
+        words[id_col] == F.col("query_doc"),
+    ).select("query_doc", "word")
+    ov = (
+        words.join(F.broadcast(cand.select("query_doc", id_col)), id_col)
+        .join(F.broadcast(qw), ["query_doc", "word"])
+        .groupBy("query_doc", id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    toks = df.select(
+        id_col,
+        F.size(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda w: w != "",
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    # the candidate side is |queries| x k_in rows: broadcast IT into
+    # the corpus-wide token-count scan (the corpus never shuffles)
+    enriched = cand.join(F.broadcast(ov), ["query_doc", id_col], "left")
+    feat = toks.join(F.broadcast(enriched), id_col).select(
+        "query_doc",
+        id_col,
+        F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
+        "rrf_ppm",
+        "n_tokens",
+    )
+    score = (
+        F.lit(w_overlap).cast("long") * F.col("n_overlap")
+        + F.lit(w_rrf).cast("long") * F.col("rrf_ppm")
+        + F.lit(w_len).cast("long") * F.col("n_tokens")
+    )
+    return top_k_per_group(
+        feat.withColumn("rerank_score", score.cast("long")),
+        k,
+        ["query_doc"],
+        F.col("rerank_score").desc(),
+        F.col(id_col).asc(),
+        rank_col="rerank",
+    ).select(
+        "query_doc",
+        id_col,
+        "n_overlap",
+        "rrf_ppm",
+        "n_tokens",
+        "rerank_score",
+        F.col("rerank").cast("int").alias("rerank"),
+    )
+
+
 def best_passage_from_positions(
     pos_postings: DataFrame,
     qids: DataFrame,

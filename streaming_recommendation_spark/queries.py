@@ -4160,6 +4160,7 @@ _DRIVER_PRIORITY.extend([
     "q214_store_best_passage",
     "q215_streaming_pq_codes_twin",
     "q216_forgetful_dedup_twin",
+    "q217_learned_rerank",
 ])
 
 
@@ -12235,3 +12236,80 @@ def q216_forgetful_dedup_twin(spark, sf_dir):
             .alias("is_dup"),
         )
     )
+
+
+_Q217_ORACLE = (
+    "WITH base AS (\n"
+    + _REGISTRY["q199_hybrid_rrf_fusion"].oracle
+    + r"""
+),
+cw AS (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                       ' ', 'g')), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+),
+ov AS (
+  SELECT b.query_doc, b.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+  FROM base b
+  JOIN cw q ON q.doc_id = b.query_doc
+  JOIN cw c ON c.doc_id = b.doc_id AND c.word = q.word
+  GROUP BY b.query_doc, b.doc_id
+),
+toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                        ' '), w -> w <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+feat AS (
+  SELECT b.query_doc, b.doc_id,
+         coalesce(ov.n_overlap, 0) AS n_overlap,
+         b.rrf_ppm, t.n_tokens,
+         CAST(2000 * coalesce(ov.n_overlap, 0) + b.rrf_ppm
+              - 3 * t.n_tokens AS BIGINT) AS rerank_score
+  FROM base b
+  LEFT JOIN ov ON ov.query_doc = b.query_doc AND ov.doc_id = b.doc_id
+  JOIN toks t ON t.doc_id = b.doc_id
+)
+SELECT query_doc, doc_id, n_overlap, rrf_ppm, n_tokens, rerank_score,
+       CAST(rn AS INT) AS rerank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                   ORDER BY rerank_score DESC, doc_id ASC)
+                  AS rn
+      FROM feat)
+WHERE rn <= 5
+"""
+)
+
+
+@register(
+    "q217_learned_rerank",
+    _Q217_ORACLE,
+    doc="Learned re-rank slot — the CROSS-ENCODER stage completing "
+    "the retrieval stack (ingest -> index -> retrieve -> fuse -> "
+    "refine -> RERANK -> snippet -> eval; Nogueira & Cho 2019), "
+    "realized the q184 way: q199's hybrid top-10 candidates are "
+    "re-scored by a linear model over exact integer pair features — "
+    "n_overlap (DISTINCT shared normalized words, word equi-join — "
+    "never a pairwise text comparison), the rrf_ppm fusion prior, "
+    "and the candidate token count (length prior) — with integer "
+    "milli-unit coefficients, so the top-5 ranking replays "
+    "bit-for-bit and the whole gate is Catalyst-only (zero Python). "
+    "The torch cross-encoder swap point is exactly this slot "
+    "(text.learned_rerank): a traced pair-scorer replaces the "
+    "weighted sum via the cascade/scorers.py Arrow pattern and the "
+    "candidate generation / feature join / top-k around it are "
+    "unchanged. Oracle = q199's verbatim as the base CTE + the "
+    "feature joins + the same integer arithmetic. Scale: the "
+    "|queries| x 10 candidate list broadcasts into one corpus word "
+    "scan; one per-query WindowGroupLimit.",
+    tags=("text", "retrieval", "eval", "window"),
+)
+def q217_learned_rerank(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cands = q199_hybrid_rrf_fusion(spark, sf_dir)
+    return text.learned_rerank(docs, cands, k=5)

@@ -1521,3 +1521,17 @@ def test_q215_pq_codes_store_shape(spark):
     assert a["has_window_group_limit"]
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q217_rerank_broadcast_candidates_no_python(spark):
+    # the candidate list broadcasts into the corpus word scan; the
+    # scorer is pure Catalyst integer arithmetic — no Python, no
+    # cartesian, no SMJ
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q217_learned_rerank"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]

@@ -328,3 +328,34 @@ def test_bm25_search_matches_python_reference_on_random_corpus(spark, seed):
         for rank, (i, (s, n)) in enumerate(ranked, 1):
             want[(q, i)] = (s, n, rank)
     assert got == want, seed
+
+
+def test_learned_rerank_hand_computed_and_reorders(spark):
+    """The rerank slot's integer arithmetic replays by hand, and the
+    overlap feature provably REORDERS the fusion prior: candidate B
+    carries a better rrf_ppm, but candidate A shares more distinct
+    words with the query, and w_overlap prices that above the prior
+    gap."""
+    from streaming_recommendation_spark.operators.text import learned_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),          # query: 4 distinct words
+            (1, "alpha beta gamma zeta eta theta"),  # A: overlap 3
+            (2, "alpha iota kappa"),                 # B: overlap 1
+        ],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1, 10_000), (0, 2, 12_000)],  # B has the better prior
+        "query_doc bigint, doc_id bigint, rrf_ppm bigint",
+    )
+    got = {
+        r.doc_id: (r.n_overlap, r.rrf_ppm, r.n_tokens, r.rerank_score, r.rerank)
+        for r in learned_rerank(docs, cands, k=2).collect()
+    }
+    # score = 2000*overlap + rrf_ppm - 3*n_tokens
+    assert got[1] == (3, 10_000, 6, 2000 * 3 + 10_000 - 3 * 6, 1)
+    assert got[2] == (1, 12_000, 3, 2000 * 1 + 12_000 - 3 * 3, 2)
+    # the rerank inverted the prior order (B led on rrf_ppm)
+    assert got[1][4] < got[2][4] and got[2][1] > got[1][1]
