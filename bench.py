@@ -296,6 +296,7 @@ HEADLINE = [
     "q215_streaming_pq_codes_twin",
     "q216_forgetful_dedup_twin",
     "q217_learned_rerank",
+    "q218_rerank_ablation",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

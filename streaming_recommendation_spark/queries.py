@@ -4161,6 +4161,7 @@ _DRIVER_PRIORITY.extend([
     "q215_streaming_pq_codes_twin",
     "q216_forgetful_dedup_twin",
     "q217_learned_rerank",
+    "q218_rerank_ablation",
 ])
 
 
@@ -12313,3 +12314,309 @@ def q217_learned_rerank(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     cands = q199_hybrid_rrf_fusion(spark, sf_dir)
     return text.learned_rerank(docs, cands, k=5)
+
+
+@register(
+    "q218_rerank_ablation",
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM words WHERE term <> '' GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), tot AS (
+      SELECT (SELECT count(DISTINCT doc_id) FROM tf) AS n_docs,
+             (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS t
+    ), q_orig AS (
+      SELECT doc_id AS query_doc, term FROM tf WHERE doc_id < 3
+    ),
+    -- retriever 1: plain BM25 top-5 (q198)
+    s1 AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (d.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q_orig q USING (term)
+      JOIN dfq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), bm25_list AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM s1 GROUP BY query_doc, doc_id)
+      WHERE rn <= 5
+    ),
+    -- retriever 2: PRF-expanded BM25 top-5 (q202: fb=3, exp=5)
+    fb AS (
+      SELECT query_doc, doc_id
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM s1 GROUP BY query_doc, doc_id)
+      WHERE rn <= 3
+    ), fb_tf AS (
+      SELECT fb.query_doc, tf.term, CAST(sum(tf.tf) AS BIGINT) AS fb_tf
+      FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+      GROUP BY fb.query_doc, tf.term
+    ), exp AS (
+      SELECT query_doc, term
+      FROM (SELECT f.query_doc, f.term,
+                   row_number() OVER (PARTITION BY f.query_doc
+                                      ORDER BY f.fb_tf DESC, f.term ASC) AS rn
+            FROM fb_tf f
+            WHERE NOT EXISTS (SELECT 1 FROM q_orig q
+                              WHERE q.query_doc = f.query_doc
+                                AND q.term = f.term))
+      WHERE rn <= 5
+    ), q2 AS (
+      SELECT query_doc, term FROM q_orig
+      UNION ALL
+      SELECT query_doc, term FROM exp
+    ), s2 AS (
+      SELECT q.query_doc, tf.doc_id,
+             (22 * tot.n_docs * tot.t * tf.tf * 1000)
+               // (d.df * (10 * tot.t * tf.tf + 3 * tot.t
+                           + 9 * dl.dl * tot.n_docs)) AS term_milli
+      FROM tf
+      JOIN q2 q USING (term)
+      JOIN dfq d USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN tot
+      WHERE tf.doc_id <> q.query_doc
+    ), prf_list AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM s2 GROUP BY query_doc, doc_id)
+      WHERE rn <= 5
+    ),
+    -- retriever 3: hybrid RRF of BM25 top-20 + hash-embed top-20 (q199)
+    brank20 AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS bm25_rank
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY sum(term_milli) DESC, doc_id ASC) AS rn
+            FROM s1 GROUP BY query_doc, doc_id)
+      WHERE rn <= 20
+    ), tok AS (
+      SELECT n.doc_id,
+             CAST(('0x' || substr(md5(t.w), 1, 8)) AS BIGINT) AS h
+      FROM (SELECT doc_id,
+                   string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                    'g')), ' ') AS w
+            FROM documents) n, unnest(n.w) AS t(w)
+      WHERE t.w <> ''
+    ), sp AS (
+      SELECT doc_id, CAST(h % 64 AS INT) AS slot,
+             CAST(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END AS BIGINT)
+               AS sgn
+      FROM tok
+    ), aggv AS (
+      SELECT doc_id, slot, CAST(sum(sgn) AS BIGINT) AS v
+      FROM sp GROUP BY 1, 2
+    ), grid AS (
+      SELECT d.doc_id, s.slot
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS slot) s
+    ), dense AS MATERIALIZED (
+      SELECT g.doc_id, list(coalesce(a.v, 0) ORDER BY g.slot) AS vec
+      FROM grid g LEFT JOIN aggv a ON a.doc_id = g.doc_id AND a.slot = g.slot
+      GROUP BY g.doc_id
+    ), eq AS (
+      SELECT doc_id AS query_doc, vec AS qv FROM dense WHERE doc_id < 3
+    ), epairs AS (
+      SELECT eq.query_doc, d.doc_id,
+             CAST(list_sum(list_transform(range(1, 65),
+                                          i -> eq.qv[i] * d.vec[i]))
+                  AS BIGINT) AS dot,
+             list_sum(list_transform(eq.qv, x -> x * x)) AS na,
+             list_sum(list_transform(d.vec, x -> x * x)) AS nb
+      FROM eq CROSS JOIN dense d
+      WHERE d.doc_id <> eq.query_doc
+    ), erank20 AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS emb_rank
+      FROM (SELECT query_doc, doc_id,
+                   row_number() OVER (
+                     PARTITION BY query_doc
+                     ORDER BY CASE WHEN na > 0 AND nb > 0
+                                   THEN CAST(dot AS DOUBLE)
+                                        / (sqrt(CAST(na AS DOUBLE))
+                                           * sqrt(CAST(nb AS DOUBLE)))
+                                   ELSE 0.0 END DESC, doc_id ASC) AS rn
+            FROM epairs)
+      WHERE rn <= 20
+    ), fused AS (
+      SELECT query_doc, doc_id,
+             CAST(coalesce(1000000 // (60 + max(bm25_rank)), 0)
+                + coalesce(1000000 // (60 + max(emb_rank)), 0) AS BIGINT)
+               AS rrf_ppm
+      FROM (SELECT query_doc, doc_id, bm25_rank, NULL AS emb_rank
+            FROM brank20
+            UNION ALL
+            SELECT query_doc, doc_id, NULL AS bm25_rank, emb_rank
+            FROM erank20)
+      GROUP BY query_doc, doc_id
+    ), hybrid_list AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY rrf_ppm DESC, doc_id ASC)
+                        AS rn
+            FROM fused)
+      WHERE rn <= 5
+    ),
+    -- ground truth: doc-level word-set Jaccard top-5 (q200's protocol)
+    ws AS (
+      SELECT DISTINCT doc_id, term AS word FROM words WHERE term <> ''
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM ws GROUP BY doc_id
+    ), qws AS (
+      SELECT doc_id AS query_doc, word FROM ws WHERE doc_id < 3
+    ), inter AS (
+      SELECT q.query_doc, w.doc_id, CAST(count(*) AS BIGINT) AS it
+      FROM ws w JOIN qws q USING (word)
+      WHERE w.doc_id <> q.query_doc
+      GROUP BY q.query_doc, w.doc_id
+    ), truth AS (
+      SELECT query_doc, doc_id
+      FROM (SELECT i.query_doc, i.doc_id,
+                   row_number() OVER (
+                     PARTITION BY i.query_doc
+                     ORDER BY CAST(i.it AS DOUBLE)
+                              / (qs.nw + cs.nw - i.it) DESC,
+                              i.doc_id ASC) AS rn
+            FROM inter i
+            JOIN sizes qs ON qs.doc_id = i.query_doc
+            JOIN sizes cs ON cs.doc_id = i.doc_id)
+      WHERE rn <= 5
+    ),
+    hybrid10 AS (
+      SELECT query_doc, doc_id, rrf_ppm
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                         ORDER BY rrf_ppm DESC, doc_id ASC)
+                        AS rn
+            FROM fused)
+      WHERE rn <= 10
+    ), rov AS (
+      SELECT h.query_doc, h.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+      FROM hybrid10 h
+      JOIN ws q ON q.doc_id = h.query_doc
+      JOIN ws c ON c.doc_id = h.doc_id AND c.word = q.word
+      GROUP BY h.query_doc, h.doc_id
+    ), rerank_list AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+      FROM (SELECT h.query_doc, h.doc_id,
+                   row_number() OVER (PARTITION BY h.query_doc
+                     ORDER BY 2000 * coalesce(r.n_overlap, 0) + h.rrf_ppm
+                              - 3 * dl.dl DESC, h.doc_id ASC) AS rn
+            FROM hybrid10 h
+            LEFT JOIN rov r ON r.query_doc = h.query_doc
+                           AND r.doc_id = h.doc_id
+            JOIN dl ON dl.doc_id = h.doc_id)
+      WHERE rn <= 5
+    ),
+    -- metrics per (retriever, query)
+    lists AS (
+      SELECT 'bm25' AS retriever, * FROM bm25_list
+      UNION ALL SELECT 'hybrid', * FROM hybrid_list
+      UNION ALL SELECT 'rerank', * FROM rerank_list
+    ), hitrows AS (
+      SELECT l.retriever, l.query_doc, l.rank
+      FROM lists l JOIN truth t
+        ON t.query_doc = l.query_doc AND t.doc_id = l.doc_id
+    ), qgrid AS (
+      SELECT r.retriever, q.query_doc
+      FROM (SELECT DISTINCT doc_id AS query_doc FROM documents
+            WHERE doc_id < 3) q
+      CROSS JOIN (VALUES ('bm25'), ('hybrid'), ('rerank')) r(retriever)
+    ), m AS (
+      SELECT retriever, query_doc,
+             CAST(count(*) AS BIGINT) AS n_hits,
+             min(rank) AS first_hit
+      FROM hitrows GROUP BY 1, 2
+    )
+    SELECT g.retriever, g.query_doc,
+           CAST(coalesce(m.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(m.n_hits, 0) * 200000 AS BIGINT) AS prec5_ppm,
+           CAST(coalesce(1000000 // m.first_hit, 0) AS BIGINT) AS mrr_ppm
+    FROM qgrid g LEFT JOIN m
+      ON m.retriever = g.retriever AND m.query_doc = g.query_doc
+    """,
+    doc="Rerank-stage ablation readout — the q204 'measure, don't "
+    "guess' protocol extended to the NEW cross-encoder slot: plain "
+    "BM25 top-5 (q198), hybrid RRF top-5 (q199), and the q217 "
+    "learned rerank of the hybrid top-10, measured side-by-side "
+    "against the exact doc-level word-set-Jaccard truth — per "
+    "(retriever, query): hits@5, precision@5 and MRR in exact ppm "
+    "integers. Whether the rerank stage actually buys accuracy over "
+    "its own candidate generator is a NUMBER here (recorded in "
+    "BASELINE.md), not a claim. Oracle = q204's machinery with the "
+    "rerank leg spliced in (hybrid top-10 from the same fused CTE, "
+    "overlap from the same ws word relation, the length prior = dl "
+    "— identical to q217's token count by construction). All "
+    "rankings replay bit-for-bit. Scale: q204's shape + one "
+    "|queries| x 10 broadcast feature join.",
+    tags=("text", "retrieval", "eval"),
+)
+def q218_rerank_ablation(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_q = F.col("doc_id") < 3
+    bm = text.bm25_search(docs, is_q, k=5, scale=1000).select(
+        F.lit("bm25").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    hybrid = fused.where(F.col("rank") <= 5).select(
+        F.lit("hybrid").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    rerank = text.learned_rerank(docs, fused, k=5).select(
+        F.lit("rerank").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rerank").alias("rank"),
+    )
+    lists = bm.unionByName(hybrid).unionByName(rerank)
+    truth = text.doc_jaccard_topk(docs, is_q, k=5)
+    m = (
+        lists.join(F.broadcast(truth), ["query_doc", "doc_id"], "left_semi")
+        .groupBy("retriever", "query_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("rank").alias("first_hit"),
+        )
+    )
+    qgrid = (
+        docs.where(is_q)
+        .select(F.col("doc_id").alias("query_doc"))
+        .distinct()
+        .crossJoin(
+            docs.sparkSession.createDataFrame(
+                [("bm25",), ("hybrid",), ("rerank",)], "retriever string"
+            )
+        )
+    )
+    return qgrid.join(m, ["retriever", "query_doc"], "left").select(
+        "retriever",
+        "query_doc",
+        F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0).cast("long")) * 200000)
+        .cast("long")
+        .alias("prec5_ppm"),
+        F.coalesce(
+            F.expr("1000000 div first_hit"), F.lit(0).cast("long")
+        ).alias("mrr_ppm"),
+    )
