@@ -297,6 +297,7 @@ HEADLINE = [
     "q216_forgetful_dedup_twin",
     "q217_learned_rerank",
     "q218_rerank_ablation",
+    "q219_forgetful_hybrid_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -4162,6 +4162,7 @@ _DRIVER_PRIORITY.extend([
     "q216_forgetful_dedup_twin",
     "q217_learned_rerank",
     "q218_rerank_ablation",
+    "q219_forgetful_hybrid_twin",
 ])
 
 
@@ -12619,4 +12620,59 @@ def q218_rerank_ablation(spark, sf_dir):
         F.coalesce(
             F.expr("1000000 div first_hit"), F.lit(0).cast("long")
         ).alias("mrr_ppm"),
+    )
+
+
+_Q219_ORACLE = _REGISTRY["q199_hybrid_rrf_fusion"].oracle.replace(
+    "FROM documents",
+    "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 7) documents",
+)
+assert _Q219_ORACLE.count("doc_id % 10 <> 7") == 3  # all corpus scans filtered
+
+
+@register(
+    "q219_forgetful_hybrid_twin",
+    _Q219_ORACLE,
+    doc="Deletion propagation through the SERVING hybrid read — the "
+    "q216 tombstone pattern applied to both retrieval stores: a "
+    "forget set (doc_id % 10 == 7, an arbitrary erasure batch) is "
+    "anti-joined out of the persisted postings AND doc-vector "
+    "relations BEFORE the q209 store-backed RRF search runs. The "
+    "oracle-checked claim is the strong one: because every BM25 "
+    "statistic (D, T, df, dl) DERIVES from the live postings at "
+    "query time, deleting a doc's rows silently corrects the "
+    "ranking arithmetic for every OTHER doc too — no stale-stats "
+    "rebuild step exists to forget. Oracle = q199's verbatim with "
+    "every corpus scan filtered by the forget predicate (3 sites, "
+    "single-sourced by string surgery). Non-degenerate at both SFs "
+    "(2 / 5 previously-retrieved docs vanish at sf0.01 / sf0.1 and "
+    "the surviving ranking reshuffles under the changed stats). The "
+    "disk path is hybrid_query(tombstones=...) — pinned in "
+    "tests/test_streaming_hybrid.py. Scale: one broadcast anti-join "
+    "per leg; deletions are tiny relative to the corpus.",
+    tags=("streaming", "text", "retrieval", "similarity"),
+)
+def q219_forgetful_hybrid_twin(spark, sf_dir):
+    from .streaming.hybrid import doc_vectors_batch, hybrid_search_from_stores
+    from .streaming.postings import postings_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    b1 = docs.where(F.col("doc_id") < 250)
+    b2 = docs.where(F.col("doc_id") >= 250)
+    forget = docs.where(F.col("doc_id") % 10 == 7).select("doc_id")
+    tf = (
+        postings_batch(b1)
+        .unionByName(postings_batch(b2))
+        .join(F.broadcast(forget), "doc_id", "left_anti")
+    )
+    vectors = (
+        doc_vectors_batch(b1, n_features=64)
+        .unionByName(doc_vectors_batch(b2, n_features=64))
+        .join(F.broadcast(forget), "doc_id", "left_anti")
+    )
+    qids = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    return hybrid_search_from_stores(
+        tf, vectors, qids, k_leg=20, k=10, scale=1000
     )

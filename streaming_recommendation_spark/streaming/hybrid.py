@@ -172,17 +172,28 @@ def hybrid_query(
     k_leg: int = 20,
     k: int = 10,
     scale: int = 1000,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Hybrid BM25 + exact-cosine RRF top-k over the two PERSISTED
     stores as of now — the serving read. ``qids`` is a 1-column
     (query_doc) frame naming the query documents; ``id_col`` must
-    match both ingests'."""
+    match both ingests'. ``tombstones`` (optional 1-column id frame —
+    the q216 deletion-propagation pattern) removes forgotten docs
+    from BOTH legs before any statistic is computed: because every
+    BM25 quantity (D, T, df, dl) DERIVES from the live postings,
+    deletion propagates into the ranking arithmetic automatically —
+    there is no stale-stats state to rebuild (q219's oracle-checked
+    claim)."""
     tf = read_postings(spark, postings_dir, id_col).select(
         id_col, "term", "tf"
     )
     vectors = read_doc_vectors(spark, vectors_dir, id_col).select(
         id_col, "vec"
     )
+    if tombstones is not None:
+        dead = tombstones.select(id_col)
+        tf = tf.join(F.broadcast(dead), id_col, "left_anti")
+        vectors = vectors.join(F.broadcast(dead), id_col, "left_anti")
     return hybrid_search_from_stores(
         tf, vectors, qids, id_col=id_col, k_leg=k_leg, k=k, scale=scale
     )

@@ -191,3 +191,37 @@ def test_read_postings_wrong_id_col_fails_fast(spark, tmp_path):
     postings_ingest_batch(b0, 0, pdir)
     with pytest.raises(ValueError, match="id_col 'item_id' is not"):
         read_postings(spark, pdir, id_col="item_id")
+
+
+def test_tombstoned_hybrid_excludes_doc_and_corrects_stats(spark, tmp_path):
+    """Deletion propagation through the serving read: a tombstoned
+    doc (a) is never retrieved, and (b) stops contributing to the
+    corpus statistics — the result equals a FULL recompute over the
+    corpus without it (stats self-correct because D/T/df/dl all
+    derive from the live postings)."""
+    from streaming_recommendation_spark.streaming.hybrid import (
+        vectors_ingest_batch,
+    )
+    from streaming_recommendation_spark.streaming.postings import (
+        postings_ingest_batch,
+    )
+
+    whole = spark.createDataFrame(BATCH0 + BATCH1, DOC_SCHEMA)
+    pdir, vdir = str(tmp_path / "postings"), str(tmp_path / "vectors")
+    postings_ingest_batch(whole, 0, pdir)
+    vectors_ingest_batch(whole, 0, vdir)
+
+    qids = whole.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    forget = spark.createDataFrame([(4,)], "doc_id bigint")
+    got = hybrid_query(
+        spark, pdir, vdir, qids, k_leg=3, k=4, tombstones=forget
+    )
+    assert all(r.doc_id != 4 for r in got.collect())
+    # equality with the full recompute over corpus-minus-forgotten
+    want = _batch_hybrid(
+        whole.where(F.col("doc_id") != 4), F.col("doc_id") == 0, k_leg=3, k=4
+    )
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
