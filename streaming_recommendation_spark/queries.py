@@ -11776,7 +11776,7 @@ pnorm AS (
          row_number() OVER (PARTITION BY h
                             ORDER BY doc_id ASC, chunk_idx ASC) AS rn
   FROM pch
-), pm AS (
+), pm AS MATERIALIZED (
   SELECT doc_id,
          count(*) AS n_passages,
          CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -11788,7 +11788,7 @@ pnorm AS (
 )"""
 
 _Q211_ORACLE = (
-    "WITH base AS (\n"
+    "WITH base AS MATERIALIZED (\n"
     + _REGISTRY["q186_curation_pipeline"].oracle
     + "\n),"
     + _Q192_PASSAGE_TAIL.replace(
@@ -11841,7 +11841,7 @@ def q211_salvaged_curation_manifest(spark, sf_dir):
 
 
 _Q212_ORACLE = (
-    "WITH base AS (\n"
+    "WITH base AS MATERIALIZED (\n"
     + _REGISTRY["q186_curation_pipeline"].oracle
     + "\n),"
     + _Q192_PASSAGE_TAIL.replace(
@@ -11936,7 +11936,7 @@ def q212_salvage_savings_report(spark, sf_dir):
 
 
 _Q213_ORACLE = (
-    "WITH gate AS (\n"
+    "WITH gate AS MATERIALIZED (\n"
     + _REGISTRY["q187_streaming_curation_twin"].oracle
     + "\n),"
     + _Q192_PASSAGE_TAIL.replace(
@@ -12241,7 +12241,7 @@ def q216_forgetful_dedup_twin(spark, sf_dir):
 
 
 _Q217_ORACLE = (
-    "WITH base AS (\n"
+    "WITH base AS MATERIALIZED (\n"
     + _REGISTRY["q199_hybrid_rrf_fusion"].oracle
     + r"""
 ),

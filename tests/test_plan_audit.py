@@ -1535,3 +1535,16 @@ def test_q217_rerank_broadcast_candidates_no_python(spark):
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q219_forgetful_hybrid_no_sortmerge_no_python(spark):
+    # q209's shape plus two broadcast anti-joins (the forget set is
+    # tiny) — still no SMJ anywhere, no Python, no cartesian
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q219_forgetful_hybrid_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
