@@ -4077,81 +4077,20 @@ def q103_cascade_lsh_recall(spark, sf_dir):
     )
 
 
-# Round-10 driver-gate prefix (VERDICT r9 #1). Steady-state policy:
+# Round-11 driver-gate prefix (VERDICT r10 #1). Steady-state policy:
 # lead with rows that have NO external green under their current name
-# (this round: q198-q208, all judge-verified green in the round-9
+# (this round: q209-q219, all judge-verified green in the round-10
 # verdict but never driver-gated — 11 rows), then the rows whose last
-# EXTERNAL driver-verified green is oldest (the 47-row r6 cohort; 39
-# fit, the q66-q73 tail spills to round 11 — the verdict's "<=8
-# queued rows" allowance). 11 + 39 = 50 exactly. Zero overlap with
-# CORRECTNESS_r09's key set (scripts/check_rotation.py, run at every
-# edit of this list). Queries registered NEW in round 10 queue BEHIND
-# the 50-prefix (after the spilled q66-q73) and gate in round 11.
+# EXTERNAL driver-verified green is oldest: the 8 spilled r6 rows
+# q66-q73, then 31 of the 50-row r7-stale cohort (CORRECTNESS_r07
+# order). 11 + 8 + 31 = 50 exactly. Zero overlap with
+# CORRECTNESS_r10's key set (scripts/check_rotation.py, run at every
+# edit of this list). The remaining 19 r7-stale rows queue behind the
+# prefix and gate in round 12; queries registered NEW in round 11
+# queue behind those.
 _DRIVER_PRIORITY.extend([
     # --- never externally green under current name (judge-verified
-    # green in VERDICT r9; 11 rows) ---
-    "q198_bm25_search",
-    "q199_hybrid_rrf_fusion",
-    "q200_bm25_hard_negatives",
-    "q201_streaming_postings_twin",
-    "q202_prf_query_expansion",
-    "q203_best_passage",
-    "q204_retrieval_ablation",
-    "q205_curation_funnel_report",
-    "q206_snapshot_drift_report",
-    "q207_streaming_drift_twin",
-    "q208_categorical_drift",
-    # --- last external green: round 6 (39 of 47; oldest first) ---
-    "q132_mergeable_hll_twin",
-    "q133_mergeable_cms_twin",
-    "q134_incremental_scd2_twin",
-    "q135_incremental_ivf_twin",
-    "q136_stratified_priority_sample",
-    "q20_sessionization",
-    "q23_rollup_revenue",
-    "q24_event_type_pivot",
-    "q26_union_distinct_keys",
-    "q27_dict_encode_users",
-    "q28_precision_at_5",
-    "q29_mean_vector_by_label",
-    "q30_token_stats",
-    "q31_exact_dedup",
-    "q32_doc_fingerprints",
-    "q33_language_id",
-    "q34_quality_scores",
-    "q35_knn_brute_force",
-    "q36_ngram_jaccard_dups",
-    "q37_minhash_lsh_pairs",
-    "q38_profile_kv_records",
-    "q40_cascade_recommend",
-    "q41_sliding_windows_batch",
-    "q42_image_features",
-    "q43_video_frame_sample",
-    "q44_simhash",
-    "q45_lsh_knn",
-    "q46_train_data_etl",
-    "q47_ranking_metrics",
-    "q48_binary_metrics",
-    "q50_embedding_near_dups",
-    "q52_customer_order_outer",
-    "q53_distinct_suppliers_per_part",
-    "q54_string_functions",
-    "q55_running_revenue",
-    "q56_inter_event_gaps",
-    "q58_parts_above_avg_price",
-    "q59_orders_of_top_spenders",
-    "q65_simhash_near_dups",
-    # ---------------- end of the 50-row gate prefix ----------------
-    # r6-cohort spill (8 rows; gate in round 11 per VERDICT r9 #1)
-    "q66_ivf_knn",
-    "q67_pii_scrub",
-    "q68_tfidf_top_terms",
-    "q69_small_quantity_revenue",
-    "q70_rich_segments_no_orders",
-    "q71_multi_supplier_orders",
-    "q72_dedup_clusters",
-    "q73_ivf_kmeans_knn",
-    # --- new in round 10 (gate in round 11) ---
+    # green in VERDICT r10; 11 rows) ---
     "q209_store_hybrid_search",
     "q210_ivfpq_refine_knn",
     "q211_salvaged_curation_manifest",
@@ -4163,6 +4102,68 @@ _DRIVER_PRIORITY.extend([
     "q217_learned_rerank",
     "q218_rerank_ablation",
     "q219_forgetful_hybrid_twin",
+    # --- last external green: round 6 (the 8 spilled rows) ---
+    "q66_ivf_knn",
+    "q67_pii_scrub",
+    "q68_tfidf_top_terms",
+    "q69_small_quantity_revenue",
+    "q70_rich_segments_no_orders",
+    "q71_multi_supplier_orders",
+    "q72_dedup_clusters",
+    "q73_ivf_kmeans_knn",
+    # --- last external green: round 7 (31 of 50; r7-gate order) ---
+    "q171_rolling_anomalies",
+    "q170_fk_profile",
+    "q167_leave_last_out_split",
+    "q168_eval_sampled_negatives",
+    "q169_random_projection",
+    "q164_streaming_target_encode_twin",
+    "q165_session_sequences",
+    "q166_embedding_covariance",
+    "q161_feature_hashing",
+    "q162_target_encoding",
+    "q163_lightgcn_propagation",
+    "q157_funnel_conversion",
+    "q158_cohort_retention",
+    "q159_event_transitions",
+    "q160_streaming_funnel_twin",
+    "q144_association_rules",
+    "q145_bfs_distances",
+    "q146_skipgram_pairs",
+    "q147_bm25_postings",
+    "q148_personalized_pagerank",
+    "q149_gap_fill_locf",
+    "q150_fuzzy_name_pairs",
+    "q151_skipgram_negatives",
+    "q152_kcore_peeling",
+    "q153_rolling_dense_stats",
+    "q154_weighted_negatives",
+    "q155_continuous_aggregate_twin",
+    "q156_contrastive_triplets",
+    "q139_itemcf_cosine",
+    "q140_itemcf_topk",
+    "q141_incremental_itemcf_twin",
+    # ---------------- end of the 50-row gate prefix ----------------
+    # r7-cohort remainder (19 rows; gate in round 12)
+    "q142_random_walks",
+    "q143_swing_similarity",
+    "q137_compacted_ivf_twin",
+    "q138_mergeable_histogram_twin",
+    "q61_shipping_volume_between_nations",
+    "q63_lineitems_by_quantity_band",
+    "q64_brand_revenue_ratio",
+    "q75_order_count_distribution",
+    "q76_important_parts",
+    "q77_top_revenue_supplier",
+    "q79_large_volume_orders",
+    "q80_disjunctive_revenue",
+    "q81_heavy_shippers_of_red_parts",
+    "q82_nation_year_profit",
+    "q83_returned_item_customers",
+    "q87_grouping_sets_events",
+    "q88_embedding_quantization",
+    "q89_decontamination",
+    "q90_repetition_filters",
 ])
 
 
