@@ -298,6 +298,13 @@ HEADLINE = [
     "q217_learned_rerank",
     "q218_rerank_ablation",
     "q219_forgetful_hybrid_twin",
+    "q220_compacted_hybrid_twin",
+    "q221_compacted_passage_twin",
+    "q222_compacted_pq_twin",
+    "q223_erased_hybrid_twin",
+    "q224_streaming_categorical_drift_twin",
+    "q225_trained_rerank",
+    "q226_trained_rerank_ablation",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -337,6 +344,7 @@ ITERATIVE = {
     "q211_salvaged_curation_manifest",  # q186's CC rounds at construction
     "q212_salvage_savings_report",  # q186's CC rounds at construction
     "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
+    "q222_compacted_pq_twin",  # frozen-book Lloyd at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

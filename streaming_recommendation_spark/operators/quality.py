@@ -371,21 +371,42 @@ def categorical_drift(
     one |categories|-keyed union+sum (no join — the q199 full-outer
     rewrite), then the nbins... |categories|-row arithmetic.
     """
+    return categorical_drift_from_counts(
+        category_counts(ref, cat_col), category_counts(cur, cat_col), scale
+    )
+
+
+def category_counts(df: DataFrame, cat_col: str) -> DataFrame:
+    """(category, c) counts of one snapshot/batch — the MERGEABLE
+    unit of the categorical drift monitor (streaming/drift.py):
+    counts are int64 sums, so per-batch count frames union+sum to
+    exactly the one-shot counts (the q132/q133 property, which is
+    what makes the streaming categorical twin q224 exact). NULL
+    categories dropped — missingness drift is snapshot_audit's job."""
+    return (
+        df.where(F.col(cat_col).isNotNull())
+        .groupBy(F.col(cat_col).alias("category"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def categorical_drift_from_counts(
+    rc: DataFrame,
+    cc: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The categorical chi-square arithmetic over pre-counted
+    (category, c) frames — shared by the batch report
+    (categorical_drift) and the streaming monitor's read path, which
+    feeds it MERGED per-batch counts (streaming/drift.py, q224)."""
     lit0 = F.lit(0).cast("long")
-    rc = (
-        ref.where(F.col(cat_col).isNotNull())
-        .groupBy(F.col(cat_col).alias("category"))
-        .agg(F.count(F.lit(1)).alias("c_ref"))
-        .select("category", "c_ref", lit0.alias("c_cur"))
-    )
-    cc = (
-        cur.where(F.col(cat_col).isNotNull())
-        .groupBy(F.col(cat_col).alias("category"))
-        .agg(F.count(F.lit(1)).alias("c_cur"))
-        .select("category", lit0.alias("c_ref"), "c_cur")
-    )
     merged = (
-        rc.unionByName(cc)
+        rc.select("category", F.col("c").alias("c_ref"), lit0.alias("c_cur"))
+        .unionByName(
+            cc.select(
+                "category", lit0.alias("c_ref"), F.col("c").alias("c_cur")
+            )
+        )
         .groupBy("category")
         .agg(F.sum("c_ref").alias("c_ref"), F.sum("c_cur").alias("c_cur"))
     )

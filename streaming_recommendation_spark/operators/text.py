@@ -634,7 +634,12 @@ def bm25_rank_from_postings(
         query_terms = tf.join(
             F.broadcast(qids), tf[id_col] == qids["query_doc"]
         ).select("query_doc", "term")
-    qterms = query_terms.join(doc_freq, "term")
+    # the query side is tiny BY CONTRACT, so broadcast it explicitly
+    # into the corpus-wide df relation instead of trusting Catalyst's
+    # size estimate — a tf that arrives through a window fold (the
+    # compacted-store reads, q220+) has no stats and would otherwise
+    # compile this as a corpus-vocabulary sort-merge join
+    qterms = doc_freq.join(F.broadcast(query_terms), "term")
     # ADVICE r9: both products run in DECIMAL(38,0) from the first
     # multiply so an out-of-bound input can NEVER wrap into a wrong
     # positive score (int64 products can wrap past 2^64 back to a
@@ -835,41 +840,23 @@ def best_passage(
     ).select("query_doc", id_col, "bm25_rank", "chunk_idx", "n_hits")
 
 
-def learned_rerank(
+def rerank_pair_features(
     df: DataFrame,
     candidates: DataFrame,
-    k: int = 5,
-    w_overlap: int = 2000,
-    w_rrf: int = 1,
-    w_len: int = -3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Learned re-rank slot over (query, candidate) pairs — the
-    CROSS-ENCODER stage of a production retrieval stack (bi-encoder /
-    BM25 retrieve -> cross-encoder re-rank, Nogueira & Cho 2019),
-    realized the q184 way: pair features are exact integers computed
-    in-plan, the scorer is a LINEAR model with integer milli-unit
-    coefficients, so the ranking replays bit-for-bit on any engine
-    and the gate stays Catalyst-only (zero Python). The torch
-    cross-encoder swap point is exactly this slot: a user with a
-    traced pair-scorer replaces the weighted sum with an Arrow
-    pandas-UDF scorer (cascade/scorers.py pattern) and everything
-    around it — candidate generation, feature join, top-k — is
-    unchanged.
-
-    ``candidates`` is a (query_doc, id, rrf_ppm) list (the q199/q209
-    fusion output or any rank list with an integer prior score).
-    Features per pair: n_overlap — exact count of DISTINCT shared
-    normalized words (word equi-join, never a pairwise text
-    comparison); rrf_ppm — the fusion prior, riding through;
-    n_tokens — the candidate's token count (length prior). Score =
-    w_overlap*n_overlap + w_rrf*rrf_ppm + w_len*n_tokens, exact
-    int64; top-``k`` per query by (score desc, id asc). Scale: the
-    candidate list is |queries| x k_in and broadcasts into one
-    corpus word scan; one small per-query WindowGroupLimit."""
+    """The exact integer pair features the re-rank slot scores —
+    factored out of learned_rerank so the TRAINED variant
+    (trained_rerank, q225) scores the literally same feature relation
+    its training pass aggregated. Per (query_doc, candidate):
+    n_overlap (DISTINCT shared normalized words via word equi-join —
+    never a pairwise text comparison), rrf_ppm (the fusion prior,
+    riding through), n_tokens (the candidate's token count). Scale:
+    the candidate list is |queries| x k_in and broadcasts into one
+    corpus word scan + one corpus token-count scan — the corpus never
+    shuffles."""
     from .dedup import normalize_text
-    from .topk import top_k_per_group
 
     words = (
         df.select(
@@ -908,13 +895,152 @@ def learned_rerank(
     # the candidate side is |queries| x k_in rows: broadcast IT into
     # the corpus-wide token-count scan (the corpus never shuffles)
     enriched = cand.join(F.broadcast(ov), ["query_doc", id_col], "left")
-    feat = toks.join(F.broadcast(enriched), id_col).select(
+    return toks.join(F.broadcast(enriched), id_col).select(
         "query_doc",
         id_col,
         F.coalesce("n_overlap", F.lit(0).cast("long")).alias("n_overlap"),
         "rrf_ppm",
         "n_tokens",
     )
+
+
+def trained_rerank(
+    df: DataFrame,
+    candidates: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """learned_rerank with the weights TRAINED in-plan (VERDICT r10
+    #4): one deterministic, order-free, division-free integer
+    training pass replaces the hand-set milli-coefficients. The model
+    is the class-centroid difference (the closed-form one-step
+    Fisher/least-squares direction): over the candidate pairs
+    themselves, labeled by membership in the exact-Jaccard ``truth``
+    list (the q218 ground truth — (query_doc, id) rows),
+
+        w_j = S1_j * n0  -  S0_j * n1
+
+    where S1_j/S0_j are the exact int64 sums of feature j over
+    positive/negative pairs and n1/n0 the class counts — i.e.
+    (mean1_j - mean0_j) scaled by the common positive factor n1*n0,
+    which leaves the induced ranking identical while keeping every
+    quantity an exact integer (the q73 quantized-Lloyd discipline:
+    no float, no division, so the oracle replays the training
+    bit-for-bit). Degenerate label splits (n1 = 0 or n0 = 0) stay
+    deterministic: the weights collapse to -+S_j * n, a pure
+    magnitude direction, and the oracle agrees because it runs the
+    same arithmetic. Score = sum_j w_j * x_j, exact int64 (bounds:
+    |w| <= |pairs| * max_x <= ~3e7 at the protocol's query sets and
+    |w * x| <= ~1e12 — five decades under 2^63, swept at 5x).
+
+    Output carries the trained weights on every row (w_overlap,
+    w_rrf, w_len) so the TRAINING step itself is oracle-checked, not
+    just the ranking it induces. Scale: feature relation as
+    rerank_pair_features; training is ONE tiny aggregate over
+    |queries| x k_in rows; the 1-row weight frame broadcasts back
+    into the scoring projection."""
+    from .topk import top_k_per_group
+
+    feat = rerank_pair_features(df, candidates, text_col, id_col)
+    lab = feat.join(
+        F.broadcast(truth.select("query_doc", id_col)),
+        ["query_doc", id_col],
+        "left_semi",
+    ).withColumn("__y", F.lit(1))
+    feat_l = feat.join(
+        F.broadcast(lab.select("query_doc", id_col, "__y")),
+        ["query_doc", id_col],
+        "left",
+    ).withColumn("__y", F.coalesce("__y", F.lit(0)))
+    pos = F.col("__y") == 1
+    agg = feat_l.agg(
+        F.sum(F.when(pos, F.col("n_overlap")).otherwise(F.lit(0))).alias("s1_ov"),
+        F.sum(F.when(~pos, F.col("n_overlap")).otherwise(F.lit(0))).alias("s0_ov"),
+        F.sum(F.when(pos, F.col("rrf_ppm")).otherwise(F.lit(0))).alias("s1_rrf"),
+        F.sum(F.when(~pos, F.col("rrf_ppm")).otherwise(F.lit(0))).alias("s0_rrf"),
+        F.sum(F.when(pos, F.col("n_tokens")).otherwise(F.lit(0))).alias("s1_len"),
+        F.sum(F.when(~pos, F.col("n_tokens")).otherwise(F.lit(0))).alias("s0_len"),
+        F.sum(F.col("__y").cast("long")).alias("n1"),
+        F.sum((F.lit(1) - F.col("__y")).cast("long")).alias("n0"),
+    )
+    w = agg.select(
+        (F.col("s1_ov") * F.col("n0") - F.col("s0_ov") * F.col("n1"))
+        .cast("long")
+        .alias("w_overlap"),
+        (F.col("s1_rrf") * F.col("n0") - F.col("s0_rrf") * F.col("n1"))
+        .cast("long")
+        .alias("w_rrf"),
+        (F.col("s1_len") * F.col("n0") - F.col("s0_len") * F.col("n1"))
+        .cast("long")
+        .alias("w_len"),
+    )
+    scored = feat_l.crossJoin(F.broadcast(w)).withColumn(
+        "rerank_score",
+        (
+            F.col("w_overlap") * F.col("n_overlap")
+            + F.col("w_rrf") * F.col("rrf_ppm")
+            + F.col("w_len") * F.col("n_tokens")
+        ).cast("long"),
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        ["query_doc"],
+        F.col("rerank_score").desc(),
+        F.col(id_col).asc(),
+        rank_col="rerank",
+    ).select(
+        "query_doc",
+        id_col,
+        "n_overlap",
+        "rrf_ppm",
+        "n_tokens",
+        "w_overlap",
+        "w_rrf",
+        "w_len",
+        "rerank_score",
+        F.col("rerank").cast("int").alias("rerank"),
+    )
+
+
+def learned_rerank(
+    df: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    w_overlap: int = 2000,
+    w_rrf: int = 1,
+    w_len: int = -3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Learned re-rank slot over (query, candidate) pairs — the
+    CROSS-ENCODER stage of a production retrieval stack (bi-encoder /
+    BM25 retrieve -> cross-encoder re-rank, Nogueira & Cho 2019),
+    realized the q184 way: pair features are exact integers computed
+    in-plan, the scorer is a LINEAR model with integer milli-unit
+    coefficients, so the ranking replays bit-for-bit on any engine
+    and the gate stays Catalyst-only (zero Python). The torch
+    cross-encoder swap point is exactly this slot: a user with a
+    traced pair-scorer replaces the weighted sum with an Arrow
+    pandas-UDF scorer (cascade/scorers.py pattern) and everything
+    around it — candidate generation, feature join, top-k — is
+    unchanged.
+
+    ``candidates`` is a (query_doc, id, rrf_ppm) list (the q199/q209
+    fusion output or any rank list with an integer prior score).
+    Features per pair: n_overlap — exact count of DISTINCT shared
+    normalized words (word equi-join, never a pairwise text
+    comparison); rrf_ppm — the fusion prior, riding through;
+    n_tokens — the candidate's token count (length prior). Score =
+    w_overlap*n_overlap + w_rrf*rrf_ppm + w_len*n_tokens, exact
+    int64; top-``k`` per query by (score desc, id asc). Scale: the
+    candidate list is |queries| x k_in and broadcasts into one
+    corpus word scan; one small per-query WindowGroupLimit."""
+    from .topk import top_k_per_group
+
+    feat = rerank_pair_features(df, candidates, text_col, id_col)
     score = (
         F.lit(w_overlap).cast("long") * F.col("n_overlap")
         + F.lit(w_rrf).cast("long") * F.col("rrf_ppm")

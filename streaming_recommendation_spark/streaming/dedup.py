@@ -48,6 +48,7 @@ _SIG_SCHEMA = "doc_id bigint, band int, bucket string, batch_id bigint"
 _CAND_SCHEMA = "new_id bigint, existing_id bigint, batch_id bigint"
 
 
+from . import store as _store  # noqa: E402
 from .state import read_or_empty as _read_or_empty  # noqa: E402 — ADVICE r5:
 # only a genuinely absent first-batch directory maps to empty state;
 # any other analysis failure reading the signature index re-raises.
@@ -64,16 +65,20 @@ def dedup_ingest_batch(
     id_col: str = "doc_id",
     n: int = 3,
     tombstones_dir: str | None = None,
+    base_dir: str | None = None,
 ) -> None:
     """One micro-batch of the ingest loop (also directly callable for
     batch backfills — the streaming pipeline is just this under
-    foreachBatch)."""
+    foreachBatch). ``base_dir`` reads the index through its compacted
+    base generation (store.read_store); the retry-exclusion filter
+    stays correct because the base only holds batches at or below the
+    committed generation, strictly below any in-flight batch_id."""
     spark = batch_df.sparkSession
     new_sigs = banded_signature_table(
         batch_df, num_hashes, bands, text_col, id_col, n
     ).persist()
     try:
-        stored = _read_or_empty(spark, index_dir, _SIG_SCHEMA).where(
+        stored = _store.read_store(spark, index_dir, _SIG_SCHEMA, base_dir).where(
             # a failed earlier attempt of THIS batch may have written a
             # partial partition; exclude it so the retry recomputes
             # from its own (complete) signatures
@@ -206,12 +211,13 @@ def read_live_index(
     index_dir: str,
     tombstones_dir: str | None = None,
     id_col: str = "doc_id",
+    base_dir: str | None = None,
 ) -> DataFrame:
     """The signature index MINUS tombstoned docs — the only read any
     dedup/search path should use once deletions exist. One anti-join
     on the id (tombstone side broadcast at scale: deletions are tiny
     relative to the corpus)."""
-    idx = _read_or_empty(spark, index_dir, _SIG_SCHEMA).select(
+    idx = _store.read_store(spark, index_dir, _SIG_SCHEMA, base_dir).select(
         id_col, "band", "bucket"
     )
     if tombstones_dir is None:
@@ -251,3 +257,33 @@ def compact_tombstones(
     shutil.rmtree(index_dir)
     shutil.move(tmp_dir, index_dir)
     shutil.rmtree(tombstones_dir, ignore_errors=True)
+
+
+def compact_signature_index(
+    spark: SparkSession,
+    index_dir: str,
+    base_dir: str,
+    id_col: str = "doc_id",
+    upto_batch_id: int | None = None,
+    tombstones: DataFrame | None = None,
+) -> int | None:
+    """Fold the signature-index deltas into a compacted base
+    generation (store.compact_store, VERDICT r10 #2): a doc's band
+    signatures are replaced wholesale by its newest arrival, and
+    ``tombstones`` (1-column id frame) physically erases forgotten
+    docs' signatures from the new base — the generation-machinery
+    sibling of ``compact_tombstones`` (which rewrites the delta
+    partitions in place for stores that have no base). A forgotten
+    doc stops being duplicate evidence at read time the moment it is
+    tombstoned (read_live_index); this fold is what makes the erasure
+    stick in the stored bytes."""
+    return _store.compact_store(
+        spark,
+        index_dir,
+        base_dir,
+        _SIG_SCHEMA,
+        key_cols=[id_col],
+        upto_batch_id=upto_batch_id,
+        tombstones=tombstones,
+        id_col=id_col,
+    )

@@ -109,3 +109,94 @@ def drift_as_of(
     rc = ref_counts.withColumnRenamed("c", "c_ref")
     cc = merged_counts(spark, counts_dir).withColumnRenamed("c", "c_cur")
     return drift_from_counts(rc, cc, spark, nbins, scale)
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift monitor (VERDICT r10 #5): the q208 chi-square's
+# streaming twin. Identical shape to the numeric monitor above, with
+# categories as their own bins — per-batch (category, c) counts are
+# mergeable int64 sums, so the accumulated store groupBy-summed equals
+# the one-shot count of everything that arrived, and the batch twin
+# (q224) is oracle-checked against q208's oracle VERBATIM.
+# ---------------------------------------------------------------------------
+
+_CAT_COUNTS_SCHEMA = "category string, c bigint, batch_id bigint"
+
+
+def categorical_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    counts_dir: str,
+    cat_col: str,
+) -> None:
+    """One micro-batch of the categorical-drift loop: count the
+    batch's categories map-side (quality.category_counts — one
+    batch-local aggregate, NULLs dropped) and append partitioned by
+    batch_id with dynamic overwrite (idempotent under at-least-once
+    foreachBatch)."""
+    from ..operators.quality import category_counts
+
+    (
+        category_counts(batch_df, cat_col)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(counts_dir)
+    )
+
+
+def categorical_ingest_pipeline(
+    value_stream: DataFrame,
+    counts_dir: str,
+    checkpoint_dir: str,
+    cat_col: str,
+    trigger_available_now: bool = True,
+):
+    """Start the streaming categorical-drift query over a stream
+    carrying ``cat_col``. Returns the StreamingQuery. State = the
+    per-batch category-count directory."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        categorical_ingest_batch(batch_df, batch_id, counts_dir, cat_col)
+
+    writer = (
+        value_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def merged_categorical_counts(
+    spark: SparkSession, counts_dir: str
+) -> DataFrame:
+    """The running current-distribution category counts: all batches
+    so far, summed per category (exactly the one-shot counts, by
+    mergeability)."""
+    return (
+        spark.read.schema(_CAT_COUNTS_SCHEMA)
+        .parquet(counts_dir)
+        .groupBy("category")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def categorical_drift_as_of(
+    spark: SparkSession,
+    counts_dir: str,
+    ref_counts: DataFrame,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """The categorical drift report as of now: frozen reference
+    counts vs the merged arrivals — the SAME integer chi-square
+    arithmetic as the batch report
+    (quality.categorical_drift_from_counts), no rescan of any raw
+    events."""
+    from ..operators.quality import categorical_drift_from_counts
+
+    return categorical_drift_from_counts(
+        ref_counts, merged_categorical_counts(spark, counts_dir), scale
+    )

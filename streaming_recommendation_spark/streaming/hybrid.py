@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 from ..operators.features import doc_hash_embed
 from ..operators.similarity import cosine_topk_i64
 from ..operators.text import bm25_rank_from_postings, rrf_fuse
-from .postings import read_postings
+from . import store as _store
+from .postings import _check_id_col, read_postings
 
 
 def _vectors_schema(id_col: str = "doc_id") -> str:
@@ -114,21 +115,43 @@ def vectors_ingest_pipeline(
 
 
 def read_doc_vectors(
-    spark: SparkSession, vectors_dir: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    vectors_dir: str,
+    id_col: str = "doc_id",
+    base_dir: str | None = None,
 ) -> DataFrame:
-    """The accumulated doc-vector table (all batches so far). Fails
-    fast on an ``id_col`` that does not match the stored schema — the
-    same ADVICE-r9 guard as read_postings (a mismatched name would
-    resolve to all-NULL ids and silently empty every search)."""
-    stored = spark.read.parquet(vectors_dir).schema.fieldNames()
-    if id_col not in stored:
-        raise ValueError(
-            f"read_doc_vectors: id_col {id_col!r} is not in the stored "
-            f"vector schema {stored} — pass the same id_col the ingest "
-            "used (a mismatched name resolves to all-NULL ids and "
-            "empties every search)"
-        )
-    return spark.read.schema(_vectors_schema(id_col)).parquet(vectors_dir)
+    """The accumulated doc-vector table (base generation plus newer
+    deltas when ``base_dir`` is given). Fails fast on an ``id_col``
+    that does not match the stored schema — the same ADVICE-r9 guard
+    as read_postings (a mismatched name would resolve to all-NULL ids
+    and silently empty every search)."""
+    _check_id_col(spark, vectors_dir, id_col, "read_doc_vectors", base_dir)
+    return _store.read_store(
+        spark, vectors_dir, _vectors_schema(id_col), base_dir
+    )
+
+
+def compact_doc_vectors(
+    spark: SparkSession,
+    vectors_dir: str,
+    base_dir: str,
+    id_col: str = "doc_id",
+    upto_batch_id: int | None = None,
+    tombstones: DataFrame | None = None,
+) -> int | None:
+    """Fold the doc-vector deltas into a compacted base generation
+    (store.compact_store): latest vector per doc; ``tombstones``
+    physically erases forgotten docs' vectors from the new base."""
+    return _store.compact_store(
+        spark,
+        vectors_dir,
+        base_dir,
+        _vectors_schema(id_col),
+        key_cols=[id_col],
+        upto_batch_id=upto_batch_id,
+        tombstones=tombstones,
+        id_col=id_col,
+    )
 
 
 def hybrid_search_from_stores(
@@ -173,6 +196,8 @@ def hybrid_query(
     k: int = 10,
     scale: int = 1000,
     tombstones: DataFrame | None = None,
+    postings_base_dir: str | None = None,
+    vectors_base_dir: str | None = None,
 ) -> DataFrame:
     """Hybrid BM25 + exact-cosine RRF top-k over the two PERSISTED
     stores as of now — the serving read. ``qids`` is a 1-column
@@ -183,13 +208,17 @@ def hybrid_query(
     BM25 quantity (D, T, df, dl) DERIVES from the live postings,
     deletion propagates into the ranking arithmetic automatically —
     there is no stale-stats state to rebuild (q219's oracle-checked
-    claim)."""
-    tf = read_postings(spark, postings_dir, id_col).select(
+    claim). The ``*_base_dir`` params read each store through its
+    compacted base generation (store.read_store); physical erasure of
+    the tombstoned bytes is compact_postings/compact_doc_vectors'
+    ``tombstones`` argument — after it runs, no tombstones param is
+    needed here at all (q223's oracle-checked claim)."""
+    tf = read_postings(spark, postings_dir, id_col, postings_base_dir).select(
         id_col, "term", "tf"
     )
-    vectors = read_doc_vectors(spark, vectors_dir, id_col).select(
-        id_col, "vec"
-    )
+    vectors = read_doc_vectors(
+        spark, vectors_dir, id_col, vectors_base_dir
+    ).select(id_col, "vec")
     if tombstones is not None:
         dead = tombstones.select(id_col)
         tf = tf.join(F.broadcast(dead), id_col, "left_anti")

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.curation import chunk_documents
+from . import store as _store
 from .state import read_or_empty as _read_or_empty
 
 _PSIG_SCHEMA = "chunk_hash string, batch_id bigint"
@@ -99,11 +100,16 @@ def passage_ingest_batch(
     stride: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    base_dir: str | None = None,
 ) -> None:
     """One micro-batch of the passage-dedup ingest loop (also directly
-    callable for batch backfills)."""
+    callable for batch backfills). ``base_dir`` reads the index
+    through its compacted base generation (store.read_store); the
+    retry-exclusion filter below stays correct because the base only
+    ever holds batches at or below the committed generation, which is
+    strictly below any in-flight batch_id."""
     spark = batch_df.sparkSession
-    stored = _read_or_empty(spark, index_dir, _PSIG_SCHEMA).where(
+    stored = _store.read_store(spark, index_dir, _PSIG_SCHEMA, base_dir).where(
         # a failed earlier attempt of THIS batch may have written a
         # partial partition; exclude it so the retry recomputes
         F.col("batch_id") != F.lit(batch_id)
@@ -162,3 +168,36 @@ def passage_ingest_pipeline(
 def read_manifests(spark: SparkSession, manifest_dir: str) -> DataFrame:
     """All per-doc manifests emitted so far."""
     return spark.read.schema(_MANIFEST_SCHEMA).parquet(manifest_dir)
+
+
+def read_passage_index(
+    spark: SparkSession, index_dir: str, base_dir: str | None = None
+) -> DataFrame:
+    """The accumulated passage-hash index (base generation plus newer
+    deltas when ``base_dir`` is given)."""
+    return _store.read_store(spark, index_dir, _PSIG_SCHEMA, base_dir)
+
+
+def compact_passage_index(
+    spark: SparkSession,
+    index_dir: str,
+    base_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold the passage-hash deltas into a compacted base generation
+    (store.compact_store). The index is an append-only SET — the
+    ingest only ever writes genuinely new hashes — so the
+    latest-batch-per-key fold is the identity on content; compaction
+    here is purely about file count on the read-hot candidate-join
+    path. (No tombstones param: passage hashes are content
+    fingerprints shared across docs, so per-doc erasure is the
+    signature/doc-store modules' job — dropping a hash another doc
+    still carries would un-dedup it.)"""
+    return _store.compact_store(
+        spark,
+        index_dir,
+        base_dir,
+        _PSIG_SCHEMA,
+        key_cols=["chunk_hash"],
+        upto_batch_id=upto_batch_id,
+    )

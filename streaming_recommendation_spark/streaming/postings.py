@@ -39,6 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import normalize_text
+from . import store as _store
+
 
 def _postings_schema(id_col: str = "doc_id") -> str:
     # document ids are bigint throughout the engine; the column NAME
@@ -118,24 +120,82 @@ def postings_ingest_pipeline(
     return writer.start()
 
 
-def read_postings(
-    spark: SparkSession, postings_dir: str, id_col: str = "doc_id"
-) -> DataFrame:
-    """The accumulated postings table (all batches so far). Pass the
-    same ``id_col`` the ingest was given — the read schema is built
-    from it. ADVICE r9: a mismatched name would resolve to all-NULL
-    ids under parquet name-based resolution and silently empty every
-    downstream search, so this FAILS FAST against the stored footer
-    schema instead of relying on the docstring."""
-    stored = spark.read.parquet(postings_dir).schema.fieldNames()
-    if id_col not in stored:
+def _check_id_col(
+    spark, delta_dir: str, id_col: str, fn: str, base_dir: str | None = None
+) -> None:
+    """ADVICE r9 fail-fast guard. After a full compaction the delta
+    dir may hold no parquet at all — fall back to the newest committed
+    base generation's footer; if neither side has any footer yet
+    (brand-new store) there is nothing to contradict and the read
+    returns empty anyway."""
+    from pyspark.errors import AnalysisException
+
+    from . import store as _st
+
+    stored = None
+    try:
+        stored = spark.read.parquet(delta_dir).schema.fieldNames()
+    except AnalysisException:
+        if base_dir is not None:
+            g = _st.committed_gen(base_dir)
+            if g is not None:
+                stored = spark.read.parquet(
+                    _st.state.version_dir(base_dir, g)
+                ).schema.fieldNames()
+    if stored is not None and id_col not in stored:
         raise ValueError(
-            f"read_postings: id_col {id_col!r} is not in the stored "
-            f"postings schema {stored} — pass the same id_col the "
+            f"{fn}: id_col {id_col!r} is not in the stored "
+            f"schema {stored} — pass the same id_col the "
             "ingest used (a mismatched name resolves to all-NULL ids "
             "and empties every search)"
         )
-    return spark.read.schema(_postings_schema(id_col)).parquet(postings_dir)
+
+
+def read_postings(
+    spark: SparkSession,
+    postings_dir: str,
+    id_col: str = "doc_id",
+    base_dir: str | None = None,
+) -> DataFrame:
+    """The accumulated postings table: every delta batch, plus the
+    compacted base generation when ``base_dir`` is given
+    (store.read_store — deltas at or below the committed generation
+    are ignored). Pass the same ``id_col`` the ingest was given — the
+    read schema is built from it. ADVICE r9: a mismatched name would
+    resolve to all-NULL ids under parquet name-based resolution and
+    silently empty every downstream search, so this FAILS FAST
+    against the stored footer schema instead of relying on the
+    docstring."""
+    _check_id_col(spark, postings_dir, id_col, "read_postings", base_dir)
+    return _store.read_store(
+        spark, postings_dir, _postings_schema(id_col), base_dir
+    )
+
+
+def compact_postings(
+    spark: SparkSession,
+    postings_dir: str,
+    base_dir: str,
+    id_col: str = "doc_id",
+    upto_batch_id: int | None = None,
+    tombstones: DataFrame | None = None,
+) -> int | None:
+    """Fold the per-batch delta partitions into a compacted base
+    generation (store.compact_store): a doc's posting list is
+    replaced wholesale by its newest arrival, and ``tombstones``
+    (1-column id frame) physically erases forgotten docs' rows from
+    the new base's bytes — BM25 statistics self-correct because D, T,
+    df and dl all derive from the live postings at query time."""
+    return _store.compact_store(
+        spark,
+        postings_dir,
+        base_dir,
+        _postings_schema(id_col),
+        key_cols=[id_col],
+        upto_batch_id=upto_batch_id,
+        tombstones=tombstones,
+        id_col=id_col,
+    )
 
 
 def bm25_query(
@@ -145,6 +205,7 @@ def bm25_query(
     id_col: str = "doc_id",
     k: int = 10,
     scale: int = 1000,
+    base_dir: str | None = None,
 ) -> DataFrame:
     """BM25 top-k over the PERSISTED index as of now — raw text never
     rescanned; all corpus statistics derive from the stored postings
@@ -153,7 +214,7 @@ def bm25_query(
     match the ingest's."""
     from ..operators.text import bm25_rank_from_postings
 
-    tf = read_postings(spark, postings_dir, id_col).select(
+    tf = read_postings(spark, postings_dir, id_col, base_dir).select(
         id_col, "term", "tf"
     )
     return bm25_rank_from_postings(tf, qids, id_col=id_col, k=k, scale=scale)
@@ -239,19 +300,42 @@ def positional_ingest_pipeline(
 
 
 def read_positional_postings(
-    spark: SparkSession, postings_dir: str, id_col: str = "doc_id"
+    spark: SparkSession,
+    postings_dir: str,
+    id_col: str = "doc_id",
+    base_dir: str | None = None,
 ) -> DataFrame:
-    """The accumulated positional postings (all batches so far), with
-    the same fail-fast id_col guard as read_postings."""
-    stored = spark.read.parquet(postings_dir).schema.fieldNames()
-    if id_col not in stored:
-        raise ValueError(
-            f"read_positional_postings: id_col {id_col!r} is not in the "
-            f"stored schema {stored} — pass the same id_col the ingest "
-            "used (a mismatched name resolves to all-NULL ids and "
-            "empties every search)"
-        )
-    return spark.read.schema(_positional_schema(id_col)).parquet(postings_dir)
+    """The accumulated positional postings (base generation plus newer
+    deltas when ``base_dir`` is given), with the same fail-fast id_col
+    guard as read_postings."""
+    _check_id_col(spark, postings_dir, id_col, "read_positional_postings", base_dir)
+    return _store.read_store(
+        spark, postings_dir, _positional_schema(id_col), base_dir
+    )
+
+
+def compact_positional(
+    spark: SparkSession,
+    postings_dir: str,
+    base_dir: str,
+    id_col: str = "doc_id",
+    upto_batch_id: int | None = None,
+    tombstones: DataFrame | None = None,
+) -> int | None:
+    """Fold the positional-postings deltas into a compacted base
+    generation — same contract as compact_postings (a doc's position
+    rows are replaced wholesale by its newest arrival; tombstoned
+    docs leave the stored bytes)."""
+    return _store.compact_store(
+        spark,
+        postings_dir,
+        base_dir,
+        _positional_schema(id_col),
+        key_cols=[id_col],
+        upto_batch_id=upto_batch_id,
+        tombstones=tombstones,
+        id_col=id_col,
+    )
 
 
 def best_passage_query(
@@ -262,6 +346,7 @@ def best_passage_query(
     k_docs: int = 5,
     id_col: str = "doc_id",
     scale: int = 1000,
+    base_dir: str | None = None,
 ) -> DataFrame:
     """BM25 top-k + best-passage snippet per retrieved doc, answered
     ENTIRELY from the persisted positional index as of now (ranking
@@ -269,9 +354,9 @@ def best_passage_query(
     positions — text.best_passage_from_positions)."""
     from ..operators.text import best_passage_from_positions
 
-    pos = read_positional_postings(spark, postings_dir, id_col).select(
-        id_col, "term", "pos"
-    )
+    pos = read_positional_postings(
+        spark, postings_dir, id_col, base_dir
+    ).select(id_col, "term", "pos")
     return best_passage_from_positions(
         pos, qids, window=window, k_docs=k_docs, id_col=id_col, scale=scale
     )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import pq_adc_from_codes, pq_encode_with_books
+from . import store as _store
 
 
 def _codes_schema(id_col: str, m: int) -> str:
@@ -144,17 +145,49 @@ def pq_ingest_pipeline(
 
 
 def read_codes(
-    spark: SparkSession, codes_dir: str, m: int, id_col: str = "vec_id"
+    spark: SparkSession,
+    codes_dir: str,
+    m: int,
+    id_col: str = "vec_id",
+    base_dir: str | None = None,
 ) -> DataFrame:
-    """The accumulated codes table (all batches so far), with the
-    fail-fast id_col guard."""
+    """The accumulated codes table (base generation plus newer deltas
+    when ``base_dir`` is given), with the fail-fast id_col guard."""
     stored = spark.read.parquet(codes_dir).schema.fieldNames()
     if id_col not in stored:
         raise ValueError(
             f"read_codes: id_col {id_col!r} is not in the stored codes "
             f"schema {stored} — pass the same id_col the ingest used"
         )
-    return spark.read.schema(_codes_schema(id_col, m)).parquet(codes_dir)
+    return _store.read_store(
+        spark, codes_dir, _codes_schema(id_col, m), base_dir
+    )
+
+
+def compact_codes(
+    spark: SparkSession,
+    codes_dir: str,
+    base_dir: str,
+    m: int,
+    id_col: str = "vec_id",
+    upto_batch_id: int | None = None,
+    tombstones: DataFrame | None = None,
+) -> int | None:
+    """Fold the PQ-codes deltas into a compacted base generation
+    (store.compact_store): latest code row per vector (a re-encoded
+    vector's newest codes win — the books are frozen, so a row only
+    changes when its VECTOR was re-ingested); ``tombstones``
+    physically erases forgotten vectors' codes from the new base."""
+    return _store.compact_store(
+        spark,
+        codes_dir,
+        base_dir,
+        _codes_schema(id_col, m),
+        key_cols=[id_col],
+        upto_batch_id=upto_batch_id,
+        tombstones=tombstones,
+        id_col=id_col,
+    )
 
 
 def adc_query(
@@ -169,12 +202,13 @@ def adc_query(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    base_dir: str | None = None,
 ) -> DataFrame:
     """ADC top-k over the PERSISTED codes as of now — the serving
     read: only (id, m codes) rows leave disk; the query quantizes
     map-side and broadcasts (similarity.pq_adc_from_codes)."""
     books = load_books(books_path)
-    codes = read_codes(spark, codes_dir, len(books), id_col).select(
+    codes = read_codes(spark, codes_dir, len(books), id_col, base_dir).select(
         id_col, *[f"code_{s}" for s in range(len(books))]
     )
     return pq_adc_from_codes(

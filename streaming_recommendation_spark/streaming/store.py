@@ -1,0 +1,242 @@
+"""Shared generation-based compaction for the persisted streaming
+stores (VERDICT r10 #2).
+
+Every ingest pipeline in this package persists its state the same
+way: one parquet partition per micro-batch (``batch_id=<b>/``,
+dynamic-overwrite keyed so an at-least-once redelivery replaces
+exactly its own attempt). That layout is right for ingest but wrong
+for serving reads at scale — a store that only ever appends one
+partition per batch accumulates millions of files over a long-lived
+stream, and every search pays the listing. ``streaming/vectors.py``
+grew the fix first (its measured win: 4,544 -> 1,024 files, probe
+7.66 -> 5.59 s); this module is that machinery extracted so the
+postings, positional, doc-vector, PQ-codes, passage-hash and
+signature stores share ONE implementation instead of six private
+copies:
+
+  * deltas: ``delta_dir/batch_id=<b>/`` exactly as the ingests
+    already write them — nothing about ingest changes;
+  * base: ``base_dir/v=<gen>/`` compacted generations under the
+    shared versioned-state contract (streaming/state.py): a
+    generation is committed iff Spark's ``_SUCCESS`` marker exists,
+    partial writes are ignored and rmtree-replaced, the previous
+    generation is retained one cycle;
+  * the logical store is ``base(newest committed gen G) union deltas
+    with batch_id > G`` — deltas <= G are dead weight the compactor
+    deletes as cleanup, and reads ignore them either way, so a crash
+    between base commit and delta deletion is harmless;
+  * ``compact_store`` folds deltas ``(G_prev, upto]`` into a new
+    generation. ``upto`` defaults to ``max(delta ids) - 1``: the
+    newest delta may be an in-flight foreachBatch attempt whose
+    checkpoint has not committed, and folding it would let a
+    crash-before-commit redelivery be silently shadowed by the base
+    (the same in-flight-never-supersedes rule as state.prune_* —
+    ADVICE r5 high). Pass the newest batch_id explicitly only when
+    the stream is stopped/quiesced.
+
+The SEMANTIC content of compaction is ``fold_deltas``: keep each
+key's rows from its newest batch (the multi-row-per-key
+generalization of vectors.latest_per_vector — a posting list or a
+band-signature group is replaced wholesale by the key's newest
+arrival, never row-merged across batches), then drop tombstoned keys
+(VERDICT r10 #3 — physical erasure: once a forget set is folded
+here, the forgotten rows do not exist in the new base's bytes, the
+Delta/Iceberg delete-then-compact shape). The disk job is exactly
+``fold_deltas`` plus versioned-state bookkeeping, which is why the
+compaction twins (q220-q223) call ``fold_deltas`` itself — the
+oracle equality pins the very code path the compactor runs.
+
+Reference analog: the serving cascade reads compact precomputed
+state (model_service/models.py:20-40), not a log of every arrival.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import state
+
+_BATCH_RE = re.compile(r"^batch_id=(\d+)$")
+
+
+def delta_batch_ids(delta_dir: str) -> list[int]:
+    """Sorted batch_ids with a delta partition under delta_dir."""
+    if not os.path.isdir(delta_dir):
+        return []
+    out = []
+    for name in os.listdir(delta_dir):
+        m = _BATCH_RE.match(name)
+        if m and os.path.isdir(os.path.join(delta_dir, name)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def committed_gen(base_dir: str) -> int | None:
+    """Newest base generation whose write COMMITTED (Spark's _SUCCESS
+    marker) — a compactor crash mid-write leaves a markerless partial
+    dir that reads ignore and the next compaction's write_version
+    rmtree-replaces."""
+    gens = [
+        v
+        for v in state.versions(base_dir)
+        if os.path.exists(
+            os.path.join(state.version_dir(base_dir, v), "_SUCCESS")
+        )
+    ]
+    return max(gens) if gens else None
+
+
+def latest_batch_per_key(index: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Keep each key's rows from its newest batch: the multi-row
+    generalization of vectors.latest_per_vector. A key's newest
+    arrival REPLACES its older copies wholesale (all the ingests here
+    write a key's complete rows in one batch — a document's whole
+    posting list, all its band signatures — so replacement, never
+    row-merge, is the correct upsert). One shuffle on the key; the
+    window max is computed per key group, map-side partial via AQE.
+    For single-row-per-key stores this equals the max_by fold; for
+    append-only set stores (the passage-hash index, whose ingest only
+    ever writes genuinely new keys) it is the identity."""
+    w = Window.partitionBy(*key_cols)
+    return (
+        index.withColumn("__maxb", F.max("batch_id").over(w))
+        .where(F.col("batch_id") == F.col("__maxb"))
+        .drop("__maxb")
+    )
+
+
+def fold_deltas(
+    index: DataFrame,
+    key_cols: list[str],
+    tombstones: DataFrame | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """The pure semantic core of ``compact_store`` — latest batch per
+    key, minus tombstoned keys. The compaction twins (q220-q223) run
+    THIS function over in-memory unions so their oracle equality pins
+    the exact fold the disk compactor executes. ``tombstones`` is a
+    1-column frame of forgotten ``id_col`` values (broadcast: a
+    forget set is tiny relative to the corpus)."""
+    out = latest_batch_per_key(index, key_cols)
+    if tombstones is not None:
+        if id_col is None:
+            id_col = tombstones.columns[0]
+        out = out.join(
+            F.broadcast(tombstones.select(id_col)), id_col, "left_anti"
+        )
+    return out
+
+
+def read_store(
+    spark: SparkSession,
+    delta_dir: str,
+    schema: str,
+    base_dir: str | None = None,
+) -> DataFrame:
+    """The logical store: committed compacted base (if any) plus every
+    delta batch newer than it. With ``base_dir=None`` this degrades to
+    the plain union-of-deltas read every store shipped with — existing
+    callers are untouched until they opt in."""
+    deltas = state.read_or_empty(spark, delta_dir, schema)
+    if base_dir is None:
+        return deltas
+    g = committed_gen(base_dir)
+    if g is None:
+        return deltas
+    base = spark.read.schema(schema).parquet(state.version_dir(base_dir, g))
+    return base.unionByName(deltas.where(F.col("batch_id") > g))
+
+
+def compact_store(
+    spark: SparkSession,
+    delta_dir: str,
+    base_dir: str,
+    schema: str,
+    key_cols: list[str],
+    upto_batch_id: int | None = None,
+    partition_by: list[str] | None = None,
+    tombstones: DataFrame | None = None,
+    id_col: str | None = None,
+    fold_fn=None,
+) -> int | None:
+    """Fold delta partitions into a new compacted base generation.
+
+    Crash-safe at every step (the vectors.py contract, now shared):
+    base generations commit via Spark's _SUCCESS marker (partials are
+    ignored and rmtree-replaced on re-run); reads ignore deltas <= the
+    committed gen, so deleting folded deltas afterwards is pure
+    cleanup; the previous base generation is retained one cycle by
+    state.prune_snapshots' newest-prior protection. Returns the new
+    committed generation (or the existing one if nothing folded).
+
+    ``tombstones`` (optional 1-column id frame) composes physical
+    erasure into the fold: because folding always rewrites the FULL
+    base (previous generation unioned in), a tombstoned key is erased
+    from the new base's bytes even if no delta touched it — after the
+    old generation is pruned (one cycle later, or ``keep=1`` now on
+    the next compact) the forgotten rows no longer exist on disk.
+    ``fold_fn(df) -> df`` overrides the default latest-batch-per-key
+    fold for stores with a cheaper equivalent (the vector index's
+    single-row max_by)."""
+    ids = delta_batch_ids(delta_dir)
+    g_prev = committed_gen(base_dir)
+    if not ids:
+        return g_prev
+    if upto_batch_id is None:
+        upto_batch_id = max(ids) - 1
+    floor = g_prev if g_prev is not None else -1
+    fold = [b for b in ids if floor < b <= upto_batch_id]
+    if not fold:
+        # still sweep deltas the base already covers: a crash between
+        # a previous run's commit and its cleanup loop would otherwise
+        # orphan them forever on an idle stream
+        for b in ids:
+            if b <= floor:
+                shutil.rmtree(
+                    os.path.join(delta_dir, f"batch_id={b}"),
+                    ignore_errors=True,
+                )
+        return g_prev
+    gen = max(fold)
+    deltas = state.read_or_empty(spark, delta_dir, schema).where(
+        (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch_id)
+    )
+    merged = deltas
+    if g_prev is not None:
+        base_prev = spark.read.schema(schema).parquet(
+            state.version_dir(base_dir, g_prev)
+        )
+        merged = base_prev.unionByName(deltas)
+    if fold_fn is not None:
+        folded = fold_fn(merged)
+        if tombstones is not None:
+            tid = id_col or tombstones.columns[0]
+            folded = folded.join(
+                F.broadcast(tombstones.select(tid)), tid, "left_anti"
+            )
+    else:
+        folded = fold_deltas(merged, key_cols, tombstones, id_col)
+    state.write_version(folded, base_dir, gen, partition_by=partition_by)
+    state.prune_snapshots(base_dir, gen, keep=1)
+    # cleanup: folded deltas are no longer read (batch_id <= gen)
+    for b in ids:
+        if b <= gen:
+            shutil.rmtree(
+                os.path.join(delta_dir, f"batch_id={b}"), ignore_errors=True
+            )
+    return gen
+
+
+__all__ = [
+    "delta_batch_ids",
+    "committed_gen",
+    "latest_batch_per_key",
+    "fold_deltas",
+    "read_store",
+    "compact_store",
+]

@@ -37,8 +37,6 @@ pipeline incl. compaction is pinned in tests/test_streaming_vectors.py.
 from __future__ import annotations
 
 import os
-import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,10 +46,9 @@ from ..operators.similarity import (
     ivf_knn_from_index,
     ivf_landmarks,
 )
-from . import state
+from . import store as vstore
 
 _LANDMARK_SCHEMA = "__lid bigint, __lvec array<float>"
-_BATCH_RE = re.compile(r"^batch_id=(\d+)$")
 
 
 def _index_schema(id_type: str) -> str:
@@ -185,112 +182,52 @@ class VectorIndexStream:
         return writer.start()
 
     # ------------------------------------------------------------------
-    # compaction (VERDICT r6 #3) — versioned base via streaming/state.py
+    # compaction (VERDICT r6 #3) — since round 11 a thin wrapper over
+    # the SHARED generation machinery (streaming/store.py, VERDICT r10
+    # #2): this module grew the base/delta/fold contract first and the
+    # other five persisted stores now run the extracted copy, so the
+    # crash-safety reasoning lives in one place.
 
     def _delta_ids(self) -> list[int]:
-        if not os.path.isdir(self.index_dir):
-            return []
-        out = []
-        for name in os.listdir(self.index_dir):
-            m = _BATCH_RE.match(name)
-            if m and os.path.isdir(os.path.join(self.index_dir, name)):
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return vstore.delta_batch_ids(self.index_dir)
 
     def _committed_base_gen(self) -> int | None:
-        """Newest base generation whose write COMMITTED (Spark's
-        _SUCCESS marker) — a compactor crash mid-write leaves a
-        markerless partial dir that reads ignore and the next
-        compaction's write_version rmtree-replaces."""
-        gens = [
-            v
-            for v in state.versions(self.base_dir)
-            if os.path.exists(
-                os.path.join(state.version_dir(self.base_dir, v), "_SUCCESS")
-            )
-        ]
-        return max(gens) if gens else None
+        return vstore.committed_gen(self.base_dir)
 
     def compact(self, spark: SparkSession, upto_batch_id: int | None = None) -> int | None:
         """Fold delta partitions into a new compacted base generation:
         latest copy per neighbor_id (``latest_per_vector``), written
         cell-partitioned so probe reads regain full partition pruning
         — the periodic job ``ann_query``'s ``latest_only`` fallback
-        stands in for between runs.
-
-        ``upto_batch_id`` (inclusive) defaults to ``max(delta ids) - 1``:
-        the newest delta may be an in-flight foreachBatch attempt whose
-        checkpoint has not committed, and folding it would let a
-        crash-before-commit redelivery be silently shadowed by the base
-        (the same in-flight-never-supersedes rule as state.prune_* —
-        ADVICE r5 high). Pass the newest batch_id explicitly only when
-        the stream is stopped/quiesced.
-
-        Crash-safe at every step: base generations commit via Spark's
-        _SUCCESS marker (partials are ignored and rmtree-replaced on
-        re-run); reads ignore deltas ≤ the committed gen, so deleting
-        folded deltas afterwards is pure cleanup; the previous base
-        generation is retained one cycle by state.prune_snapshots'
-        newest-prior protection. Returns the new committed generation
-        (or the existing one if there was nothing to fold)."""
-        ids = self._delta_ids()
-        if not ids:
-            return self._committed_base_gen()
-        if upto_batch_id is None:
-            upto_batch_id = max(ids) - 1
-        g_prev = self._committed_base_gen()
-        floor = g_prev if g_prev is not None else -1
-        fold = [b for b in ids if floor < b <= upto_batch_id]
-        if not fold:
-            # still sweep deltas the base already covers: a crash
-            # between a previous run's commit and its cleanup loop
-            # would otherwise orphan them forever on an idle stream
-            for b in ids:
-                if b <= floor:
-                    shutil.rmtree(
-                        os.path.join(self.index_dir, f"batch_id={b}"),
-                        ignore_errors=True,
-                    )
-            return g_prev
-        gen = max(fold)
-        schema = _index_schema(self.id_type)
-        deltas = (
-            state.read_or_empty(spark, self.index_dir, schema)
-            .where((F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch_id))
+        stands in for between runs. All generation bookkeeping
+        (in-flight-delta exclusion, _SUCCESS-gated commit, prior-gen
+        retention, folded-delta cleanup) is store.compact_store's;
+        only the fold itself is this index's cheaper single-row
+        ``latest_per_vector`` (one associative max_by aggregate
+        instead of the generic window filter). Returns the new
+        committed generation (or the existing one if nothing folded)."""
+        return vstore.compact_store(
+            spark,
+            self.index_dir,
+            self.base_dir,
+            _index_schema(self.id_type),
+            key_cols=["neighbor_id"],
+            upto_batch_id=upto_batch_id,
+            partition_by=["__lid"],
+            fold_fn=latest_per_vector,
         )
-        merged = deltas
-        if g_prev is not None:
-            base_prev = spark.read.schema(schema).parquet(
-                state.version_dir(self.base_dir, g_prev)
-            )
-            merged = base_prev.unionByName(deltas)
-        state.write_version(
-            latest_per_vector(merged), self.base_dir, gen, partition_by=["__lid"]
-        )
-        state.prune_snapshots(self.base_dir, gen, keep=1)
-        # cleanup: folded deltas are no longer read (batch_id <= gen)
-        for b in ids:
-            if b <= gen:
-                shutil.rmtree(
-                    os.path.join(self.index_dir, f"batch_id={b}"),
-                    ignore_errors=True,
-                )
-        return gen
 
     # ------------------------------------------------------------------
 
     def read_index(self, spark: SparkSession) -> DataFrame:
         """The logical index: committed compacted base (if any) plus
-        every delta batch newer than it."""
-        schema = _index_schema(self.id_type)
-        deltas = state.read_or_empty(spark, self.index_dir, schema)
-        g = self._committed_base_gen()
-        if g is None:
-            return deltas
-        base = spark.read.schema(schema).parquet(
-            state.version_dir(self.base_dir, g)
+        every delta batch newer than it (store.read_store)."""
+        return vstore.read_store(
+            spark,
+            self.index_dir,
+            _index_schema(self.id_type),
+            base_dir=self.base_dir,
         )
-        return base.unionByName(deltas.where(F.col("batch_id") > g))
 
     def ann_query(
         self,

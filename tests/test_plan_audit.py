@@ -1548,3 +1548,70 @@ def test_q219_forgetful_hybrid_no_sortmerge_no_python(spark):
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q220_compacted_hybrid_no_sortmerge_no_python(spark):
+    # the compaction fold is ONE window-max shuffle per store; the
+    # search downstream keeps q209's shape (query-bounded sides
+    # broadcast, fusion = union+agg). Exactly ONE shuffle join is
+    # allowed: tf-join-dl, where BOTH sides derive from the folded
+    # corpus relation (no stats after a window, and neither side is
+    # broadcastable by contract at 100 TB — AQE converts it to
+    # broadcast at runtime when the probe side is actually small).
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q220_compacted_hybrid_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] <= 1
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q221_compacted_passage_no_sortmerge_no_python(spark):
+    from streaming_recommendation_spark.queries import registry
+
+    # same single allowed corpus-side shuffle join as q220
+    a = audit(registry()["q221_compacted_passage_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] <= 1
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q222_compacted_pq_shape(spark):
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q222_compacted_pq_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+
+
+def test_q223_erased_hybrid_no_sortmerge_no_python(spark):
+    # physical erasure = the fold's broadcast anti-join; everything
+    # else is q220's shape
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q223_erased_hybrid_twin"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q225_trained_rerank_no_python_no_cartesian(spark):
+    # features broadcast-join as q217; training is ONE tiny aggregate
+    # whose 1-row result broadcasts back (BNL of a single-row frame is
+    # the totals pattern, not a cartesian) — no Python anywhere
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q225_trained_rerank"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert a["has_window_group_limit"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]

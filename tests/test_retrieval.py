@@ -359,3 +359,70 @@ def test_learned_rerank_hand_computed_and_reorders(spark):
     assert got[2] == (1, 12_000, 3, 2000 * 1 + 12_000 - 3 * 3, 2)
     # the rerank inverted the prior order (B led on rrf_ppm)
     assert got[1][4] < got[2][4] and got[2][1] > got[1][1]
+
+
+def test_trained_rerank_hand_computed_weights(spark):
+    """The one-pass trained weights replay by hand: w_j = S1_j*n0 -
+    S0_j*n1 over the labeled candidate pairs, and the trained model
+    ranks the positive above a negative with a better fusion prior
+    (it learns to discount the prior when truth anti-correlates)."""
+    from streaming_recommendation_spark.operators.text import trained_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),            # query
+            (1, "alpha beta gamma zeta eta theta"),   # A: overlap 3, pos
+            (2, "alpha iota kappa"),                  # B: overlap 1, neg
+            (3, "mu nu xi"),                          # C: overlap 0, neg
+        ],
+        "doc_id bigint, text string",
+    )
+    # the TRUE doc carries the WORST prior — trainable signal
+    cands = spark.createDataFrame(
+        [(0, 1, 5_000), (0, 2, 12_000), (0, 3, 9_000)],
+        "query_doc bigint, doc_id bigint, rrf_ppm bigint",
+    )
+    truth = spark.createDataFrame(
+        [(0, 1)], "query_doc bigint, doc_id bigint"
+    )
+    rows = {
+        r.doc_id: r for r in trained_rerank(docs, cands, truth, k=3).collect()
+    }
+    # features: A=(3, 5000, 6) y=1; B=(1, 12000, 3) y=0; C=(0, 9000, 3) y=0
+    # n1=1, n0=2; S1=(3,5000,6), S0=(1,21000,6)
+    w_ov, w_rrf, w_len = 3 * 2 - 1 * 1, 5000 * 2 - 21000 * 1, 6 * 2 - 6 * 1
+    assert (w_ov, w_rrf, w_len) == (5, -11000, 6)
+    for d in (1, 2, 3):
+        assert (rows[d].w_overlap, rows[d].w_rrf, rows[d].w_len) == (
+            w_ov, w_rrf, w_len,
+        )
+    score = lambda ov, rrf, ln: w_ov * ov + w_rrf * rrf + w_len * ln
+    assert rows[1].rerank_score == score(3, 5_000, 6)
+    assert rows[2].rerank_score == score(1, 12_000, 3)
+    assert rows[3].rerank_score == score(0, 9_000, 3)
+    # the positive wins despite the worst prior (negative w_rrf)
+    assert rows[1].rerank == 1
+
+
+def test_trained_rerank_degenerate_labels_deterministic(spark):
+    """n1 = 0 (no candidate is in the truth list): the weights
+    collapse to -S0_j * n1 = 0... no — to S1*n0 - S0*n1 with S1 = 0
+    AND n1 = 0, i.e. all-zero weights, every score 0, and the
+    ranking falls back to the deterministic id tie-break. Still
+    well-defined, still oracle-replayable."""
+    from streaming_recommendation_spark.operators.text import trained_rerank
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma"), (2, "beta delta")],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1, 10_000), (0, 2, 20_000)],
+        "query_doc bigint, doc_id bigint, rrf_ppm bigint",
+    )
+    truth = spark.createDataFrame([], "query_doc bigint, doc_id bigint")
+    rows = sorted(
+        (r.rerank, r.doc_id, r.rerank_score)
+        for r in trained_rerank(docs, cands, truth, k=2).collect()
+    )
+    assert rows == [(1, 1, 0), (2, 2, 0)]

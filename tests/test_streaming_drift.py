@@ -115,3 +115,92 @@ def test_monitor_reads_as_of_arrival(spark, tmp_path):
     )
     assert asof1 == want1
     assert asof0 != asof1
+
+
+# ---------------------------------------------------------------------------
+# categorical leg (VERDICT r10 #5, q224)
+
+CAT_REF = ["click"] * 50 + ["view"] * 40 + ["buy"] * 10
+CAT_B0 = ["click"] * 10 + ["view"] * 30
+CAT_B1 = ["buy"] * 15 + ["install"] * 5  # 'install' appears only in cur
+CAT_SCHEMA = "event_type string"
+
+
+def _cats(spark, xs):
+    return spark.createDataFrame([(c,) for c in xs], CAT_SCHEMA)
+
+
+def _crows(df):
+    return sorted(
+        (r.category, r.c_ref, r.c_cur, r.drift_term) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def cat_dir(tmp_path):
+    d = tmp_path / "cats"
+    d.mkdir()
+    for name, batch, age in (("b0.jsonl", CAT_B0, 200), ("b1.jsonl", CAT_B1, 100)):
+        p = d / name
+        p.write_text(
+            "\n".join(json.dumps({"event_type": c}) for c in batch) + "\n"
+        )
+        now = p.stat().st_mtime
+        os.utime(p, (now - age, now - age))
+    return str(d)
+
+
+def test_streaming_categorical_equals_batch_report(spark, cat_dir, tmp_path):
+    from streaming_recommendation_spark.operators.quality import (
+        categorical_drift,
+        category_counts,
+    )
+    from streaming_recommendation_spark.streaming.drift import (
+        categorical_drift_as_of,
+        categorical_ingest_pipeline,
+    )
+
+    ref = _cats(spark, CAT_REF)
+    stream = (
+        spark.readStream.schema(CAT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # forces the 2-batch carry
+        .json(cat_dir)
+    )
+    q = categorical_ingest_pipeline(
+        stream,
+        str(tmp_path / "counts"),
+        str(tmp_path / "ckpt"),
+        "event_type",
+    )
+    q.awaitTermination(120)
+    got = categorical_drift_as_of(
+        spark, str(tmp_path / "counts"), category_counts(ref, "event_type")
+    )
+    want = categorical_drift(ref, _cats(spark, CAT_B0 + CAT_B1), "event_type")
+    assert _crows(got) == _crows(want)
+    # the appearing category carries its full one-sided mass
+    inst = [r for r in _crows(got) if r[0] == "install"][0]
+    assert inst[1] == 0 and inst[2] == 5 and inst[3] > 0
+
+
+def test_categorical_ingest_retry_idempotent(spark, tmp_path):
+    from streaming_recommendation_spark.operators.quality import (
+        categorical_drift,
+        category_counts,
+    )
+    from streaming_recommendation_spark.streaming.drift import (
+        categorical_drift_as_of,
+        categorical_ingest_batch,
+    )
+
+    counts = str(tmp_path / "counts")
+    categorical_ingest_batch(_cats(spark, CAT_B0), 0, counts, "event_type")
+    categorical_ingest_batch(_cats(spark, CAT_B1), 1, counts, "event_type")
+    # at-least-once redelivery of batch 1 overwrites exactly itself
+    categorical_ingest_batch(_cats(spark, CAT_B1), 1, counts, "event_type")
+    ref = _cats(spark, CAT_REF)
+    got = categorical_drift_as_of(
+        spark, counts, category_counts(ref, "event_type")
+    )
+    want = categorical_drift(ref, _cats(spark, CAT_B0 + CAT_B1), "event_type")
+    assert _crows(got) == _crows(want)

@@ -1,0 +1,300 @@
+"""Shared store compaction (streaming/store.py, VERDICT r10 #2/#3):
+the generation machinery extracted from streaming/vectors.py applied
+to the postings / positional / doc-vector / PQ-codes / passage-hash /
+signature stores. Pins: the disk compactor equals the pure
+fold_deltas core row-for-row; the in-flight newest delta never
+folds; file counts shrink; tombstoned rows physically leave the
+stored bytes (and the prior generation holding them is pruned one
+cycle later); reads through a compacted base equal reads over raw
+deltas; ingests that consult the store (dedup, passages) behave
+identically through a base."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from streaming_recommendation_spark.streaming import store
+from streaming_recommendation_spark.streaming.dedup import (
+    compact_signature_index,
+    dedup_ingest_batch,
+    read_live_index,
+)
+from streaming_recommendation_spark.streaming.hybrid import (
+    compact_doc_vectors,
+    hybrid_query,
+    read_doc_vectors,
+    vectors_ingest_batch,
+)
+from streaming_recommendation_spark.streaming.passages import (
+    compact_passage_index,
+    passage_ingest_batch,
+    read_manifests,
+    read_passage_index,
+)
+from streaming_recommendation_spark.streaming.postings import (
+    compact_positional,
+    compact_postings,
+    positional_ingest_batch,
+    postings_ingest_batch,
+    read_positional_postings,
+    read_postings,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string"
+B0 = [(0, "x y fox"), (1, "x y z fox den"), (2, "x a b den")]
+B1 = [(3, "a b c fox fox"), (4, "y y y y den"), (5, "x z z c")]
+# batch 2 re-ingests docs 0 and 3 with NEW text (the upsert case the
+# append-only delta layout defers to compaction)
+B2 = [(0, "fresh words only"), (3, "den den den")]
+
+
+def _pfiles(d):
+    out = []
+    for root, _dirs, files in os.walk(d):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def _ingest3(spark, pdir):
+    for bid, rows in enumerate((B0, B1, B2)):
+        postings_ingest_batch(
+            spark.createDataFrame(rows, DOC_SCHEMA), bid, pdir
+        )
+
+
+def test_compact_equals_fold_and_shrinks_files(spark, tmp_path):
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    raw = read_postings(spark, pdir)
+    want = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in store.fold_deltas(raw, ["doc_id"]).collect()
+    )
+    n_before = len(_pfiles(pdir))
+    gen = compact_postings(spark, pdir, bdir, upto_batch_id=2)  # quiesced
+    assert gen == 2
+    got = sorted(
+        (r.doc_id, r.term, r.tf)
+        for r in read_postings(spark, pdir, base_dir=bdir).collect()
+    )
+    assert got == want
+    # doc 0's batch-0 postings are gone; its batch-2 words are present
+    assert (0, "fresh", 1) in got and all(
+        not (d == 0 and t in ("x", "y", "fox")) for d, t, _ in got
+    )
+    # folded deltas deleted; base is fewer files than the delta log was
+    assert store.delta_batch_ids(pdir) == []
+    assert 0 < len(_pfiles(bdir)) < n_before
+
+
+def test_inflight_delta_never_folds(spark, tmp_path):
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    gen = compact_postings(spark, pdir, bdir)  # default upto = max-1
+    assert gen == 1 and store.delta_batch_ids(pdir) == [2]
+    # the read still sees batch 2 (base gen 1 + delta 2)
+    got = sorted(
+        (r.doc_id, r.term)
+        for r in read_postings(spark, pdir, base_dir=bdir).collect()
+    )
+    assert (0, "fresh") in got
+
+
+def test_tombstones_leave_the_stored_bytes(spark, tmp_path):
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    gen = compact_postings(
+        spark, pdir, bdir, upto_batch_id=2, tombstones=forget
+    )
+    base_rows = spark.read.parquet(store.state.version_dir(bdir, gen))
+    assert base_rows.where(F.col("doc_id") == 1).count() == 0
+    # the delta log that held doc 1's bytes is gone with the fold, so
+    # NO file anywhere under either dir still carries the forgotten id
+    for f in _pfiles(bdir) + _pfiles(pdir):
+        assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
+    # and the erasure survives the next fold cycle (new delta, new gen)
+    postings_ingest_batch(spark.createDataFrame([(9, "new doc")], DOC_SCHEMA), 3, pdir)
+    compact_postings(spark, pdir, bdir, upto_batch_id=3, tombstones=forget)
+    for f in _pfiles(bdir) + _pfiles(pdir):
+        assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
+
+
+def test_retry_after_compaction_is_idempotent(spark, tmp_path):
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    compact_postings(spark, pdir, bdir)  # folds 0..1, leaves 2 in-flight
+    # at-least-once redelivery of batch 2 after the compactor ran:
+    # must overwrite exactly its own delta, and the base+delta read
+    # must equal the pure fold of the full in-memory delta log
+    postings_ingest_batch(spark.createDataFrame(B2, DOC_SCHEMA), 2, pdir)
+    from streaming_recommendation_spark.streaming.postings import postings_batch
+
+    log = None
+    for bid, rows in enumerate((B0, B1, B2)):
+        part = postings_batch(spark.createDataFrame(rows, DOC_SCHEMA)).withColumn(
+            "batch_id", F.lit(bid).cast("bigint")
+        )
+        log = part if log is None else log.unionByName(part)
+    want = sorted(
+        map(tuple, store.fold_deltas(log, ["doc_id"]).drop("batch_id").collect())
+    )
+    # between compactions the upserted doc has both copies live (the
+    # documented interim state); fold_deltas at read time resolves it —
+    # the base keeps batch_id exactly so this works on the combined read
+    got = sorted(
+        map(
+            tuple,
+            store.fold_deltas(
+                read_postings(spark, pdir, base_dir=bdir), ["doc_id"]
+            )
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_positional_and_docvector_compact_roundtrip(spark, tmp_path):
+    for bid, rows in enumerate((B0, B1, B2)):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        positional_ingest_batch(df, bid, str(tmp_path / "pos"))
+        vectors_ingest_batch(df, bid, str(tmp_path / "vec"))
+    want_pos = sorted(
+        map(
+            tuple,
+            store.fold_deltas(
+                read_positional_postings(spark, str(tmp_path / "pos")),
+                ["doc_id"],
+            )
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    want_vec = sorted(
+        (r.doc_id, list(r.vec))
+        for r in store.fold_deltas(
+            read_doc_vectors(spark, str(tmp_path / "vec")), ["doc_id"]
+        ).collect()
+    )
+    compact_positional(
+        spark, str(tmp_path / "pos"), str(tmp_path / "posb"), upto_batch_id=2
+    )
+    compact_doc_vectors(
+        spark, str(tmp_path / "vec"), str(tmp_path / "vecb"), upto_batch_id=2
+    )
+    got_pos = sorted(
+        map(
+            tuple,
+            read_positional_postings(
+                spark, str(tmp_path / "pos"), base_dir=str(tmp_path / "posb")
+            )
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    got_vec = sorted(
+        (r.doc_id, list(r.vec))
+        for r in read_doc_vectors(
+            spark, str(tmp_path / "vec"), base_dir=str(tmp_path / "vecb")
+        ).collect()
+    )
+    assert got_pos == want_pos and got_vec == want_vec
+
+
+def test_hybrid_query_reads_through_compacted_bases(spark, tmp_path):
+    pdir, vdir = str(tmp_path / "post"), str(tmp_path / "vec")
+    for bid, rows in enumerate((B0, B1)):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        postings_ingest_batch(df, bid, pdir)
+        vectors_ingest_batch(df, bid, vdir)
+    qids = spark.createDataFrame([(0,)], "query_doc bigint")
+    want = sorted(
+        map(tuple, hybrid_query(spark, pdir, vdir, qids, k_leg=3, k=4).collect())
+    )
+    compact_postings(spark, pdir, str(tmp_path / "pb"), upto_batch_id=1)
+    compact_doc_vectors(spark, vdir, str(tmp_path / "vb"), upto_batch_id=1)
+    got = sorted(
+        map(
+            tuple,
+            hybrid_query(
+                spark,
+                pdir,
+                vdir,
+                qids,
+                k_leg=3,
+                k=4,
+                postings_base_dir=str(tmp_path / "pb"),
+                vectors_base_dir=str(tmp_path / "vb"),
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_passage_ingest_through_compacted_base(spark, tmp_path):
+    """The passage index compacts between batches; the next ingest
+    consulting it through the base must produce the same manifests as
+    the uncompacted run."""
+    idx, idxb, man = (
+        str(tmp_path / "idx"),
+        str(tmp_path / "idxb"),
+        str(tmp_path / "man"),
+    )
+    idx2, man2 = str(tmp_path / "idx2"), str(tmp_path / "man2")
+    dup = [(10, "p q r s t u v w x y z a b c d e"),
+           (11, "p q r s t u v w x y z a b c d e")]  # 16-token dup window
+    b0 = spark.createDataFrame([dup[0]], DOC_SCHEMA)
+    b1 = spark.createDataFrame([dup[1]], DOC_SCHEMA)
+    # run A: plain two-batch ingest
+    passage_ingest_batch(b0, 0, idx2, man2)
+    passage_ingest_batch(b1, 1, idx2, man2)
+    want = sorted(map(tuple, read_manifests(spark, man2).collect()))
+    # run B: compact after batch 0, ingest batch 1 through the base
+    passage_ingest_batch(b0, 0, idx, man)
+    compact_passage_index(spark, idx, idxb, upto_batch_id=0)
+    assert store.delta_batch_ids(idx) == []
+    passage_ingest_batch(b1, 1, idx, man, base_dir=idxb)
+    got = sorted(map(tuple, read_manifests(spark, man).collect()))
+    assert got == want
+    # doc 11's window must read as DUP through the base
+    m11 = [r for r in got if r[0] == 11][0]
+    assert m11[2] == 1  # n_dup_passages
+    # and the index content is identical either way
+    assert sorted(
+        r.chunk_hash
+        for r in read_passage_index(spark, idx, base_dir=idxb).collect()
+    ) == sorted(r.chunk_hash for r in read_passage_index(spark, idx2).collect())
+
+
+def test_signature_compact_with_tombstones(spark, tmp_path):
+    """Dedup-at-ingest through a compacted, tombstone-erased base:
+    the forgotten near-dup donor stops matching AND its signatures are
+    physically absent from the base files."""
+    idx, idxb, cand = (
+        str(tmp_path / "sig"),
+        str(tmp_path / "sigb"),
+        str(tmp_path / "cand"),
+    )
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    b0 = spark.createDataFrame([(0, text), (1, "totally different words")], DOC_SCHEMA)
+    dedup_ingest_batch(b0, 0, idx, cand)
+    forget = spark.createDataFrame([(0,)], "doc_id bigint")
+    gen = compact_signature_index(
+        spark, idx, idxb, upto_batch_id=0, tombstones=forget
+    )
+    base = spark.read.parquet(store.state.version_dir(idxb, gen))
+    assert base.where(F.col("doc_id") == 0).count() == 0
+    assert base.where(F.col("doc_id") == 1).count() > 0
+    # a near-dup of doc 0 now ingests as NOVEL through the base
+    b1 = spark.createDataFrame([(2, text)], DOC_SCHEMA)
+    dedup_ingest_batch(b1, 1, idx, cand, base_dir=idxb)
+    from streaming_recommendation_spark.streaming.dedup import read_candidates
+
+    cands = read_candidates(spark, cand).where(F.col("batch_id") == 1)
+    assert cands.where(F.col("existing_id") == 0).count() == 0
+    # and read_live_index through the base agrees
+    live = read_live_index(spark, idx, base_dir=idxb)
+    assert live.where(F.col("doc_id") == 0).count() == 0
