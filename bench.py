@@ -305,6 +305,8 @@ HEADLINE = [
     "q224_streaming_categorical_drift_twin",
     "q225_trained_rerank",
     "q226_trained_rerank_ablation",
+    "q227_mmr_diversified_topk",
+    "q228_store_packing_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -345,6 +347,7 @@ ITERATIVE = {
     "q212_salvage_savings_report",  # q186's CC rounds at construction
     "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
     "q222_compacted_pq_twin",  # frozen-book Lloyd at construction
+    "q228_store_packing_twin",  # BPE merge rounds run at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

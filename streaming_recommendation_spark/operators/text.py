@@ -1404,3 +1404,146 @@ def pmi_collocations(
             (num.cast("double") / den.cast("double")).alias("pmi_ratio"),
         )
     )
+
+
+def mmr_diversify(
+    df: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    w_rel: int = 700,
+    w_red: int = 300,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998) over a retrieved candidate list — the standard
+    post-fusion stage a production RAG stack runs so the k passages
+    handed to the generator aren't five copies of the same paragraph:
+    greedily select k candidates maximizing
+
+        mmr = w_rel * rrf_ppm  -  w_red * max_{j in selected} sim_ppm(i, j)
+
+    where sim_ppm is the exact integer word-set Jaccard (ppm,
+    truncating div) between CANDIDATE documents — pairwise only
+    within the |queries| x k_in candidate list, never over the
+    corpus. All arithmetic is exact int64 (rel <= ~33k ppm, sim <=
+    1e6 ppm, products <= ~3e8), ties break on id ascending, and the
+    first pick has redundancy 0 by definition — so the greedy
+    trajectory replays bit-for-bit on any engine and the oracle
+    unrolls the k rounds as chained CTEs.
+
+    Scale: candidate word sets come from ONE corpus word scan
+    semi-joined to the candidate ids (broadcast); the pairwise
+    similarity table is |queries| x k_in^2 rows (k_in ~ 10-100 — the
+    algorithm's own quadratic-in-k cost, not a corpus blowup); the k
+    greedy rounds run over those tiny frames, localCheckpointed once
+    so the round loop doesn't re-evaluate the upstream fusion per
+    round."""
+    from .dedup import normalize_text
+
+    cand = candidates.select(
+        "query_doc", id_col, "rrf_ppm"
+    ).localCheckpoint(eager=True)
+    cids = cand.select(id_col).distinct()
+    cw = (
+        df.join(F.broadcast(cids), id_col, "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sizes = cw.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
+    # pairwise Jaccard among same-query candidates: i keeps id_col's
+    # name, j is the already-selected side
+    ci = cand.select("query_doc", F.col(id_col).alias("__i"))
+    cj = cand.select("query_doc", F.col(id_col).alias("__j"))
+    wi = cw.select(F.col(id_col).alias("__i"), "word")
+    wj = cw.select(F.col(id_col).alias("__j"), "word")
+    inter = (
+        ci.join(cj, "query_doc")
+        .where(F.col("__i") != F.col("__j"))
+        .join(F.broadcast(wi), "__i")
+        .join(F.broadcast(wj), ["__j", "word"])
+        .groupBy("query_doc", "__i", "__j")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    sims = (
+        inter.join(
+            F.broadcast(sizes.select(F.col(id_col).alias("__i"), F.col("nw").alias("__ni"))),
+            "__i",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col(id_col).alias("__j"), F.col("nw").alias("__nj"))),
+            "__j",
+        )
+        .select(
+            "query_doc",
+            "__i",
+            "__j",
+            F.expr("CAST(1000000 * it div (__ni + __nj - it) AS BIGINT)").alias(
+                "sim_ppm"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wrel = F.lit(w_rel).cast("long")
+    wred = F.lit(w_red).cast("long")
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("query_doc").orderBy(
+        F.desc("rrf_ppm"), F.asc(id_col)
+    )
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_doc",
+            id_col,
+            F.lit(1).cast("int").alias("mmr_rank"),
+            (wrel * F.col("rrf_ppm")).cast("long").alias("mmr_score"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, k + 1):
+        rem = cand.join(
+            sel.select("query_doc", id_col), ["query_doc", id_col], "left_anti"
+        )
+        red = (
+            sims.join(
+                sel.select(
+                    "query_doc", F.col(id_col).alias("__j")
+                ),
+                ["query_doc", "__j"],
+            )
+            .groupBy("query_doc", F.col("__i").alias(id_col))
+            .agg(F.max("sim_ppm").alias("__red"))
+        )
+        scored = rem.join(red, ["query_doc", id_col], "left").select(
+            "query_doc",
+            id_col,
+            (
+                wrel * F.col("rrf_ppm")
+                - wred * F.coalesce("__red", F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("mmr_score"),
+        )
+        wr = Window.partitionBy("query_doc").orderBy(
+            F.desc("mmr_score"), F.asc(id_col)
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wr))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_doc",
+                id_col,
+                F.lit(r).cast("int").alias("mmr_rank"),
+                "mmr_score",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel

@@ -13225,3 +13225,154 @@ def q226_trained_rerank_ablation(spark, sf_dir):
             F.expr("1000000 div first_hit"), F.lit(0).cast("long")
         ).alias("mrr_ppm"),
     )
+
+
+def _mmr_oracle(k=5, w_rel=700, w_red=300):
+    """q199's fusion as the candidate list + the MMR greedy trajectory
+    unrolled: candidate word sets, pairwise candidate Jaccard ppm, and
+    one chained (red/pick/sel) CTE block per greedy round — exactly
+    the arithmetic mmr_diversify runs, including the redundancy-0
+    first pick and the (mmr desc, doc_id asc) tie-break."""
+    parts = [
+        "WITH base AS MATERIALIZED (\n"
+        + _REGISTRY["q199_hybrid_rrf_fusion"].oracle
+        + r"""
+), cw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, w AS word
+  FROM (SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(lower(text), '\s+',
+                                                       ' ', 'g')), ' ')) AS w
+        FROM documents
+        WHERE doc_id IN (SELECT DISTINCT doc_id FROM base))
+  WHERE w <> ''
+), csz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM cw GROUP BY doc_id
+), sims AS MATERIALIZED (
+  SELECT p.query_doc, p.i, p.j,
+         CAST(1000000 * p.it // (si.nw + sj.nw - p.it) AS BIGINT) AS sim_ppm
+  FROM (
+    SELECT a.query_doc, a.doc_id AS i, b.doc_id AS j,
+           CAST(count(*) AS BIGINT) AS it
+    FROM base a
+    JOIN base b ON b.query_doc = a.query_doc AND b.doc_id <> a.doc_id
+    JOIN cw wi ON wi.doc_id = a.doc_id
+    JOIN cw wj ON wj.doc_id = b.doc_id AND wj.word = wi.word
+    GROUP BY a.query_doc, a.doc_id, b.doc_id
+  ) p
+  JOIN csz si ON si.doc_id = p.i
+  JOIN csz sj ON sj.doc_id = p.j
+), sel1 AS ("""
+        + f"""
+  SELECT query_doc, doc_id, 1 AS mmr_rank,
+         CAST({w_rel} * rrf_ppm AS BIGINT) AS mmr_score
+  FROM base
+  QUALIFY row_number() OVER (PARTITION BY query_doc
+                             ORDER BY rrf_ppm DESC, doc_id ASC) = 1
+)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(f""", red{r} AS (
+  SELECT s.query_doc, s.i AS doc_id, max(s.sim_ppm) AS red
+  FROM sims s
+  JOIN sel{r - 1} p ON p.query_doc = s.query_doc AND p.doc_id = s.j
+  GROUP BY s.query_doc, s.i
+), pick{r} AS (
+  SELECT query_doc, doc_id, {r} AS mmr_rank, mmr_score
+  FROM (
+    SELECT b.query_doc, b.doc_id,
+           CAST({w_rel} * b.rrf_ppm
+                - {w_red} * coalesce(r.red, 0) AS BIGINT) AS mmr_score,
+           row_number() OVER (PARTITION BY b.query_doc
+             ORDER BY {w_rel} * b.rrf_ppm - {w_red} * coalesce(r.red, 0)
+                      DESC, b.doc_id ASC) AS rn
+    FROM base b
+    LEFT JOIN red{r} r ON r.query_doc = b.query_doc AND r.doc_id = b.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM sel{r - 1} p
+                      WHERE p.query_doc = b.query_doc
+                        AND p.doc_id = b.doc_id)
+  )
+  WHERE rn = 1
+), sel{r} AS (
+  SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+)""")
+    parts.append(f"""
+SELECT query_doc, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
+FROM sel{k}
+""")
+    return "".join(parts)
+
+
+@register(
+    "q227_mmr_diversified_topk",
+    _mmr_oracle(),
+    doc="Maximal-Marginal-Relevance diversified top-k (Carbonell & "
+    "Goldstein 1998 — text.mmr_diversify): the post-fusion stage a "
+    "production RAG stack runs so the k passages handed to the "
+    "generator aren't five near-copies of one paragraph. q199's "
+    "hybrid top-10 is greedily re-selected: each round picks the "
+    "candidate maximizing w_rel*rrf_ppm - w_red*max(sim to already-"
+    "selected), with sim = exact integer word-set-Jaccard ppm "
+    "between CANDIDATE docs (pairwise only within the |queries| x 10 "
+    "list — the algorithm's own quadratic-in-k cost, never a corpus "
+    "blowup). All-integer arithmetic (the first pick's redundancy is "
+    "0 by definition; ties on doc_id), so the greedy TRAJECTORY "
+    "replays bit-for-bit — the oracle unrolls the 5 rounds as "
+    "chained red/pick/sel CTEs over q199's registered oracle "
+    "(string-composed, single-sourced). MEASURED non-degenerate: "
+    "12/15 positions differ from the pure-relevance order at both "
+    "sf0.01 and sf0.1 (BASELINE.md). Scale: one corpus word scan "
+    "semi-joined to candidate ids; k tiny per-query window rounds "
+    "over localCheckpointed candidate/similarity frames (the "
+    "checkpoint keeps the round loop from re-evaluating the fusion "
+    "per round).",
+    tags=("text", "retrieval", "topk", "window"),
+)
+def q227_mmr_diversified_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    return text.mmr_diversify(docs, fused, k=5)
+
+
+@register(
+    "q228_store_packing_twin",
+    _REGISTRY["q183_tokenize_pack_pipeline"].oracle,
+    doc="Store-backed token accounting — the tokenizer leg's serving "
+    "read (streaming/tokens.py, the q215 frozen-artifact pattern "
+    "applied to BPE): the tokenizer is learned OFFLINE (q105's "
+    "learn_bpe — in production it trains before the stream starts "
+    "and persists next to the store; load_merges RAISES if missing, "
+    "because re-learning mid-stream would make token counts "
+    "incomparable across batches and the packing bins would mix "
+    "units), documents arriving in two doc_id-ordered batches are "
+    "tokenized ONCE at arrival (per-batch distinct-word segmentation "
+    "fold + broadcast join — cost ~ the batch's vocabulary), and the "
+    "2048-real-token training-bin manifest then packs from the "
+    "ACCUMULATED per-doc counts alone — text never rescanned, "
+    "tokenizer never re-run at read time. Must equal q183's one-shot "
+    "train->tokenize->pack VERBATIM (same oracle): the union-of-"
+    "batches == whole-corpus identity holds because tokenization is "
+    "a per-doc pure function of the frozen merges. The disk leg "
+    "(real foreachBatch carry, retry idempotence, missing-merges "
+    "raise, pack-from-store equality, shared-store compaction) is "
+    "pinned in tests/test_streaming_tokens.py. Scale: per-batch "
+    "ingest is one distinct-word fold; the store is 4 longs per doc; "
+    "the packing read is one per-domain window pass with no global "
+    "sort.",
+    tags=("streaming", "text", "tokenizer", "sampling", "iterative"),
+)
+def q228_store_packing_twin(spark, sf_dir):
+    from .operators.bpe import learn_bpe
+    from .operators.curation import pack_sequences
+    from .streaming.tokens import token_stats_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
+    stats = token_stats_batch(
+        docs.where(F.col("doc_id") < 250), merges
+    ).unionByName(token_stats_batch(docs.where(F.col("doc_id") >= 250), merges))
+    return pack_sequences(
+        stats,
+        context_len=2048,
+        token_col="n_bpe_tokens",
+        extra_sum_cols=("n_words",),
+    )

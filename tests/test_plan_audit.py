@@ -1615,3 +1615,29 @@ def test_q225_trained_rerank_no_python_no_cartesian(spark):
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_q227_mmr_no_python_no_cartesian(spark):
+    # candidate/sim frames are localCheckpointed LogicalRDDs; every
+    # greedy round is tiny window + equi-join work — no Python, no
+    # cartesian, no SMJ
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q227_mmr_diversified_topk"].fn(spark, SF_DIR))
+    assert a["n_sortmerge_joins"] == 0
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]
+
+
+def test_q228_store_packing_no_python_no_global_sort(spark):
+    # tokenize-at-arrival twin: segmentation folds stay Catalyst
+    # (merge folds are nested regexp projections), the packing window
+    # partitions by source — no single-partition stage, no Python
+    from streaming_recommendation_spark.queries import registry
+
+    a = audit(registry()["q228_store_packing_twin"].fn(spark, SF_DIR))
+    assert "SinglePartition" not in a["plan"]
+    assert "BatchEvalPython" not in a["plan"]
+    assert "ArrowEvalPython" not in a["plan"]
+    assert "CartesianProduct" not in a["plan"]

@@ -426,3 +426,33 @@ def test_trained_rerank_degenerate_labels_deterministic(spark):
         for r in trained_rerank(docs, cands, truth, k=2).collect()
     )
     assert rows == [(1, 1, 0), (2, 2, 0)]
+
+
+def test_mmr_diversify_hand_computed_demotes_near_copy(spark):
+    """MMR hand-replay: B out-ranks C on relevance but is a near-copy
+    of the already-picked A, so round 2 picks C — and the scores
+    replay exactly (first pick redundancy 0; later picks
+    700*rel - 300*max_sim)."""
+    from streaming_recommendation_spark.operators.text import mmr_diversify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),        # A
+            (2, "alpha beta gamma epsilon"),      # B: Jaccard(A,B)=3/5
+            (3, "zeta eta theta iota"),           # C: disjoint from A,B
+        ],
+        "doc_id bigint, text string",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1, 30_000), (0, 2, 29_000), (0, 3, 20_000)],
+        "query_doc bigint, doc_id bigint, rrf_ppm bigint",
+    )
+    rows = {r.mmr_rank: r for r in mmr_diversify(docs, cands, k=3).collect()}
+    sim_ab = 1_000_000 * 3 // 5  # 600000 ppm
+    assert (rows[1].doc_id, rows[1].mmr_score) == (1, 700 * 30_000)
+    # round 2: B = 700*29000 - 300*600000 < 0; C = 700*20000 - 0
+    assert (rows[2].doc_id, rows[2].mmr_score) == (3, 700 * 20_000)
+    assert (rows[3].doc_id, rows[3].mmr_score) == (
+        2,
+        700 * 29_000 - 300 * sim_ab,
+    )
