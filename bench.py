@@ -307,6 +307,8 @@ HEADLINE = [
     "q226_trained_rerank_ablation",
     "q227_mmr_diversified_topk",
     "q228_store_packing_twin",
+    "q229_graded_ndcg_readout",
+    "q230_domain_mixture_quota",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -210,3 +210,68 @@ def eval_negatives(
         F.col(user_col), F.col(item_col).alias("neg_item")
     ).distinct()
     return negs.join(hist, [user_col, "neg_item"], "left_anti")
+
+
+def largest_remainder_quota(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    budget: int,
+) -> DataFrame:
+    """Hamilton / largest-remainder apportionment of an integer
+    ``budget`` across groups proportionally to ``weight_col`` — the
+    deterministic quota step of training-mixture construction (give
+    each source floor(budget * w / total) sampling slots, then hand
+    the leftover slots to the largest fractional remainders): the
+    unique proportional allocation that is exact-integer end to end,
+    always sums to the budget, and never strands a slot on rounding.
+
+    All arithmetic is int64 (budget * w must stay under 2^63 — at a
+    1e6 budget that allows ~9e12 total weight; cast up earlier if a
+    deployment exceeds it), remainders tie-break on the key
+    ascending, so the allocation replays bit-for-bit on any engine.
+    Scale: one groupBy-sum if the input is per-row, then the
+    apportionment runs over |groups| rows — the window is a
+    deliberate single |groups|-row pass (domains number in the
+    dozens, not the billions; the 100 TB cost lives in the upstream
+    weight aggregation, which is map-side partial)."""
+    from pyspark.sql import Window
+
+    w = df.groupBy(key_col).agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__w")
+    )
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        key_col,
+        F.col("__w"),
+        F.expr(f"CAST(({budget} * __w) div __tw AS BIGINT)").alias(
+            "quota_floor"
+        ),
+        F.expr(f"CAST(({budget} * __w) % __tw AS BIGINT)").alias("__rem"),
+    )
+    leftover = base.agg(
+        (F.lit(budget).cast("long") - F.sum("quota_floor")).alias("__l")
+    )
+    rn = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col(key_col).asc())
+    )
+    return (
+        base.withColumn("__rn", rn)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            key_col,
+            F.col("__w").alias("total_weight"),
+            "quota_floor",
+            F.when(F.col("__rn") <= F.col("__l"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("extra"),
+            (
+                F.col("quota_floor")
+                + F.when(F.col("__rn") <= F.col("__l"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )

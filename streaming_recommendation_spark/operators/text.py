@@ -1202,6 +1202,7 @@ def doc_jaccard_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_candidates: bool = True,
+    include_rank: bool = False,
 ) -> DataFrame:
     """Doc-level exact word-set-Jaccard top-k per query — the shared
     ground-truth protocol of the hard-negative miner (q200) and the
@@ -1258,6 +1259,17 @@ def doc_jaccard_topk(
             ).alias("jac"),
         )
     )
+    if include_rank:
+        return top_k_per_group(
+            jac,
+            k,
+            ["query_doc"],
+            F.col("jac").desc(),
+            F.col(id_col).asc(),
+            rank_col="truth_rank",
+        ).select(
+            "query_doc", id_col, F.col("truth_rank").cast("int").alias("truth_rank")
+        )
     return top_k_per_group(
         jac, k, ["query_doc"], F.col("jac").desc(), F.col(id_col).asc()
     ).select("query_doc", id_col)
@@ -1547,3 +1559,85 @@ def mmr_diversify(
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel
+
+
+# 1e6 / log2(rank + 1), truncated to exact integer ppm — the ONE
+# float-derived table in the graded eval, frozen as literals so Spark
+# and the DuckDB oracle share identical discounts (the q68/q147
+# no-libm-in-the-comparison move applied to nDCG).
+NDCG_DISC_PPM = (1_000_000, 630_929, 500_000, 430_676, 386_852)
+
+
+def graded_ndcg_at_k(
+    lists: DataFrame,
+    truth: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded-relevance nDCG@k over ranked retrieval lists — the
+    relevance-dashboard number (Jarvelin & Kekalainen 2002) the
+    binary hits@k/MRR readouts (q204/q218) cannot see: a retriever
+    that finds the MOST relevant doc at rank 1 beats one that finds
+    the 5th-most-relevant there. ``lists`` is (retriever, query_doc,
+    id, rank); ``truth`` is (query_doc, id, truth_rank) — the graded
+    gold list (doc_jaccard_topk(include_rank=True)). gain = k+1 -
+    truth_rank (top truth doc k, last 1, non-truth 0); discount =
+    the frozen integer-ppm table NDCG_DISC_PPM; DCG/IDCG are exact
+    int64 sums and ndcg_ppm = 1e6 * DCG div IDCG is ONE truncating
+    integer division — the whole readout replays bit-for-bit on any
+    engine. IDCG derives per query from its actual truth size, so
+    short gold lists stay correct. Scale: one broadcast join of the
+    |queries| x k lists against the k-row-per-query truth; grid =
+    retrievers x queries so zero-hit rows read 0, not absent."""
+    if k > len(NDCG_DISC_PPM):
+        raise ValueError(
+            f"graded_ndcg_at_k: k={k} exceeds the frozen discount "
+            f"table ({len(NDCG_DISC_PPM)} ranks) — extend NDCG_DISC_PPM "
+            "and its oracle twin together"
+        )
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in NDCG_DISC_PPM[:k]])
+    gain = (F.lit(k + 1).cast("long") - F.col("truth_rank").cast("long"))
+    dcg = (
+        lists.where(F.col("rank") <= k)
+        .join(F.broadcast(truth), ["query_doc", id_col])
+        .select(
+            "retriever",
+            "query_doc",
+            (gain * F.element_at(disc_arr, F.col("rank").cast("int"))).alias(
+                "__term"
+            ),
+        )
+        .groupBy("retriever", "query_doc")
+        .agg(F.sum("__term").alias("dcg_ppm"))
+    )
+    idcg = (
+        truth.where(F.col("truth_rank") <= k)
+        .select(
+            "query_doc",
+            (
+                gain
+                * F.element_at(disc_arr, F.col("truth_rank").cast("int"))
+            ).alias("__term"),
+        )
+        .groupBy("query_doc")
+        .agg(F.sum("__term").alias("idcg_ppm"))
+    )
+    grid = (
+        lists.select("retriever")
+        .distinct()
+        .crossJoin(F.broadcast(truth.select("query_doc").distinct()))
+    )
+    return (
+        grid.join(F.broadcast(idcg), "query_doc")
+        .join(F.broadcast(dcg), ["retriever", "query_doc"], "left")
+        .select(
+            "retriever",
+            "query_doc",
+            F.coalesce("dcg_ppm", F.lit(0).cast("long")).alias("dcg_ppm"),
+            "idcg_ppm",
+        )
+        .withColumn(
+            "ndcg_ppm",
+            F.expr("CAST(1000000 * dcg_ppm div idcg_ppm AS BIGINT)"),
+        )
+    )

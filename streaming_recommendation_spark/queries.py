@@ -13376,3 +13376,160 @@ def q228_store_packing_twin(spark, sf_dir):
         token_col="n_bpe_tokens",
         extra_sum_cols=("n_words",),
     )
+
+
+# q229 oracle: q226's machinery (same four retriever lists, same
+# truth) with the binary-hit metric tail swapped for graded nDCG —
+# truth_rank exposed from the existing truth subquery (string
+# surgery), discounts generated from the SAME frozen integer table
+# the Spark operator uses (text.NDCG_DISC_PPM), gains = 6 -
+# truth_rank, one truncating integer division per (retriever, query).
+_Q229_DISC_VALUES = ", ".join(
+    f"({r + 1}, {d})" for r, d in enumerate(text.NDCG_DISC_PPM)
+)
+_Q229_ORACLE = (
+    _Q226_ORACLE[: _Q226_ORACLE.index("), hitrows AS (")]
+    .replace(
+        """truth AS (
+      SELECT query_doc, doc_id
+      FROM (SELECT i.query_doc, i.doc_id,""",
+        """truth AS (
+      SELECT query_doc, doc_id, CAST(rn AS INT) AS truth_rank
+      FROM (SELECT i.query_doc, i.doc_id,""",
+        1,
+    )
+    + f"""), disc(r, ppm) AS (VALUES {_Q229_DISC_VALUES}
+    ), dcg AS (
+      SELECT l.retriever, l.query_doc,
+             CAST(sum((6 - t.truth_rank) * d.ppm) AS BIGINT) AS dcg_ppm
+      FROM lists l
+      JOIN truth t ON t.query_doc = l.query_doc AND t.doc_id = l.doc_id
+      JOIN disc d ON d.r = l.rank
+      WHERE l.rank <= 5
+      GROUP BY 1, 2
+    ), idcg AS (
+      SELECT query_doc,
+             CAST(sum((6 - truth_rank) * d.ppm) AS BIGINT) AS idcg_ppm
+      FROM truth t JOIN disc d ON d.r = t.truth_rank
+      WHERE truth_rank <= 5
+      GROUP BY 1
+    ), qgrid2 AS (
+      SELECT r.retriever, q.query_doc
+      FROM (SELECT DISTINCT query_doc FROM truth) q
+      CROSS JOIN (VALUES ('bm25'), ('hybrid'), ('rerank'), ('trained'))
+        r(retriever)
+    )
+    SELECT g.retriever, g.query_doc,
+           CAST(coalesce(d.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+           i.idcg_ppm,
+           CAST(1000000 * coalesce(d.dcg_ppm, 0) // i.idcg_ppm AS BIGINT)
+             AS ndcg_ppm
+    FROM qgrid2 g
+    JOIN idcg i ON i.query_doc = g.query_doc
+    LEFT JOIN dcg d ON d.retriever = g.retriever
+                   AND d.query_doc = g.query_doc
+    """
+)
+assert "disc(r, ppm)" in _Q229_ORACLE and "truth_rank" in _Q229_ORACLE
+
+
+@register(
+    "q229_graded_ndcg_readout",
+    _Q229_ORACLE,
+    doc="Graded-relevance nDCG@5 readout over the full retrieval "
+    "stack (text.graded_ndcg_at_k; Jarvelin & Kekalainen 2002) — "
+    "the relevance-dashboard number the binary hits@5/MRR protocol "
+    "(q204/q218/q226) cannot see: finding the MOST relevant doc at "
+    "rank 1 now scores above finding the 5th-most-relevant there. "
+    "Same four retrievers as q226 (bm25 / hybrid / hand-set rerank "
+    "/ trained rerank), same exact-Jaccard gold list but GRADED: "
+    "gain = 6 - truth_rank; discounts are the frozen integer-ppm "
+    "table NDCG_DISC_PPM (1e6/log2(r+1) truncated once, shared as "
+    "literals by both engines — no libm in the comparison); DCG and "
+    "IDCG are exact int64 sums, IDCG per query from its actual "
+    "truth size, ndcg_ppm = one truncating integer division. Oracle "
+    "= q226's machinery with the metric tail swapped (string "
+    "surgery; truth_rank exposed from the same truth subquery). "
+    "Scale: one broadcast join of |queries| x 5 lists against the "
+    "5-row-per-query truth.",
+    tags=("text", "retrieval", "eval"),
+)
+def q229_graded_ndcg_readout(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    is_q = F.col("doc_id") < 3
+    bm = text.bm25_search(docs, is_q, k=5, scale=1000).select(
+        F.lit("bm25").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    hybrid = fused.where(F.col("rank") <= 5).select(
+        F.lit("hybrid").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    rerank = text.learned_rerank(docs, fused, k=5).select(
+        F.lit("rerank").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rerank").alias("rank"),
+    )
+    truth = text.doc_jaccard_topk(docs, is_q, k=5, include_rank=True)
+    trained = text.trained_rerank(docs, fused, truth, k=5).select(
+        F.lit("trained").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rerank").alias("rank"),
+    )
+    lists = bm.unionByName(hybrid).unionByName(rerank).unionByName(trained)
+    return text.graded_ndcg_at_k(lists, truth, k=5)
+
+
+@register(
+    "q230_domain_mixture_quota",
+    r"""
+    WITH t AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS w
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(w) AS BIGINT) AS tw FROM t
+    ), base AS (
+      SELECT source, w,
+             CAST((1000 * w) // tw AS BIGINT) AS quota_floor,
+             CAST((1000 * w) % tw AS BIGINT) AS rem
+      FROM t CROSS JOIN tot
+    ), l AS (
+      SELECT CAST(1000 - sum(quota_floor) AS BIGINT) AS leftover FROM base
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+      FROM base
+    )
+    SELECT source, w AS total_weight, quota_floor,
+           CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(quota_floor + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM r CROSS JOIN l
+    """,
+    doc="Training-mixture quota allocation by largest-remainder "
+    "apportionment (Hamilton's method — "
+    "operators/sampling.py::largest_remainder_quota): a 1000-slot "
+    "sampling budget divided across document sources proportionally "
+    "to their whitespace-token mass (q30's token convention) — "
+    "floor(budget * w / total) per source, leftover slots to the "
+    "largest integer remainders, ties on source ascending. The "
+    "deterministic step every mixture-weighted pretraining run "
+    "needs between 'desired proportions' and 'integer sample "
+    "counts': exact-integer end to end, always sums to the budget "
+    "exactly (no stranded slot, no rounding drift), bit-identical "
+    "on any engine. Scale: the weight aggregation is one map-side "
+    "partial sum over the corpus; the apportionment itself runs "
+    "over |sources| rows (dozens — the deliberate tiny-window "
+    "exception, documented in the operator).",
+    tags=("sampling", "text", "agg"),
+)
+def q230_domain_mixture_quota(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    return sampling.largest_remainder_quota(
+        per_doc, "source", "n_tokens", budget=1000
+    )

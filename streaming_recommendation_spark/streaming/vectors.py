@@ -194,7 +194,12 @@ class VectorIndexStream:
     def _committed_base_gen(self) -> int | None:
         return vstore.committed_gen(self.base_dir)
 
-    def compact(self, spark: SparkSession, upto_batch_id: int | None = None) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        upto_batch_id: int | None = None,
+        tombstones: DataFrame | None = None,
+    ) -> int | None:
         """Fold delta partitions into a new compacted base generation:
         latest copy per neighbor_id (``latest_per_vector``), written
         cell-partitioned so probe reads regain full partition pruning
@@ -204,7 +209,10 @@ class VectorIndexStream:
         retention, folded-delta cleanup) is store.compact_store's;
         only the fold itself is this index's cheaper single-row
         ``latest_per_vector`` (one associative max_by aggregate
-        instead of the generic window filter). Returns the new
+        instead of the generic window filter). ``tombstones`` (a
+        1-column frame of forgotten ids named ``neighbor_id``)
+        physically erases those vectors from the new base — the q223
+        erasure story for the float ANN store. Returns the new
         committed generation (or the existing one if nothing folded)."""
         return vstore.compact_store(
             spark,
@@ -215,6 +223,8 @@ class VectorIndexStream:
             upto_batch_id=upto_batch_id,
             partition_by=["__lid"],
             fold_fn=latest_per_vector,
+            tombstones=tombstones,
+            id_col="neighbor_id",
         )
 
     # ------------------------------------------------------------------

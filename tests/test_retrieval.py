@@ -456,3 +456,56 @@ def test_mmr_diversify_hand_computed_demotes_near_copy(spark):
         2,
         700 * 29_000 - 300 * sim_ab,
     )
+
+
+def test_graded_ndcg_hand_computed(spark):
+    """nDCG replay by hand: retriever A finds the top truth doc at
+    rank 1 (gain 5); retriever B finds only the 5th truth doc there
+    (gain 1) — same binary hits@5, different nDCG, which is the
+    point of the graded readout."""
+    from streaming_recommendation_spark.operators.text import (
+        NDCG_DISC_PPM,
+        graded_ndcg_at_k,
+    )
+
+    lists = spark.createDataFrame(
+        [("A", 0, 10, 1), ("A", 0, 99, 2), ("B", 0, 14, 1), ("B", 0, 98, 2)],
+        "retriever string, query_doc bigint, doc_id bigint, rank int",
+    )
+    truth = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3), (0, 13, 4), (0, 14, 5)],
+        "query_doc bigint, doc_id bigint, truth_rank int",
+    )
+    got = {r.retriever: r for r in graded_ndcg_at_k(lists, truth, k=5).collect()}
+    idcg = sum((6 - r) * NDCG_DISC_PPM[r - 1] for r in range(1, 6))
+    assert got["A"].dcg_ppm == 5 * NDCG_DISC_PPM[0]
+    assert got["B"].dcg_ppm == 1 * NDCG_DISC_PPM[0]
+    assert got["A"].idcg_ppm == idcg == got["B"].idcg_ppm
+    assert got["A"].ndcg_ppm == 1_000_000 * 5 * NDCG_DISC_PPM[0] // idcg
+    assert got["A"].ndcg_ppm > got["B"].ndcg_ppm
+
+
+def test_largest_remainder_quota_invariants(spark):
+    """Hamilton apportionment by hand: quotas sum to the budget
+    exactly, leftovers go to the largest remainders, ties on key."""
+    from streaming_recommendation_spark.operators.sampling import (
+        largest_remainder_quota,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 3), ("d", 1)], "source string, w bigint"
+    )
+    got = {
+        r.source: (r.quota_floor, r.extra, r.quota)
+        for r in largest_remainder_quota(df, "source", "w", budget=10).collect()
+    }
+    # weights 5,3,3,1 of 12; 10*w/12 = 4.166, 2.5, 2.5, 0.833
+    # floors 4,2,2,0 (sum 8, leftover 2); remainders 2,6,6,10 ->
+    # d first (10), then b (6, ties c on key asc)
+    assert got == {
+        "a": (4, 0, 4),
+        "b": (2, 1, 3),
+        "c": (2, 0, 2),
+        "d": (0, 1, 1),
+    }
+    assert sum(q for _, _, q in got.values()) == 10

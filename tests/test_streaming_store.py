@@ -298,3 +298,39 @@ def test_signature_compact_with_tombstones(spark, tmp_path):
     # and read_live_index through the base agrees
     live = read_live_index(spark, idx, base_dir=idxb)
     assert live.where(F.col("doc_id") == 0).count() == 0
+
+
+def test_vector_index_compact_with_tombstones(spark, tmp_path):
+    """The float IVF store's compactor accepts the same tombstone
+    erasure as the other five stores (fold_fn path): the forgotten
+    vector leaves the new base's bytes and probe reads stop
+    returning it."""
+    from streaming_recommendation_spark.streaming.vectors import (
+        VectorIndexStream,
+    )
+
+    rows = [
+        (i, [float(i % 4), float((i * 7) % 5), 1.0, 0.5]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    vis = VectorIndexStream(
+        str(tmp_path / "idx"),
+        str(tmp_path / "lm"),
+        base_dir=str(tmp_path / "base"),
+    )
+    vis.init_landmarks(emb, num_landmarks=4)
+    vis.ingest_batch(emb.where(F.col("vec_id") < 20).selectExpr(
+        "vec_id", "embedding"), 0)
+    vis.ingest_batch(emb.where(F.col("vec_id") >= 20).selectExpr(
+        "vec_id", "embedding"), 1)
+    forget = spark.createDataFrame([(3,), (25,)], "neighbor_id bigint")
+    gen = vis.compact(spark, upto_batch_id=1, tombstones=forget)
+    base = spark.read.parquet(store.state.version_dir(str(tmp_path / "base"), gen))
+    assert base.where(F.col("neighbor_id").isin(3, 25)).count() == 0
+    assert base.count() == 38
+    q = emb.where(F.col("vec_id") == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = vis.ann_query(spark, q, k=5, n_probe=4)
+    got_ids = {r.neighbor_id for r in res.collect()}
+    assert 3 not in got_ids and len(got_ids) == 5
