@@ -309,6 +309,7 @@ HEADLINE = [
     "q228_store_packing_twin",
     "q229_graded_ndcg_readout",
     "q230_domain_mixture_quota",
+    "q231_diversity_tradeoff_readout",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

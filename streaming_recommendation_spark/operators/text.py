@@ -1418,6 +1418,71 @@ def pmi_collocations(
     )
 
 
+def candidate_pair_sims(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pairwise exact word-set Jaccard (integer ppm, truncating div)
+    among SAME-QUERY candidate documents: (query_doc, __i, __j,
+    sim_ppm) for every ordered pair sharing >= 1 word (absent pair =
+    similarity 0 — consumers coalesce). Shared by the MMR greedy
+    redundancy term (mmr_diversify) and the intra-list diversity
+    readout (q231). Scale: ONE corpus word scan semi-joined to the
+    candidate ids; the pair table is |queries| x k_in^2 rows."""
+    from .dedup import normalize_text
+
+    cand = candidates.select("query_doc", id_col)
+    cids = cand.select(id_col).distinct()
+    cw = (
+        df.join(F.broadcast(cids), id_col, "left_semi")
+        .select(
+            id_col,
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    sizes = cw.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
+    ci = cand.select("query_doc", F.col(id_col).alias("__i"))
+    cj = cand.select("query_doc", F.col(id_col).alias("__j"))
+    wi = cw.select(F.col(id_col).alias("__i"), "word")
+    wj = cw.select(F.col(id_col).alias("__j"), "word")
+    inter = (
+        ci.join(cj, "query_doc")
+        .where(F.col("__i") != F.col("__j"))
+        .join(F.broadcast(wi), "__i")
+        .join(F.broadcast(wj), ["__j", "word"])
+        .groupBy("query_doc", "__i", "__j")
+        .agg(F.count(F.lit(1)).alias("it"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("__i"), F.col("nw").alias("__ni"))
+            ),
+            "__i",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(F.col(id_col).alias("__j"), F.col("nw").alias("__nj"))
+            ),
+            "__j",
+        )
+        .select(
+            "query_doc",
+            "__i",
+            "__j",
+            F.expr("CAST(1000000 * it div (__ni + __nj - it) AS BIGINT)").alias(
+                "sim_ppm"
+            ),
+        )
+    )
+
+
 def mmr_diversify(
     df: DataFrame,
     candidates: DataFrame,
@@ -1451,56 +1516,11 @@ def mmr_diversify(
     greedy rounds run over those tiny frames, localCheckpointed once
     so the round loop doesn't re-evaluate the upstream fusion per
     round."""
-    from .dedup import normalize_text
-
     cand = candidates.select(
         "query_doc", id_col, "rrf_ppm"
     ).localCheckpoint(eager=True)
-    cids = cand.select(id_col).distinct()
-    cw = (
-        df.join(F.broadcast(cids), id_col, "left_semi")
-        .select(
-            id_col,
-            F.explode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("word"),
-        )
-        .where(F.col("word") != "")
-        .distinct()
-    )
-    sizes = cw.groupBy(id_col).agg(F.count(F.lit(1)).alias("nw"))
-    # pairwise Jaccard among same-query candidates: i keeps id_col's
-    # name, j is the already-selected side
-    ci = cand.select("query_doc", F.col(id_col).alias("__i"))
-    cj = cand.select("query_doc", F.col(id_col).alias("__j"))
-    wi = cw.select(F.col(id_col).alias("__i"), "word")
-    wj = cw.select(F.col(id_col).alias("__j"), "word")
-    inter = (
-        ci.join(cj, "query_doc")
-        .where(F.col("__i") != F.col("__j"))
-        .join(F.broadcast(wi), "__i")
-        .join(F.broadcast(wj), ["__j", "word"])
-        .groupBy("query_doc", "__i", "__j")
-        .agg(F.count(F.lit(1)).alias("it"))
-    )
-    sims = (
-        inter.join(
-            F.broadcast(sizes.select(F.col(id_col).alias("__i"), F.col("nw").alias("__ni"))),
-            "__i",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col(id_col).alias("__j"), F.col("nw").alias("__nj"))),
-            "__j",
-        )
-        .select(
-            "query_doc",
-            "__i",
-            "__j",
-            F.expr("CAST(1000000 * it div (__ni + __nj - it) AS BIGINT)").alias(
-                "sim_ppm"
-            ),
-        )
-        .localCheckpoint(eager=True)
+    sims = candidate_pair_sims(df, cand, text_col, id_col).localCheckpoint(
+        eager=True
     )
     wrel = F.lit(w_rel).cast("long")
     wred = F.lit(w_red).cast("long")
@@ -1639,5 +1659,42 @@ def graded_ndcg_at_k(
         .withColumn(
             "ndcg_ppm",
             F.expr("CAST(1000000 * dcg_ppm div idcg_ppm AS BIGINT)"),
+        )
+    )
+
+
+def intralist_diversity(
+    lists: DataFrame,
+    sims: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean pairwise dissimilarity of each ranked list — the
+    diversity half of the relevance/diversity tradeoff readout:
+    diversity_ppm = 1e6 - (sum of pairwise sim_ppm over the list's
+    ordered pairs) div n_pairs, exact integers throughout. ``lists``
+    is (retriever, query_doc, id, rank); ``sims`` is
+    candidate_pair_sims' output covering the lists' docs."""
+    a = lists.select("retriever", "query_doc", F.col(id_col).alias("__i"))
+    b = lists.select("retriever", "query_doc", F.col(id_col).alias("__j"))
+    pairs = a.join(b, ["retriever", "query_doc"]).where(
+        F.col("__i") != F.col("__j")
+    )
+    joined = pairs.join(
+        F.broadcast(sims), ["query_doc", "__i", "__j"], "left"
+    )
+    return (
+        joined.groupBy("retriever", "query_doc")
+        .agg(
+            F.sum(F.coalesce("sim_ppm", F.lit(0).cast("long"))).alias(
+                "__sum"
+            ),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            "retriever",
+            "query_doc",
+            F.expr("CAST(1000000 - (__sum div __n) AS BIGINT)").alias(
+                "diversity_ppm"
+            ),
         )
     )

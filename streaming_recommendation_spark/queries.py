@@ -13227,12 +13227,14 @@ def q226_trained_rerank_ablation(spark, sf_dir):
     )
 
 
-def _mmr_oracle(k=5, w_rel=700, w_red=300):
+def _mmr_ctes(k=5, w_rel=700, w_red=300):
     """q199's fusion as the candidate list + the MMR greedy trajectory
     unrolled: candidate word sets, pairwise candidate Jaccard ppm, and
     one chained (red/pick/sel) CTE block per greedy round — exactly
     the arithmetic mmr_diversify runs, including the redundancy-0
-    first pick and the (mmr desc, doc_id asc) tie-break."""
+    first pick and the (mmr desc, doc_id asc) tie-break. Returns the
+    WITH-clause body (base/cw/csz/sims/sel{k} live at the end) so the
+    diversity-tradeoff readout (q231) can keep composing."""
     parts = [
         "WITH base AS MATERIALIZED (\n"
         + _REGISTRY["q199_hybrid_rrf_fusion"].oracle
@@ -13295,16 +13297,22 @@ def _mmr_oracle(k=5, w_rel=700, w_red=300):
 ), sel{r} AS (
   SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _mmr_oracle_final(k=5, w_rel=700, w_red=300):
+    return (
+        _mmr_ctes(k, w_rel, w_red)
+        + f"""
 SELECT query_doc, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
 FROM sel{k}
-""")
-    return "".join(parts)
+"""
+    )
 
 
 @register(
     "q227_mmr_diversified_topk",
-    _mmr_oracle(),
+    _mmr_oracle_final(),
     doc="Maximal-Marginal-Relevance diversified top-k (Carbonell & "
     "Goldstein 1998 — text.mmr_diversify): the post-fusion stage a "
     "production RAG stack runs so the k passages handed to the "
@@ -13533,3 +13541,130 @@ def q230_domain_mixture_quota(spark, sf_dir):
     return sampling.largest_remainder_quota(
         per_doc, "source", "n_tokens", budget=1000
     )
+
+
+# q231 oracle: the MMR CTEs (base fusion, candidate sims, the greedy
+# trajectory) + the graded truth + per-list nDCG AND mean pairwise
+# dissimilarity for BOTH the pure-relevance top-5 and the MMR top-5 —
+# the relevance/diversity tradeoff as one bit-exact readout.
+_Q231_ORACLE = (
+    _mmr_ctes(k=5)
+    + r""", words3 AS (
+  SELECT doc_id,
+         unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+                                                 'g')), ' ')) AS term
+  FROM documents
+), ws3 AS (
+  SELECT DISTINCT doc_id, term AS word FROM words3 WHERE term <> ''
+), sizes3 AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS nw FROM ws3 GROUP BY doc_id
+), qws3 AS (
+  SELECT doc_id AS query_doc, word FROM ws3 WHERE doc_id < 3
+), inter3 AS (
+  SELECT q.query_doc, w.doc_id, CAST(count(*) AS BIGINT) AS it
+  FROM ws3 w JOIN qws3 q USING (word)
+  WHERE w.doc_id <> q.query_doc
+  GROUP BY q.query_doc, w.doc_id
+), truth3 AS (
+  SELECT query_doc, doc_id, CAST(rn AS INT) AS truth_rank
+  FROM (SELECT i.query_doc, i.doc_id,
+               row_number() OVER (PARTITION BY i.query_doc
+                 ORDER BY CAST(i.it AS DOUBLE) / (qs.nw + cs.nw - i.it) DESC,
+                          i.doc_id ASC) AS rn
+        FROM inter3 i
+        JOIN sizes3 qs ON qs.doc_id = i.query_doc
+        JOIN sizes3 cs ON cs.doc_id = i.doc_id)
+  WHERE rn <= 5
+), lists AS (
+  SELECT 'relevance' AS retriever, query_doc, doc_id,
+         CAST(rank AS INT) AS rank
+  FROM base WHERE rank <= 5
+  UNION ALL
+  SELECT 'mmr', query_doc, doc_id, CAST(mmr_rank AS INT) FROM sel5
+)"""
+    + f", disc(r, ppm) AS (VALUES {_Q229_DISC_VALUES})"
+    + r""", dcg AS (
+  SELECT l.retriever, l.query_doc,
+         CAST(sum((6 - t.truth_rank) * d.ppm) AS BIGINT) AS dcg_ppm
+  FROM lists l
+  JOIN truth3 t ON t.query_doc = l.query_doc AND t.doc_id = l.doc_id
+  JOIN disc d ON d.r = l.rank
+  GROUP BY 1, 2
+), idcg AS (
+  SELECT query_doc,
+         CAST(sum((6 - truth_rank) * d.ppm) AS BIGINT) AS idcg_ppm
+  FROM truth3 t JOIN disc d ON d.r = t.truth_rank
+  GROUP BY 1
+), divr AS (
+  SELECT a.retriever, a.query_doc,
+         CAST(1000000 - (CAST(sum(coalesce(s.sim_ppm, 0)) AS BIGINT)
+                         // count(*)) AS BIGINT) AS diversity_ppm
+  FROM lists a
+  JOIN lists b ON b.retriever = a.retriever
+              AND b.query_doc = a.query_doc
+              AND b.doc_id <> a.doc_id
+  LEFT JOIN sims s ON s.query_doc = a.query_doc
+                  AND s.i = a.doc_id AND s.j = b.doc_id
+  GROUP BY 1, 2
+), qgrid3 AS (
+  SELECT r.retriever, q.query_doc
+  FROM (SELECT DISTINCT query_doc FROM truth3) q
+  CROSS JOIN (VALUES ('relevance'), ('mmr')) r(retriever)
+)
+SELECT g.retriever, g.query_doc,
+       CAST(1000000 * coalesce(d.dcg_ppm, 0) // i.idcg_ppm AS BIGINT)
+         AS ndcg_ppm,
+       v.diversity_ppm
+FROM qgrid3 g
+JOIN idcg i ON i.query_doc = g.query_doc
+LEFT JOIN dcg d ON d.retriever = g.retriever AND d.query_doc = g.query_doc
+JOIN divr v ON v.retriever = g.retriever AND v.query_doc = g.query_doc
+"""
+)
+
+
+@register(
+    "q231_diversity_tradeoff_readout",
+    _Q231_ORACLE,
+    doc="The relevance/diversity tradeoff MEASURED (the q204 honest-"
+    "readout protocol applied to the q227 diversifier): the pure-"
+    "relevance hybrid top-5 vs the MMR top-5, each scored on BOTH "
+    "axes — graded nDCG@5 against the exact-Jaccard truth "
+    "(q229's machinery: frozen integer-ppm discounts, one "
+    "truncating division) AND intra-list diversity = 1e6 - mean "
+    "pairwise word-set-Jaccard ppm over the list's ordered pairs "
+    "(text.intralist_diversity; similarity from the SAME "
+    "candidate_pair_sims relation the MMR greedy used, single-"
+    "sourced). Whether diversification's relevance cost is worth "
+    "its redundancy cut is a NUMBER in BASELINE.md, not a claim. "
+    "Oracle = the MMR CTEs + the graded truth + the two metric "
+    "tails, all bit-exact. Scale: everything is |queries| x k "
+    "arithmetic on top of the q227/q229 shapes.",
+    tags=("text", "retrieval", "eval"),
+)
+def q231_diversity_tradeoff_readout(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    cand = fused.select("query_doc", "doc_id", "rrf_ppm")
+    rel = fused.where(F.col("rank") <= 5).select(
+        F.lit("relevance").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    mmr = text.mmr_diversify(docs, fused, k=5).select(
+        F.lit("mmr").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("mmr_rank").cast("int").alias("rank"),
+    )
+    lists = rel.unionByName(mmr)
+    truth = text.doc_jaccard_topk(
+        docs, F.col("doc_id") < 3, k=5, include_rank=True
+    )
+    ndcg = text.graded_ndcg_at_k(lists, truth, k=5).select(
+        "retriever", "query_doc", "ndcg_ppm"
+    )
+    sims = text.candidate_pair_sims(docs, cand)
+    div = text.intralist_diversity(lists, sims)
+    return ndcg.join(div, ["retriever", "query_doc"])

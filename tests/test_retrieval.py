@@ -509,3 +509,29 @@ def test_largest_remainder_quota_invariants(spark):
         "d": (0, 1, 1),
     }
     assert sum(q for _, _, q in got.values()) == 10
+
+
+def test_intralist_diversity_hand_computed(spark):
+    from streaming_recommendation_spark.operators.text import (
+        candidate_pair_sims,
+        intralist_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e"), (3, "x y z w")],
+        "doc_id bigint, text string",
+    )
+    cand = spark.createDataFrame(
+        [(0, 1, 0), (0, 2, 0), (0, 3, 0)],
+        "query_doc bigint, doc_id bigint, rrf_ppm bigint",
+    )
+    lists = spark.createDataFrame(
+        [("L", 0, 1, 1), ("L", 0, 2, 2), ("L", 0, 3, 3)],
+        "retriever string, query_doc bigint, doc_id bigint, rank int",
+    )
+    sims = candidate_pair_sims(docs, cand)
+    got = intralist_diversity(lists, sims).collect()[0]
+    # pairs: (1,2) jac 3/5 both directions; (1,3),(2,3) disjoint -> 0
+    sim12 = 1_000_000 * 3 // 5
+    mean_sim = (2 * sim12 + 0 + 0 + 0 + 0) // 6
+    assert got.diversity_ppm == 1_000_000 - mean_sim
