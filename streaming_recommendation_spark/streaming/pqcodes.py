@@ -121,11 +121,17 @@ def pq_ingest_pipeline(
     vec_col: str = "embedding",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = True,
+    base_dir: str | None = None,
+    compact_every: int | None = None,
 ):
     """Start the streaming PQ-codes ingest over a vector stream
     (columns: ``id_col``, ``vec_col``). The books MUST already exist
     at ``books_path`` (load_books raises otherwise). Returns the
-    StreamingQuery."""
+    StreamingQuery. ``compact_every=N`` (requires ``base_dir``) runs
+    the periodic fold in-stream after every Nth batch (the newest
+    delta never folds)."""
+    if compact_every and base_dir is None:
+        raise ValueError("compact_every requires base_dir")
     books = load_books(books_path)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
@@ -133,6 +139,10 @@ def pq_ingest_pipeline(
             batch_df, batch_id, codes_dir, books, dim, scale, offset,
             id_col, vec_col,
         )
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_codes(
+                batch_df.sparkSession, codes_dir, base_dir, len(books), id_col
+            )
 
     writer = (
         vec_stream.writeStream.foreachBatch(process)

@@ -334,3 +334,83 @@ def test_vector_index_compact_with_tombstones(spark, tmp_path):
     res = vis.ann_query(spark, q, k=5, n_probe=4)
     got_ids = {r.neighbor_id for r in res.collect()}
     assert 3 not in got_ids and len(got_ids) == 5
+
+
+def test_instream_compaction_during_live_pipeline(spark, tmp_path):
+    """A 3-batch file-stream with compact_every=2: the in-stream fold
+    commits a base mid-run WITHOUT folding the then-newest delta, the
+    final read equals the plain uncompacted run, and the folded delta
+    partitions are gone."""
+    import json as _json
+
+    from streaming_recommendation_spark.streaming.postings import (
+        postings_ingest_pipeline,
+    )
+
+    ddir = tmp_path / "docs"
+    ddir.mkdir()
+    batches = [B0, B1, B2]
+    for i, batch in enumerate(batches):
+        p = ddir / f"b{i}.jsonl"
+        p.write_text(
+            "\n".join(_json.dumps({"doc_id": d, "text": t}) for d, t in batch)
+            + "\n"
+        )
+        now = p.stat().st_mtime
+        os.utime(p, (now - 300 + i * 100, now - 300 + i * 100))
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(ddir))
+    )
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "postb")
+    q = postings_ingest_pipeline(
+        stream,
+        pdir,
+        str(tmp_path / "ckpt"),
+        base_dir=bdir,
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+    # batch 2 triggered a compact of batches <= 1 (newest never folds)
+    assert store.committed_gen(bdir) == 1
+    assert store.delta_batch_ids(pdir) == [2]
+    # the folded read equals the plain in-memory log fold
+    from streaming_recommendation_spark.streaming.postings import (
+        postings_batch,
+    )
+
+    log = None
+    for bid, rows in enumerate(batches):
+        part = postings_batch(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).withColumn("batch_id", F.lit(bid).cast("bigint"))
+        log = part if log is None else log.unionByName(part)
+    want = sorted(
+        map(tuple, store.fold_deltas(log, ["doc_id"]).drop("batch_id").collect())
+    )
+    got = sorted(
+        map(
+            tuple,
+            store.fold_deltas(
+                read_postings(spark, pdir, base_dir=bdir), ["doc_id"]
+            )
+            .drop("batch_id")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_compact_every_requires_base_dir(spark, tmp_path):
+    import pytest as _pytest
+
+    from streaming_recommendation_spark.streaming.postings import (
+        postings_ingest_pipeline,
+    )
+
+    stream = spark.readStream.schema(DOC_SCHEMA).json(str(tmp_path))
+    with _pytest.raises(ValueError, match="requires base_dir"):
+        postings_ingest_pipeline(
+            stream, str(tmp_path / "p"), str(tmp_path / "c"), compact_every=2
+        )
