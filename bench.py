@@ -351,6 +351,8 @@ ITERATIVE = {
     "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
     "q222_compacted_pq_twin",  # frozen-book Lloyd at construction
     "q228_store_packing_twin",  # BPE merge rounds run at construction
+    "q227_mmr_diversified_topk",  # greedy rounds checkpoint at construction
+    "q231_diversity_tradeoff_readout",  # MMR leg checkpoints at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings
