@@ -310,6 +310,8 @@ HEADLINE = [
     "q229_graded_ndcg_readout",
     "q230_domain_mixture_quota",
     "q231_diversity_tradeoff_readout",
+    "q232_erased_packing_twin",
+    "q233_compacted_dedup_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -351,6 +353,7 @@ ITERATIVE = {
     "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
     "q222_compacted_pq_twin",  # frozen-book Lloyd at construction
     "q228_store_packing_twin",  # BPE merge rounds run at construction
+    "q232_erased_packing_twin",  # BPE merge rounds run at construction
     "q227_mmr_diversified_topk",  # greedy rounds checkpoint at construction
     "q231_diversity_tradeoff_readout",  # MMR leg checkpoints at construction
 }

@@ -13668,3 +13668,142 @@ def q231_diversity_tradeoff_readout(spark, sf_dir):
     sims = text.candidate_pair_sims(docs, cand)
     div = text.intralist_diversity(lists, sims)
     return ndcg.join(div, ["retriever", "query_doc"])
+
+
+# q232 oracle: q183's registered oracle with the PACKING POPULATION
+# filtered by the forget predicate (string surgery on the m CTE —
+# single-sourced). Training deliberately stays on the full corpus:
+# the merge list is an aggregate model artifact (like the IVF
+# landmarks and PQ books), and erasure applies to the STORED per-doc
+# rows — the distinction every GDPR-for-ML design draws and q232's
+# doc records explicitly.
+_Q232_ORACLE = _REGISTRY["q183_tokenize_pack_pipeline"].oracle.replace(
+    """m AS (
+      SELECT d.doc_id, d.source, t.n_words, t.n_bpe
+      FROM documents d JOIN dt t USING (doc_id)
+    )""",
+    """m AS (
+      SELECT d.doc_id, d.source, t.n_words, t.n_bpe
+      FROM documents d JOIN dt t USING (doc_id)
+      WHERE d.doc_id % 10 <> 7
+    )""",
+    1,
+)
+assert "doc_id % 10 <> 7" in _Q232_ORACLE
+
+
+@register(
+    "q232_erased_packing_twin",
+    _Q232_ORACLE,
+    doc="Deletion propagation through the token-accounting store — "
+    "the q223 erasure pattern applied to the tokenizer leg: a forget "
+    "set (doc_id % 10 == 7) is folded out of the persisted token "
+    "store by the compactor's own fold (store.fold_deltas with "
+    "tombstones — on disk: compact_token_stats), and the "
+    "2048-real-token training-bin manifest then packs from the "
+    "erased counts with NO filter at read time: the forgotten docs' "
+    "rows no longer exist in what the packer reads, and every "
+    "downstream bin boundary self-corrects because the per-source "
+    "cumulative sums derive from the live rows. The tokenizer "
+    "itself (the frozen merge list) deliberately still trains on "
+    "the full corpus: merges are an AGGREGATE model artifact — the "
+    "same class as the IVF landmarks and PQ books — and erasure "
+    "applies to the stored per-document rows; re-training the "
+    "tokenizer on every deletion would re-unit every count in the "
+    "store (the q228 incomparability argument run in reverse). "
+    "Oracle = q183's registered oracle with the packing population "
+    "filtered by the forget predicate (string surgery, training "
+    "CTEs untouched). Scale: the fold is the compactor's one "
+    "shuffle; packing is unchanged.",
+    tags=("streaming", "text", "tokenizer", "sampling", "iterative"),
+)
+def q232_erased_packing_twin(spark, sf_dir):
+    from .operators.bpe import learn_bpe
+    from .operators.curation import pack_sequences
+    from .streaming.store import fold_deltas
+    from .streaming.tokens import token_stats_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
+    forget = docs.where(F.col("doc_id") % 10 == 7).select("doc_id")
+    log = (
+        token_stats_batch(docs.where(F.col("doc_id") < 250), merges)
+        .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .unionByName(
+            token_stats_batch(
+                docs.where(F.col("doc_id") >= 250), merges
+            ).withColumn("batch_id", F.lit(1).cast("bigint"))
+        )
+    )
+    stats = fold_deltas(
+        log, ["doc_id"], tombstones=forget, id_col="doc_id"
+    ).drop("batch_id")
+    return pack_sequences(
+        stats,
+        context_len=2048,
+        token_col="n_bpe_tokens",
+        extra_sum_cols=("n_words",),
+    )
+
+
+@register(
+    "q233_compacted_dedup_twin",
+    _Q216_ORACLE,
+    doc="The q216 forgetful dedup answered through the COMPACTED, "
+    "physically-erased signature index: where q216 anti-joins the "
+    "tombstone log at read time, this twin runs the erasure the way "
+    "the compactor does — the old snapshot's band signatures arrive "
+    "as two deltas, store.fold_deltas with the forget set folds them "
+    "into the compacted state (on disk: compact_signature_index), "
+    "and the new snapshot dedups against that state with NO "
+    "tombstone filter anywhere in the read. Must equal q216 exactly "
+    "(same oracle = q185's with the forget set excluded): read-time "
+    "filtering and physical erasure are the same candidate "
+    "arithmetic, which is what makes deferred signature-index "
+    "compaction safe for takedowns — reads are correct from the "
+    "tombstone moment, compaction only makes the bytes leave "
+    "(pinned on disk by tests/test_streaming_store.py::"
+    "test_signature_compact_with_tombstones). Scale: the fold's one "
+    "window shuffle over the index + the broadcast tombstone "
+    "anti-join inside it; the candidate join is q185's bucketed "
+    "equi-join unchanged.",
+    tags=("dedup", "streaming-twin", "layout"),
+)
+def q233_compacted_dedup_twin(spark, sf_dir):
+    from .streaming.store import fold_deltas
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    forget = old.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    log = (
+        dedup.banded_signature_table(old.where(F.col("doc_id") < 125))
+        .withColumn("batch_id", F.lit(0).cast("bigint"))
+        .unionByName(
+            dedup.banded_signature_table(
+                old.where(F.col("doc_id") >= 125)
+            ).withColumn("batch_id", F.lit(1).cast("bigint"))
+        )
+    )
+    live = fold_deltas(
+        log, ["doc_id"], tombstones=forget, id_col="doc_id"
+    ).drop("batch_id")
+    cands = dedup.incremental_lsh_candidates(new, live)
+    hits = cands.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_index_matches"),
+        F.min("existing_id").alias("first_match"),
+    )
+    return (
+        new.select("doc_id")
+        .join(hits, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_index_matches", F.lit(0))
+            .cast("long")
+            .alias("n_index_matches"),
+            F.coalesce("first_match", F.lit(-1)).cast("long").alias("first_match"),
+            F.when(F.col("new_id").isNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("is_dup"),
+        )
+    )
