@@ -1619,7 +1619,15 @@ def graded_ndcg_at_k(
     gain = (F.lit(k + 1).cast("long") - F.col("truth_rank").cast("long"))
     dcg = (
         lists.where(F.col("rank") <= k)
-        .join(F.broadcast(truth), ["query_doc", id_col])
+        # ADVICE r11: filter the TRUTH side by truth_rank <= k too
+        # (mirroring the IDCG leg) — a truth frame built with a larger
+        # k than the readout's would otherwise contribute NEGATIVE
+        # gains (k+1 - truth_rank < 0) that subtract from DCG instead
+        # of reading 0.
+        .join(
+            F.broadcast(truth.where(F.col("truth_rank") <= k)),
+            ["query_doc", id_col],
+        )
         .select(
             "retriever",
             "query_doc",

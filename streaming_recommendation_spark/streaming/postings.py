@@ -150,11 +150,9 @@ def _check_id_col(
         stored = spark.read.parquet(delta_dir).schema.fieldNames()
     except AnalysisException:
         if base_dir is not None:
-            g = _st.committed_gen(base_dir)
-            if g is not None:
-                stored = spark.read.parquet(
-                    _st.state.version_dir(base_dir, g)
-                ).schema.fieldNames()
+            gdir = _st.committed_gen_dir(base_dir)
+            if gdir is not None:
+                stored = spark.read.parquet(gdir).schema.fieldNames()
     if stored is not None and id_col not in stored:
         raise ValueError(
             f"{fn}: id_col {id_col!r} is not in the stored "

@@ -162,13 +162,14 @@ def read_codes(
     base_dir: str | None = None,
 ) -> DataFrame:
     """The accumulated codes table (base generation plus newer deltas
-    when ``base_dir`` is given), with the fail-fast id_col guard."""
-    stored = spark.read.parquet(codes_dir).schema.fieldNames()
-    if id_col not in stored:
-        raise ValueError(
-            f"read_codes: id_col {id_col!r} is not in the stored codes "
-            f"schema {stored} — pass the same id_col the ingest used"
-        )
+    when ``base_dir`` is given), with the fail-fast id_col guard.
+    ADVICE r11: the guard goes through postings._check_id_col so a
+    fully compacted store (delta dir emptied, data only in base_dir)
+    falls back to the committed base generation's footer instead of
+    raising schema-inference AnalysisException."""
+    from .postings import _check_id_col
+
+    _check_id_col(spark, codes_dir, id_col, "read_codes", base_dir)
     return _store.read_store(
         spark, codes_dir, _codes_schema(id_col, m), base_dir
     )

@@ -62,6 +62,17 @@ from pyspark.sql import functions as F
 from . import state
 
 _BATCH_RE = re.compile(r"^batch_id=(\d+)$")
+# A generation dir is v=<cover> (written by a delta fold) or
+# v=<cover>e<epoch> (written by an erasure-only rewrite at the SAME
+# coverage point — ADVICE r11: compaction with tombstones must not
+# silently skip erasure just because no delta needed folding, and an
+# in-place rewrite of the only committed generation would open a
+# crash window with NO committed base; a new dir at (cover, epoch+1)
+# commits atomically via _SUCCESS exactly like a fold). Ordering is
+# (cover, epoch); plain v=<cover> is epoch 0. state.versions() does
+# not match the e-suffixed names, which is intentional — generation
+# listing/pruning for stores lives here, not in state.py.
+_GEN_RE = re.compile(r"^v=(\d+)(?:e(\d+))?$")
 
 
 def delta_batch_ids(delta_dir: str) -> list[int]:
@@ -76,19 +87,53 @@ def delta_batch_ids(delta_dir: str) -> list[int]:
     return sorted(out)
 
 
-def committed_gen(base_dir: str) -> int | None:
-    """Newest base generation whose write COMMITTED (Spark's _SUCCESS
-    marker) — a compactor crash mid-write leaves a markerless partial
-    dir that reads ignore and the next compaction's write_version
+def _gen_label(cover: int, epoch: int) -> str:
+    return f"v={cover}" if epoch == 0 else f"v={cover}e{epoch}"
+
+
+def gen_entries(base_dir: str) -> list[tuple[int, int, str]]:
+    """All generation dirs (committed or not) as sorted
+    ``(cover, epoch, path)`` tuples — ordering is (cover, epoch), so
+    an erasure rewrite at the same coverage sorts after the fold it
+    rewrote."""
+    if not os.path.isdir(base_dir):
+        return []
+    out = []
+    for name in os.listdir(base_dir):
+        m = _GEN_RE.match(name)
+        p = os.path.join(base_dir, name)
+        if m and os.path.isdir(p):
+            out.append((int(m.group(1)), int(m.group(2) or 0), p))
+    return sorted(out)
+
+
+def committed_entries(base_dir: str) -> list[tuple[int, int, str]]:
+    """gen_entries restricted to generations whose write COMMITTED
+    (Spark's _SUCCESS marker) — a compactor crash mid-write leaves a
+    markerless partial dir that reads ignore and a re-run
     rmtree-replaces."""
-    gens = [
-        v
-        for v in state.versions(base_dir)
-        if os.path.exists(
-            os.path.join(state.version_dir(base_dir, v), "_SUCCESS")
-        )
+    return [
+        e
+        for e in gen_entries(base_dir)
+        if os.path.exists(os.path.join(e[2], "_SUCCESS"))
     ]
-    return max(gens) if gens else None
+
+
+def committed_gen(base_dir: str) -> int | None:
+    """COVERAGE of the newest committed base generation: deltas with
+    ``batch_id`` at or below this are folded in (reads skip them).
+    The directory holding that generation may carry an erasure epoch
+    suffix — path lookups must go through committed_gen_dir, never
+    ``state.version_dir(base_dir, committed_gen(...))``."""
+    entries = committed_entries(base_dir)
+    return entries[-1][0] if entries else None
+
+
+def committed_gen_dir(base_dir: str) -> str | None:
+    """Path of the newest committed generation dir (the one read_store
+    serves), or None if no generation has committed."""
+    entries = committed_entries(base_dir)
+    return entries[-1][2] if entries else None
 
 
 def latest_batch_per_key(index: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -145,11 +190,12 @@ def read_store(
     deltas = state.read_or_empty(spark, delta_dir, schema)
     if base_dir is None:
         return deltas
-    g = committed_gen(base_dir)
-    if g is None:
+    entries = committed_entries(base_dir)
+    if not entries:
         return deltas
-    base = spark.read.schema(schema).parquet(state.version_dir(base_dir, g))
-    return base.unionByName(deltas.where(F.col("batch_id") > g))
+    cover, _epoch, gdir = entries[-1]
+    base = spark.read.schema(schema).parquet(gdir)
+    return base.unionByName(deltas.where(F.col("batch_id") > cover))
 
 
 def compact_store(
@@ -182,13 +228,24 @@ def compact_store(
     the next compact) the forgotten rows no longer exist on disk.
     ``fold_fn(df) -> df`` overrides the default latest-batch-per-key
     fold for stores with a cheaper equivalent (the vector index's
-    single-row max_by)."""
+    single-row max_by).
+
+    Erasure-only steady state (ADVICE r11): when ``tombstones`` is
+    given but NO delta needs folding (the common case under in-stream
+    ``compact_every`` — only the in-flight delta remains), the base is
+    STILL rewritten, as a new committed generation at the SAME
+    coverage with an incremented erasure epoch (``v=<cover>e<n>``).
+    Skipping it silently would leave the 'physically erased' rows in
+    the base bytes while returning the same gen as a successful
+    erasure, and the documented erase-then-serve flow has no read-time
+    tombstone filter to catch that. The epoch dir commits via
+    _SUCCESS exactly like a fold — never an in-place overwrite of the
+    only committed generation."""
     ids = delta_batch_ids(delta_dir)
-    g_prev = committed_gen(base_dir)
-    if not ids:
-        return g_prev
+    prev = committed_entries(base_dir)
+    g_prev = prev[-1][0] if prev else None
     if upto_batch_id is None:
-        upto_batch_id = max(ids) - 1
+        upto_batch_id = max(ids) - 1 if ids else -1
     floor = g_prev if g_prev is not None else -1
     fold = [b for b in ids if floor < b <= upto_batch_id]
     if not fold:
@@ -201,16 +258,28 @@ def compact_store(
                     os.path.join(delta_dir, f"batch_id={b}"),
                     ignore_errors=True,
                 )
-        return g_prev
+        if tombstones is None or not prev:
+            return g_prev
+        # erasure-only rewrite: same coverage, next epoch
+        cover, epoch, gdir = prev[-1]
+        base_prev = spark.read.schema(schema).parquet(gdir)
+        tid = id_col or tombstones.columns[0]
+        erased = base_prev.join(
+            F.broadcast(tombstones.select(tid)), tid, "left_anti"
+        )
+        _write_gen(
+            erased, os.path.join(base_dir, _gen_label(cover, epoch + 1)),
+            partition_by,
+        )
+        _prune_gens(base_dir)
+        return cover
     gen = max(fold)
     deltas = state.read_or_empty(spark, delta_dir, schema).where(
         (F.col("batch_id") > floor) & (F.col("batch_id") <= upto_batch_id)
     )
     merged = deltas
-    if g_prev is not None:
-        base_prev = spark.read.schema(schema).parquet(
-            state.version_dir(base_dir, g_prev)
-        )
+    if prev:
+        base_prev = spark.read.schema(schema).parquet(prev[-1][2])
         merged = base_prev.unionByName(deltas)
     if fold_fn is not None:
         folded = fold_fn(merged)
@@ -221,8 +290,10 @@ def compact_store(
             )
     else:
         folded = fold_deltas(merged, key_cols, tombstones, id_col)
-    state.write_version(folded, base_dir, gen, partition_by=partition_by)
-    state.prune_snapshots(base_dir, gen, keep=1)
+    _write_gen(
+        folded, os.path.join(base_dir, _gen_label(gen, 0)), partition_by
+    )
+    _prune_gens(base_dir)
     # cleanup: folded deltas are no longer read (batch_id <= gen)
     for b in ids:
         if b <= gen:
@@ -232,9 +303,39 @@ def compact_store(
     return gen
 
 
+def _write_gen(df: DataFrame, gdir: str, partition_by=None) -> None:
+    """Write one generation dir, fully replacing any partial earlier
+    attempt of the same (cover, epoch) — the state.write_version
+    contract, addressed by path because erasure-epoch dir names fall
+    outside state.py's plain v=<int> namespace."""
+    if partition_by and os.path.isdir(gdir):
+        shutil.rmtree(gdir)
+    if partition_by:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(gdir)
+    else:
+        df.write.mode("overwrite").parquet(gdir)
+
+
+def _prune_gens(base_dir: str) -> None:
+    """Generation retention (the state.prune_snapshots keep=1
+    semantics, epoch-aware): keep the two newest COMMITTED generations
+    — the serving one plus its predecessor for one cycle (the
+    redelivery-input protection) — and delete everything else,
+    including markerless partials from crashed writes (never read,
+    single-writer)."""
+    committed = committed_entries(base_dir)
+    keep_paths = {e[2] for e in committed[-2:]}
+    for _cover, _epoch, p in gen_entries(base_dir):
+        if p not in keep_paths:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 __all__ = [
     "delta_batch_ids",
+    "gen_entries",
+    "committed_entries",
     "committed_gen",
+    "committed_gen_dir",
     "latest_batch_per_key",
     "fold_deltas",
     "read_store",

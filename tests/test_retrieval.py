@@ -535,3 +535,27 @@ def test_intralist_diversity_hand_computed(spark):
     sim12 = 1_000_000 * 3 // 5
     mean_sim = (2 * sim12 + 0 + 0 + 0 + 0) // 6
     assert got.diversity_ppm == 1_000_000 - mean_sim
+
+
+def test_graded_ndcg_oversized_truth_never_negative(spark):
+    """ADVICE r11: a truth frame graded DEEPER than the readout's k
+    must not inject negative gains (k+1 - truth_rank < 0) into DCG —
+    truth beyond rank k contributes 0, mirroring the IDCG leg."""
+    from streaming_recommendation_spark.operators.text import (
+        NDCG_DISC_PPM,
+        graded_ndcg_at_k,
+    )
+
+    lists = spark.createDataFrame(
+        [("A", 0, 10, 1), ("A", 0, 17, 2)],
+        "retriever string, query_doc bigint, doc_id bigint, rank int",
+    )
+    # truth graded to depth 8; doc 17 sits at truth_rank 7 (> k=5)
+    truth = spark.createDataFrame(
+        [(0, 10, 1)] + [(0, 10 + i, i) for i in range(2, 9)],
+        "query_doc bigint, doc_id bigint, truth_rank int",
+    )
+    got = {r.retriever: r for r in graded_ndcg_at_k(lists, truth, k=5).collect()}
+    # doc 17 (truth_rank 7) would have contributed (6-7)*disc[1] < 0
+    assert got["A"].dcg_ppm == 5 * NDCG_DISC_PPM[0]
+    assert got["A"].ndcg_ppm >= 0

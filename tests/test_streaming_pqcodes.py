@@ -150,3 +150,35 @@ def test_real_foreachbatch_pipeline(spark, tmp_path):
     want = pq_encode_with_books(whole, books, dim=8)
     key = lambda r: (r.vec_id, r.code_0, r.code_1, r.code_2, r.code_3, r.qdist)
     assert sorted(map(key, idx.collect())) == sorted(map(key, want.collect()))
+
+
+def test_adc_query_on_fully_compacted_store(spark, emb, books, tmp_path):
+    """ADVICE r11: after a quiesced FULL compaction deletes every
+    batch_id delta partition, read_codes/adc_query must fall back to
+    the committed base generation's footer for the id_col guard
+    instead of dying on schema inference over an empty delta dir."""
+    from streaming_recommendation_spark.streaming.pqcodes import compact_codes
+    from streaming_recommendation_spark.streaming import store
+
+    cdir = str(tmp_path / "codes")
+    bdir = str(tmp_path / "codes__base")
+    bpath = str(tmp_path / "books.json")
+    save_books(books, bpath)
+    pq_ingest_batch(emb.where(F.col("vec_id") < 250), 0, cdir, books, dim=64)
+    pq_ingest_batch(emb.where(F.col("vec_id") >= 250), 1, cdir, books, dim=64)
+    gen = compact_codes(spark, cdir, bdir, m=4, upto_batch_id=1)  # quiesced
+    assert gen == 1 and store.delta_batch_ids(cdir) == []
+
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    from_disk = adc_query(
+        spark, cdir, bpath, qdf, k_neighbors=10, dim=64, base_dir=bdir
+    )
+    codes = pq_encode_with_books(emb, books, dim=64).drop("qdist")
+    want = pq_adc_from_codes(codes, qdf, books, k_neighbors=10, dim=64)
+    assert _adc_rows(from_disk) == _adc_rows(want)
+    assert _adc_rows(from_disk)
+    # the guard still fires on a wrong id_col through the base footer
+    with pytest.raises(ValueError, match="id_col 'item_id' is not"):
+        read_codes(spark, cdir, m=4, id_col="item_id", base_dir=bdir)

@@ -414,3 +414,89 @@ def test_compact_every_requires_base_dir(spark, tmp_path):
         postings_ingest_pipeline(
             stream, str(tmp_path / "p"), str(tmp_path / "c"), compact_every=2
         )
+
+
+def test_erasure_only_compaction_rewrites_base(spark, tmp_path):
+    """ADVICE r11: compact_store with tombstones but NOTHING to fold
+    (the in-stream steady state) must still rewrite the base — as a
+    new committed erasure-epoch generation at the same coverage, never
+    a silent skip that leaves the forgotten bytes live."""
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    gen = compact_postings(spark, pdir, bdir, upto_batch_id=2)
+    assert gen == 2 and store.delta_batch_ids(pdir) == []
+    # steady state: no deltas at all; now a forget request arrives
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    gen2 = compact_postings(spark, pdir, bdir, tombstones=forget)
+    assert gen2 == 2  # coverage unchanged
+    gdir = store.committed_gen_dir(bdir)
+    assert gdir is not None and gdir.endswith("v=2e1")
+    # the read no longer serves doc 1, with NO read-time filter
+    got = read_postings(spark, pdir, base_dir=bdir)
+    assert got.where(F.col("doc_id") == 1).count() == 0
+    # and the serving generation's bytes are free of the forgotten id
+    for f in _pfiles(gdir):
+        assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
+    # prior generation retained exactly one cycle; the next erasure
+    # epoch prunes it, after which the id exists NOWHERE on disk
+    gen3 = compact_postings(
+        spark, pdir, bdir, tombstones=spark.createDataFrame([(0,)], "doc_id bigint")
+    )
+    assert gen3 == 2
+    assert store.committed_gen_dir(bdir).endswith("v=2e2")
+    # v=2 (the only dir ever holding doc 1's bytes) is pruned now that
+    # two newer committed generations supersede it
+    for f in _pfiles(bdir) + _pfiles(pdir):
+        assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
+    # doc 0 still lives in v=2e1 for exactly one retention cycle; one
+    # more cycle and it is gone from every byte on disk
+    compact_postings(
+        spark, pdir, bdir, tombstones=spark.createDataFrame([(0,)], "doc_id bigint")
+    )
+    assert store.committed_gen_dir(bdir).endswith("v=2e3")
+    for f in _pfiles(bdir) + _pfiles(pdir):
+        df = spark.read.parquet(f)
+        assert df.where(F.col("doc_id").isin(0, 1)).count() == 0
+
+
+def test_fold_after_erasure_epoch(spark, tmp_path):
+    """A normal delta fold after an erasure-epoch rewrite reads the
+    epoch dir as its base, writes a plain higher-cover generation, and
+    keeps the erasure (no resurrection)."""
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    compact_postings(spark, pdir, bdir, upto_batch_id=2)
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    compact_postings(spark, pdir, bdir, tombstones=forget)
+    assert store.committed_gen_dir(bdir).endswith("v=2e1")
+    postings_ingest_batch(
+        spark.createDataFrame([(9, "brand new doc")], DOC_SCHEMA), 3, pdir
+    )
+    gen = compact_postings(spark, pdir, bdir, upto_batch_id=3)
+    assert gen == 3 and store.committed_gen_dir(bdir).endswith("v=3")
+    got = sorted(
+        (r.doc_id, r.term)
+        for r in read_postings(spark, pdir, base_dir=bdir).collect()
+    )
+    assert (9, "brand") in got
+    assert all(d != 1 for d, _t in got)  # erased doc stays erased
+
+
+def test_erasure_with_inflight_delta_not_folded(spark, tmp_path):
+    """Erasure-only rewrite under a live stream: the in-flight newest
+    delta is untouched (it still serves through the union read), but
+    the BASE is rewritten without the forgotten id."""
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "post__base")
+    _ingest3(spark, pdir)
+    compact_postings(spark, pdir, bdir)  # folds 0..1, delta 2 in-flight
+    # doc 1 lives only in batch 0/1 (now the base); forget it while
+    # delta 2 is still in flight — fold set is empty, erasure is not
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    gen = compact_postings(spark, pdir, bdir, tombstones=forget)
+    assert gen == 1 and store.committed_gen_dir(bdir).endswith("v=1e1")
+    assert store.delta_batch_ids(pdir) == [2]  # in-flight untouched
+    got = read_postings(spark, pdir, base_dir=bdir)
+    assert got.where(F.col("doc_id") == 1).count() == 0
+    assert got.where(F.col("doc_id") == 0).count() > 0  # delta 2 serves
+    for f in _pfiles(store.committed_gen_dir(bdir)):
+        assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
