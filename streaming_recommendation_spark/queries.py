@@ -4082,69 +4082,31 @@ def q103_cascade_lsh_recall(spark, sf_dir):
 # (this round: q209-q219, all judge-verified green in the round-10
 # verdict but never driver-gated — 11 rows), then the rows whose last
 # EXTERNAL driver-verified green is oldest: the 8 spilled r6 rows
-# q66-q73, then 31 of the 50-row r7-stale cohort (CORRECTNESS_r07
-# order). 11 + 8 + 31 = 50 exactly. Zero overlap with
-# CORRECTNESS_r10's key set (scripts/check_rotation.py, run at every
-# edit of this list). The remaining 19 r7-stale rows queue behind the
-# prefix and gate in round 12; queries registered NEW in round 11
-# queue behind those.
+# Round-12 gate (VERDICT r11 #1): head = q220-q233 (14 rows registered
+# in round 11, judge-verified but never externally driver-gated), then
+# the 19 remaining r7-stale rows, then the 17 oldest rows of the
+# r8-cohort (CORRECTNESS_r08 order, never re-gated since r8).
+# 14 + 19 + 17 = 50 exactly. Zero overlap with CORRECTNESS_r11's key
+# set (scripts/check_rotation.py, run at every edit of this list).
+# The 33 remaining r8-cohort rows queue behind the prefix for round
+# 13; queries registered NEW in round 12 queue behind those.
 _DRIVER_PRIORITY.extend([
-    # --- never externally green under current name (judge-verified
-    # green in VERDICT r10; 11 rows) ---
-    "q209_store_hybrid_search",
-    "q210_ivfpq_refine_knn",
-    "q211_salvaged_curation_manifest",
-    "q212_salvage_savings_report",
-    "q213_streaming_salvage_twin",
-    "q214_store_best_passage",
-    "q215_streaming_pq_codes_twin",
-    "q216_forgetful_dedup_twin",
-    "q217_learned_rerank",
-    "q218_rerank_ablation",
-    "q219_forgetful_hybrid_twin",
-    # --- last external green: round 6 (the 8 spilled rows) ---
-    "q66_ivf_knn",
-    "q67_pii_scrub",
-    "q68_tfidf_top_terms",
-    "q69_small_quantity_revenue",
-    "q70_rich_segments_no_orders",
-    "q71_multi_supplier_orders",
-    "q72_dedup_clusters",
-    "q73_ivf_kmeans_knn",
-    # --- last external green: round 7 (31 of 50; r7-gate order) ---
-    "q171_rolling_anomalies",
-    "q170_fk_profile",
-    "q167_leave_last_out_split",
-    "q168_eval_sampled_negatives",
-    "q169_random_projection",
-    "q164_streaming_target_encode_twin",
-    "q165_session_sequences",
-    "q166_embedding_covariance",
-    "q161_feature_hashing",
-    "q162_target_encoding",
-    "q163_lightgcn_propagation",
-    "q157_funnel_conversion",
-    "q158_cohort_retention",
-    "q159_event_transitions",
-    "q160_streaming_funnel_twin",
-    "q144_association_rules",
-    "q145_bfs_distances",
-    "q146_skipgram_pairs",
-    "q147_bm25_postings",
-    "q148_personalized_pagerank",
-    "q149_gap_fill_locf",
-    "q150_fuzzy_name_pairs",
-    "q151_skipgram_negatives",
-    "q152_kcore_peeling",
-    "q153_rolling_dense_stats",
-    "q154_weighted_negatives",
-    "q155_continuous_aggregate_twin",
-    "q156_contrastive_triplets",
-    "q139_itemcf_cosine",
-    "q140_itemcf_topk",
-    "q141_incremental_itemcf_twin",
-    # ---------------- end of the 50-row gate prefix ----------------
-    # r7-cohort remainder (19 rows; gate in round 12)
+    # --- never externally green (registered round 11; 14 rows) ---
+    "q220_compacted_hybrid_twin",
+    "q221_compacted_passage_twin",
+    "q222_compacted_pq_twin",
+    "q223_erased_hybrid_twin",
+    "q224_streaming_categorical_drift_twin",
+    "q225_trained_rerank",
+    "q226_trained_rerank_ablation",
+    "q227_mmr_diversified_topk",
+    "q228_store_packing_twin",
+    "q229_graded_ndcg_readout",
+    "q230_domain_mixture_quota",
+    "q231_diversity_tradeoff_readout",
+    "q232_erased_packing_twin",
+    "q233_compacted_dedup_twin",
+    # --- last external green: round 7 (the 19 remaining r7-stale) ---
     "q142_random_walks",
     "q143_swing_similarity",
     "q137_compacted_ivf_twin",
@@ -4164,6 +4126,59 @@ _DRIVER_PRIORITY.extend([
     "q88_embedding_quantization",
     "q89_decontamination",
     "q90_repetition_filters",
+    # --- last external green: round 8 (17 oldest of 50; r8 order) ---
+    "q172_cascade_offline_eval",
+    "q173_streaming_anomaly_twin",
+    "q174_snapshot_audit",
+    "q175_near_dedup_pipeline",
+    "q176_pmi_collocations",
+    "q91_domain_quota",
+    "q92_doc_chunking",
+    "q93_sequence_packing",
+    "q94_duplicate_ngram_spans",
+    "q94b_duplicate_ngram_spans_occurrences",
+    "q95_unigram_rarity",
+    "q96_semantic_dedup",
+    "q97_bpe_merge_candidates",
+    "q98_importance_weights",
+    "q99_calibration_bins",
+    "q100_ewma_engagement",
+    "q101_image_phash",
+    # ---------------- end of the 50-row gate prefix ----------------
+    # r8-cohort remainder (33 rows; gate in round 13, r8 order)
+    "q102_pagerank",
+    "q103_cascade_lsh_recall",
+    "q104_exact_substring_dups",
+    "q60_cube_order_stats",
+    "q62_region_market_share",
+    "q74_min_cost_supplier",
+    "q78_supplier_part_counts",
+    "q84_corpus_curation",
+    "q105_bpe_learned_merges",
+    "q106_bpe_token_counts",
+    "q107_dup_length_profile",
+    "q108_session_windows",
+    "q109_triangle_counts",
+    "q110_bigram_rarity",
+    "q111_zorder_profile",
+    "q112_event_funnel",
+    "q113_cohort_retention",
+    "q114_mixing_weights",
+    "q115_mmr_rerank",
+    "q116_prefix_jaccard_dups",
+    "q117_histogram_quantiles",
+    "q118_hll_distinct",
+    "q119_bloom_decontamination",
+    "q120_priority_sample",
+    "q121_scd2_intervals",
+    "q122_local_supplier_volume",
+    "q123_forecast_revenue_change",
+    "q124_cms_heavy_hitters",
+    "q125_column_profile",
+    "q126_kmv_set_stats",
+    "q127_decayed_popularity",
+    "q128_event_transitions",
+    "q129_largestar_components",
 ])
 
 
