@@ -312,6 +312,7 @@ HEADLINE = [
     "q231_diversity_tradeoff_readout",
     "q232_erased_packing_twin",
     "q233_compacted_dedup_twin",
+    "q234_mixed_generation_hybrid_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

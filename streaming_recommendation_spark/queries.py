@@ -13822,3 +13822,59 @@ def q233_compacted_dedup_twin(spark, sf_dir):
             .alias("is_dup"),
         )
     )
+
+
+@register(
+    "q234_mixed_generation_hybrid_twin",
+    _REGISTRY["q199_hybrid_rrf_fusion"].oracle,
+    doc="CROSS-STORE GENERATION CONSISTENCY twin (VERDICT r11 #2): "
+    "the q209 serving search with the two stores at DIFFERENT "
+    "compaction points mid-correction — the q220 stale-then-fixed "
+    "arrival log (20 docs arrive wrong, batch 2 re-delivers their "
+    "true text), the postings store folded THROUGH the correction "
+    "(store A compacted), the vector store crash-stopped at "
+    "generation 0 (its base still serves the STALE vectors; batches "
+    "1-2 sit unfolded in the delta tail). The serving read resolves "
+    "the tail latest-batch-per-key at read time "
+    "(store.resolve_with_tail — the exact core hybrid_query's "
+    "read_store_resolved executes), so the fused answer must equal "
+    "q199's one-shot clean fusion BIT-FOR-BIT (same oracle) for ANY "
+    "pair of per-store generations — independent compactions can "
+    "never serve an answer matching no single point in time. The "
+    "injected-crash disk leg (both crash sides, plus the erasure "
+    "crash window) is pinned in tests/test_streaming_store.py::"
+    "test_mixed_generation_*. Scale: the resolution windows only the "
+    "tail (bounded by compact_every batches) and the base pays one "
+    "broadcast anti-join against the tail's keys — ~|tail| extra, "
+    "not |store|; the search is q209's shape unchanged.",
+    tags=("streaming", "text", "retrieval", "similarity"),
+)
+def q234_mixed_generation_hybrid_twin(spark, sf_dir):
+    from .streaming.hybrid import doc_vectors_batch, hybrid_search_from_stores
+    from .streaming.postings import postings_batch
+    from .streaming.store import fold_deltas, resolve_with_tail
+
+    docs = _t(spark, sf_dir, "documents")
+    b0, b1, b2 = _stale_then_fixed_batches(docs)
+    tf_log = None
+    vec_log = None
+    for bid, b in enumerate((b0, b1, b2)):
+        tfp = postings_batch(b).withColumn("batch_id", F.lit(bid).cast("bigint"))
+        vp = doc_vectors_batch(b, n_features=64).withColumn(
+            "batch_id", F.lit(bid).cast("bigint")
+        )
+        tf_log = tfp if tf_log is None else tf_log.unionByName(tfp)
+        vec_log = vp if vec_log is None else vec_log.unionByName(vp)
+    # store A: postings fully compacted through the correction
+    tf = fold_deltas(tf_log, ["doc_id"]).drop("batch_id")
+    # store B: vectors crash-stopped at generation 0 — base is the
+    # fold of batch 0 alone (stale text inside), tail is batches 1-2
+    base_v = fold_deltas(vec_log.where(F.col("batch_id") <= 0), ["doc_id"])
+    tail_v = vec_log.where(F.col("batch_id") > 0)
+    vectors = resolve_with_tail(base_v, tail_v, ["doc_id"]).drop("batch_id")
+    qids = docs.where(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_doc")
+    )
+    return hybrid_search_from_stores(
+        tf, vectors, qids, k_leg=20, k=10, scale=1000
+    )

@@ -223,12 +223,32 @@ def hybrid_query(
     compacted base generation (store.read_store); physical erasure of
     the tombstoned bytes is compact_postings/compact_doc_vectors'
     ``tombstones`` argument — after it runs, no tombstones param is
-    needed here at all (q223's oracle-checked claim)."""
-    tf = read_postings(spark, postings_dir, id_col, postings_base_dir).select(
-        id_col, "term", "tf"
-    )
-    vectors = read_doc_vectors(
-        spark, vectors_dir, id_col, vectors_base_dir
+    needed here at all (q223's oracle-checked claim).
+
+    Cross-store generation consistency (VERDICT r11 #2): the two
+    stores compact INDEPENDENTLY, so a crash between the two
+    compactions leaves mixed generations (postings folded, vectors
+    not, or vice versa). Both legs therefore read through
+    store.read_store_resolved — upserts in the delta tail resolve
+    latest-batch-per-key AT READ, making each served relation equal
+    fold_deltas(full log) for ANY pair of per-store compaction
+    points. Without it, a correction folded into one store but still
+    double-served by the other would fuse into an answer matching NO
+    single point in time. Erasure is the one crash window that needs
+    caller help: keep passing ``tombstones`` here until BOTH
+    compactions have folded the forget set (pinned in
+    tests/test_streaming_store.py::test_mixed_generation_*)."""
+    from .postings import _postings_schema
+
+    _check_id_col(spark, postings_dir, id_col, "hybrid_query", postings_base_dir)
+    tf = _store.read_store_resolved(
+        spark, postings_dir, _postings_schema(id_col), postings_base_dir,
+        [id_col],
+    ).select(id_col, "term", "tf")
+    _check_id_col(spark, vectors_dir, id_col, "hybrid_query", vectors_base_dir)
+    vectors = _store.read_store_resolved(
+        spark, vectors_dir, _vectors_schema(id_col), vectors_base_dir,
+        [id_col],
     ).select(id_col, "vec")
     if tombstones is not None:
         dead = tombstones.select(id_col)

@@ -500,3 +500,143 @@ def test_erasure_with_inflight_delta_not_folded(spark, tmp_path):
     assert got.where(F.col("doc_id") == 0).count() > 0  # delta 2 serves
     for f in _pfiles(store.committed_gen_dir(bdir)):
         assert spark.read.parquet(f).where(F.col("doc_id") == 1).count() == 0
+
+
+def _clean_corpus(spark):
+    # one-shot truth: each doc's LATEST text (B2 corrected docs 0, 3)
+    latest = {d: t for d, t in [*B0, *B1, *B2]}
+    return spark.createDataFrame(sorted(latest.items()), DOC_SCHEMA)
+
+
+def _oneshot_hybrid(spark, qids):
+    from streaming_recommendation_spark.streaming.hybrid import (
+        doc_vectors_batch,
+        hybrid_search_from_stores,
+    )
+    from streaming_recommendation_spark.streaming.postings import postings_batch
+
+    docs = _clean_corpus(spark)
+    return hybrid_search_from_stores(
+        postings_batch(docs),
+        doc_vectors_batch(docs, n_features=16),
+        qids,
+        k_leg=4,
+        k=3,
+    )
+
+
+def _hybrid_rows(df):
+    return sorted(map(tuple, df.select("query_doc", "doc_id", "rank").collect()))
+
+
+def test_mixed_generation_hybrid_read_consistency(spark, tmp_path):
+    """VERDICT r11 #2 pin: a crash injected BETWEEN the two stores'
+    compactions (postings folded through the correction, vectors not
+    — and the reverse) must not change the hybrid serving answer.
+    read_store_resolved makes each leg equal fold_deltas(full log)
+    for ANY pair of per-store compaction points."""
+    from streaming_recommendation_spark.streaming.hybrid import (
+        hybrid_query,
+        vectors_ingest_batch,
+    )
+
+    qids = spark.createDataFrame([(0,), (3,)], "query_doc bigint")
+    want = _hybrid_rows(_oneshot_hybrid(spark, qids))
+
+    for crash_side in ("vectors", "postings"):
+        root = tmp_path / f"crash_{crash_side}"
+        pdir, pb = str(root / "post"), str(root / "postb")
+        vdir, vb = str(root / "vec"), str(root / "vecb")
+        for bid, rows in enumerate((B0, B1, B2)):
+            df = spark.createDataFrame(rows, DOC_SCHEMA)
+            postings_ingest_batch(df, bid, pdir)
+            vectors_ingest_batch(df, bid, vdir, n_features=16)
+        # run ONE compaction through the correction batch, then
+        # "crash" before the sibling store compacts at all
+        if crash_side == "vectors":
+            compact_postings(spark, pdir, pb, upto_batch_id=2)
+        else:
+            compact_doc_vectors(spark, vdir, vb, upto_batch_id=2)
+        got = hybrid_query(
+            spark, pdir, vdir, qids, k_leg=4, k=3,
+            postings_base_dir=pb, vectors_base_dir=vb,
+        )
+        assert _hybrid_rows(got) == want, crash_side
+
+
+def test_unresolved_mixed_read_would_differ(spark, tmp_path):
+    """Sensitivity check for the pin above: the PLAIN base+deltas
+    union double-serves the corrected docs (old and new vectors both
+    live), so the resolved read is load-bearing, not a no-op."""
+    from streaming_recommendation_spark.streaming.hybrid import (
+        read_doc_vectors,
+        vectors_ingest_batch,
+    )
+
+    vdir = str(tmp_path / "vec")
+    for bid, rows in enumerate((B0, B1, B2)):
+        vectors_ingest_batch(
+            spark.createDataFrame(rows, DOC_SCHEMA), bid, vdir, n_features=16
+        )
+    raw = read_doc_vectors(spark, vdir)
+    assert raw.where(F.col("doc_id") == 0).count() == 2  # both copies
+    resolved = store.read_store_resolved(
+        spark, vdir, "doc_id bigint, vec array<bigint>, batch_id bigint",
+        None, ["doc_id"],
+    )
+    assert resolved.where(F.col("doc_id") == 0).count() == 1
+    got = {
+        (r.doc_id, r.batch_id): list(r.vec)
+        for r in resolved.collect()
+    }
+    assert set(got) == {(0, 2), (1, 0), (2, 0), (3, 2), (4, 1), (5, 1)}
+
+
+def test_mixed_generation_erasure_crash_window(spark, tmp_path):
+    """Erasure across two stores: after a crash between the two
+    tombstone-folding compactions the caller keeps passing the forget
+    set to hybrid_query (the documented contract) and the answer
+    equals the fully-erased one-shot; once the second store's
+    compaction folds the set, the no-filter read equals it too."""
+    from streaming_recommendation_spark.streaming.hybrid import (
+        doc_vectors_batch,
+        hybrid_query,
+        hybrid_search_from_stores,
+        vectors_ingest_batch,
+    )
+    from streaming_recommendation_spark.streaming.postings import postings_batch
+
+    pdir, pb = str(tmp_path / "post"), str(tmp_path / "postb")
+    vdir, vb = str(tmp_path / "vec"), str(tmp_path / "vecb")
+    for bid, rows in enumerate((B0, B1, B2)):
+        df = spark.createDataFrame(rows, DOC_SCHEMA)
+        postings_ingest_batch(df, bid, pdir)
+        vectors_ingest_batch(df, bid, vdir, n_features=16)
+    qids = spark.createDataFrame([(0,), (3,)], "query_doc bigint")
+    erased_corpus = _clean_corpus(spark).where(F.col("doc_id") != 1)
+    want = _hybrid_rows(
+        hybrid_search_from_stores(
+            postings_batch(erased_corpus),
+            doc_vectors_batch(erased_corpus, n_features=16),
+            qids,
+            k_leg=4,
+            k=3,
+        )
+    )
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    compact_postings(spark, pdir, pb, upto_batch_id=2, tombstones=forget)
+    # crash before compact_doc_vectors: mixed erasure state — the
+    # caller-supplied read filter carries the contract
+    got_mid = hybrid_query(
+        spark, pdir, vdir, qids, k_leg=4, k=3,
+        postings_base_dir=pb, vectors_base_dir=vb, tombstones=forget,
+    )
+    assert _hybrid_rows(got_mid) == want
+    # recovery: the second compaction folds the same forget set; the
+    # no-filter read now equals the fully-erased one-shot
+    compact_doc_vectors(spark, vdir, vb, upto_batch_id=2, tombstones=forget)
+    got_after = hybrid_query(
+        spark, pdir, vdir, qids, k_leg=4, k=3,
+        postings_base_dir=pb, vectors_base_dir=vb,
+    )
+    assert _hybrid_rows(got_after) == want
