@@ -313,6 +313,7 @@ HEADLINE = [
     "q232_erased_packing_twin",
     "q233_compacted_dedup_twin",
     "q234_mixed_generation_hybrid_twin",
+    "q235_cascade_graded_ndcg",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -1584,8 +1584,13 @@ def mmr_diversify(
 # 1e6 / log2(rank + 1), truncated to exact integer ppm — the ONE
 # float-derived table in the graded eval, frozen as literals so Spark
 # and the DuckDB oracle share identical discounts (the q68/q147
-# no-libm-in-the-comparison move applied to nDCG).
-NDCG_DISC_PPM = (1_000_000, 630_929, 500_000, 430_676, 386_852)
+# no-libm-in-the-comparison move applied to nDCG). Extended to 10
+# ranks for the cascade-leg readout (q235, top-10 lists); q229's
+# retrieval readout keeps using the first 5.
+NDCG_DISC_PPM = (
+    1_000_000, 630_929, 500_000, 430_676, 386_852,
+    356_207, 333_333, 315_464, 301_029, 289_064,
+)
 
 
 def graded_ndcg_at_k(

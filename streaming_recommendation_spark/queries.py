@@ -13878,3 +13878,161 @@ def q234_mixed_generation_hybrid_twin(spark, sf_dir):
     return hybrid_search_from_stores(
         tf, vectors, qids, k_leg=20, k=10, scale=1000
     )
+
+
+# q235: the q178 leave-last-out protocol widened to leave-last-FIVE
+# (a real graded gold list per user: most recent held-out item =
+# truth_rank 1) + the q229 frozen-discount metric tail at k=10 over
+# the cascade's top-10 — the graded eval completing the recsys leg.
+_Q235_PREFIX = """nemb AS (SELECT count(*) AS n FROM embeddings),
+    users AS (
+      SELECT u.user_id, e.embedding AS uv
+      FROM (SELECT DISTINCT user_id FROM events) u
+      JOIN embeddings e ON e.vec_id = u.user_id % (SELECT n FROM nemb)
+    ),
+    items AS (SELECT vec_id AS item_id, embedding AS iv FROM embeddings),
+    ranked_ev AS (
+      SELECT user_id,
+             ((event_id % 2147483648) * 2654435761) % 4294967296
+               % (SELECT n FROM nemb) AS item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    history AS (
+      SELECT DISTINCT user_id, item_id FROM ranked_ev WHERE rn > 5
+    ),
+    truth AS (
+      SELECT user_id, item_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY mrn ASC) AS INT) AS truth_rank
+      FROM (SELECT user_id, item_id, min(rn) AS mrn
+            FROM ranked_ev r
+            WHERE rn <= 5
+              AND EXISTS (SELECT 1 FROM ranked_ev t
+                          WHERE t.user_id = r.user_id AND t.rn > 5)
+            GROUP BY 1, 2)
+    )"""
+
+_Q235_DISC_VALUES = ", ".join(
+    f"({r + 1}, {d})" for r, d in enumerate(text.NDCG_DISC_PPM)
+)
+
+_Q235_SUFFIX = f""", recs AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rrscore DESC, item_id ASC) AS rank
+      FROM final
+      QUALIFY rank <= 10
+    ), disc(r, ppm) AS (VALUES {_Q235_DISC_VALUES}
+    ), dcg AS (
+      SELECT t.user_id,
+             CAST(sum((11 - t.truth_rank) * d.ppm) AS BIGINT) AS dcg_ppm
+      FROM recs l
+      JOIN truth t ON t.user_id = l.user_id AND t.item_id = l.item_id
+                  AND t.truth_rank <= 10
+      JOIN disc d ON d.r = l.rank
+      GROUP BY 1
+    ), idcg AS (
+      SELECT user_id,
+             CAST(sum((11 - truth_rank) * d.ppm) AS BIGINT) AS idcg_ppm
+      FROM truth t JOIN disc d ON d.r = t.truth_rank
+      WHERE truth_rank <= 10
+      GROUP BY 1
+    )
+    SELECT 'cascade' AS retriever, g.user_id AS query_doc,
+           CAST(coalesce(d.dcg_ppm, 0) AS BIGINT) AS dcg_ppm,
+           i.idcg_ppm,
+           CAST(1000000 * coalesce(d.dcg_ppm, 0) // i.idcg_ppm AS BIGINT)
+             AS ndcg_ppm
+    FROM (SELECT DISTINCT user_id FROM truth) g
+    JOIN idcg i ON i.user_id = g.user_id
+    LEFT JOIN dcg d ON d.user_id = g.user_id
+    """
+
+
+@register(
+    "q235_cascade_graded_ndcg",
+    _cascade_tail_sql(
+        _Q40_RECALL_CTE, prefix_cte=_Q235_PREFIX, suffix=_Q235_SUFFIX
+    ),
+    doc="Graded-relevance nDCG@10 for the RECOMMENDATION cascade "
+    "(VERDICT r11 #5) — q229's frozen-discount protocol applied to "
+    "the other leg of the eval story: the q178 leave-last-out split "
+    "widened to leave-last-FIVE, so each eligible user gets a real "
+    "graded gold list (most recent held-out interaction = "
+    "truth_rank 1, gain = 11 - truth_rank), the ACTUAL cascade "
+    "(cascade/recommend.py, q40's pipeline verbatim on the train "
+    "history) recommends top-10, and text.graded_ndcg_at_k scores "
+    "it with NDCG_DISC_PPM extended to 10 frozen integer-ppm ranks "
+    "— no libm anywhere in the comparison; DCG/IDCG exact int64 "
+    "sums, IDCG per user from the user's actual truth size, "
+    "ndcg_ppm one truncating integer division. Held-out items the "
+    "user ALSO interacted with before the window are structural "
+    "misses (the cascade never re-recommends history — q178's "
+    "documented semantics). Oracle = q178's split/cascade CTEs "
+    "(byte-identical tail via the parameterized builder) + the q229 "
+    "metric tail at k=10. Scale: the cascade's own pinned shape; "
+    "the metric tail is one broadcast join of |users| x 10 lists "
+    "against the <=5-row-per-user truth.",
+    tags=("cascade", "metrics", "eval", "recsys"),
+)
+def q235_cascade_graded_ndcg(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .cascade import CascadeConfig, recommend
+    from .operators.text import graded_ndcg_at_k
+
+    two31 = 2147483648
+    ev = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("__n"))
+    mapped = ev.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.pmod(
+            F.pmod(
+                F.pmod(F.col("event_id"), F.lit(two31)) * F.lit(KNUTH),
+                F.lit(MOD32),
+            ),
+            F.col("__n"),
+        ).alias("item_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = mapped.withColumn("rn", F.row_number().over(w))
+    train = (
+        ranked.where(F.col("rn") > 5).select("user_id", "item_id").distinct()
+    )
+    eligible = train.select("user_id").distinct()
+    wt = Window.partitionBy("user_id").orderBy(F.asc("mrn"))
+    truth = (
+        ranked.where(F.col("rn") <= 5)
+        .groupBy("user_id", "item_id")
+        .agg(F.min("rn").alias("mrn"))
+        .join(eligible, "user_id")
+        .withColumn("truth_rank", F.row_number().over(wt).cast("int"))
+        .select(
+            F.col("user_id").alias("query_doc"), "item_id", "truth_rank"
+        )
+    )
+    users = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(n))
+        .join(emb, F.pmod(F.col("user_id"), F.col("__n")) == F.col("vec_id"))
+        .select("user_id", F.col("embedding").alias("user_vec"))
+    )
+    items = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("embedding").alias("item_vec")
+    )
+    recs = recommend(
+        users, items, train, CascadeConfig(), recall_strategy="brute"
+    )
+    lists = recs.select(
+        F.lit("cascade").alias("retriever"),
+        F.col("user_id").alias("query_doc"),
+        "item_id",
+        F.col("rank").cast("int").alias("rank"),
+    )
+    return graded_ndcg_at_k(lists, truth, k=10, id_col="item_id")

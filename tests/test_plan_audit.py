@@ -1641,3 +1641,42 @@ def test_q228_store_packing_no_python_no_global_sort(spark):
     assert "BatchEvalPython" not in a["plan"]
     assert "ArrowEvalPython" not in a["plan"]
     assert "CartesianProduct" not in a["plan"]
+
+
+def test_skewed_store_read_plan(spark, tmp_path):
+    """VERDICT r11 #4 structural pin: the store-backed hybrid read
+    stays skew-safe under a hot term (one term in ~30% of docs) —
+    the query side broadcasts into the postings scan (no shuffle
+    keyed on term anywhere in the read), and the per-query top-k
+    compiles to WindowGroupLimit, so a hot-term query's ~0.3|corpus|
+    candidate rows collapse map-side instead of landing on one
+    reducer. Latency spread is measured by
+    scripts/skewed_store_soak.py (BASELINE.md)."""
+    from streaming_recommendation_spark.streaming.hybrid import (
+        hybrid_query,
+        vectors_ingest_batch,
+    )
+    from streaming_recommendation_spark.streaming.postings import (
+        postings_ingest_batch,
+    )
+
+    pdir, vdir = str(tmp_path / "post"), str(tmp_path / "vec")
+    rows = [
+        (
+            i,
+            ("hotterm " if i % 10 < 3 else "") + f"w{i % 7} w{i % 11} w{i}",
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    postings_ingest_batch(df, 0, pdir)
+    vectors_ingest_batch(df, 0, vdir)
+    hot_q = spark.createDataFrame([(0,)], "query_doc bigint")
+    a = audit(hybrid_query(spark, pdir, vdir, hot_q, k_leg=5, k=3))
+    assert a["has_window_group_limit"]
+    assert "CartesianProduct" not in a["plan"]
+    assert a["n_broadcast_joins"] >= 2  # qterms + query-vector fetch
+    # no exchange is keyed on the term column: the hot posting list
+    # never becomes a reducer's hash bucket
+    for frag in a["plan"].split("Exchange hashpartitioning(")[1:]:
+        assert not frag.startswith("term"), "hot-term shuffle appeared"

@@ -640,3 +640,41 @@ def test_mixed_generation_erasure_crash_window(spark, tmp_path):
         postings_base_dir=pb, vectors_base_dir=vb,
     )
     assert _hybrid_rows(got_after) == want
+
+
+def test_prune_bound_over_long_run(spark, tmp_path):
+    """Pinned retention bound (VERDICT r11 #3, the fast twin of
+    scripts/retention_soak.py): over a 24-batch run with in-stream
+    compaction every 4 batches, a rolling upsert and a mid-run
+    tombstone — at EVERY batch the committed generation dirs stay
+    <= 2, delta partitions stay <= compact_every + 1, and after every
+    compaction the upserted doc serves exactly its newest text and
+    the tombstoned doc stays gone (no resurrection, no regression)."""
+    pdir, pb = str(tmp_path / "post"), str(tmp_path / "postb")
+    n_batches, every = 24, 4
+    forget = spark.createDataFrame([(7,)], "doc_id bigint")
+    texts = {}
+    for b in range(n_batches):
+        rows = [(b * 10 + i, f"w{b * 10 + i} common fox") for i in range(1, 10)]
+        rows.append((0, f"fresh{b} zero doc"))
+        texts[0] = f"fresh{b} zero doc"
+        postings_ingest_batch(
+            spark.createDataFrame(rows, DOC_SCHEMA), b, pdir
+        )
+        if b > 0 and b % every == 0:
+            compact_postings(
+                spark, pdir, pb, tombstones=forget if b >= 8 else None
+            )
+            live = store.read_store_resolved(
+                spark, pdir,
+                "doc_id bigint, term string, tf bigint, batch_id bigint",
+                pb, ["doc_id"],
+            )
+            got0 = sorted(
+                r.term for r in live.where(F.col("doc_id") == 0).collect()
+            )
+            assert got0 == sorted(set(texts[0].split())), f"batch {b}"
+            if b >= 8:
+                assert live.where(F.col("doc_id") == 7).count() == 0
+        assert len(store.gen_entries(pb)) <= 2
+        assert len(store.delta_batch_ids(pdir)) <= every + 1
