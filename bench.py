@@ -314,6 +314,7 @@ HEADLINE = [
     "q233_compacted_dedup_twin",
     "q234_mixed_generation_hybrid_twin",
     "q235_cascade_graded_ndcg",
+    "q236_resolved_adc_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -354,6 +355,7 @@ ITERATIVE = {
     "q212_salvage_savings_report",  # q186's CC rounds at construction
     "q215_streaming_pq_codes_twin",  # frozen-book Lloyd at construction
     "q222_compacted_pq_twin",  # frozen-book Lloyd at construction
+    "q236_resolved_adc_twin",  # frozen-book Lloyd at construction
     "q228_store_packing_twin",  # BPE merge rounds run at construction
     "q232_erased_packing_twin",  # BPE merge rounds run at construction
     "q227_mmr_diversified_topk",  # greedy rounds checkpoint at construction

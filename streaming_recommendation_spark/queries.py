@@ -14036,3 +14036,67 @@ def q235_cascade_graded_ndcg(spark, sf_dir):
         F.col("rank").cast("int").alias("rank"),
     )
     return graded_ndcg_at_k(lists, truth, k=10, id_col="item_id")
+
+
+@register(
+    "q236_resolved_adc_twin",
+    _pq_frozen_adc_oracle(),
+    doc="Mixed-generation twin of the PQ-codes serving read (VERDICT "
+    "r11 #2 generalized past the hybrid leg): the q222 "
+    "stale-then-fixed arrival log — 20 vectors arrive wrong (their "
+    "id+100 donor's embedding encoded under the same frozen books), "
+    "then re-delivered correctly — but instead of the compactor's "
+    "full fold, the codes store sits at generation 0 (its base still "
+    "holds the STALE codes; batches 1-2 unfolded in the delta tail), "
+    "and the read resolves latest-batch-per-vector over the TAIL "
+    "alone (store.resolve_with_tail — the exact core read_codes "
+    "executes since round 12). ADC top-10 from the resolved read "
+    "must equal the one-shot frozen-books encode+search BIT-FOR-BIT "
+    "(q215/q222's oracle): the serving answer is generation-"
+    "independent, so an ADC search never scores a re-encoded "
+    "vector's both copies between compactions. Disk leg pinned in "
+    "tests/test_streaming_pqcodes.py::"
+    "test_resolved_adc_between_compactions. Scale: the resolution "
+    "windows only the tail; the base pays one broadcast anti-join "
+    "against the tail's ids; floats still never leave disk.",
+    tags=("similarity", "vector", "streaming-twin", "iterative"),
+)
+def q236_resolved_adc_twin(spark, sf_dir):
+    from .streaming.pqcodes import pq_codes_batch
+    from .streaming.store import fold_deltas, resolve_with_tail
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(emb.where(F.col("vec_id") < 250), dim=64)
+    donor = emb.select(
+        (F.col("vec_id") - 100).alias("vec_id"),
+        F.col("embedding").alias("__wrong"),
+    )
+    stale = (
+        emb.join(donor, "vec_id")
+        .where(F.col("vec_id") < 20)
+        .select("vec_id", F.col("__wrong").alias("embedding"))
+    )
+    b0 = stale.unionByName(
+        emb.where((F.col("vec_id") >= 20) & (F.col("vec_id") < 250)).select(
+            "vec_id", "embedding"
+        )
+    )
+    b1 = emb.where(F.col("vec_id") >= 250).select("vec_id", "embedding")
+    b2 = emb.where(F.col("vec_id") < 20).select("vec_id", "embedding")
+    log = None
+    for bid, b in enumerate((b0, b1, b2)):
+        c = pq_codes_batch(b, books, dim=64).withColumn(
+            "batch_id", F.lit(bid).cast("bigint")
+        )
+        log = c if log is None else log.unionByName(c)
+    # store crash-stopped at generation 0: base = fold of batch 0
+    # alone (stale codes inside), tail = batches 1-2, resolved at read
+    base = fold_deltas(log.where(F.col("batch_id") <= 0), ["vec_id"])
+    tail = log.where(F.col("batch_id") > 0)
+    codes = resolve_with_tail(base, tail, ["vec_id"]).drop(
+        "batch_id", "qdist"
+    )
+    qdf = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.pq_adc_from_codes(codes, qdf, books, k_neighbors=10, dim=64)

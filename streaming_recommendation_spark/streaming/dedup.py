@@ -212,14 +212,24 @@ def read_live_index(
     tombstones_dir: str | None = None,
     id_col: str = "doc_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The signature index MINUS tombstoned docs — the only read any
     dedup/search path should use once deletions exist. One anti-join
     on the id (tombstone side broadcast at scale: deletions are tiny
-    relative to the corpus)."""
-    idx = _store.read_store(spark, index_dir, _SIG_SCHEMA, base_dir).select(
-        id_col, "band", "bucket"
-    )
+    relative to the corpus). ``resolve`` (default True — VERDICT r11
+    #2 generalized): a re-ingested doc's STALE band signatures
+    resolve away latest-batch-per-doc at read time, so an edited doc
+    stops surfacing candidates its old text earned; the window covers
+    only the unfolded delta tail."""
+    if resolve:
+        idx = _store.read_store_resolved(
+            spark, index_dir, _SIG_SCHEMA, base_dir, [id_col]
+        ).select(id_col, "band", "bucket")
+    else:
+        idx = _store.read_store(spark, index_dir, _SIG_SCHEMA, base_dir).select(
+            id_col, "band", "bucket"
+        )
     if tombstones_dir is None:
         return idx
     tombs = _read_or_empty(spark, tombstones_dir, _TOMB_SCHEMA).select(id_col)

@@ -130,13 +130,21 @@ def read_doc_vectors(
     vectors_dir: str,
     id_col: str = "doc_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The accumulated doc-vector table (base generation plus newer
     deltas when ``base_dir`` is given). Fails fast on an ``id_col``
     that does not match the stored schema — the same ADVICE-r9 guard
     as read_postings (a mismatched name would resolve to all-NULL ids
-    and silently empty every search)."""
+    and silently empty every search). ``resolve`` (default True —
+    VERDICT r11 #2): a re-ingested doc's stale vector resolves away
+    latest-batch-per-doc at read time (tail-scoped window), so the
+    dense leg never scores both copies between compactions."""
     _check_id_col(spark, vectors_dir, id_col, "read_doc_vectors", base_dir)
+    if resolve:
+        return _store.read_store_resolved(
+            spark, vectors_dir, _vectors_schema(id_col), base_dir, [id_col]
+        )
     return _store.read_store(
         spark, vectors_dir, _vectors_schema(id_col), base_dir
     )
@@ -238,17 +246,11 @@ def hybrid_query(
     caller help: keep passing ``tombstones`` here until BOTH
     compactions have folded the forget set (pinned in
     tests/test_streaming_store.py::test_mixed_generation_*)."""
-    from .postings import _postings_schema
-
-    _check_id_col(spark, postings_dir, id_col, "hybrid_query", postings_base_dir)
-    tf = _store.read_store_resolved(
-        spark, postings_dir, _postings_schema(id_col), postings_base_dir,
-        [id_col],
-    ).select(id_col, "term", "tf")
-    _check_id_col(spark, vectors_dir, id_col, "hybrid_query", vectors_base_dir)
-    vectors = _store.read_store_resolved(
-        spark, vectors_dir, _vectors_schema(id_col), vectors_base_dir,
-        [id_col],
+    tf = read_postings(spark, postings_dir, id_col, postings_base_dir).select(
+        id_col, "term", "tf"
+    )
+    vectors = read_doc_vectors(
+        spark, vectors_dir, id_col, vectors_base_dir
     ).select(id_col, "vec")
     if tombstones is not None:
         dead = tombstones.select(id_col)

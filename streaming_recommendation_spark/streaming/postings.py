@@ -167,17 +167,28 @@ def read_postings(
     postings_dir: str,
     id_col: str = "doc_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The accumulated postings table: every delta batch, plus the
-    compacted base generation when ``base_dir`` is given
-    (store.read_store — deltas at or below the committed generation
-    are ignored). Pass the same ``id_col`` the ingest was given — the
-    read schema is built from it. ADVICE r9: a mismatched name would
-    resolve to all-NULL ids under parquet name-based resolution and
-    silently empty every downstream search, so this FAILS FAST
-    against the stored footer schema instead of relying on the
-    docstring."""
+    compacted base generation when ``base_dir`` is given. Pass the
+    same ``id_col`` the ingest was given — the read schema is built
+    from it. ADVICE r9: a mismatched name would resolve to all-NULL
+    ids under parquet name-based resolution and silently empty every
+    downstream search, so this FAILS FAST against the stored footer
+    schema instead of relying on the docstring.
+
+    ``resolve`` (default True — VERDICT r11 #2 generalized): upserts
+    in the delta tail resolve latest-batch-per-doc AT READ
+    (store.read_store_resolved), so a re-ingested doc's stale posting
+    list never double-counts into the BM25 statistics between
+    compactions. The window covers only the tail (bounded by
+    compact_every); pass ``resolve=False`` for the raw delta-log view
+    (batch accounting, debugging)."""
     _check_id_col(spark, postings_dir, id_col, "read_postings", base_dir)
+    if resolve:
+        return _store.read_store_resolved(
+            spark, postings_dir, _postings_schema(id_col), base_dir, [id_col]
+        )
     return _store.read_store(
         spark, postings_dir, _postings_schema(id_col), base_dir
     )
@@ -324,11 +335,20 @@ def read_positional_postings(
     postings_dir: str,
     id_col: str = "doc_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The accumulated positional postings (base generation plus newer
     deltas when ``base_dir`` is given), with the same fail-fast id_col
-    guard as read_postings."""
+    guard and tail-scoped upsert resolution as read_postings
+    (``resolve=True`` default — a re-ingested doc's stale positions
+    would otherwise corrupt BOTH the tf-derived ranking and the chunk
+    word sets between compactions)."""
     _check_id_col(spark, postings_dir, id_col, "read_positional_postings", base_dir)
+    if resolve:
+        return _store.read_store_resolved(
+            spark, postings_dir, _positional_schema(id_col), base_dir,
+            [id_col],
+        )
     return _store.read_store(
         spark, postings_dir, _positional_schema(id_col), base_dir
     )

@@ -160,16 +160,25 @@ def read_codes(
     m: int,
     id_col: str = "vec_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The accumulated codes table (base generation plus newer deltas
     when ``base_dir`` is given), with the fail-fast id_col guard.
     ADVICE r11: the guard goes through postings._check_id_col so a
     fully compacted store (delta dir emptied, data only in base_dir)
     falls back to the committed base generation's footer instead of
-    raising schema-inference AnalysisException."""
+    raising schema-inference AnalysisException. ``resolve`` (default
+    True — VERDICT r11 #2 generalized): a re-encoded vector's stale
+    code row resolves away latest-batch-per-id at read time, so an
+    ADC search never scores both copies between compactions; the
+    resolution window covers only the delta tail."""
     from .postings import _check_id_col
 
     _check_id_col(spark, codes_dir, id_col, "read_codes", base_dir)
+    if resolve:
+        return _store.read_store_resolved(
+            spark, codes_dir, _codes_schema(id_col, m), base_dir, [id_col]
+        )
     return _store.read_store(
         spark, codes_dir, _codes_schema(id_col, m), base_dir
     )

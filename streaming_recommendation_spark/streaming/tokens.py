@@ -154,9 +154,18 @@ def read_token_stats(
     stats_dir: str,
     id_col: str = "doc_id",
     base_dir: str | None = None,
+    resolve: bool = True,
 ) -> DataFrame:
     """The accumulated token table (base generation plus newer deltas
-    when ``base_dir`` is given)."""
+    when ``base_dir`` is given). ``resolve`` (default True — VERDICT
+    r11 #2 generalized): a re-ingested doc's stale stat row resolves
+    away latest-batch-per-doc at read time, so billing/packing sums
+    never double-count a corrected doc between compactions; the
+    resolution window covers only the delta tail."""
+    if resolve:
+        return _store.read_store_resolved(
+            spark, stats_dir, _stats_schema(id_col), base_dir, [id_col]
+        )
     return _store.read_store(spark, stats_dir, _stats_schema(id_col), base_dir)
 
 

@@ -239,6 +239,25 @@ class VectorIndexStream:
             base_dir=self.base_dir,
         )
 
+    def read_index_resolved(self, spark: SparkSession) -> DataFrame:
+        """The snapshot-consistent index: upserts in the delta TAIL
+        resolve latest-per-vector at read time
+        (store.read_store_resolved keyed on neighbor_id). Unlike the
+        old full-index ``latest_per_vector`` fallback, the window
+        covers only the tail and the compacted base pays one
+        broadcast anti-join against the tail's ids — so the probe
+        filter's __lid partition pruning on the base scan SURVIVES
+        (an updated vector may have moved cells, but its stale base
+        copy is removed by id, not by cell, so pruning and
+        correctness compose)."""
+        return vstore.read_store_resolved(
+            spark,
+            self.index_dir,
+            _index_schema(self.id_type),
+            self.base_dir,
+            ["neighbor_id"],
+        )
+
     def ann_query(
         self,
         spark: SparkSession,
@@ -258,19 +277,19 @@ class VectorIndexStream:
         copy live until ``compact`` folds them, and the default query
         path can return duplicate/stale neighbor rows for that id in
         the interim. ``latest_only=True`` dedups by neighbor_id
-        keeping the max batch_id BEFORE scoring, so only the newest
-        copy of each vector competes for the top-k — at the cost of a
-        full-index aggregate that defeats cell-partition pruning (a
-        global view is unavoidable because an updated vector may have
-        moved cells). Use it as the between-compactions fallback;
-        after ``compact`` the default path gives the same answer with
-        pruning intact (pinned by q137 and
+        BEFORE scoring, so only the newest copy of each vector
+        competes for the top-k. Since round 12 this is TAIL-SCOPED
+        (read_index_resolved): the window covers only the unfolded
+        delta tail and the base keeps full __lid partition pruning —
+        the old full-index aggregate (which defeated pruning) is
+        gone, so latest_only is safe as a standing setting, not just
+        a between-compactions fallback. After ``compact`` both paths
+        give the same answer (pinned by q137 and
         tests/test_streaming_vectors.py)."""
-        index = self.read_index(spark)
         if latest_only:
-            index = latest_per_vector(index).drop("batch_id")
+            index = self.read_index_resolved(spark).drop("batch_id")
         else:
-            index = index.drop("batch_id")
+            index = self.read_index(spark).drop("batch_id")
         return ivf_knn_from_index(
             index,
             self._landmarks(spark),

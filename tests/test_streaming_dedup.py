@@ -276,3 +276,51 @@ def test_tombstone_forgets_duplicate_evidence(spark, tmp_path):
         for r in read_live_index(spark, idir).collect()
     )
     assert after == before
+
+
+def test_edited_doc_stops_matching_old_text(spark, tmp_path):
+    """VERDICT r11 #2 generalized to the signature index: doc 0 is
+    re-ingested with COMPLETELY different text; the resolved live
+    read (default) serves only its newest band signatures, so a probe
+    near its OLD text no longer surfaces doc 0 as duplicate evidence
+    — while a probe near the new text does."""
+    from streaming_recommendation_spark.operators.dedup import (
+        banded_signature_table,
+    )
+    from streaming_recommendation_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        read_live_index,
+    )
+    from streaming_recommendation_spark.operators import dedup as dedup_ops
+
+    old_text = "the quick brown fox jumps over the lazy dog again and again"
+    new_text = "completely unrelated legal boilerplate about contract terms"
+    schema = "doc_id bigint, text string"
+    idir, cdir = str(tmp_path / "idx"), str(tmp_path / "cand")
+    dedup_ingest_batch(
+        spark.createDataFrame([(0, old_text), (1, "filler words here")], schema),
+        0, idir, cdir,
+    )
+    dedup_ingest_batch(
+        spark.createDataFrame([(0, new_text)], schema), 1, idir, cdir
+    )
+    raw = read_live_index(spark, idir, resolve=False)
+    res = read_live_index(spark, idir)
+    assert res.where(F.col("doc_id") == 0).count() < raw.where(
+        F.col("doc_id") == 0
+    ).count()
+    # the resolved signatures equal a fresh signature table of the
+    # corrected corpus — old-text probes match nothing for doc 0
+    want = sorted(
+        map(
+            tuple,
+            banded_signature_table(
+                spark.createDataFrame(
+                    [(0, new_text), (1, "filler words here")], schema
+                )
+            )
+            .select("doc_id", "band", "bucket")
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, res.collect())) == want

@@ -139,3 +139,53 @@ def test_retry_same_batch_is_idempotent(spark, tmp_path):
     )
     assert once == twice
     assert len(once) == positional_postings_batch(b0).count()
+
+
+def test_resolved_positions_between_compactions(spark, tmp_path):
+    """VERDICT r11 #2 generalized to the positional store: a corrected
+    doc's stale positions would corrupt tf AND the chunk word sets —
+    the resolved read (default) serves only the newest arrival."""
+    from streaming_recommendation_spark.operators.text import (
+        best_passage_from_positions,
+    )
+    from streaming_recommendation_spark.streaming.postings import (
+        best_passage_query,
+        positional_ingest_batch,
+        read_positional_postings,
+    )
+
+    schema = "doc_id bigint, text string"
+    b0 = [(0, "fox den"), (1, "fox fox fox zebra"), (2, "den zebra fox")]
+    fix = [(1, "quiet lake")]  # doc 1 loses every fox
+    pdir = str(tmp_path / "pos")
+    positional_ingest_batch(spark.createDataFrame(b0, schema), 0, pdir)
+    positional_ingest_batch(spark.createDataFrame(fix, schema), 1, pdir)
+    raw = read_positional_postings(spark, pdir, resolve=False)
+    assert raw.where(F.col("doc_id") == 1).count() == 6  # 4 stale + 2
+    res = read_positional_postings(spark, pdir)
+    assert sorted(
+        (r.term, r.pos) for r in res.where(F.col("doc_id") == 1).collect()
+    ) == [("lake", 1), ("quiet", 0)]
+    corrected = spark.createDataFrame(
+        [b0[0], fix[0], b0[2]], schema
+    )
+    from streaming_recommendation_spark.streaming.postings import (
+        positional_postings_batch,
+    )
+
+    qids = spark.createDataFrame([(0,)], "query_doc bigint")
+    want = sorted(
+        map(
+            tuple,
+            best_passage_from_positions(
+                positional_postings_batch(corrected), qids, window=16, k_docs=3
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            best_passage_query(spark, pdir, qids, window=16, k_docs=3).collect(),
+        )
+    )
+    assert got == want

@@ -182,3 +182,39 @@ def test_adc_query_on_fully_compacted_store(spark, emb, books, tmp_path):
     # the guard still fires on a wrong id_col through the base footer
     with pytest.raises(ValueError, match="id_col 'item_id' is not"):
         read_codes(spark, cdir, m=4, id_col="item_id", base_dir=bdir)
+
+
+def test_resolved_adc_between_compactions(spark, emb, books, tmp_path):
+    """VERDICT r11 #2 generalized to the codes store: vectors 0-4
+    re-ingested in batch 1 with DIFFERENT embeddings (their id+300
+    donors'), no compaction — the resolved read (default) scores only
+    the newest codes, so the served ADC equals the one-shot encode of
+    the corrected corpus; resolve=False exposes both copies."""
+    cdir = str(tmp_path / "codes")
+    bpath = str(tmp_path / "books.json")
+    save_books(books, bpath)
+    pq_ingest_batch(emb, 0, cdir, books, dim=64)
+    donor = emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 305)
+    ).select((F.col("vec_id") - 300).alias("vec_id"), "embedding")
+    pq_ingest_batch(donor, 1, cdir, books, dim=64)
+
+    raw = read_codes(spark, cdir, m=4, resolve=False)
+    assert raw.where(F.col("vec_id") == 0).count() == 2
+    res = read_codes(spark, cdir, m=4)
+    assert res.where(F.col("vec_id") == 0).count() == 1
+
+    corrected = (
+        emb.select("vec_id", "embedding")
+        .where(F.col("vec_id") >= 5)
+        .unionByName(donor)
+    )
+    qdf = emb.where(F.col("vec_id").between(100, 102)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = pq_adc_from_codes(
+        pq_encode_with_books(corrected, books, dim=64).drop("qdist"),
+        qdf, books, k_neighbors=10, dim=64,
+    )
+    got = adc_query(spark, cdir, bpath, qdf, k_neighbors=10, dim=64)
+    assert _adc_rows(got) == _adc_rows(want)

@@ -578,7 +578,7 @@ def test_unresolved_mixed_read_would_differ(spark, tmp_path):
         vectors_ingest_batch(
             spark.createDataFrame(rows, DOC_SCHEMA), bid, vdir, n_features=16
         )
-    raw = read_doc_vectors(spark, vdir)
+    raw = read_doc_vectors(spark, vdir, resolve=False)
     assert raw.where(F.col("doc_id") == 0).count() == 2  # both copies
     resolved = store.read_store_resolved(
         spark, vdir, "doc_id bigint, vec array<bigint>, batch_id bigint",

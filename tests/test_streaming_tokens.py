@@ -165,3 +165,31 @@ def test_compaction_roundtrip_with_upsert(spark, docs, merges, tmp_path):
     )
     got = pack_from_store(spark, sdir, context_len=8, base_dir=bdir)
     assert _pack_rows(got) == _pack_rows(want)
+
+
+def test_resolved_read_between_compactions(spark, docs, merges, tmp_path):
+    """VERDICT r11 #2 generalized to the token store: doc 0 corrected
+    in batch 2, NO compaction — the resolved read (default) serves
+    only the newest counts, so packing/billing sums never
+    double-count; resolve=False exposes the raw both-copies log."""
+    sdir = str(tmp_path / "stats")
+    fixed = spark.createDataFrame(
+        [(0, "web", "wide wide widest")], DOC_SCHEMA
+    )
+    tokens_ingest_batch(docs.where(F.col("doc_id") < 3), 0, sdir, merges)
+    tokens_ingest_batch(docs.where(F.col("doc_id") >= 3), 1, sdir, merges)
+    tokens_ingest_batch(fixed, 2, sdir, merges)
+    raw = read_token_stats(spark, sdir, resolve=False)
+    assert raw.where(F.col("doc_id") == 0).count() == 2  # both copies
+    res = read_token_stats(spark, sdir)
+    assert res.where(F.col("doc_id") == 0).count() == 1
+    corrected = docs.where(F.col("doc_id") != 0).unionByName(fixed)
+    per_doc = corrected.select("doc_id", "source").join(
+        bpe_token_stats(corrected, merges), "doc_id"
+    )
+    want = pack_sequences(
+        per_doc, context_len=8, token_col="n_bpe_tokens",
+        extra_sum_cols=("n_words",),
+    )
+    got = pack_from_store(spark, sdir, context_len=8)
+    assert _pack_rows(got) == _pack_rows(want)
