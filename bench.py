@@ -315,6 +315,8 @@ HEADLINE = [
     "q234_mixed_generation_hybrid_twin",
     "q235_cascade_graded_ndcg",
     "q236_resolved_adc_twin",
+    "q237_filtered_knn",
+    "q238_filtered_ann_recall",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

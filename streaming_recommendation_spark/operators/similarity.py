@@ -71,6 +71,116 @@ def knn_brute_force(
     ).select(query_id_col, "neighbor_id", "rank")
 
 
+def filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    filter_cols: tuple = ("label",),
+    metric: str = "cosine",
+) -> DataFrame:
+    """Metadata-FILTERED exact top-k — the 'filtered vector search'
+    every production vector store grew (Qdrant/Milvus/pgvector filter
+    clauses), PRE-filter strategy: each query row carries values for
+    ``filter_cols`` and competes only against corpus rows matching
+    ALL of them. The constraint is an EQUI-join key (query side
+    broadcast), so a selective filter SHRINKS the scored set — unlike
+    post-filtering a k-NN result, which silently returns < k rows
+    when the filter eats the shortlist. Returns (query_id,
+    neighbor_id, rank), float-free like knn_brute_force. Scale: one
+    corpus scan; the filter predicate rides the broadcast hash join
+    key, and a single-valued filter additionally pushes down to the
+    parquet scan when written as a literal .where by the caller."""
+    fcols = list(filter_cols)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("__qvec"), *fcols
+    ).withColumn("__qn", l2_norm("__qvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        *fcols,
+    ).withColumn("__cn", l2_norm("__cvec"))
+    scored = c.join(F.broadcast(q), on=fcols)
+    sim = (
+        cosine_from_norms("__qvec", "__cvec", "__qn", "__cn")
+        if metric == "cosine"
+        else dot("__qvec", "__cvec")
+    )
+    scored = scored.select(query_id_col, "neighbor_id", sim.alias("score"))
+    return top_k_per_group(
+        scored,
+        k,
+        [query_id_col],
+        F.col("score").desc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", "rank")
+
+
+def ivf_filtered_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_landmarks: int = 16,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    filter_cols: tuple = ("label",),
+) -> DataFrame:
+    """Filtered ANN: the IVF cell-pruned search with the metadata
+    constraint applied INSIDE the probed cells (in-cell pre-filter —
+    the FAISS IDSelector / Milvus bitset shape): one shared cell
+    structure serves every filter value, the probe join carries the
+    filter equality alongside the cell key, and non-matching rows
+    are dropped BEFORE scoring, never from the top-k afterwards. The
+    recall/cost tradeoff is the plain IVF one (n_probe bounds what
+    any strategy can see); a very selective filter empties probed
+    cells and honestly returns fewer rows — raise n_probe for rare
+    filters (the measured guidance every vector store documents).
+    Scale: cell pruning and the filter compose — both ride the same
+    broadcast probe join against one corpus scan."""
+    fcols = list(filter_cols)
+    lm = ivf_landmarks(corpus, num_landmarks, id_col, vec_col)
+    cells = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            *fcols,
+        ),
+        lm,
+        "neighbor_id",
+        "__cvec",
+        1,
+        extra_cols=tuple(fcols),
+    ).withColumn("__cn", l2_norm("__cvec"))
+    probes = ivf_assign(
+        queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("__qvec"), *fcols
+        ),
+        lm,
+        query_id_col,
+        "__qvec",
+        n_probe,
+        extra_cols=tuple(fcols),
+    ).withColumn("__qn", l2_norm("__qvec"))
+    scored = cells.join(F.broadcast(probes), on=["__lid", *fcols]).select(
+        query_id_col,
+        "neighbor_id",
+        cosine_from_norms("__qvec", "__cvec", "__qn", "__cn").alias("score"),
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        [query_id_col],
+        F.col("score").desc(),
+        F.col("neighbor_id").asc(),
+        rank_col="rank",
+    ).select(query_id_col, "neighbor_id", "rank")
+
+
 def cosine_topk_i64(
     queries: DataFrame,
     corpus: DataFrame,
@@ -281,22 +391,26 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     n_probe: int = 1,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """(id, vec, __lid): each vector's ``n_probe`` nearest landmark
     cells (ties by landmark id). Landmarks broadcast; the only shuffle
     is the per-vector argmin window. With n_probe=1 this is the cell
     assignment to persist the corpus under — write_partitioned by
     ``__lid`` and probe reads prune whole cells (see
-    tests/test_layout.py)."""
+    tests/test_layout.py). ``extra_cols`` ride through unchanged (the
+    filtered-search metadata — ivf_filtered_knn)."""
+    extra = list(extra_cols)
     scored = df.crossJoin(F.broadcast(landmarks)).select(
         id_col,
         vec_col,
+        *extra,
         "__lid",
         _sq_l2(F.col(vec_col), F.col("__lvec")).alias("__d"),
     )
     return top_k_per_group(
         scored, n_probe, [id_col], F.col("__d").asc(), F.col("__lid").asc()
-    ).select(id_col, vec_col, "__lid")
+    ).select(id_col, vec_col, *extra, "__lid")
 
 
 def ivf_knn(

@@ -14100,3 +14100,177 @@ def q236_resolved_adc_twin(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.pq_adc_from_codes(codes, qdf, books, k_neighbors=10, dim=64)
+
+
+@register(
+    "q237_filtered_knn",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                       * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+                  THEN list_sum(list_transform(range(1, 65),
+                                               i -> (qv[i] * cv[i])::DOUBLE))
+                       / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                          * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+                  ELSE 0 END AS score
+      FROM q JOIN c USING (label)),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id ASC) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, rnk AS rank FROM ranked WHERE rnk <= 10
+    """,
+    doc="Metadata-FILTERED exact vector search "
+    "(similarity.filtered_knn) — the filter clause every production "
+    "vector store grew (Qdrant/Milvus/pgvector): each of 8 query "
+    "vectors retrieves its top-10 cosine neighbors WITHIN ITS OWN "
+    "label class, the PRE-filter strategy — the constraint is an "
+    "equi-join key on the broadcast query side, so a selective "
+    "filter SHRINKS the scored set instead of starving a "
+    "post-filtered shortlist below k (the classic post-filter "
+    "failure mode). Ranks are float-free; the oracle mirrors the "
+    "engine's float arithmetic bit-for-bit (q35's recipe plus the "
+    "label equi-key). The cell-pruned sibling is "
+    "similarity.ivf_filtered_knn (same filter applied INSIDE probed "
+    "cells — FAISS IDSelector / Milvus bitset shape), recall-measured "
+    "in q238. Scale: one corpus scan, query side broadcast, "
+    "WindowGroupLimit top-k; the filter rides the join key.",
+    tags=("similarity", "vector", "topk"),
+)
+def q237_filtered_knn(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return similarity.filtered_knn(
+        emb, queries_df, k=10, filter_cols=("label",)
+    )
+
+
+@register(
+    "q238_filtered_ann_recall",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label
+      FROM embeddings),
+bf_scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                   * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+              THEN list_sum(list_transform(range(1, 65),
+                                           i -> (qv[i] * cv[i])::DOUBLE))
+                   / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                      * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+              ELSE 0 END AS score
+  FROM q JOIN c USING (label)),
+bf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM bf_scored) WHERE rnk <= 10),
+landmarks AS (
+  SELECT vec_id AS lid, embedding AS lvec
+  FROM embeddings
+  ORDER BY (vec_id * 2654435761) % 4294967296 ASC, vec_id ASC
+  LIMIT 16
+),
+dist AS (
+  SELECT e.vec_id, e.embedding AS v, e.label, l.lid,
+         list_sum(list_transform(range(1, 65),
+           i -> ((e.embedding[i] - l.lvec[i])
+                 * (e.embedding[i] - l.lvec[i]))::DOUBLE)) AS d
+  FROM embeddings e CROSS JOIN landmarks l
+),
+ranked_cells AS (
+  SELECT vec_id, v, label, lid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d ASC, lid ASC) AS rn
+  FROM dist
+),
+cassign AS (SELECT vec_id AS neighbor_id, v AS cv, label, lid
+            FROM ranked_cells WHERE rn = 1),
+qassign AS (SELECT vec_id AS query_id, v AS qv, label, lid
+            FROM ranked_cells WHERE vec_id < 20 AND rn <= 3),
+ivf_scored AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                   * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))) > 0
+              THEN list_sum(list_transform(range(1, 65),
+                                           i -> (qv[i] * cv[i])::DOUBLE))
+                   / (sqrt(list_sum(list_transform(qv, x -> (x*x)::DOUBLE)))
+                      * sqrt(list_sum(list_transform(cv, x -> (x*x)::DOUBLE))))
+              ELSE 0 END AS score
+  FROM qassign JOIN cassign USING (lid, label)
+),
+ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rnk
+    FROM ivf_scored) WHERE rnk <= 10),
+h AS (
+  SELECT bf.query_id, count(*) AS hits
+  FROM bf JOIN ivf USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) AS DOUBLE) / 10 AS recall_at_10
+FROM q LEFT JOIN h ON q.query_id = h.query_id
+""",
+    doc="Recall@10 of the FILTERED IVF search "
+    "(similarity.ivf_filtered_knn — the metadata constraint applied "
+    "INSIDE probed cells, FAISS IDSelector / Milvus bitset shape) "
+    "against the filtered exact search (q237's filtered_knn) over "
+    "the same 20 queries, each constrained to its own label class — "
+    "the eval that TUNES a filtered ANN deployment: a selective "
+    "filter thins probed cells, so recall under a filter is "
+    "systematically LOWER than unfiltered recall at equal n_probe "
+    "(q177's readout is the unfiltered baseline; the delta is the "
+    "price of the constraint, and raising n_probe buys it back). "
+    "Exactness: hits are an exact intersection of two deterministic "
+    "rank sets; recall is one IEEE division by the literal k. "
+    "Oracle replays landmarks/cells/probes with the label equi-key "
+    "threaded through (q177's recipe + the filter). Scale: one "
+    "shared cell structure serves every filter value — cell pruning "
+    "and the filter ride the same broadcast probe join; the exact "
+    "side is label-blocked, never corpus x corpus.",
+    tags=("similarity", "metrics", "vector"),
+)
+def q238_filtered_ann_recall(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    exact = similarity.filtered_knn(
+        emb, qdf, k=10, filter_cols=("label",)
+    )
+    approx = similarity.ivf_filtered_knn(
+        emb, qdf, k=10, num_landmarks=16, n_probe=3, filter_cols=("label",)
+    )
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(approx.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__h"))
+    )
+    return (
+        qdf.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__h"), F.lit(0)).cast("long").alias("hits"),
+            (
+                F.coalesce(F.col("__h"), F.lit(0)).cast("double")
+                / F.lit(10)
+            ).alias("recall_at_10"),
+        )
+    )

@@ -714,3 +714,71 @@ def test_ivfpq_refine_shortlist_exactdist_recall_determinism(spark):
         (r.query_id, r.neighbor_id, r.rank, r.exact_dist, r.adc_dist)
         for r in rows
     }
+
+
+def test_filtered_knn_respects_filter_and_matches_subset_search(spark):
+    """filtered_knn == knn_brute_force over the per-label subset, and
+    never returns a cross-label neighbor (the pre-filter guarantee)."""
+    from streaming_recommendation_spark.operators.similarity import (
+        filtered_knn,
+        knn_brute_force,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qdf = emb.where(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    got = filtered_knn(emb, qdf, k=5, filter_cols=("label",))
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = got.collect()
+    assert rows and all(
+        labels[r.neighbor_id] == labels[r.query_id] for r in rows
+    )
+    # per-query equality with a plain knn over that query's label set
+    for r in qdf.collect():
+        sub = emb.where(F.col("label") == r.label)
+        one = qdf.where(F.col("query_id") == r.query_id).drop("label")
+        want = sorted(
+            (x.neighbor_id, x.rank)
+            for x in knn_brute_force(sub, one, k=5).collect()
+        )
+        mine = sorted(
+            (x.neighbor_id, x.rank)
+            for x in rows
+            if x.query_id == r.query_id
+        )
+        assert mine == want
+
+
+def test_ivf_filtered_knn_subset_of_label_and_nonempty(spark):
+    """ivf_filtered_knn returns only same-label rows; recall against
+    the filtered exact search is positive (cells thin under the
+    filter but the probe still finds true neighbors)."""
+    from streaming_recommendation_spark.operators.similarity import (
+        filtered_knn,
+        ivf_filtered_knn,
+    )
+    from streaming_recommendation_spark.sources.testdata import load_table
+
+    from .conftest import SF_DIR
+
+    emb = load_table(spark, "embeddings", SF_DIR)
+    qdf = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    approx = ivf_filtered_knn(
+        emb, qdf, k=10, num_landmarks=16, n_probe=3, filter_cols=("label",)
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert approx and all(
+        labels[r.neighbor_id] == labels[r.query_id] for r in approx
+    )
+    exact = set(
+        (r.query_id, r.neighbor_id)
+        for r in filtered_knn(emb, qdf, k=10, filter_cols=("label",)).collect()
+    )
+    hits = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact)
+    assert hits > 0
