@@ -317,6 +317,7 @@ HEADLINE = [
     "q236_resolved_adc_twin",
     "q237_filtered_knn",
     "q238_filtered_ann_recall",
+    "q239_generation_diff_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -14274,3 +14274,90 @@ def q238_filtered_ann_recall(spark, sf_dir):
             ).alias("recall_at_10"),
         )
     )
+
+
+@register(
+    "q239_generation_diff_twin",
+    r"""
+    WITH donor AS (
+      SELECT doc_id - 100 AS doc_id, text FROM documents
+    ), prevdocs AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id < 20 THEN dn.text ELSE d.text END AS text
+      FROM documents d LEFT JOIN donor dn USING (doc_id)
+      WHERE d.doc_id < 250
+    ), newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN (30, 31)
+    ), pw AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM prevdocs
+    ), ptf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM pw WHERE term <> '' GROUP BY doc_id, term
+    ), nw AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM newdocs
+    ), ntf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM nw WHERE term <> '' GROUP BY doc_id, term
+    ), j AS (
+      SELECT coalesce(p.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS np,
+             CASE WHEN n.doc_id IS NULL THEN 0 ELSE 1 END AS nn
+      FROM ptf p FULL OUTER JOIN ntf n
+        ON p.doc_id = n.doc_id AND p.term = n.term AND p.tf = n.tf
+    ), per AS (
+      SELECT doc_id, CAST(sum(np) AS BIGINT) AS rows_prev,
+             CAST(sum(nn) AS BIGINT) AS rows_new,
+             CAST(sum(abs(np - nn)) AS BIGINT) AS d
+      FROM j GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN rows_new = 0 THEN 'delete'
+                WHEN rows_prev = 0 THEN 'insert'
+                ELSE 'update' END AS change,
+           rows_prev, rows_new
+    FROM per WHERE d > 0
+    """,
+    doc="CHANGE-DATA-FEED twin (store.diff_states — the pure core of "
+    "store.generation_changes, the Delta/Iceberg CDF shape over the "
+    "two retained committed generations): what did the last "
+    "compaction change? The q220 stale-then-fixed arrival log over "
+    "the postings store — generation 0 folds batch 0 alone (20 docs "
+    "stale), the next generation folds all three batches AND a "
+    "2-doc forget set — and the diff classifies every key: docs "
+    ">= 250 arrive in batch 1 (insert), the 20 corrected docs' "
+    "posting multisets differ (update), the 2 tombstoned docs leave "
+    "(delete), untouched docs are OMITTED. The classification is an "
+    "exact per-row multiset comparison (full-outer join on the row "
+    "VALUES, multiplicity deltas per key) — no hashes, no "
+    "engine-specific fingerprints, which is exactly why the oracle "
+    "can replay it. batch_id is excluded, so a byte-identical "
+    "redelivery is NOT an update. Disk leg (generation_changes over "
+    "the two retained v= dirs, and its <2-generations refusal) "
+    "pinned in tests/test_streaming_store.py. Scale: one groupBy "
+    "per generation + one equi-join on row values + one per-key "
+    "aggregation — the feed costs ~|changed keys' rows|, never a "
+    "corpus rescan.",
+    tags=("streaming-twin", "layout", "quality"),
+)
+def q239_generation_diff_twin(spark, sf_dir):
+    from .streaming.postings import postings_batch
+    from .streaming.store import diff_states, fold_deltas
+
+    docs = _t(spark, sf_dir, "documents")
+    b0, b1, b2 = _stale_then_fixed_batches(docs)
+    forget = docs.where(F.col("doc_id").isin(30, 31)).select("doc_id")
+    log = None
+    for bid, b in enumerate((b0, b1, b2)):
+        p = postings_batch(b).withColumn(
+            "batch_id", F.lit(bid).cast("bigint")
+        )
+        log = p if log is None else log.unionByName(p)
+    prev = fold_deltas(log.where(F.col("batch_id") <= 0), ["doc_id"])
+    new = fold_deltas(log, ["doc_id"], tombstones=forget, id_col="doc_id")
+    return diff_states(prev, new, ["doc_id"])

@@ -351,6 +351,87 @@ def compact_store(
     return gen
 
 
+def diff_states(
+    prev: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    ignore_cols: tuple = ("batch_id",),
+) -> DataFrame:
+    """Exact multiset CONTENT diff between two store states — the
+    pure core of ``generation_changes`` (the Delta/Iceberg
+    change-data-feed shape re-expressed as one plan). Per key:
+
+      * ``insert``  — key exists only in ``new``;
+      * ``delete``  — key exists only in ``prev`` (tombstone erasure);
+      * ``update``  — key in both but its row multiset differs;
+      * unchanged keys are omitted entirely.
+
+    No hashes and no engine-specific fingerprints: both sides are
+    counted per FULL row (minus ``ignore_cols`` — batch_id by
+    default, so a byte-identical redelivery is NOT an update), full-
+    outer-joined on the row values, and a key is an update iff any
+    row's multiplicity differs. Exact, order-free, and replayable on
+    any engine — which is what lets the q239 twin be oracle-checked.
+    Scale: one groupBy per side over the two generations + one
+    equi-join on the row values + one per-key aggregation; never
+    quadratic, no driver state."""
+    cols = [c for c in new.columns if c not in ignore_cols]
+    val_cols = [c for c in cols if c not in key_cols]
+    pc = prev.select(cols).groupBy(cols).agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    nc = new.select(cols).groupBy(cols).agg(F.count(F.lit(1)).alias("__nn"))
+    j = pc.join(nc, cols, "full_outer").select(
+        *key_cols,
+        F.coalesce("__np", F.lit(0)).alias("__np"),
+        F.coalesce("__nn", F.lit(0)).alias("__nn"),
+    )
+    per_key = j.groupBy(*key_cols).agg(
+        F.sum("__np").cast("long").alias("rows_prev"),
+        F.sum("__nn").cast("long").alias("rows_new"),
+        F.sum(F.abs(F.col("__np") - F.col("__nn"))).cast("long").alias("__d"),
+    )
+    return (
+        per_key.where(F.col("__d") > 0)
+        .select(
+            *key_cols,
+            F.when(F.col("rows_new") == 0, F.lit("delete"))
+            .when(F.col("rows_prev") == 0, F.lit("insert"))
+            .otherwise(F.lit("update"))
+            .alias("change"),
+            "rows_prev",
+            "rows_new",
+        )
+    )
+
+
+def generation_changes(
+    spark: SparkSession,
+    base_dir: str,
+    schema: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change-data-feed between the two retained committed
+    generations of a compacted store (state.prune keeps exactly the
+    serving generation and its predecessor one cycle — this read is
+    why that retention is useful beyond crash recovery): what did the
+    last compaction change? Returns diff_states(previous, newest).
+    Raises if fewer than two committed generations exist — a CDF over
+    nothing would silently read as 'no changes'."""
+    entries = committed_entries(base_dir)
+    if len(entries) < 2:
+        raise ValueError(
+            f"generation_changes: {base_dir!r} holds "
+            f"{len(entries)} committed generation(s); the change feed "
+            "needs the serving generation AND its retained predecessor "
+            "(run at least two compactions, and read before the next "
+            "prune cycle)"
+        )
+    prev = spark.read.schema(schema).parquet(entries[-2][2])
+    new = spark.read.schema(schema).parquet(entries[-1][2])
+    return diff_states(prev, new, key_cols)
+
+
 def _write_gen(df: DataFrame, gdir: str, partition_by=None) -> None:
     """Write one generation dir, fully replacing any partial earlier
     attempt of the same (cover, epoch) — the state.write_version
@@ -387,6 +468,8 @@ __all__ = [
     "latest_batch_per_key",
     "fold_deltas",
     "resolve_with_tail",
+    "diff_states",
+    "generation_changes",
     "read_store",
     "read_store_resolved",
     "compact_store",

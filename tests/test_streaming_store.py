@@ -678,3 +678,49 @@ def test_prune_bound_over_long_run(spark, tmp_path):
                 assert live.where(F.col("doc_id") == 7).count() == 0
         assert len(store.gen_entries(pb)) <= 2
         assert len(store.delta_batch_ids(pdir)) <= every + 1
+
+
+def test_generation_changes_disk_feed(spark, tmp_path):
+    """Change-data-feed over the two retained committed generations:
+    after two compactions the feed classifies the upserted doc as
+    update, the newly arrived doc as insert, the tombstoned doc as
+    delete, and omits untouched docs; with <2 generations it refuses
+    loudly instead of reading as 'no changes'."""
+    import pytest as _pytest
+
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "postb")
+    schema = "doc_id bigint, term string, tf bigint, batch_id bigint"
+    postings_ingest_batch(spark.createDataFrame(B0, DOC_SCHEMA), 0, pdir)
+    postings_ingest_batch(spark.createDataFrame(B1, DOC_SCHEMA), 1, pdir)
+    compact_postings(spark, pdir, bdir, upto_batch_id=1)
+    with _pytest.raises(ValueError, match="committed generation"):
+        store.generation_changes(spark, bdir, schema, ["doc_id"])
+    # batch 2: doc 0 and 3 corrected, doc 9 new; doc 1 forgotten
+    postings_ingest_batch(
+        spark.createDataFrame(B2 + [(9, "brand new doc")], DOC_SCHEMA), 2, pdir
+    )
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    compact_postings(spark, pdir, bdir, upto_batch_id=2, tombstones=forget)
+    feed = {
+        r.doc_id: (r.change, r.rows_prev, r.rows_new)
+        for r in store.generation_changes(
+            spark, bdir, schema, ["doc_id"]
+        ).collect()
+    }
+    assert feed[0][0] == "update" and feed[3][0] == "update"
+    assert feed[9] == ("insert", 0, 3)
+    assert feed[1][0] == "delete" and feed[1][2] == 0
+    assert set(feed) == {0, 1, 3, 9}  # docs 2, 4, 5 untouched -> absent
+    # an erasure-only epoch rewrite is itself a valid feed step:
+    # forget doc 2 with nothing to fold -> feed shows exactly that
+    compact_postings(
+        spark, pdir, bdir,
+        tombstones=spark.createDataFrame([(2,)], "doc_id bigint"),
+    )
+    feed2 = {
+        r.doc_id: r.change
+        for r in store.generation_changes(
+            spark, bdir, schema, ["doc_id"]
+        ).collect()
+    }
+    assert feed2 == {2: "delete"}
