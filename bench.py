@@ -318,6 +318,7 @@ HEADLINE = [
     "q237_filtered_knn",
     "q238_filtered_ann_recall",
     "q239_generation_diff_twin",
+    "q240_maxsim_rerank",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -1711,3 +1711,117 @@ def intralist_diversity(
             ),
         )
     )
+
+
+def _term_grams(term: Column, n: int = 3) -> Column:
+    """Boundary-padded character n-grams of one term ('#term#' -> all
+    length-n windows) — the subword unit the late-interaction term
+    embedding hashes. Padding guarantees >= 1 gram for any non-empty
+    term; boundary grams make prefixes/suffixes count."""
+    p = F.concat(F.lit("#"), term, F.lit("#"))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(p) - (n - 1)),
+        lambda i: F.substring(p, i, F.lit(n)),
+    )
+
+
+def term_hash_embed(
+    terms: DataFrame, term_col: str = "term", n_features: int = 32, n: int = 3
+) -> Column | DataFrame:
+    """One signed-count hash vector per TERM from its boundary-padded
+    char n-grams (features._signed_count_vec over _term_grams) — the
+    model-free late-interaction embedding: terms sharing surface
+    n-grams ('recommendation'/'recommendations') get correlated
+    vectors, unrelated terms decorrelate. Map-side, exact int64,
+    engine-replayable (the q32/q199 md5 slot/sign recipe applied one
+    level down, at the subword grain)."""
+    from .features import _signed_count_vec
+
+    return terms.withColumn(
+        "__tvec", _signed_count_vec(_term_grams(F.col(term_col), n), n_features)
+    )
+
+
+def maxsim_rerank(
+    docs: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    n_features: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style) MaxSim rerank over a bounded
+    first-stage shortlist (Khattab & Zaharia 2020, the scoring rule
+    only — token embeddings here are model-free char-n-gram hash
+    vectors, so the WHOLE readout is exact int64 and oracle-checkable):
+
+        score(q, d) = sum over distinct q terms of
+                      max over distinct d terms of  dot(E(t), E(u))
+
+    Every query term finds its best-matching document term — partial
+    surface matches ('recommender' ~ 'recommendation') contribute
+    where the BM25 exact-term channel reads 0, which is the classic
+    late-interaction win re-expressed at the subword-hash grain.
+    Unnormalized dot by design: int64-exact end to end (a cosine
+    would put one sqrt per term pair inside the max).
+
+    Scale contract: the candidate set is the SHORTLIST (|queries| x
+    k_first rows, broadcast), never the corpus — the term-pair
+    blowup is |shortlist| x |q terms| x |d terms|, the bounded
+    rerank-stage cost every late-interaction deployment pays, while
+    the corpus-wide stage stays BM25/dense top-k. Term vectors are
+    built map-side per (doc, term) — no vocabulary table, no joins
+    to fetch embeddings. Returns (query_doc, id, maxsim_score,
+    rank<=k)."""
+    from .topk import top_k_per_group
+
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(normalize_text(F.col(text_col)), " "),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    ).distinct()
+    qt = term_hash_embed(
+        words.join(
+            F.broadcast(shortlist.select("query_doc").distinct()),
+            words[id_col] == F.col("query_doc"),
+        ).select("query_doc", "term"),
+        n_features=n_features,
+        n=n,
+    ).select("query_doc", F.col("term").alias("__qt"), F.col("__tvec").alias("__qv"))
+    dt = term_hash_embed(
+        words.join(
+            F.broadcast(shortlist.select(id_col).distinct()), id_col
+        ).select(id_col, "term"),
+        n_features=n_features,
+        n=n,
+    ).select(id_col, F.col("term").alias("__dt"), F.col("__tvec").alias("__dv"))
+    lit0 = F.lit(0).cast("long")
+    dot_i = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("__dv"), lambda x, y: x * y),
+        lit0,
+        lambda acc, v: acc + v,
+    )
+    pairs = (
+        dt.join(F.broadcast(shortlist.select("query_doc", id_col)), id_col)
+        .join(F.broadcast(qt), "query_doc")
+        .select("query_doc", id_col, "__qt", dot_i.alias("__dot"))
+    )
+    best = pairs.groupBy("query_doc", id_col, "__qt").agg(
+        F.max("__dot").alias("__best")
+    )
+    scored = best.groupBy("query_doc", id_col).agg(
+        F.sum("__best").cast("long").alias("maxsim_score")
+    )
+    return top_k_per_group(
+        scored,
+        k,
+        ["query_doc"],
+        F.col("maxsim_score").desc(),
+        F.col(id_col).asc(),
+        rank_col="rank",
+    ).select("query_doc", id_col, "maxsim_score", F.col("rank").cast("int").alias("rank"))

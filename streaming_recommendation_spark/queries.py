@@ -14361,3 +14361,111 @@ def q239_generation_diff_twin(spark, sf_dir):
     prev = fold_deltas(log.where(F.col("batch_id") <= 0), ["doc_id"])
     new = fold_deltas(log, ["doc_id"], tombstones=forget, id_col="doc_id")
     return diff_states(prev, new, ["doc_id"])
+
+
+# q240 oracle: q199's fused top-10 (MATERIALIZED — the round-10
+# CTE-inlining lesson) as the shortlist, then the MaxSim tail: padded
+# char-3-gram term vectors via the q32 md5 slot/sign recipe held as
+# (term, slot, value) sums, per-(qterm, dterm) exact integer dots via
+# a slot equi-join, max per query term, sum per pair.
+_Q240_ORACLE = (
+    "WITH shortlist AS MATERIALIZED (\n"
+    + _REGISTRY["q199_hybrid_rrf_fusion"].oracle
+    + r"""
+    ), qids AS (SELECT DISTINCT query_doc FROM shortlist),
+    dids AS (SELECT DISTINCT doc_id FROM shortlist),
+    allwords AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' '))
+               AS term
+      FROM documents
+    ),
+    qwords AS (
+      SELECT DISTINCT q.query_doc, w.term
+      FROM qids q JOIN allwords w ON w.doc_id = q.query_doc
+      WHERE w.term <> ''
+    ),
+    dwords AS (
+      SELECT DISTINCT d.doc_id, w.term
+      FROM dids d JOIN allwords w ON w.doc_id = d.doc_id
+      WHERE w.term <> ''
+    ),
+    vocab AS (
+      SELECT DISTINCT term FROM (
+        SELECT term FROM qwords UNION ALL SELECT term FROM dwords)
+    ),
+    grams AS (
+      SELECT term,
+             unnest(list_transform(
+               range(1, length('#' || term || '#') - 1),
+               i -> substr('#' || term || '#', i, 3))) AS g
+      FROM vocab
+    ),
+    tv AS MATERIALIZED (
+      SELECT term,
+             CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 32 AS INT) AS slot,
+             CAST(sum(CASE WHEN ('0x' || substr(md5(g), 1, 8))::BIGINT
+                                // 32 % 2 = 0
+                           THEN 1 ELSE -1 END) AS BIGINT) AS v
+      FROM grams GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT s.query_doc, s.doc_id, qw.term AS qterm, dw.term AS dterm,
+             CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS dt
+      FROM (SELECT query_doc, doc_id FROM shortlist) s
+      JOIN qwords qw ON qw.query_doc = s.query_doc
+      JOIN dwords dw ON dw.doc_id = s.doc_id
+      LEFT JOIN tv a ON a.term = qw.term
+      LEFT JOIN tv b ON b.term = dw.term AND b.slot = a.slot
+      GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+      SELECT query_doc, doc_id, qterm, max(dt) AS best
+      FROM sims GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT query_doc, doc_id, CAST(sum(best) AS BIGINT) AS maxsim_score
+      FROM best GROUP BY 1, 2
+    )
+    SELECT query_doc, doc_id, maxsim_score, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                                       ORDER BY maxsim_score DESC,
+                                                doc_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+)
+
+
+@register(
+    "q240_maxsim_rerank",
+    _Q240_ORACLE,
+    doc="Late-interaction MaxSim rerank (text.maxsim_rerank — the "
+    "ColBERT scoring rule of Khattab & Zaharia 2020 with model-free "
+    "char-3-gram hash term vectors, so the whole readout is exact "
+    "int64 and oracle-checkable): q199's fused top-10 shortlist is "
+    "re-scored by sum-over-query-terms of max-over-doc-terms of the "
+    "exact integer dot between boundary-padded character-3-gram "
+    "signed-hash vectors — every query term finds its best-matching "
+    "document term, so partial surface matches ('recommender' ~ "
+    "'recommendation') contribute where BM25's exact-term channel "
+    "reads 0. Unnormalized dot BY DESIGN (a cosine would bury one "
+    "sqrt per term pair inside the max; the int dot replays "
+    "bit-for-bit on any engine). Oracle composes q199's fused list "
+    "(MATERIALIZED — the round-10 CTE-inlining lesson) with the "
+    "term-vector tail held as (term, slot, value) sums and a "
+    "slot-equi-join dot. Scale: the term-pair blowup is |shortlist| "
+    "x |q terms| x |d terms| — the bounded rerank-stage cost every "
+    "late-interaction deployment pays while the corpus-wide stage "
+    "stays top-k; term vectors build map-side, no vocabulary "
+    "fetch joins on the Spark side.",
+    tags=("text", "retrieval", "topk"),
+)
+def q240_maxsim_rerank(spark, sf_dir):
+    from .operators.text import maxsim_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    shortlist = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id")
+    return maxsim_rerank(docs, shortlist, k=5, n_features=32, n=3)

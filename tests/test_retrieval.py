@@ -559,3 +559,62 @@ def test_graded_ndcg_oversized_truth_never_negative(spark):
     # doc 17 (truth_rank 7) would have contributed (6-7)*disc[1] < 0
     assert got["A"].dcg_ppm == 5 * NDCG_DISC_PPM[0]
     assert got["A"].ndcg_ppm >= 0
+
+
+def test_maxsim_partial_surface_match_beats_disjoint(spark):
+    """The late-interaction claim, pinned: a doc sharing only a
+    MORPHOLOGICAL VARIANT of the query term ('recommendation' vs
+    'recommender') outscores a surface-disjoint doc — the case where
+    BM25's exact-term channel reads 0 for both."""
+    from streaming_recommendation_spark.operators.text import maxsim_rerank
+
+    docs = spark.createDataFrame(
+        [
+            (0, "recommender systems"),
+            (1, "recommendation engines at scale"),
+            (2, "quarterly finance report"),
+        ],
+        "doc_id bigint, text string",
+    )
+    shortlist = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_doc bigint, doc_id bigint"
+    )
+    got = {
+        r.doc_id: r.maxsim_score
+        for r in maxsim_rerank(docs, shortlist, k=2).collect()
+    }
+    assert got[1] > got[2]
+
+
+def test_maxsim_hand_computed_single_term(spark):
+    """One-term query against one-term docs: score == the exact int
+    dot of the two char-3-gram hash vectors (replayed with the
+    operator's own embedding), and identical terms maximize it."""
+    import itertools
+
+    from streaming_recommendation_spark.operators.text import (
+        maxsim_rerank,
+        term_hash_embed,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "fox"), (1, "fox"), (2, "box")],
+        "doc_id bigint, text string",
+    )
+    shortlist = spark.createDataFrame(
+        [(0, 1), (0, 2)], "query_doc bigint, doc_id bigint"
+    )
+    vecs = {
+        r.term: list(r.__tvec) if hasattr(r, "__tvec") else list(r["__tvec"])
+        for r in term_hash_embed(
+            spark.createDataFrame([("fox",), ("box",)], "term string")
+        ).collect()
+    }
+    want_same = sum(a * b for a, b in zip(vecs["fox"], vecs["fox"]))
+    want_diff = sum(a * b for a, b in zip(vecs["fox"], vecs["box"]))
+    got = {
+        r.doc_id: r.maxsim_score
+        for r in maxsim_rerank(docs, shortlist, k=2).collect()
+    }
+    assert got[1] == want_same and got[2] == want_diff
+    assert got[1] > got[2]
