@@ -319,6 +319,7 @@ HEADLINE = [
     "q238_filtered_ann_recall",
     "q239_generation_diff_twin",
     "q240_maxsim_rerank",
+    "q241_store_maxsim_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

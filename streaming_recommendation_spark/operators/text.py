@@ -1774,8 +1774,6 @@ def maxsim_rerank(
     built map-side per (doc, term) — no vocabulary table, no joins
     to fetch embeddings. Returns (query_doc, id, maxsim_score,
     rank<=k)."""
-    from .topk import top_k_per_group
-
     words = docs.select(
         F.col(id_col),
         F.explode(
@@ -1785,6 +1783,30 @@ def maxsim_rerank(
             )
         ).alias("term"),
     ).distinct()
+    return maxsim_from_words(
+        words, shortlist, k=k, n_features=n_features, n=n, id_col=id_col
+    )
+
+
+def maxsim_from_words(
+    words: DataFrame,
+    shortlist: DataFrame,
+    k: int = 5,
+    n_features: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """maxsim_rerank's scoring core over a MATERIALIZED (id, term)
+    relation — which is exactly what the streaming postings store
+    already holds (``term`` column of streaming/postings.py), so the
+    late-interaction rerank serves from the persisted index with the
+    raw text never rescanned at query time: the q185 stored-index
+    contract extended to the subword-matching leg (q241 twins this
+    against q240's from-text answer). The char-n-gram term vectors
+    are a pure per-row function of the term string, so deriving them
+    at read time from stored terms equals deriving them at ingest —
+    no new state to maintain."""
+    from .topk import top_k_per_group
     qt = term_hash_embed(
         words.join(
             F.broadcast(shortlist.select("query_doc").distinct()),

@@ -14469,3 +14469,41 @@ def q240_maxsim_rerank(spark, sf_dir):
     fused = q199_hybrid_rrf_fusion(spark, sf_dir)
     shortlist = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id")
     return maxsim_rerank(docs, shortlist, k=5, n_features=32, n=3)
+
+
+@register(
+    "q241_store_maxsim_twin",
+    _Q240_ORACLE,
+    doc="STORE-BACKED late-interaction rerank (text.maxsim_from_words "
+    "over the streaming postings store): the q240 MaxSim readout "
+    "with the (doc, term) relation coming from the PERSISTED index — "
+    "the q220 stale-then-fixed 3-batch postings log folded by "
+    "store.fold_deltas — instead of tokenizing raw text at query "
+    "time. Must equal q240 BIT-FOR-BIT (same oracle): the char-3-gram "
+    "term vectors are a pure per-row function of the term string, so "
+    "deriving them at read time from stored terms equals deriving "
+    "them at ingest, and the q185 raw-text-never-rescanned contract "
+    "now covers all three retrieval channels (BM25 statistics, dense "
+    "vectors, subword MaxSim) from the same two stores. Scale: the "
+    "fold is the compactor's one window shuffle; the rerank stays "
+    "shortlist-bounded (q240's shape); no new persisted state — the "
+    "postings store already holds everything the subword channel "
+    "needs.",
+    tags=("streaming-twin", "text", "retrieval", "topk"),
+)
+def q241_store_maxsim_twin(spark, sf_dir):
+    from .operators.text import maxsim_from_words
+    from .streaming.postings import postings_batch
+    from .streaming.store import fold_deltas
+
+    docs = _t(spark, sf_dir, "documents")
+    b0, b1, b2 = _stale_then_fixed_batches(docs)
+    log = None
+    for bid, b in enumerate((b0, b1, b2)):
+        p = postings_batch(b).withColumn("batch_id", F.lit(bid).cast("bigint"))
+        log = p if log is None else log.unionByName(p)
+    tf = fold_deltas(log, ["doc_id"])
+    words = tf.select("doc_id", "term")
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    shortlist = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id")
+    return maxsim_from_words(words, shortlist, k=5, n_features=32, n=3)
