@@ -320,6 +320,7 @@ HEADLINE = [
     "q239_generation_diff_twin",
     "q240_maxsim_rerank",
     "q241_store_maxsim_twin",
+    "q242_maxsim_ablation",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

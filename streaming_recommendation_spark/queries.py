@@ -14507,3 +14507,80 @@ def q241_store_maxsim_twin(spark, sf_dir):
     fused = q199_hybrid_rrf_fusion(spark, sf_dir)
     shortlist = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id")
     return maxsim_from_words(words, shortlist, k=5, n_features=32, n=3)
+
+
+# q242 oracle: q229's graded 4-retriever readout with the MaxSim leg
+# spliced in — the q240 term-vector CTEs (shortlist = fused top-10,
+# MATERIALIZED per the round-10 CTE-inlining lesson) become a 5th
+# 'maxsim' list, and the grid VALUES grows the new retriever.
+_Q242_SPLICE = "msl AS MATERIALIZED (\n      SELECT query_doc, doc_id\n      FROM (SELECT query_doc, doc_id,\n                   row_number() OVER (PARTITION BY query_doc\n                                      ORDER BY rrf_ppm DESC, doc_id ASC) AS rn\n            FROM fused)\n      WHERE rn <= 10\n    ), ms_qids AS (SELECT DISTINCT query_doc FROM msl),\n    ms_dids AS (SELECT DISTINCT doc_id FROM msl),\n    ms_allwords AS (\n      SELECT doc_id,\n             unnest(string_split(\n               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))\n               AS term\n      FROM documents\n    ),\n    ms_qwords AS (\n      SELECT DISTINCT q.query_doc, w.term\n      FROM ms_qids q JOIN ms_allwords w ON w.doc_id = q.query_doc\n      WHERE w.term <> ''\n    ),\n    ms_dwords AS (\n      SELECT DISTINCT d.doc_id, w.term\n      FROM ms_dids d JOIN ms_allwords w ON w.doc_id = d.doc_id\n      WHERE w.term <> ''\n    ),\n    ms_vocab AS (\n      SELECT DISTINCT term FROM (\n        SELECT term FROM ms_qwords UNION ALL SELECT term FROM ms_dwords)\n    ),\n    ms_grams AS (\n      SELECT term,\n             unnest(list_transform(\n               range(1, length('#' || term || '#') - 1),\n               i -> substr('#' || term || '#', i, 3))) AS g\n      FROM ms_vocab\n    ),\n    ms_tv AS MATERIALIZED (\n      SELECT term,\n             CAST(('0x' || substr(md5(g), 1, 8))::BIGINT % 32 AS INT) AS slot,\n             CAST(sum(CASE WHEN ('0x' || substr(md5(g), 1, 8))::BIGINT\n                                // 32 % 2 = 0\n                           THEN 1 ELSE -1 END) AS BIGINT) AS v\n      FROM ms_grams GROUP BY 1, 2\n    ),\n    ms_sims AS (\n      SELECT s.query_doc, s.doc_id, qw.term AS qterm, dw.term AS dterm,\n             CAST(coalesce(sum(a.v * b.v), 0) AS BIGINT) AS dt\n      FROM msl s\n      JOIN ms_qwords qw ON qw.query_doc = s.query_doc\n      JOIN ms_dwords dw ON dw.doc_id = s.doc_id\n      LEFT JOIN ms_tv a ON a.term = qw.term\n      LEFT JOIN ms_tv b ON b.term = dw.term AND b.slot = a.slot\n      GROUP BY 1, 2, 3, 4\n    ),\n    ms_best AS (\n      SELECT query_doc, doc_id, qterm, max(dt) AS best\n      FROM ms_sims GROUP BY 1, 2, 3\n    ),\n    ms_scored AS (\n      SELECT query_doc, doc_id, CAST(sum(best) AS BIGINT) AS maxsim_score\n      FROM ms_best GROUP BY 1, 2\n    ),\n    maxsim_list AS (\n      SELECT query_doc, doc_id, CAST(rn AS INT) AS rank\n      FROM (SELECT query_doc, doc_id,\n                   row_number() OVER (PARTITION BY query_doc\n                                      ORDER BY maxsim_score DESC,\n                                               doc_id ASC) AS rn\n            FROM ms_scored)\n      WHERE rn <= 5\n    ), lists AS ("
+
+_Q242_ORACLE = (
+    _Q229_ORACLE.replace("lists AS (", _Q242_SPLICE, 1)
+    .replace(
+        "UNION ALL SELECT 'trained', * FROM trained_list",
+        "UNION ALL SELECT 'trained', * FROM trained_list\n"
+        "      UNION ALL SELECT 'maxsim', * FROM maxsim_list",
+        1,
+    )
+    .replace(
+        "(VALUES ('bm25'), ('hybrid'), ('rerank'), ('trained'))",
+        "(VALUES ('bm25'), ('hybrid'), ('rerank'), ('trained'), ('maxsim'))",
+        1,
+    )
+)
+assert "maxsim_list" in _Q242_ORACLE and "('maxsim')" in _Q242_ORACLE
+assert _Q242_ORACLE.count("lists AS (") == 1
+
+
+@register(
+    "q242_maxsim_ablation",
+    _Q242_ORACLE,
+    doc="The retrieval ablation grown a FIFTH channel: q229's graded "
+    "nDCG@5 readout (bm25 / hybrid / hand-set rerank / trained "
+    "rerank, exact-Jaccard graded truth, frozen integer-ppm "
+    "discounts) with the late-interaction MaxSim leg (q240) spliced "
+    "in — the honest placement test for the subword channel against "
+    "the same gold standard the other four face. Everything exact "
+    "int64; oracle = q229's machinery with the q240 term-vector "
+    "CTEs (MATERIALIZED) as a 5th list and the grid VALUES grown. "
+    "Scale: the four existing legs' shapes unchanged; the MaxSim leg "
+    "is shortlist-bounded (q240's contract).",
+    tags=("text", "retrieval", "eval"),
+)
+def q242_maxsim_ablation(spark, sf_dir):
+    from .operators.text import maxsim_rerank
+
+    docs = _t(spark, sf_dir, "documents")
+    is_q = F.col("doc_id") < 3
+    bm = text.bm25_search(docs, is_q, k=5, scale=1000).select(
+        F.lit("bm25").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    hybrid = fused.where(F.col("rank") <= 5).select(
+        F.lit("hybrid").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    rerank = text.learned_rerank(docs, fused, k=5).select(
+        F.lit("rerank").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rerank").alias("rank"),
+    )
+    truth = text.doc_jaccard_topk(docs, is_q, k=5, include_rank=True)
+    trained = text.trained_rerank(docs, fused, truth, k=5).select(
+        F.lit("trained").alias("retriever"),
+        "query_doc",
+        "doc_id",
+        F.col("rerank").alias("rank"),
+    )
+    shortlist = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id")
+    maxsim = maxsim_rerank(docs, shortlist, k=5, n_features=32, n=3).select(
+        F.lit("maxsim").alias("retriever"), "query_doc", "doc_id", "rank"
+    )
+    lists = (
+        bm.unionByName(hybrid)
+        .unionByName(rerank)
+        .unionByName(trained)
+        .unionByName(maxsim)
+    )
+    return text.graded_ndcg_at_k(lists, truth, k=5)
