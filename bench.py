@@ -321,6 +321,7 @@ HEADLINE = [
     "q240_maxsim_rerank",
     "q241_store_maxsim_twin",
     "q242_maxsim_ablation",
+    "q243_interleaved_eval",
 ]
 
 # queries whose operator runs Spark jobs during plan construction
@@ -366,6 +367,7 @@ ITERATIVE = {
     "q232_erased_packing_twin",  # BPE merge rounds run at construction
     "q227_mmr_diversified_topk",  # greedy rounds checkpoint at construction
     "q231_diversity_tradeoff_readout",  # MMR leg checkpoints at construction
+    "q243_interleaved_eval",  # pick rounds checkpoint at construction
 }
 
 # Lock-in tier (VERDICT r7 #8): the queries whose in-suite readings

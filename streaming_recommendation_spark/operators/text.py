@@ -1847,3 +1847,106 @@ def maxsim_from_words(
         F.col(id_col).asc(),
         rank_col="rank",
     ).select("query_doc", id_col, "maxsim_score", F.col("rank").cast("int").alias("rank"))
+
+
+def team_draft_interleave(
+    list_a: DataFrame,
+    list_b: DataFrame,
+    k: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Team-draft interleaving (Radlinski, Kurup & Joachims 2008) —
+    the ONLINE-eval merge that lets two rankers share one result list
+    and be compared by which team's contributions get engaged with.
+    Deterministic variant: strict A-first alternation replaces the
+    per-round coin flip (divergence documented — the attribution
+    arithmetic is unchanged, and determinism is what makes the
+    readout oracle-checkable); each team in its turn contributes its
+    highest-ranked doc not already selected. ``list_a``/``list_b``
+    are (query_doc, id, rank); both must rank at least ``k`` docs per
+    query (the pick loop assumes availability — interleave two top-10
+    lists to depth 6, not two top-3 lists to depth 10). Returns
+    (query_doc, id, pos 1..k, team 'A'|'B').
+
+    Scale: the greedy pick loop is the q227 MMR shape — k bounded
+    rounds over candidate-bounded rows, each an eager
+    localCheckpoint (construction-charged: bench ITERATIVE tier);
+    at serving time k and |queries| are small by contract."""
+    from pyspark.sql import Window
+
+    a = list_a.select(
+        "query_doc", id_col, F.col("rank").cast("long").alias("__ra")
+    )
+    b = list_b.select(
+        "query_doc", id_col, F.col("rank").cast("long").alias("__rb")
+    )
+    cand = a.join(b, ["query_doc", id_col], "full_outer").localCheckpoint(
+        eager=True
+    )
+    sel = None
+    for p in range(1, k + 1):
+        team = "A" if p % 2 == 1 else "B"
+        rcol = "__ra" if team == "A" else "__rb"
+        avail = cand.where(F.col(rcol).isNotNull())
+        if sel is not None:
+            avail = avail.join(
+                sel.select("query_doc", id_col),
+                ["query_doc", id_col],
+                "left_anti",
+            )
+        w = Window.partitionBy("query_doc").orderBy(
+            F.asc(rcol), F.asc(id_col)
+        )
+        pick = (
+            avail.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "query_doc",
+                id_col,
+                F.lit(p).cast("int").alias("pos"),
+                F.lit(team).alias("team"),
+            )
+        )
+        sel = (
+            pick
+            if sel is None
+            else sel.unionByName(pick).localCheckpoint(eager=True)
+        )
+    return sel
+
+
+def interleaved_credit(
+    interleaved: DataFrame,
+    truth: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The interleaving readout: simulated clicks = truth membership
+    (the user engages with every relevant doc present in the
+    interleaved list), credited to the team that CONTRIBUTED the doc;
+    per query: clicks_a, clicks_b, winner 'A'|'B'|'tie' (zero-click
+    queries read tie, not absent). Exact integer counts — one
+    broadcast truth join + one per-query aggregate."""
+    j = interleaved.join(
+        F.broadcast(truth.select("query_doc", id_col)),
+        ["query_doc", id_col],
+    )
+    clicks = j.groupBy("query_doc").agg(
+        F.sum(F.when(F.col("team") == "A", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks_a"),
+        F.sum(F.when(F.col("team") == "B", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks_b"),
+    )
+    grid = interleaved.select("query_doc").distinct()
+    ca = F.coalesce("clicks_a", F.lit(0).cast("long"))
+    cb = F.coalesce("clicks_b", F.lit(0).cast("long"))
+    return grid.join(clicks, "query_doc", "left").select(
+        "query_doc",
+        ca.alias("clicks_a"),
+        cb.alias("clicks_b"),
+        F.when(ca > cb, F.lit("A"))
+        .when(cb > ca, F.lit("B"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )

@@ -14584,3 +14584,111 @@ def q242_maxsim_ablation(spark, sf_dir):
         .unionByName(maxsim)
     )
     return text.graded_ndcg_at_k(lists, truth, k=5)
+
+
+def _interleave_oracle(k=6):
+    """q243 oracle: q226's machinery (fused scores, bm25 s1 scores,
+    Jaccard truth) + the deterministic team-draft pick rounds
+    unrolled as chained CTEs (the q227 greedy-unroll recipe) + the
+    click-credit tail."""
+    parts = [
+        _Q226_ORACLE[: _Q226_ORACLE.index("), hitrows AS (")]
+        + """), ta AS (
+  SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+  FROM (SELECT query_doc, doc_id,
+               row_number() OVER (PARTITION BY query_doc
+                                  ORDER BY rrf_ppm DESC, doc_id ASC) AS rn
+        FROM fused) WHERE rn <= 10
+), tb AS (
+  SELECT query_doc, doc_id, CAST(rn AS INT) AS rank
+  FROM (SELECT query_doc, doc_id,
+               row_number() OVER (PARTITION BY query_doc
+                                  ORDER BY sum(term_milli) DESC,
+                                           doc_id ASC) AS rn
+        FROM s1 GROUP BY query_doc, doc_id) WHERE rn <= 10
+), cand AS MATERIALIZED (
+  SELECT coalesce(a.query_doc, b.query_doc) AS query_doc,
+         coalesce(a.doc_id, b.doc_id) AS doc_id,
+         a.rank AS ra, b.rank AS rb
+  FROM ta a FULL OUTER JOIN tb b
+    ON a.query_doc = b.query_doc AND a.doc_id = b.doc_id
+), sel1 AS (
+  SELECT query_doc, doc_id, 1 AS pos, 'A' AS team
+  FROM (SELECT query_doc, doc_id,
+               row_number() OVER (PARTITION BY query_doc
+                                  ORDER BY ra ASC, doc_id ASC) AS rn
+        FROM cand WHERE ra IS NOT NULL) WHERE rn = 1
+)"""
+    ]
+    for p in range(2, k + 1):
+        team = "A" if p % 2 == 1 else "B"
+        rc = "ra" if team == "A" else "rb"
+        parts.append(f""", pick{p} AS (
+  SELECT query_doc, doc_id, {p} AS pos, '{team}' AS team
+  FROM (SELECT c.query_doc, c.doc_id,
+               row_number() OVER (PARTITION BY c.query_doc
+                                  ORDER BY c.{rc} ASC, c.doc_id ASC) AS rn
+        FROM cand c WHERE c.{rc} IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM sel{p - 1} s
+                          WHERE s.query_doc = c.query_doc
+                            AND s.doc_id = c.doc_id))
+  WHERE rn = 1
+), sel{p} AS (
+  SELECT * FROM sel{p - 1} UNION ALL SELECT * FROM pick{p}
+)""")
+    parts.append(f""", clicks AS (
+  SELECT s.query_doc,
+         CAST(sum(CASE WHEN s.team = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks_a,
+         CAST(sum(CASE WHEN s.team = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks_b
+  FROM sel{k} s
+  JOIN truth t ON t.query_doc = s.query_doc AND t.doc_id = s.doc_id
+  GROUP BY 1
+)
+SELECT q.query_doc,
+       CAST(coalesce(c.clicks_a, 0) AS BIGINT) AS clicks_a,
+       CAST(coalesce(c.clicks_b, 0) AS BIGINT) AS clicks_b,
+       CASE WHEN coalesce(c.clicks_a, 0) > coalesce(c.clicks_b, 0) THEN 'A'
+            WHEN coalesce(c.clicks_b, 0) > coalesce(c.clicks_a, 0) THEN 'B'
+            ELSE 'tie' END AS winner
+FROM (SELECT DISTINCT query_doc FROM ta) q
+LEFT JOIN clicks c ON c.query_doc = q.query_doc
+""")
+    return "".join(parts)
+
+
+@register(
+    "q243_interleaved_eval",
+    _interleave_oracle(),
+    doc="ONLINE-eval leg: deterministic team-draft interleaving "
+    "(text.team_draft_interleave — Radlinski/Kurup/Joachims 2008 "
+    "with strict A-first alternation replacing the per-round coin, "
+    "divergence documented) of the hybrid fused top-10 (team A) "
+    "against plain BM25 top-10 (team B) to depth 6, then the "
+    "click-credit readout (text.interleaved_credit): simulated "
+    "clicks = exact-Jaccard truth membership, credited to the "
+    "CONTRIBUTING team, per-query winner A/B/tie. This is the live "
+    "A/B protocol the offline nDCG readouts (q229/q242) cannot "
+    "replace — one shared result list, engagement attribution by "
+    "team — re-expressed deterministically so the whole readout "
+    "hash-checks. Oracle = q226's fused/bm25/truth machinery + the "
+    "6 pick rounds unrolled as chained CTEs (the q227 greedy-unroll "
+    "recipe) + the credit tail. Scale: the pick loop is k bounded "
+    "rounds over candidate-bounded rows (ITERATIVE tier); the "
+    "credit is one broadcast truth join.",
+    tags=("text", "retrieval", "eval", "iterative"),
+)
+def q243_interleaved_eval(spark, sf_dir):
+    from .operators.text import interleaved_credit, team_draft_interleave
+
+    docs = _t(spark, sf_dir, "documents")
+    is_q = F.col("doc_id") < 3
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    ta = fused.where(F.col("rank") <= 10).select("query_doc", "doc_id", "rank")
+    tb = text.bm25_search(docs, is_q, k=10, scale=1000).select(
+        "query_doc", "doc_id", "rank"
+    )
+    inter = team_draft_interleave(ta, tb, k=6)
+    truth = text.doc_jaccard_topk(docs, is_q, k=5)
+    return interleaved_credit(inter, truth)

@@ -618,3 +618,34 @@ def test_maxsim_hand_computed_single_term(spark):
     }
     assert got[1] == want_same and got[2] == want_diff
     assert got[1] > got[2]
+
+
+def test_team_draft_interleave_hand_computed(spark):
+    """Deterministic team draft replayed by hand: A = [10, 11, 12],
+    B = [11, 13, 10]. Picks: A takes 10; B takes 11; A's 11 is gone
+    so A takes 12; B's 10 is gone so B takes 13. Credit with truth
+    {11, 13}: BOTH relevant docs were contributed by B (picks 2 and
+    4) -> clicks 0 vs 2, winner B — the readout punishes A for
+    ranking the relevant docs lower even though 11 was in its list
+    too, which is exactly team draft's point."""
+    from streaming_recommendation_spark.operators.text import (
+        interleaved_credit,
+        team_draft_interleave,
+    )
+
+    la = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)],
+        "query_doc bigint, doc_id bigint, rank int",
+    )
+    lb = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2), (0, 10, 3)],
+        "query_doc bigint, doc_id bigint, rank int",
+    )
+    inter = team_draft_interleave(la, lb, k=4)
+    got = sorted((r.pos, r.doc_id, r.team) for r in inter.collect())
+    assert got == [(1, 10, "A"), (2, 11, "B"), (3, 12, "A"), (4, 13, "B")]
+    truth = spark.createDataFrame(
+        [(0, 11), (0, 13)], "query_doc bigint, doc_id bigint"
+    )
+    cr = interleaved_credit(inter, truth).collect()[0]
+    assert (cr.clicks_a, cr.clicks_b, cr.winner) == (0, 2, "B")
