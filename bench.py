@@ -322,6 +322,7 @@ HEADLINE = [
     "q241_store_maxsim_twin",
     "q242_maxsim_ablation",
     "q243_interleaved_eval",
+    "q244_incremental_stats_twin",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -14692,3 +14692,83 @@ def q243_interleaved_eval(spark, sf_dir):
     inter = team_draft_interleave(ta, tb, k=6)
     truth = text.doc_jaccard_topk(docs, is_q, k=5)
     return interleaved_credit(inter, truth)
+
+
+@register(
+    "q244_incremental_stats_twin",
+    r"""
+    WITH donor AS (
+      SELECT doc_id - 100 AS doc_id, text FROM documents
+    ), newdocs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id NOT IN (30, 31)
+    ), nw AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+      FROM newdocs
+    ), ntf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM nw WHERE term <> '' GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf
+    FROM ntf GROUP BY term
+    """,
+    doc="INCREMENTAL VIEW MAINTENANCE from the change feed "
+    "(store.diff_rows — the signed row-delta sibling of q239's "
+    "classification feed): the BM25 corpus statistics (per-term df "
+    "and total tf — the additive aggregates every search derives) "
+    "maintained ALGEBRAICALLY across a compaction instead of "
+    "recomputed. Old state = the stale generation's stats; the "
+    "feed's signed deltas (insert rows +1, deleted rows -1, an "
+    "updated doc = its old rows out and new rows in) adjust each "
+    "term's df and total_tf as agg += f(row) * delta; terms whose "
+    "df reaches 0 VANISH from the maintained view. The oracle "
+    "recomputes the statistics from the corrected corpus from "
+    "scratch — maintained == recomputed is the algebraic-"
+    "completeness claim for the CDF (a feed that dropped or "
+    "double-counted any row would hash-mismatch here). Scale: the "
+    "maintenance cost is ~|changed rows|, never a corpus rescan — "
+    "the point of IVM at 100 TB; the merge is one full-outer join "
+    "on term between the prev stats and the delta aggregate.",
+    tags=("streaming-twin", "text", "agg"),
+)
+def q244_incremental_stats_twin(spark, sf_dir):
+    from .streaming.postings import postings_batch
+    from .streaming.store import diff_rows, fold_deltas
+
+    docs = _t(spark, sf_dir, "documents")
+    b0, b1, b2 = _stale_then_fixed_batches(docs)
+    forget = docs.where(F.col("doc_id").isin(30, 31)).select("doc_id")
+    log = None
+    for bid, b in enumerate((b0, b1, b2)):
+        p = postings_batch(b).withColumn("batch_id", F.lit(bid).cast("bigint"))
+        log = p if log is None else log.unionByName(p)
+    prev = fold_deltas(log.where(F.col("batch_id") <= 0), ["doc_id"])
+    new = fold_deltas(log, ["doc_id"], tombstones=forget, id_col="doc_id")
+    # old statistics (what the serving side already holds)
+    prev_stats = prev.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+    # the feed: signed row deltas of the compaction
+    feed = diff_rows(prev, new, ["doc_id"])
+    delta_stats = feed.groupBy("term").agg(
+        F.sum("delta").cast("long").alias("__ddf"),
+        F.sum(F.col("delta") * F.col("tf")).cast("long").alias("__dtf"),
+    )
+    merged = prev_stats.join(delta_stats, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("df", F.lit(0)) + F.coalesce("__ddf", F.lit(0))
+        )
+        .cast("long")
+        .alias("df"),
+        (
+            F.coalesce("total_tf", F.lit(0)) + F.coalesce("__dtf", F.lit(0))
+        )
+        .cast("long")
+        .alias("total_tf"),
+    )
+    return merged.where(F.col("df") > 0)

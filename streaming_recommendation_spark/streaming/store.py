@@ -405,6 +405,63 @@ def diff_states(
     )
 
 
+def diff_rows(
+    prev: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    ignore_cols: tuple = ("batch_id",),
+) -> DataFrame:
+    """Signed ROW deltas between two store states — diff_states'
+    algebraic sibling: every row whose multiplicity changed, with
+    ``delta`` = new count minus prev count (never 0). This is the
+    feed INCREMENTAL VIEW MAINTENANCE consumes: any additive
+    downstream aggregate (count/sum family — df, dl, token totals,
+    source mixes) updates as ``agg += f(row) * delta`` without
+    rescanning either generation's unchanged rows (q244 pins
+    maintained == recomputed). Same exact full-outer multiset
+    machinery as diff_states; ``key_cols`` only documents the store's
+    key — the delta is per full row."""
+    cols = [c for c in new.columns if c not in ignore_cols]
+    pc = prev.select(cols).groupBy(cols).agg(
+        F.count(F.lit(1)).alias("__np")
+    )
+    nc = new.select(cols).groupBy(cols).agg(F.count(F.lit(1)).alias("__nn"))
+    return (
+        pc.join(nc, cols, "full_outer")
+        .select(
+            *cols,
+            (
+                F.coalesce("__nn", F.lit(0)) - F.coalesce("__np", F.lit(0))
+            )
+            .cast("long")
+            .alias("delta"),
+        )
+        .where(F.col("delta") != 0)
+    )
+
+
+def generation_change_rows(
+    spark: SparkSession,
+    base_dir: str,
+    schema: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """diff_rows over the two retained committed generations — the
+    row-level change feed of the last compaction (see
+    generation_changes for the per-key classification and the
+    <2-generations refusal, shared here)."""
+    entries = committed_entries(base_dir)
+    if len(entries) < 2:
+        raise ValueError(
+            f"generation_change_rows: {base_dir!r} holds "
+            f"{len(entries)} committed generation(s); the change feed "
+            "needs the serving generation AND its retained predecessor"
+        )
+    prev = spark.read.schema(schema).parquet(entries[-2][2])
+    new = spark.read.schema(schema).parquet(entries[-1][2])
+    return diff_rows(prev, new, key_cols)
+
+
 def generation_changes(
     spark: SparkSession,
     base_dir: str,
@@ -469,7 +526,9 @@ __all__ = [
     "fold_deltas",
     "resolve_with_tail",
     "diff_states",
+    "diff_rows",
     "generation_changes",
+    "generation_change_rows",
     "read_store",
     "read_store_resolved",
     "compact_store",

@@ -724,3 +724,41 @@ def test_generation_changes_disk_feed(spark, tmp_path):
         ).collect()
     }
     assert feed2 == {2: "delete"}
+
+
+def test_change_rows_feed_is_algebraically_complete(spark, tmp_path):
+    """diff_rows' signed deltas applied to an additive aggregate give
+    exactly the recomputed aggregate (the q244 claim on disk via
+    generation_change_rows): df/total_tf maintained across a
+    compaction == recomputed from the new generation."""
+    pdir, bdir = str(tmp_path / "post"), str(tmp_path / "postb")
+    schema = "doc_id bigint, term string, tf bigint, batch_id bigint"
+    postings_ingest_batch(spark.createDataFrame(B0, DOC_SCHEMA), 0, pdir)
+    postings_ingest_batch(spark.createDataFrame(B1, DOC_SCHEMA), 1, pdir)
+    compact_postings(spark, pdir, bdir, upto_batch_id=1)
+    prev = spark.read.schema(schema).parquet(store.committed_gen_dir(bdir))
+    postings_ingest_batch(
+        spark.createDataFrame(B2 + [(9, "brand new doc")], DOC_SCHEMA), 2, pdir
+    )
+    forget = spark.createDataFrame([(1,)], "doc_id bigint")
+    compact_postings(spark, pdir, bdir, upto_batch_id=2, tombstones=forget)
+    feed = store.generation_change_rows(spark, bdir, schema, ["doc_id"])
+    prev_stats = {
+        r.term: (r.df, r.t)
+        for r in prev.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("t"))
+        .collect()
+    }
+    maintained = dict(prev_stats)
+    for r in feed.collect():
+        df0, t0 = maintained.get(r.term, (0, 0))
+        maintained[r.term] = (df0 + r.delta, t0 + r.delta * r.tf)
+    maintained = {k: v for k, v in maintained.items() if v[0] > 0}
+    new = spark.read.schema(schema).parquet(store.committed_gen_dir(bdir))
+    recomputed = {
+        r.term: (r.df, r.t)
+        for r in new.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("t"))
+        .collect()
+    }
+    assert maintained == recomputed
