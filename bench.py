@@ -323,6 +323,7 @@ HEADLINE = [
     "q242_maxsim_ablation",
     "q243_interleaved_eval",
     "q244_incremental_stats_twin",
+    "q245_capped_slate",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -50,3 +50,52 @@ def frequency_top_n(
         .orderBy(F.col(count_alias).desc(), F.col(key_col).asc())
         .limit(n)
     )
+
+
+def category_capped_topk(
+    recs: DataFrame,
+    categories: DataFrame,
+    k: int = 5,
+    max_per_cat: int = 2,
+    group_col: str = "user_id",
+    item_col: str = "item_id",
+    cat_col: str = "category",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Slate BUSINESS RULE: at most ``max_per_cat`` items of any one
+    category per recommendation list, preserving score order — the
+    diversity constraint every production recommender ships (category
+    caps, brand caps, seller caps) between ranking and response.
+
+    The greedy walk ("take the next item iff its category has fewer
+    than cap items taken so far, stop at k") has a CLOSED FORM —
+    when an item is scanned, the number of same-category items
+    already taken is exactly its within-category rank minus one, so
+    greedy-keep == ``row_number over (group, category) ordered by
+    rank <= cap``; the final slate is the first k kept rows
+    re-ranked. No iteration, no checkpoints: two WindowGroupLimit
+    windows (the q227 MMR machinery is for PAIRWISE constraints —
+    per-category caps never need it). Returns (group, item, category,
+    orig_rank, rank 1..k). Scale: one broadcast category-dim join +
+    two per-list windows over k-bounded rows."""
+    j = recs.join(F.broadcast(categories), item_col)
+    wcat = Window.partitionBy(group_col, cat_col).orderBy(
+        F.asc(rank_col), F.asc(item_col)
+    )
+    wall = Window.partitionBy(group_col).orderBy(
+        F.asc(rank_col), F.asc(item_col)
+    )
+    kept = j.withColumn("__rc", F.row_number().over(wcat)).where(
+        F.col("__rc") <= max_per_cat
+    )
+    return (
+        kept.withColumn("__rn", F.row_number().over(wall))
+        .where(F.col("__rn") <= k)
+        .select(
+            group_col,
+            item_col,
+            cat_col,
+            F.col(rank_col).cast("int").alias("orig_rank"),
+            F.col("__rn").cast("int").alias("rank"),
+        )
+    )

@@ -14772,3 +14772,64 @@ def q244_incremental_stats_twin(spark, sf_dir):
         .alias("total_tf"),
     )
     return merged.where(F.col("df") > 0)
+
+
+_Q245_SUFFIX = """, recs AS (
+      SELECT user_id, item_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rrscore DESC, item_id ASC) AS rank
+      FROM final
+      QUALIFY rank <= 10
+    ), cat AS (SELECT vec_id AS item_id, label AS category FROM embeddings),
+    kept AS (
+      SELECT r.user_id, r.item_id, c.category, r.rank,
+             row_number() OVER (PARTITION BY r.user_id, c.category
+                                ORDER BY r.rank ASC, r.item_id ASC) AS rc
+      FROM recs r JOIN cat c USING (item_id)
+      QUALIFY rc <= 2
+    )
+    SELECT user_id, item_id, category,
+           CAST(rank AS INT) AS orig_rank,
+           CAST(rnew AS INT) AS rank
+    FROM (
+      -- rnew, not rank: aliasing the row_number AS rank in the same
+      -- SELECT would make its window ORDER BY rank resolve to the
+      -- ALIAS (DuckDB alias preference), silently re-ranking by the
+      -- unordered new numbers — the q245 sf0.1 two-missing-rows bug
+      SELECT user_id, item_id, category, rank,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY rank ASC, item_id ASC) AS rnew
+      FROM kept
+    )
+    WHERE rnew <= 5
+    """
+
+
+@register(
+    "q245_capped_slate",
+    _cascade_tail_sql(_Q40_RECALL_CTE, suffix=_Q245_SUFFIX),
+    doc="Slate business rule between ranking and response "
+    "(topk.category_capped_topk): the q40 cascade's top-10 "
+    "constrained to AT MOST 2 items per category (item category = "
+    "the embedding label — the brand/seller/category cap every "
+    "production recommender ships), final slate = first 5 surviving "
+    "items re-ranked. The greedy walk has a CLOSED FORM — when an "
+    "item is scanned, the same-category items already taken are "
+    "exactly its within-category rank minus one, so greedy-keep == "
+    "within-(user,category) row_number <= cap; two WindowGroupLimit "
+    "windows, no iteration (MMR's checkpoint loop is for PAIRWISE "
+    "constraints; caps never need it). Oracle = the q40 cascade "
+    "CTEs with the cap tail. Scale: one broadcast category-dim join "
+    "+ two per-list windows over k-bounded rows — adds nothing to "
+    "the cascade's own shape.",
+    tags=("cascade", "topk", "recsys"),
+)
+def q245_capped_slate(spark, sf_dir):
+    from .operators.topk import category_capped_topk
+
+    recs = q40_cascade_recommend(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cats = emb.select(
+        F.col("vec_id").alias("item_id"), F.col("label").alias("category")
+    )
+    return category_capped_topk(recs, cats, k=5, max_per_cat=2)

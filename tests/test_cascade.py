@@ -205,3 +205,31 @@ def test_numpy_mlp_scorer_end_to_end(cascade_inputs):
     expect = 1.0 / (1.0 + np.exp(-x[:, 0]))
     got = scorer.func(a, b)
     assert np.allclose(got.to_numpy(), expect)
+
+
+def test_category_capped_topk_greedy_equivalence(spark):
+    """The closed form equals the greedy walk replayed by hand: list
+    [10(c0) 11(c0) 12(c0) 13(c1) 14(c0) 15(c2)], cap 2, k 4 ->
+    greedy takes 10, 11, skips 12 (c0 full), takes 13, skips 14,
+    takes 15 -> slate [10, 11, 13, 15] re-ranked 1..4."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.operators.topk import (
+        category_capped_topk,
+    )
+
+    recs = spark.createDataFrame(
+        [(1, 10 + i, i + 1) for i in range(6)],
+        "user_id bigint, item_id bigint, rank int",
+    )
+    cats = spark.createDataFrame(
+        [(10, 0), (11, 0), (12, 0), (13, 1), (14, 0), (15, 2)],
+        "item_id bigint, category int",
+    )
+    got = sorted(
+        (r.rank, r.item_id, r.category, r.orig_rank)
+        for r in category_capped_topk(
+            recs, cats, k=4, max_per_cat=2
+        ).collect()
+    )
+    assert got == [(1, 10, 0, 1), (2, 11, 0, 2), (3, 13, 1, 4), (4, 15, 2, 6)]
