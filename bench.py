@@ -324,6 +324,7 @@ HEADLINE = [
     "q243_interleaved_eval",
     "q244_incremental_stats_twin",
     "q245_capped_slate",
+    "q246_point_in_time_features",
 ]
 
 # queries whose operator runs Spark jobs during plan construction

@@ -14833,3 +14833,155 @@ def q245_capped_slate(spark, sf_dir):
         F.col("vec_id").alias("item_id"), F.col("label").alias("category")
     )
     return category_capped_topk(recs, cats, k=5, max_per_cat=2)
+
+
+@register(
+    "q246_point_in_time_features",
+    """
+    WITH nemb AS (SELECT count(*) AS n FROM embeddings),
+    ev AS (
+      SELECT user_id, ts, event_id, event_type,
+             ((event_id % 2147483648) * 2654435761) % 4294967296
+               % (SELECT n FROM nemb) AS item_id
+      FROM events
+    ),
+    ud AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ),
+    us AS (
+      SELECT user_id, d,
+             CAST(coalesce(sum(c) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS u_cum
+      FROM ud
+    ),
+    idd AS (
+      SELECT item_id, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ),
+    iss AS (
+      SELECT item_id, d,
+             CAST(coalesce(sum(c) OVER (
+               PARTITION BY item_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS i_cum
+      FROM idd
+    ),
+    facts AS (
+      SELECT user_id, item_id, ts, event_id FROM ev
+      WHERE event_type = 'purchase'
+    ),
+    uj AS (
+      SELECT f.event_id, f.user_id, f.item_id, f.ts, s.u_cum,
+             row_number() OVER (PARTITION BY f.event_id
+                                ORDER BY s.d DESC) AS rn
+      FROM facts f
+      JOIN us s ON s.user_id = f.user_id AND s.d <= f.ts
+    ),
+    f1 AS (SELECT event_id, user_id, item_id, ts, u_cum FROM uj WHERE rn = 1),
+    ij AS (
+      SELECT f.event_id, f.user_id, f.item_id, f.ts, f.u_cum, s.i_cum,
+             row_number() OVER (PARTITION BY f.event_id
+                                ORDER BY s.d DESC) AS rn
+      FROM f1 f
+      JOIN iss s ON s.item_id = f.item_id AND s.d <= f.ts
+    )
+    SELECT event_id, user_id, item_id,
+           floor(epoch(ts))::BIGINT AS sec,
+           u_cum AS user_events_before_day,
+           i_cum AS item_events_before_day
+    FROM ij WHERE rn = 1
+    """,
+    doc="POINT-IN-TIME feature assembly (the feature-store "
+    "training-serving-skew killer, composed from the J4 as-of join): "
+    "every purchase event — a training label row — fetches the "
+    "NEWEST daily feature snapshot at or before its timestamp from "
+    "two independently-snapshotted feature tables (user cumulative "
+    "activity; item cumulative popularity, items = the q178 Knuth "
+    "map), where each day's snapshot holds counts STRICTLY BEFORE "
+    "that day — so no label row can ever see same-day-or-future "
+    "data (the leakage rule; a plain equi-join on user would "
+    "silently train on the future). Daily-snapshot granularity is "
+    "the standard feature-store contract, documented. Spark: two "
+    "asof_join passes (single union+window shuffle each, q12's "
+    "machinery — never a per-row range scan), snapshots derived "
+    "with one lagged cumulative window per table. Oracle replays "
+    "snapshots + both as-of lookups. Scale: |facts| + |snapshots| "
+    "rows through two windows; everything else is map-side.",
+    tags=("asof", "window", "features", "etl"),
+)
+def q246_point_in_time_features(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from .operators.asof import asof_join
+
+    ev0 = _t(spark, sf_dir, "events")
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.agg(F.count(F.lit(1)).alias("__n"))
+    two31 = 2147483648
+    ev = ev0.crossJoin(F.broadcast(n)).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.pmod(
+            F.pmod(
+                F.pmod(F.col("event_id"), F.lit(two31)) * F.lit(KNUTH),
+                F.lit(MOD32),
+            ),
+            F.col("__n"),
+        ).alias("item_id"),
+    )
+    wud = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = (
+        ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "user_id",
+            "ts",
+            F.coalesce(F.sum("__c").over(wud), F.lit(0))
+            .cast("long")
+            .alias("u_cum"),
+        )
+    )
+    wid = (
+        Window.partitionBy("item_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    iss = (
+        ev.groupBy("item_id", F.date_trunc("DAY", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "item_id",
+            "ts",
+            F.coalesce(F.sum("__c").over(wid), F.lit(0))
+            .cast("long")
+            .alias("i_cum"),
+        )
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "item_id", "ts", "event_id"
+    )
+    f1 = asof_join(
+        facts, us, on="ts", by="user_id", value_cols=["u_cum"]
+    )
+    f2 = asof_join(
+        f1, iss, on="ts", by="item_id", value_cols=["i_cum"]
+    )
+    return f2.select(
+        "event_id",
+        "user_id",
+        "item_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.col("u_cum").alias("user_events_before_day"),
+        F.col("i_cum").alias("item_events_before_day"),
+    )

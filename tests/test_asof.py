@@ -88,3 +88,48 @@ def test_range_join_bucketized_equals_naive(spark, ev, probes):
     # inclusive bounds: probe ts=250 window 100 catches both ts=200 events
     hits = [k for k in ka if k[1] == 250]
     assert {h[3] for h in hits} == {11, 12}
+
+
+def test_point_in_time_no_leakage(spark):
+    """The q246 leakage pin in miniature: a label row on day D gets
+    the snapshot whose counts EXCLUDE day D — an event at 09:00 and
+    a purchase at 10:00 the same day must NOT see each other in the
+    feature, only prior days' activity."""
+    from pyspark.sql import functions as F
+
+    from streaming_recommendation_spark.queries import registry
+
+    import tempfile, os
+    # replay the query body over a crafted 2-day fixture via the
+    # operator path directly (the registry body needs the full table
+    # set; here we pin the rule itself on asof semantics)
+    from pyspark.sql import Window
+    from streaming_recommendation_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 08:00:00", 100),  # day 1: two events
+            (1, "2024-01-01 09:00:00", 101),
+            (1, "2024-01-02 09:00:00", 102),  # day 2 morning event
+            (1, "2024-01-02 10:00:00", 103),  # day 2 label row
+        ],
+        "user_id bigint, ts string, event_id bigint",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    snaps = (
+        ev.groupBy("user_id", F.date_trunc("DAY", "ts").alias("ts"))
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .select(
+            "user_id", "ts",
+            F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("long").alias("u_cum"),
+        )
+    )
+    facts = ev.where(F.col("event_id") == 103).select("user_id", "ts", "event_id")
+    got = asof_join(facts, snaps, on="ts", by="user_id", value_cols=["u_cum"]).collect()[0]
+    # day-2 snapshot = 2 (day 1's events); the 09:00 same-day event
+    # and the label itself are excluded
+    assert got.u_cum == 2
