@@ -636,22 +636,31 @@ def kmeans_refined_landmarks(
         r["__lid"]: list(r["__qc"]) for r in seeds.collect()
     }
     for _ in range(n_iter):
-        cdf = spark.createDataFrame(
-            [(lid, qc) for lid, qc in sorted(cents.items())],
-            f"__lid long, __qc array<long>",
+        # assignment is a map-side argmin against plan-literal
+        # centroids (the ivf_pq_adc_knn recipe): array_min over
+        # struct(d, lid) picks min distance, ties to the smaller lid —
+        # exactly the old crossJoin + top-1-window semantics, without
+        # materializing k x |corpus| rows or the per-vector window
+        # shuffle (guide §2.4). Update shuffle (lid, dim) unchanged.
+        structs = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "__qv",
+                            F.array(*[F.lit(v).cast("long") for v in qc]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    F.lit(lid).cast("long").alias("c"),
+                )
+                for lid, qc in sorted(cents.items())
+            ]
         )
-        scored = qv.crossJoin(F.broadcast(cdf)).select(
-            "__vid",
-            "__qv",
-            "__lid",
-            F.aggregate(
-                F.zip_with("__qv", "__qc", lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ).alias("__d"),
-        )
-        best = top_k_per_group(
-            scored, 1, ["__vid"], F.col("__d").asc(), F.col("__lid").asc()
+        best = qv.select(
+            F.array_min(structs)["c"].alias("__lid"), "__qv"
         )
         stats = (
             best.select("__lid", F.posexplode("__qv").alias("__dim", "__val"))
@@ -1006,33 +1015,58 @@ def _pq_train_quantized(
         .limit(k)
         .collect()
     )
-    books: list[list[list[int]]] = []  # books[s][cid] = centroid slice
-    for s in range(m):
-        cents = [list(r["__qv"][s * sub : (s + 1) * sub]) for r in seed_rows]
-        for _ in range(n_iter):
-            sl = F.slice("__qv", s * sub + 1, sub)
-            best = qv.select(
-                F.array_min(_int_l2_structs(sl, cents))["c"].alias("__cid"),
-                sl.alias("__sl"),
+    # books[s][cid] = centroid slice. Subspaces are INDEPENDENT (a
+    # subspace's Lloyd round never reads another's centroids), so the
+    # per-(subspace, round) update jobs batch into ONE job per round:
+    # each round scans qv once and updates every subspace's centroids
+    # (m*n_iter+1 jobs -> n_iter+1, and m scans -> 1 per round —
+    # guide §2.4 "remove passes"). Per-(subspace, cid, dim) sums and
+    # counts are grouped exactly as the per-subspace jobs grouped
+    # them, so the trained books are bit-identical.
+    books: list[list[list[int]]] = [
+        [list(r["__qv"][s * sub : (s + 1) * sub]) for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(n_iter):
+        per_sub = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.array_min(
+                        _int_l2_structs(
+                            F.slice("__qv", s * sub + 1, sub), books[s]
+                        )
+                    )["c"].alias("cid"),
+                    F.slice("__qv", s * sub + 1, sub).alias("sl"),
+                )
+                for s in range(m)
+            ]
+        )
+        stats = (
+            qv.select(F.explode(per_sub).alias("__x"))
+            .select(
+                F.col("__x.s").alias("__sub"),
+                F.col("__x.cid").alias("__cid"),
+                F.posexplode("__x.sl").alias("__dim", "__val"),
             )
-            stats = (
-                best.select("__cid", F.posexplode("__sl").alias("__dim", "__val"))
-                .groupBy("__cid", "__dim")
-                .agg(F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__n"))
-                .collect()
-            )
-            new = {}
-            for r in stats:
-                vec = new.setdefault(r["__cid"], [0] * sub)
-                # TRUNCATING int division (DuckDB BIGINT // semantics;
-                # Python // floors — they differ on NEGATIVE sums, which
-                # the ivf_pq_adc_knn RESIDUAL path produces; raw-vector
-                # quantized sums are non-negative, so q188/q189 are
-                # bit-identical either way)
-                s_, n_ = r["__s"], r["__n"]
-                vec[r["__dim"]] = -((-s_) // n_) if s_ < 0 else s_ // n_
-            cents = [new.get(cid, c) for cid, c in enumerate(cents)]
-        books.append(cents)
+            .groupBy("__sub", "__cid", "__dim")
+            .agg(F.sum("__val").alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        new: list[dict[int, list[int]]] = [{} for _ in range(m)]
+        for r in stats:
+            vec = new[r["__sub"]].setdefault(r["__cid"], [0] * sub)
+            # TRUNCATING int division (DuckDB BIGINT // semantics;
+            # Python // floors — they differ on NEGATIVE sums, which
+            # the ivf_pq_adc_knn RESIDUAL path produces; raw-vector
+            # quantized sums are non-negative, so q188/q189 are
+            # bit-identical either way)
+            s_, n_ = r["__s"], r["__n"]
+            vec[r["__dim"]] = -((-s_) // n_) if s_ < 0 else s_ // n_
+        books = [
+            [new[s].get(cid, c) for cid, c in enumerate(books[s])]
+            for s in range(m)
+        ]
     return books
 
 
