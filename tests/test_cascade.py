@@ -233,3 +233,49 @@ def test_category_capped_topk_greedy_equivalence(spark):
         ).collect()
     )
     assert got == [(1, 10, 0, 1), (2, 11, 0, 2), (3, 13, 1, 4), (4, 15, 2, 6)]
+
+
+def test_vectorized_recall_matches_jvm(cascade_inputs):
+    """Round-12 optimization pin: the numpy-vectorized brute recall
+    (cogroup + exact left-fold scoring, the default when no custom
+    recall_score is given) is bit-identical to the crossJoin+window
+    JVM reference at every cascade stage — same floats, same
+    (score desc, item_id asc) tie-breaks, same final lists."""
+    from streaming_recommendation_spark.cascade.recommend import (
+        _vectorized_brute_recall,
+    )
+
+    users, items, history = cascade_inputs
+    cfg = CascadeConfig(k_recall=50, k_rank=25, k_rerank=12, k_final=5)
+    vec = recommend(users, items, history, cfg, recall_strategy="brute")
+    jvm = recommend(users, items, history, cfg, recall_strategy="brute_jvm")
+    assert sorted(map(tuple, vec.collect())) == sorted(map(tuple, jvm.collect()))
+    # the recall stage itself (before downstream cuts) selects the
+    # exact same (user, item) candidate set
+    got = sorted(
+        map(tuple, _vectorized_brute_recall(users, items, 37).collect())
+    )
+    from pyspark.sql import functions as SF
+    from streaming_recommendation_spark.cascade.recommend import (
+        _default_recall_score,
+    )
+    from streaming_recommendation_spark.operators.topk import top_k_per_group
+
+    scored = users.crossJoin(SF.broadcast(items)).select(
+        "user_id", "item_id", _default_recall_score().alias("recall_score")
+    )
+    ref = sorted(
+        map(
+            tuple,
+            top_k_per_group(
+                scored,
+                37,
+                ["user_id"],
+                SF.col("recall_score").desc(),
+                SF.col("item_id").asc(),
+            )
+            .select("user_id", "item_id")
+            .collect(),
+        )
+    )
+    assert got == ref
