@@ -941,48 +941,57 @@ def trained_rerank(
     rerank_pair_features; training is ONE tiny aggregate over
     |queries| x k_in rows; the 1-row weight frame broadcasts back
     into the scoring projection."""
+    from pyspark.sql import Window
+
     from .topk import top_k_per_group
 
     feat = rerank_pair_features(df, candidates, text_col, id_col)
-    lab = feat.join(
-        F.broadcast(truth.select("query_doc", id_col)),
-        ["query_doc", id_col],
-        "left_semi",
-    ).withColumn("__y", F.lit(1))
+    # Round-12 optimization: the old shape referenced ``feat`` three
+    # times (a left_semi labeling pass, the labeled frame for the
+    # weight aggregate, and again for scoring), re-inlining the whole
+    # feature/candidate subtree per reference (no common-subtree
+    # sharing in a Catalyst tree — guide §2.4). Labels now come from
+    # ONE direct left join against the (unique-per-pair) truth list,
+    # and the 8 training sums ride a single whole-frame window over
+    # the |queries| x k_in feature rows — the documented tiny-window
+    # exception (the frame is candidate-bounded, never corpus-sized)
+    # — so ``feat`` is evaluated exactly once. Same integer sums,
+    # same weights, same ranking (oracle-re-proven q225/q226/q229+).
     feat_l = feat.join(
-        F.broadcast(lab.select("query_doc", id_col, "__y")),
+        F.broadcast(
+            # distinct: keeps the old semi-join's duplicate-proofness
+            # should a caller hand a non-unique truth list
+            truth.select("query_doc", id_col)
+            .distinct()
+            .withColumn("__y", F.lit(1))
+        ),
         ["query_doc", id_col],
         "left",
     ).withColumn("__y", F.coalesce("__y", F.lit(0)))
     pos = F.col("__y") == 1
-    agg = feat_l.agg(
-        F.sum(F.when(pos, F.col("n_overlap")).otherwise(F.lit(0))).alias("s1_ov"),
-        F.sum(F.when(~pos, F.col("n_overlap")).otherwise(F.lit(0))).alias("s0_ov"),
-        F.sum(F.when(pos, F.col("rrf_ppm")).otherwise(F.lit(0))).alias("s1_rrf"),
-        F.sum(F.when(~pos, F.col("rrf_ppm")).otherwise(F.lit(0))).alias("s0_rrf"),
-        F.sum(F.when(pos, F.col("n_tokens")).otherwise(F.lit(0))).alias("s1_len"),
-        F.sum(F.when(~pos, F.col("n_tokens")).otherwise(F.lit(0))).alias("s0_len"),
-        F.sum(F.col("__y").cast("long")).alias("n1"),
-        F.sum((F.lit(1) - F.col("__y")).cast("long")).alias("n0"),
-    )
-    w = agg.select(
-        (F.col("s1_ov") * F.col("n0") - F.col("s0_ov") * F.col("n1"))
-        .cast("long")
-        .alias("w_overlap"),
-        (F.col("s1_rrf") * F.col("n0") - F.col("s0_rrf") * F.col("n1"))
-        .cast("long")
-        .alias("w_rrf"),
-        (F.col("s1_len") * F.col("n0") - F.col("s0_len") * F.col("n1"))
-        .cast("long")
-        .alias("w_len"),
-    )
-    scored = feat_l.crossJoin(F.broadcast(w)).withColumn(
-        "rerank_score",
-        (
-            F.col("w_overlap") * F.col("n_overlap")
-            + F.col("w_rrf") * F.col("rrf_ppm")
-            + F.col("w_len") * F.col("n_tokens")
-        ).cast("long"),
+    wall = Window.partitionBy()
+    s1_ov = F.sum(F.when(pos, F.col("n_overlap")).otherwise(F.lit(0))).over(wall)
+    s0_ov = F.sum(F.when(~pos, F.col("n_overlap")).otherwise(F.lit(0))).over(wall)
+    s1_rrf = F.sum(F.when(pos, F.col("rrf_ppm")).otherwise(F.lit(0))).over(wall)
+    s0_rrf = F.sum(F.when(~pos, F.col("rrf_ppm")).otherwise(F.lit(0))).over(wall)
+    s1_len = F.sum(F.when(pos, F.col("n_tokens")).otherwise(F.lit(0))).over(wall)
+    s0_len = F.sum(F.when(~pos, F.col("n_tokens")).otherwise(F.lit(0))).over(wall)
+    n1 = F.sum(F.col("__y").cast("long")).over(wall)
+    n0 = F.sum((F.lit(1) - F.col("__y")).cast("long")).over(wall)
+    scored = (
+        feat_l.withColumn(
+            "w_overlap", (s1_ov * n0 - s0_ov * n1).cast("long")
+        )
+        .withColumn("w_rrf", (s1_rrf * n0 - s0_rrf * n1).cast("long"))
+        .withColumn("w_len", (s1_len * n0 - s0_len * n1).cast("long"))
+        .withColumn(
+            "rerank_score",
+            (
+                F.col("w_overlap") * F.col("n_overlap")
+                + F.col("w_rrf") * F.col("rrf_ppm")
+                + F.col("w_len") * F.col("n_tokens")
+            ).cast("long"),
+        )
     )
     return top_k_per_group(
         scored,
@@ -1598,6 +1607,7 @@ def graded_ndcg_at_k(
     truth: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
+    retrievers: "list[str] | tuple[str, ...] | None" = None,
 ) -> DataFrame:
     """Graded-relevance nDCG@k over ranked retrieval lists — the
     relevance-dashboard number (Jarvelin & Kekalainen 2002) the
@@ -1655,11 +1665,23 @@ def graded_ndcg_at_k(
         .groupBy("query_doc")
         .agg(F.sum("__term").alias("idcg_ppm"))
     )
-    grid = (
-        lists.select("retriever")
-        .distinct()
-        .crossJoin(F.broadcast(truth.select("query_doc").distinct()))
-    )
+    # The zero-fill grid needs only the DISTINCT retriever tags, but
+    # deriving them from ``lists`` re-inlines the whole lists subtree
+    # (for the ablation queries: every retriever leg again) just to
+    # read back the literal tags the caller attached. Callers that
+    # tag legs with literals pass them via ``retrievers`` and the
+    # grid side becomes a local relation — round-12 optimization,
+    # guide §2.4 (remove recompute); the result is identical provided
+    # the list equals the actual distinct tag set (each caller's legs
+    # are non-empty top-k lists by construction, re-proven against
+    # the oracles).
+    if retrievers is not None:
+        rdf = lists.sparkSession.createDataFrame(
+            [(r,) for r in retrievers], "retriever string"
+        )
+    else:
+        rdf = lists.select("retriever").distinct()
+    grid = rdf.crossJoin(F.broadcast(truth.select("query_doc").distinct()))
     return (
         grid.join(F.broadcast(idcg), "query_doc")
         .join(F.broadcast(dcg), ["retriever", "query_doc"], "left")

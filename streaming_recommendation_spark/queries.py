@@ -13501,7 +13501,10 @@ def q229_graded_ndcg_readout(spark, sf_dir):
         F.col("rerank").alias("rank"),
     )
     lists = bm.unionByName(hybrid).unionByName(rerank).unionByName(trained)
-    return text.graded_ndcg_at_k(lists, truth, k=5)
+    return text.graded_ndcg_at_k(
+        lists, truth, k=5,
+        retrievers=["bm25", "hybrid", "rerank", "trained"],
+    )
 
 
 @register(
@@ -13677,7 +13680,9 @@ def q231_diversity_tradeoff_readout(spark, sf_dir):
     truth = text.doc_jaccard_topk(
         docs, F.col("doc_id") < 3, k=5, include_rank=True
     )
-    ndcg = text.graded_ndcg_at_k(lists, truth, k=5).select(
+    ndcg = text.graded_ndcg_at_k(
+        lists, truth, k=5, retrievers=["relevance", "mmr"]
+    ).select(
         "retriever", "query_doc", "ndcg_ppm"
     )
     sims = text.candidate_pair_sims(docs, cand)
@@ -14035,7 +14040,9 @@ def q235_cascade_graded_ndcg(spark, sf_dir):
         "item_id",
         F.col("rank").cast("int").alias("rank"),
     )
-    return graded_ndcg_at_k(lists, truth, k=10, id_col="item_id")
+    return graded_ndcg_at_k(
+        lists, truth, k=10, id_col="item_id", retrievers=["cascade"]
+    )
 
 
 @register(
@@ -14583,7 +14590,10 @@ def q242_maxsim_ablation(spark, sf_dir):
         .unionByName(trained)
         .unionByName(maxsim)
     )
-    return text.graded_ndcg_at_k(lists, truth, k=5)
+    return text.graded_ndcg_at_k(
+        lists, truth, k=5,
+        retrievers=["bm25", "hybrid", "rerank", "trained", "maxsim"],
+    )
 
 
 def _interleave_oracle(k=6):
