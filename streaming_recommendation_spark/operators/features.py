@@ -200,22 +200,47 @@ def embedding_covariance(
         F.col(vec_col),
         lambda x: F.round(x.cast("double") * F.lit(int(scale))).cast("long"),
     )
-    terms = F.explode(
-        F.flatten(
-            F.transform(
-                q,
-                lambda xi, i: F.transform(
-                    q,
-                    lambda xj, j: F.struct(
-                        i.alias("i"), j.alias("j"), (xi * xj).alias("xy")
-                    ),
-                ),
+
+    # Round-12 optimization (guide §4.2): the d^2-struct-per-row
+    # explode + hash aggregate spent the whole query interpreting
+    # nested transforms (8M structs at sf0.1). The pair sums are
+    # EXACT int64 and integer addition is order-free, so one
+    # mapInArrow computing Q^T Q per batch (numpy int64 matmul —
+    # exact, wrap-on-overflow identical to Spark long) yields
+    # identical sums; each task emits d^2 partial rows, the one
+    # shuffle aggregates partitions x d^2 rows exactly as before.
+    # The QUANTIZATION stays in Catalyst (the q88 half-away-from-zero
+    # round) so no float-rounding semantics cross the boundary.
+    def _outer_sums(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        S = None
+        for batch in batches:
+            lst = batch.column(0)
+            n = len(lst)
+            if n == 0:
+                continue
+            flat = lst.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) % n:
+                raise ValueError("embedding_covariance: ragged vectors")
+            Q = flat.reshape(n, len(flat) // n)
+            S = Q.T @ Q if S is None else S + Q.T @ Q
+        if S is not None:
+            d = S.shape[0]
+            idx = np.indices((d, d))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(idx[0].ravel(), type=pa.int32()),
+                    pa.array(idx[1].ravel(), type=pa.int32()),
+                    pa.array(S.ravel(), type=pa.int64()),
+                ],
+                names=["i", "j", "xy"],
             )
-        )
-    )
+
     pair_sums = (
-        df.select(terms.alias("t"))
-        .select("t.i", "t.j", "t.xy")
+        df.select(q.alias("__q"))
+        .mapInArrow(_outer_sums, "i int, j int, xy long")
         .groupBy("i", "j")
         .agg(F.sum("xy").alias("__sxy"))
     )
