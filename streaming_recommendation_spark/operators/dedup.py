@@ -24,6 +24,8 @@ exact pipeline.
 
 from __future__ import annotations
 
+import numpy as np
+
 import hashlib
 
 from pyspark.sql import DataFrame
@@ -234,8 +236,10 @@ def minhash_signatures(
             sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
         ).alias("__h"),
     )
-    a_arr = F.array(*[F.lit(a) for a, _ in params])
-    b_arr = F.array(*[F.lit(b) for _, b in params])
+    # single-literal-node arrays (np literals) — the per-element
+    # F.lit construction cost showed up as driver planning time
+    a_arr = F.lit(np.asarray([a for a, _ in params], dtype="int64"))
+    b_arr = F.lit(np.asarray([b for _, b in params], dtype="int64"))
     sig = F.aggregate(
         F.col("__h"),
         F.array_repeat(F.lit(MH_PRIME).cast("long"), num_hashes),

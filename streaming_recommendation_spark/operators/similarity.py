@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -272,7 +274,9 @@ def srp_bucket(vec_col, planes: list[list[float]]):
     """Sign-random-projection bucket id (0..2^P-1) as a Column."""
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        # ONE literal node per plane (np literal), not dim Column
+        # objects — guide §7.3 planning cost; values identical
+        lit_plane = F.lit(np.asarray(plane, dtype="float64"))
         d = F.aggregate(
             F.zip_with(vec_col, lit_plane, lambda a, b: a * b),
             F.lit(0.0),
@@ -642,22 +646,21 @@ def kmeans_refined_landmarks(
         # exactly the old crossJoin + top-1-window semantics, without
         # materializing k x |corpus| rows or the per-vector window
         # shuffle (guide §2.4). Update shuffle (lid, dim) unchanged.
-        structs = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            "__qv",
-                            F.array(*[F.lit(v).cast("long") for v in qc]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    F.lit(lid).cast("long").alias("c"),
-                )
-                for lid, qc in sorted(cents.items())
-            ]
+        items = sorted(cents.items())
+        lid_arr = F.lit(np.asarray([lid for lid, _ in items], dtype="int64"))
+        cent_arr = F.array(
+            *[F.lit(np.asarray(qc, dtype="int64")) for _, qc in items]
+        )
+        structs = F.transform(
+            cent_arr,
+            lambda c, i: F.struct(
+                F.aggregate(
+                    F.zip_with("__qv", c, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.element_at(lid_arr, i + 1).alias("c"),
+            ),
         )
         best = qv.select(
             F.array_min(structs)["c"].alias("__lid"), "__qv"
@@ -954,23 +957,27 @@ def _pq_quantized(corpus, dim, scale, offset, id_col, vec_col):
 def _int_l2_structs(sl, cents: list[list[int]]):
     """array<struct<d,c>> of exact-int64 squared L2 distances from the
     ``sl`` slice to each plan-literal centroid — array_min over it is
-    the deterministic argmin (ties toward the smaller centroid id)."""
-    return F.array(
-        *[
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        sl,
-                        F.array(*[F.lit(v).cast("long") for v in c]),
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, v: acc + v,
-                ).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, c in enumerate(cents)
-        ]
+    the deterministic argmin (ties toward the smaller centroid id).
+
+    Built as ONE transform-with-index over an array of single-node
+    numpy literals (k+2 Py4J calls instead of ~4k Column
+    constructions + k zip_with/aggregate lambda pairs): the
+    per-centroid distance fold, the struct fields (d long, c int)
+    and the argmin tie semantics are identical — the construction
+    cost of this expression was the dominant driver-side term in
+    every PQ/IVF plan (round-12 measurement: ~1 s per argmin at
+    k=16, dim=64)."""
+    cent_arr = F.array(*[F.lit(np.asarray(c, dtype="int64")) for c in cents])
+    return F.transform(
+        cent_arr,
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(sl, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d"),
+            i.alias("c"),
+        ),
     )
 
 
@@ -1187,12 +1194,7 @@ def pq_adc_from_codes(
         F.col("__vid").alias(query_id_col), F.col("__qv").alias("__qq")
     )
     cent_arrays = [
-        F.array(
-            *[
-                F.array(*[F.lit(v).cast("long") for v in c])
-                for c in books[s]
-            ]
-        )
+        F.array(*[F.lit(np.asarray(c, dtype="int64")) for c in books[s]])
         for s in range(m)
     ]
     dists = [
@@ -1297,7 +1299,7 @@ def ivf_pq_adc_knn(
     )
     lcents = [list(r["__qv"]) for r in lrows]
     lcent_arr = F.array(
-        *[F.array(*[F.lit(v).cast("long") for v in c]) for c in lcents]
+        *[F.lit(np.asarray(c, dtype="int64")) for c in lcents]
     )
 
     def _resid(vec_expr, cell_expr):
@@ -1346,9 +1348,7 @@ def ivf_pq_adc_knn(
         )
     )
     cent_arrays = [
-        F.array(
-            *[F.array(*[F.lit(v).cast("long") for v in c]) for c in books[s]]
-        )
+        F.array(*[F.lit(np.asarray(c, dtype="int64")) for c in books[s]])
         for s in range(m)
     ]
     dists = [
