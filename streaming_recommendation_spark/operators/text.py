@@ -1525,12 +1525,15 @@ def mmr_diversify(
     greedy rounds run over those tiny frames, localCheckpointed once
     so the round loop doesn't re-evaluate the upstream fusion per
     round."""
+    # candidate-bounded frames: coalesce(1) so each greedy round's
+    # eager checkpoint is a 1-task job, not a 32-partition layout
+    # (round-12: the rounds were scheduling-overhead-bound)
     cand = candidates.select(
         "query_doc", id_col, "rrf_ppm"
+    ).coalesce(1).localCheckpoint(eager=True)
+    sims = candidate_pair_sims(df, cand, text_col, id_col).coalesce(
+        1
     ).localCheckpoint(eager=True)
-    sims = candidate_pair_sims(df, cand, text_col, id_col).localCheckpoint(
-        eager=True
-    )
     wrel = F.lit(w_rel).cast("long")
     wred = F.lit(w_red).cast("long")
     from pyspark.sql import Window
@@ -1547,6 +1550,7 @@ def mmr_diversify(
             F.lit(1).cast("int").alias("mmr_rank"),
             (wrel * F.col("rrf_ppm")).cast("long").alias("mmr_score"),
         )
+        .coalesce(1)
         .localCheckpoint(eager=True)
     )
     for r in range(2, k + 1):
@@ -1586,7 +1590,7 @@ def mmr_diversify(
                 "mmr_score",
             )
         )
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        sel = sel.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
     return sel
 
 
@@ -1902,7 +1906,9 @@ def team_draft_interleave(
     b = list_b.select(
         "query_doc", id_col, F.col("rank").cast("long").alias("__rb")
     )
-    cand = a.join(b, ["query_doc", id_col], "full_outer").localCheckpoint(
+    cand = a.join(b, ["query_doc", id_col], "full_outer").coalesce(
+        1
+    ).localCheckpoint(
         eager=True
     )
     sel = None
@@ -1932,7 +1938,7 @@ def team_draft_interleave(
         sel = (
             pick
             if sel is None
-            else sel.unionByName(pick).localCheckpoint(eager=True)
+            else sel.unionByName(pick).coalesce(1).localCheckpoint(eager=True)
         )
     return sel
 
