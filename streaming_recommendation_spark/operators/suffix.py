@@ -8,10 +8,9 @@ in principle merge distinct grams and (b) the shuffle ships an
 md5 per corpus position. This module is the collision-FREE variant
 built on the classic suffix-array construction idea:
 
-  * round 0: dense-rank every token (dict_encode — the scale-safe
-    global rank with no single-partition funnel);
+  * round 0: give every distinct token an id (the rank);
   * round k: the rank of the 2^k-token block at position p is the
-    dense rank of the PAIR (rank_{k-1}[p], rank_{k-1}[p + 2^(k-1)]) —
+    id of the PAIR (rank_{k-1}[p], rank_{k-1}[p + 2^(k-1)]) —
     Karp-Miller-Rosenberg / prefix doubling. Two equal block ranks
     mean the underlying token blocks are IDENTICAL, by induction, with
     no hashing anywhere.
@@ -19,15 +18,30 @@ built on the classic suffix-array construction idea:
     standard overlapping trick: (rank_k[p], rank_k[p + L - 2^k]) with
     2^k the largest power of two <= L.
 
-Scale shape: ceil(log2(L)) rounds, each = one distinct + range-
-partitioned rank assignment over the (shrinking-alphabet) key table
-plus one positional self-equi-join on (doc, pos) — every shuffle is
-keyed by (doc, pos) or by a fixed-width rank pair; nothing ever
-ships L-token strings. Driver traffic per round is n_partitions
-integers (dict_encode's offsets), the same bounded collect MLlib
-fit() steps make. For L=16 that is 5 rounds; the hashed n-gram pass
-is 1 round — this is the exactness-for-rounds tradeoff, and why both
-operators exist.
+Rank representation (OPTIMIZATION_r12): downstream only ever compares
+ranks for EQUALITY — the operators' outputs are per-doc counts of
+duplicated positions, never rank values — so the rank does not need
+to be a dense 0..n-1 integer (the original dict_encode route: one
+range repartition + a driver offset collect + a second execution per
+round). Any injective key -> id map works; the MINIMUM occurrence
+(id, pos) struct of each key is such a map (the same canonical-
+representative trick connected components uses), computable with ONE
+groupBy and ONE co-partitioned join back per round, no driver sync.
+"Past the document end" is a NULL rank (structs with null fields
+group together, so truncated blocks still compare equal exactly when
+their real prefixes do).
+
+Scale shape: ceil(log2(L)) rounds, each = one checkpointed
+repartition by the fixed-width rank-pair key, one partial-aggregated
+groupBy and one zero-exchange join on that layout, plus one
+positional self-equi-join on (doc, pos) — every shuffle is keyed by
+(doc, pos) or by the rank pair; nothing ever ships L-token strings
+and nothing touches the driver. Hot keys (stop-word tokens in round
+0) ride the groupBy's map-side partial aggregation; the join-back
+fans the rank out to occurrences within the key's partition, the
+same per-key locality the previous sort-merge join had. For L=16
+that is 5 rounds; the hashed n-gram pass is 1 round — this is the
+exactness-for-rounds tradeoff, and why both operators exist.
 
 Reference: Lee et al. 2022 §4.1 (ExactSubstr); Karp-Miller-Rosenberg
 1972 for the doubling construction.
@@ -40,12 +54,31 @@ from pyspark.sql import functions as F
 
 from ..plans.audit import checkpoint_partitioned
 from .dedup import normalize_text, span_coverage, spread
-from .encode import dict_encode
 
-# sentinel rank for "past the end of the document": dict_encode ranks
-# are >= 0, so -1 never collides with a real block rank, and two
-# truncated blocks compare equal only when their real prefixes do
-PAST_END = -1
+
+def _rep_rank(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    rank_col: str,
+    min_count: int = 1,
+) -> DataFrame:
+    """(key -> min struct(id, pos) over the key's occurrences): an
+    injective key -> rank map (distinct keys get distinct minimum
+    occurrences). ``min_count`` drops keys occurring fewer times — the
+    survivor pruning of the doubling rounds, folded into the same
+    groupBy. ``df`` should already be partitioned by ``key_col`` (the
+    callers checkpoint that layout) so both this groupBy and the join
+    back are exchange-free."""
+    agg = df.groupBy(key_col).agg(
+        F.min(
+            F.struct(F.col(id_col).alias("__ri"), F.col("pos").alias("__rp"))
+        ).alias(rank_col),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    if min_count > 1:
+        agg = agg.where(F.col("__cnt") >= min_count)
+    return agg.select(key_col, rank_col)
 
 
 def token_rank_table(
@@ -54,20 +87,20 @@ def token_rank_table(
     id_col: str = "doc_id",
     repartition: int | bool | None = None,
 ) -> DataFrame:
-    """(id, pos, r): dense rank of each token occurrence, position
-    0-based within its (normalized) document."""
+    """(id, pos, r): rank of each token occurrence (equality <=> same
+    token), position 0-based within its (normalized) document."""
     words = F.split(normalize_text(F.col(text_col)), " ")
     toks = checkpoint_partitioned(
-        spread(df, repartition).select(
-            F.col(id_col), F.posexplode(words).alias("pos", "__tok")
-        )
+        spread(df, repartition)
+        .select(F.col(id_col), F.posexplode(words).alias("pos", "__tok"))
+        .repartition("__tok")
     )
-    vocab = dict_encode(toks, "__tok", index_col="r")
+    vocab = _rep_rank(toks, "__tok", id_col, "r")
     return toks.join(vocab, "__tok").select(id_col, "pos", "r")
 
 
 def _rank_at_offset(ranks: DataFrame, id_col: str, offset: int):
-    """ranks joined to itself at ``pos + offset`` (left; PAST_END when
+    """ranks joined to itself at ``pos + offset`` (left; NULL rank when
     the offset runs past the document end)."""
     shifted = ranks.select(
         F.col(id_col),
@@ -75,10 +108,7 @@ def _rank_at_offset(ranks: DataFrame, id_col: str, offset: int):
         F.col("r").alias("__r2"),
     )
     return ranks.join(shifted, [id_col, "pos"], "left").select(
-        F.col(id_col),
-        "pos",
-        "r",
-        F.coalesce("__r2", F.lit(PAST_END)).alias("__r2"),
+        F.col(id_col), "pos", "r", F.col("__r2")
     )
 
 
@@ -91,18 +121,18 @@ def prefix_doubling_ranks(
     return_rounds: bool = False,
 ) -> DataFrame | list[DataFrame]:
     """Iterate rank doubling: after ``rounds`` rounds, ``r`` is the
-    dense rank of the 2^rounds-token block starting at each position
-    (blocks running past the document end rank by their truncated
-    prefix). Input is round 0 (token ranks).
+    rank of the 2^rounds-token block starting at each position — rank
+    equality <=> block equality (blocks running past the document end
+    rank by their truncated prefix). Input is round 0 (token ranks).
 
     ITERATIVE operator policy (same as pagerank/connected_components):
-    each round's output materializes via checkpoint — dict_encode runs
-    several jobs (distinct, range-sampling, offset collect, join) over
-    the round's pair table, and without the checkpoint every job would
-    replay all prior rounds, turning O(log L) rounds into quadratic
-    (and, with AQE re-coalescing per execution, NONdeterministic)
-    recompute. The checkpoint keys the layout by (id, pos), which the
-    positional self-join of the next round reuses.
+    each round materializes two checkpoints — the pair table keyed by
+    the rank-pair key (the rank groupBy and the join back share that
+    one layout, zero further exchanges), and the re-ranked output
+    keyed by (id, pos), which the positional self-join of the next
+    round reuses. Without the checkpoints every round would replay
+    all prior rounds, turning O(log L) rounds into quadratic (and,
+    with AQE re-coalescing per execution, NONdeterministic) recompute.
 
     ``prune_unique=True`` is the scale mode used by
     ``exact_substring_duplicates``: a position whose 2^k-block rank is
@@ -129,13 +159,21 @@ def prefix_doubling_ranks(
     for k in range(rounds):
         joined = _rank_at_offset(ranks, id_col, 1 << k)
         if prune_unique:
-            joined = joined.where(F.col("__r2") != PAST_END)
-        paired = joined.withColumn("__key", F.struct("r", "__r2"))
+            joined = joined.where(F.col("__r2").isNotNull())
+        # checkpoint the pair table PARTITIONED BY KEY: the rank
+        # groupBy and the join back both reuse that layout, so the
+        # round's only other exchanges are the positional self-join
+        # and the (id, pos) repartition for the next round
+        paired = checkpoint_partitioned(
+            joined.withColumn("__key", F.struct("r", "__r2"))
+            .select(id_col, "pos", "__key")
+            .repartition("__key")
+        )
         # min_count=2 folds survivor pruning into the rank-vocabulary
         # groupBy (one pass); the inner join back then drops unique
         # positions automatically
-        vocab = dict_encode(
-            paired, "__key", index_col="__nr",
+        vocab = _rep_rank(
+            paired, "__key", id_col, "__nr",
             min_count=2 if prune_unique else 1,
         )
         ranks = checkpoint_partitioned(
@@ -196,12 +234,13 @@ def exact_substring_duplicates(
             id_col, "pos", F.struct("r", F.col("r").alias("__r2")).alias("__key")
         )
     else:
-        keyed = _rank_at_offset(ranks, id_col, min_len - block).select(
-            id_col, "pos", F.struct("r", "__r2").alias("__key")
-        )
-        # a null-coalesced PAST_END means the trailing block was pruned
+        # a NULL trailing rank means the trailing block was pruned
         # (unique) or truncated — the window cannot repeat
-        keyed = keyed.where(F.col("__r2") != PAST_END)
+        keyed = (
+            _rank_at_offset(ranks, id_col, min_len - block)
+            .where(F.col("__r2").isNotNull())
+            .select(id_col, "pos", F.struct("r", "__r2").alias("__key"))
+        )
 
     dup_keys = (
         keyed.groupBy("__key")

@@ -112,36 +112,55 @@ def locf_fill(
     empty buckets carry the last observed value forward. Returns
     (key, bucket_start, value, is_observed).
 
-    Scale shape: the grid generates JVM-side per key (``sequence`` +
-    explode — its size is the key's time span over bucket_seconds,
-    independent of event count); the fill is one per-key window
-    running ``last(ignorenulls)`` over the grid, never a self-join.
-    Grid size is the one lever to watch: span/bucket_seconds rows per
-    key — pick the bucket so the DENSE series, not the event count,
-    fits the downstream budget (the dense output is the product; if
-    it is too big, the bucket is too fine)."""
+    Scale shape (OPTIMIZATION_r12): ONE per-key window over the
+    SPARSE observations (``lead`` finds each observation's successor
+    bucket), then the dense grid generates map-side — each
+    observation explodes into the buckets of its own run
+    [bucket, next_bucket), carrying its value, so the DENSE rows
+    never cross an exchange (the previous span-aggregate +
+    grid/observation equi-join shuffled the dense grid twice). The
+    residual ``last(ignorenulls)`` window only matters when observed
+    values are themselves NULL (a null-valued observation must not
+    terminate the carry of the previous non-null value); it shares
+    the lead window's per-key partitioning, so downstream per-key
+    windows (rolling_stats / rolling_anomalies) add sorts, not
+    shuffles. Grid size is the one lever to watch:
+    span/bucket_seconds rows per key — pick the bucket so the DENSE
+    series, not the event count, fits the downstream budget (the
+    dense output is the product; if it is too big, the bucket is too
+    fine)."""
     o = obs.select(
         key_col, "bucket_start", F.col(value_col).alias("__obs_value")
     )
-    span = o.groupBy(key_col).agg(
-        F.min("bucket_start").alias("__mn"), F.max("bucket_start").alias("__mx")
-    )
-    grid = span.select(
+    w = Window.partitionBy(key_col).orderBy("bucket_start")
+    runs = o.withColumn("__next", F.lead("bucket_start").over(w))
+    dense = runs.select(
         key_col,
+        "__obs_value",
+        F.col("bucket_start").alias("__ob"),
         F.explode(
-            F.sequence(F.col("__mn"), F.col("__mx"), F.lit(bucket_seconds))
+            F.sequence(
+                F.col("bucket_start"),
+                F.coalesce(
+                    F.col("__next") - bucket_seconds, F.col("bucket_start")
+                ),
+                F.lit(bucket_seconds),
+            )
         ).alias("bucket_start"),
     )
-    w = (
+    wf = (
         Window.partitionBy(key_col)
         .orderBy("bucket_start")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return grid.join(o, [key_col, "bucket_start"], "left").select(
+    at_obs = F.col("bucket_start") == F.col("__ob")
+    return dense.select(
         key_col,
         "bucket_start",
-        F.last("__obs_value", ignorenulls=True).over(w).alias(value_col),
-        F.col("__obs_value").isNotNull().alias("is_observed"),
+        F.last(
+            F.when(at_obs, F.col("__obs_value")), ignorenulls=True
+        ).over(wf).alias(value_col),
+        (at_obs & F.col("__obs_value").isNotNull()).alias("is_observed"),
     )
 
 
@@ -188,27 +207,42 @@ def rolling_stats(
     is associative) and the average is ONE division of that exact
     sum; `max` is order-free and stays on the raw doubles.
 
+    Execution shape (OPTIMIZATION_r12): Spark has no retractable
+    aggregates, so a bounded sliding SUM frame re-aggregates its whole
+    buffer on every slide — O(rows x window_rows) per key. The moving
+    sum/count are therefore cumulative sums differenced with ``lag``
+    (exact int64 subtraction, identical values, O(rows)); only the
+    non-invertible ``max`` keeps the sliding frame. All frames share
+    the per-key sort, so the rewrite is the same single window pass.
+
     Returns (key, bucket, value, n_window, moving_sum_cents,
     moving_avg, moving_max). Scale: one per-key window pass over the
     dense series — no self-join; the window state is O(window_rows).
     """
     cents = F.round(F.col(value_col) * cents_scale, 0).cast("long")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(bucket_col)
-        .rowsBetween(-(window_rows - 1), Window.currentRow)
-    )
-    return dense.select(
+    wo = Window.partitionBy(key_col).orderBy(bucket_col)
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wmax = wo.rowsBetween(-(window_rows - 1), Window.currentRow)
+    staged = dense.select(
         key_col,
         bucket_col,
         value_col,
-        F.count(F.lit(1)).over(w).alias("n_window"),
-        F.sum(cents).over(w).alias("moving_sum_cents"),
-        F.round(
-            F.sum(cents).over(w) / (F.lit(cents_scale) * F.count(F.lit(1)).over(w)),
-            6,
-        ).alias("moving_avg"),
-        F.max(value_col).over(w).alias("moving_max"),
+        F.sum(cents).over(wcum).alias("__cum"),
+        F.row_number().over(wo).alias("__rn"),
+        F.max(value_col).over(wmax).alias("__mmax"),
+    )
+    msum = F.col("__cum") - F.coalesce(
+        F.lag("__cum", window_rows).over(wo), F.lit(0)
+    )
+    n = F.least(F.col("__rn"), F.lit(window_rows)).cast("long")
+    return staged.select(
+        key_col,
+        bucket_col,
+        value_col,
+        n.alias("n_window"),
+        msum.alias("moving_sum_cents"),
+        F.round(msum / (F.lit(cents_scale) * n), 6).alias("moving_avg"),
+        F.col("__mmax").alias("moving_max"),
     )
 
 
@@ -242,25 +276,44 @@ def rolling_anomalies(
     zero-variance baseline flags ANY deviation (strict >), which is
     exactly right on LOCF-carried flats.
 
+    Execution shape (OPTIMIZATION_r12): Spark has no retractable
+    aggregates, so the bounded [-window, -1] SUM frames re-aggregate
+    the whole buffer on every slide — O(rows x window) per key. The
+    baseline sums are therefore cumulative sums differenced with
+    ``lag`` (s over [-W, -1] = cum[-1] - cum[-(W+1)], exact int64
+    subtraction, identical values, O(rows)); the baseline count is
+    least(row_number - 1, W). All frames share the per-key sort, so
+    this is still one window pass.
+
     Returns (key, bucket, value, n_baseline, is_anomaly). Scale: one
     per-key window pass over the dense series, O(window) state, no
     self-join — composes with rolling_stats on the same sort."""
     c = F.round(F.col(value_col) * cents_scale, 0).cast("long")
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(bucket_col)
-        .rowsBetween(-window_rows, -1)
-    )
-    n = F.count(F.lit(1)).over(w)
-    s1 = F.sum(c).over(w)
-    s2 = F.sum(c * c).over(w)
-    dev = n * c - s1
-    var_n2 = n * s2 - s1 * s1
-    return dense.select(
+    wo = Window.partitionBy(key_col).orderBy(bucket_col)
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = dense.select(
         key_col,
         bucket_col,
         value_col,
-        # count over an empty frame is 0, never NULL — no coalesce
+        c.alias("__c"),
+        F.sum(c).over(wcum).alias("__cum1"),
+        F.sum(c * c).over(wcum).alias("__cum2"),
+        F.row_number().over(wo).alias("__rn"),
+    )
+    s1 = F.coalesce(F.lag("__cum1", 1).over(wo), F.lit(0)) - F.coalesce(
+        F.lag("__cum1", window_rows + 1).over(wo), F.lit(0)
+    )
+    s2 = F.coalesce(F.lag("__cum2", 1).over(wo), F.lit(0)) - F.coalesce(
+        F.lag("__cum2", window_rows + 1).over(wo), F.lit(0)
+    )
+    # rows in the strictly-preceding frame: all prior rows, capped at W
+    n = F.least(F.col("__rn") - 1, F.lit(window_rows)).cast("long")
+    dev = n * F.col("__c") - s1
+    var_n2 = n * s2 - s1 * s1
+    return staged.select(
+        key_col,
+        bucket_col,
+        value_col,
         n.alias("n_baseline"),
         F.when(
             (n >= min_baseline) & (dev * dev > F.lit(k_sigma * k_sigma) * var_n2),
