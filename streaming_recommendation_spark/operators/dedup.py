@@ -28,7 +28,7 @@ import numpy as np
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import det_hash_str
@@ -470,12 +470,16 @@ def connected_components(
     minimum node id of its connected component.
 
     Iterative min-label propagation: each round every node takes the
-    smallest label among itself and its neighbors (one shuffle — the
-    message groupBy; the label join broadcasts or co-partitions on the
-    same key). Labels decrease monotonically, so the fixpoint is the
-    per-component minimum, reached in O(graph diameter) rounds — for
-    near-dup clusters the diameter is tiny (docs in a cluster share
-    buckets pairwise), so 3-5 rounds is typical.
+    smallest label among itself and its neighbors — implemented as ONE
+    message pass over a neighbor list that includes a self-loop per
+    node, so the per-node min IS the new label and the self entry
+    carries the previous label for change detection (two exchanges per
+    round: the label join against the statically-partitioned edge
+    side, and the message groupBy). Labels decrease monotonically, so
+    the fixpoint is the per-component minimum, reached in O(graph
+    diameter) rounds — for near-dup clusters the diameter is tiny
+    (docs in a cluster share buckets pairwise), so 3-5 rounds is
+    typical.
 
     Scale notes: each round ends in ``localCheckpoint`` to truncate
     lineage (without it, round k replays rounds 1..k-1 and the plan
@@ -495,14 +499,25 @@ def connected_components(
     # propagation round's message join reuses the static edge-side
     # partitioning instead of re-shuffling it (checkpoint_partitioned
     # keeps the layout visible to the planner under AQE)
-    sym = checkpoint_partitioned(
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .union(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .repartition("nbr")
+    base = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
     )
     labels = (
-        sym.select("node").distinct().withColumn("label", F.col("node"))
+        base.select("node").distinct().withColumn("label", F.col("node"))
     ).localCheckpoint()
+    # OPTIMIZATION_r12: a SELF-loop per node folds the whole round
+    # into the one message pass — min over (neighbors + self) IS
+    # least(own label, neighbor min), and the self row carries the
+    # node's previous label, so change detection reads the same
+    # aggregate instead of re-joining old vs new labels. Round cost
+    # drops from 4 exchanges + a join-count job to 2 exchanges
+    # (labels by nbr — the static sym side reuses its checkpointed
+    # layout — and the message groupBy) + the count.
+    sym = checkpoint_partitioned(
+        base.union(
+            labels.select("node", F.col("node").alias("nbr"))
+        ).repartition("nbr")
+    )
     rounds = 0
     # max_iter + 1: detecting the fixpoint costs one extra
     # changed==0 confirmation round after the last label actually
@@ -511,29 +526,21 @@ def connected_components(
     # previously the effective budget was max_iter - 1).
     for _ in range(max_iter + 1):
         rounds += 1
-        # label each neighbor-list entry carries, then the per-node min
-        msgs = (
+        # the label each (neighbor + self) entry carries, then the
+        # per-node min; the self entry's label is the previous label
+        new_labels = (
             sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
             .groupBy("node")
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(msgs, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_min", "label")
-                ).alias("label"),
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("nbr") == F.col("node"), F.col("label"))
+                ).alias("__prev"),
             )
         ).localCheckpoint()
         # labels only ever decrease -> strict < detects any change
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") < F.col("__prev")).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
@@ -585,11 +592,12 @@ def connected_components_star(
     600-node per-nation chains of q129 measured 11 -> 6 rounds with
     the jump (bench note, NOTES_ROUND5.md).
 
-    Scale notes: each half-step is one groupBy (min per node) plus
-    one co-keyed join — the same single-shuffle shape as a
-    propagation round, and the edge multiset never grows (large-star
-    emits only v>u edges, small-star only re-parents). Lineage is
-    truncated per round with ``localCheckpoint``. Use this variant
+    Scale notes: each half-step is one star-keyed WINDOW aggregate
+    (min per node, computed in place — no join back), the pointer
+    jump is the round's only self-join, and the edge multiset never
+    grows (large-star emits only v>u edges, small-star only
+    re-parents). Lineage is truncated with ONE ``localCheckpoint``
+    per round, after the jump. Use this variant
     when cluster chains can be long (transitive near-dup chains,
     entity resolution); ``connected_components`` keeps a better
     constant factor for shallow LSH-cluster graphs.
@@ -621,33 +629,45 @@ def connected_components_star(
         if converged:
             break
         rounds += 1
+        # OPTIMIZATION_r12: each half-star's min-per-node is a WINDOW
+        # aggregate over the star key instead of a groupBy + join back
+        # — one exchange per half-step instead of three (the groupBy,
+        # the probe side, the dedup), and the round materializes ONE
+        # checkpoint (after the pointer jump) instead of two. Under
+        # AQE every exchange is its own stage-job, so the round's job
+        # count drops ~3x; the half-steps are value-identical (min is
+        # duplicate-insensitive, and the one-row-per-g branch is the
+        # window's row_number() == 1 slice).
         # -------- large-star: (v, m) for every neighbor v > u --------
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("__mn"))
-            .select("u", F.least("__mn", "u").alias("m"))
-        )
+        wu = Window.partitionBy("u")
         large = (
-            sym.where(F.col("v") > F.col("u"))
-            .join(mins, "u")
+            sym.select(
+                "u", "v", F.least(F.min("v").over(wu), F.col("u")).alias("m")
+            )
+            .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint()
         )
         # -------- small-star: orient to larger endpoint, re-parent ---
-        oriented = large.select(
+        wg = Window.partitionBy("g")
+        wgo = Window.partitionBy("g").orderBy("l")
+        sw = large.select(
             F.greatest("u", "v").alias("g"), F.least("u", "v").alias("l")
+        ).select(
+            "g",
+            "l",
+            F.min("l").over(wg).alias("m"),
+            F.row_number().over(wgo).alias("__rn"),
         )
-        smins = oriented.groupBy("g").agg(F.min("l").alias("m"))
         small = (
-            oriented.join(smins, "g")
-            .where(F.col("l") != F.col("m"))
+            sw.where(F.col("l") != F.col("m"))
             .select(F.col("l").alias("u"), F.col("m").alias("v"))
-            .union(smins.select(F.col("g").alias("u"), F.col("m").alias("v")))
+            .union(
+                sw.where(F.col("__rn") == 1)
+                .select(F.col("g").alias("u"), F.col("m").alias("v"))
+            )
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # -------- pointer jump: u -> parent(parent(u)) ----------------
         # classic Shiloach-Vishkin shortcutting folded into the round:
