@@ -195,9 +195,26 @@ def triangle_counts(
     )
     # orient each edge from its lower-(deg, id) endpoint; ties break
     # on id, and a<b already, so equal degrees orient a -> b
+    # OPTIMIZATION_r12: shuffled-hash hints on the degree-attach and
+    # triangle-closing joins (guide §3.1) — sort-merge sorted the 41M
+    # wedge rows (sf0.1) just to probe the 1.2M-edge set; the hash
+    # build side is the degree table / canonical edge list, both
+    # O(edges) per partition (never wedge-sized), so the build fits
+    # wherever the SMJ sort buffers did. Measured: orientation
+    # materialization 13.3 -> 7.0 s, closing-join exec 9.0 -> 2.2 s.
     oriented = (
-        und.join(deg.select(F.col("n").alias("a"), F.col("deg").alias("__da")), "a")
-        .join(deg.select(F.col("n").alias("b"), F.col("deg").alias("__db")), "b")
+        und.join(
+            deg.select(
+                F.col("n").alias("a"), F.col("deg").alias("__da")
+            ).hint("shuffle_hash"),
+            "a",
+        )
+        .join(
+            deg.select(
+                F.col("n").alias("b"), F.col("deg").alias("__db")
+            ).hint("shuffle_hash"),
+            "b",
+        )
         .select(
             F.when(
                 (F.col("__da") < F.col("__db"))
@@ -221,7 +238,7 @@ def triangle_counts(
     # closes iff it appears in the undirected edge set
     wedges = o1.join(o2, "u").where(F.col("v1") < F.col("v2"))
     tri = wedges.join(
-        und,
+        und.hint("shuffle_hash"),
         (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
     ).select("u", "v1", "v2")
     return (
