@@ -499,8 +499,14 @@ def connected_components(
     # propagation round's message join reuses the static edge-side
     # partitioning instead of re-shuffling it (checkpoint_partitioned
     # keeps the layout visible to the planner under AQE)
-    base = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
-        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    # OPTIMIZATION_r12: materialize the RAW pairs first — labels and
+    # sym below each materialize separately, and without this both
+    # would re-run the whole upstream candidate-pair pipeline (plans
+    # are trees; exchange reuse does not cross separate executions)
+    raw = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+    raw = raw.localCheckpoint()
+    base = raw.union(
+        raw.select(F.col("nbr").alias("node"), F.col("node").alias("nbr"))
     )
     labels = (
         base.select("node").distinct().withColumn("label", F.col("node"))
@@ -602,19 +608,26 @@ def connected_components_star(
     entity resolution); ``connected_components`` keeps a better
     constant factor for shallow LSH-cluster graphs.
     """
+    # OPTIMIZATION_r12: materialize the RAW pairs once — all_nodes and
+    # cur below otherwise EACH re-run the whole upstream candidate-
+    # pair pipeline (LSH banding + shingle verification for the
+    # near-dedup callers), which dominated the CC call's wall time
+    # (15.1 s / 44 jobs for a 2-round graph at sf0.1, ~2/3 of it the
+    # duplicated upstream evaluations).
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    raw = raw.localCheckpoint()
     # every node ever seen — INCLUDING nodes whose only edges are
     # self-loops, so the node universe matches connected_components
     # (self-loops carry no connectivity but do introduce the node)
     all_nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     # Parent-edge multiset, kept as distinct (u, v) pairs with u != v.
     cur = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .where(F.col(src) != F.col(dst))
+        raw.where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
