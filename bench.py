@@ -4,7 +4,11 @@
 Runs the representative queries from the registry at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    {"value": N, "sf": ..., "queries_omitted": 0, "queries": {...}}
+with ``queries`` keyed by the short id sans 'q' ("104") and valued in
+CENTISECOND ints (VERDICT r12 #2 — this is what lets ALL rows fit the
+driver's ~2000-byte tail capture; the detail file keeps the canonical
+long-name/seconds/metric/unit form).
 
 Each query is fully materialized with the noop sink (no driver
 collect) so the timing covers the whole distributed plan. Two tiers
@@ -446,34 +450,42 @@ def main() -> None:
              "lockin_tier": sorted(n for n in HEADLINE if n in LOCKIN)},
             fh, indent=1,
         )
-    short = {n.split("_", 1)[0]: t for n, t in timings.items()}
     # the one-line summary is the LAST stdout line (driver contract).
     # VERDICT r9 #7: the driver tail-captures only the LAST ~2000
-    # stdout bytes — a full 160+-query map outgrows that and the
-    # whole external artifact parses as null (BENCH_r09 lesson). Fit
-    # a hard byte budget: 2-decimal values, lock-in-tier rows always
-    # kept, then drop the CHEAPEST non-lock-in rows until the line
-    # fits; the omission is EXPLICIT (queries_omitted + the detail
-    # file carries every row at 3 decimals).
-    lock_short = {n.split("_", 1)[0] for n in HEADLINE if n in LOCKIN}
-    qmap = {q: round(t, 2) for q, t in short.items()}
+    # stdout bytes — a full map of long names outgrows that and the
+    # whole external artifact parses as null (BENCH_r09 lesson).
+    # VERDICT r12 #2: the previous 2-decimal/short-id encoding still
+    # had to evict 72/199 rows to fit, starving PERF of per-query
+    # visibility. Prescribed fix, applied here: drop the
+    # metric/unit/detail keys from the STDOUT LINE ONLY, key queries
+    # by the id sans the leading 'q' ("104"), encode seconds as
+    # CENTISECOND INTS (1800 == 18.00 s), and emit compact JSON — all
+    # 199 rows fit ~1890 bytes. The detail FILE keeps the canonical
+    # format (metric/unit + long names + 3-decimal seconds), so the
+    # old numbers remain available verbatim. The cheapest-row
+    # eviction loop stays as a safety net only (queries_omitted
+    # reports it; 0 expected).
+    lock_short = {n.split("_", 1)[0][1:] for n in HEADLINE if n in LOCKIN}
+    qmap = {
+        n.split("_", 1)[0][1:]: int(round(t * 100))
+        for n, t in timings.items()
+    }
+    assert len(qmap) == len(timings), "short ids must stay unique sans 'q'"
     droppable = sorted(
         (q for q in qmap if q not in lock_short), key=lambda q: (qmap[q], q)
     )
     summary = {
-        "metric": "headline_suite_seconds",
         "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": qmap,
         "sf": sf_val,
         "queries_omitted": 0,
-        "detail": DETAIL_PATH,
+        "queries": qmap,
     }
     budget = int(os.environ.get("SPARK_GRAFT_SUMMARY_BYTES", "1900"))
-    while len(json.dumps(summary)) > budget and droppable:
+    compact = lambda o: json.dumps(o, separators=(",", ":"))
+    while len(compact(summary)) > budget and droppable:
         del qmap[droppable.pop(0)]
-        summary["queries_omitted"] = len(short) - len(qmap)
-    print(json.dumps(summary))
+        summary["queries_omitted"] = len(timings) - len(qmap)
+    print(compact(summary))
 
 
 if __name__ == "__main__":

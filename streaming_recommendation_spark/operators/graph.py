@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..plans.audit import checkpoint_partitioned
+from ..plans.audit import (
+    checkpoint_partitioned,
+    narrow_static_layout,
+    round_width,
+)
 
 RANK_SCALE = 1 << 20  # rank unit = 2^-20 of total mass
 
@@ -79,8 +83,16 @@ def pagerank_quantized(
         # ONCE; checkpoint_partitioned keeps the layout visible to the
         # planner, so every round's rank join AND the degree aggregate
         # reuse it instead of re-shuffling the edge list per superstep
-        # (plan-asserted in tests/test_plan_audit.py)
-        sym = checkpoint_partitioned(sym.repartition("u"))
+        # (plan-asserted in tests/test_plan_audit.py).
+        # OPTIMIZATION_r13 (VERDICT r12 #1): when the materialized
+        # edge side turns out SMALL, re-layout it frame-sized so the
+        # per-round join stages stop scheduling core-count-wide
+        # layouts over KB frames (bounded cost — see
+        # narrow_static_layout; a no-op at 100 TB).
+        sym, sym_bytes = checkpoint_partitioned(
+            sym.repartition("u"), return_bytes=True
+        )
+        sym = narrow_static_layout(sym, sym_bytes, "u")
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("u").alias("node"), "deg")
     if seeds is None:
@@ -283,8 +295,16 @@ def bfs_distances(
     same O(L^2)->O(L) move as random_walks).
     """
     adj = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    frontier_bytes: int | None = None
     if materialize:
-        adj = checkpoint_partitioned(adj.repartition("u"))
+        # OPTIMIZATION_r13 (VERDICT r12 #1): frame-sized static side
+        # + per-hop frontier layouts (see narrow_static_layout /
+        # round_width — both no-ops at production widths)
+        adj, adj_bytes = checkpoint_partitioned(
+            adj.repartition("u"), return_bytes=True
+        )
+        adj = narrow_static_layout(adj, adj_bytes, "u")
+        frontier_bytes = adj_bytes  # hop-1 upper bound: frontier <= adj
     # defensive dedup: a repeated seed row must not emit a duplicate
     # distance-0 row (and would double that seed's frontier fan-out)
     seed_nodes = seeds.select("node").distinct()
@@ -301,7 +321,14 @@ def bfs_distances(
             .join(visited, "node", "left_anti")
         )
         if materialize:
-            nxt = checkpoint_partitioned(nxt.repartition("node"))
+            nxt, nb = checkpoint_partitioned(
+                nxt.repartition("node"),
+                width=round_width(frontier_bytes, nxt.sparkSession),
+                return_bytes=True,
+            )
+            # keep the last known size when a hop is empty (the block
+            # manager lists no entry for a 0-byte frame)
+            frontier_bytes = nb if nb is not None else frontier_bytes
         visited = visited.unionByName(
             nxt.select("node", F.lit(t).alias("distance"))
         )
@@ -434,7 +461,14 @@ def random_walks(
         # deterministic hub cap: the max_degree smallest neighbor ids
         adj = adj.withColumn("__nbrs", F.slice("__nbrs", 1, max_degree))
     if materialize:
-        adj = checkpoint_partitioned(adj.repartition("__n"))
+        # OPTIMIZATION_r13 (VERDICT r12 #1): frame-sized layouts for
+        # the static adjacency and the per-step frontiers (no-ops at
+        # production widths — see narrow_static_layout / round_width)
+        adj, adj_bytes = checkpoint_partitioned(
+            adj.repartition("__n"), return_bytes=True
+        )
+        adj = narrow_static_layout(adj, adj_bytes, "__n")
+        frontier_bytes = adj_bytes  # step-1 seed: refined per step below
 
     starts = (
         start_nodes
@@ -486,7 +520,12 @@ def random_walks(
             # keeps it O(L), the same lineage-truncation move as
             # pagerank's per-round checkpoint, and the node key
             # partitioning co-locates the next join against adj
-            frontier = checkpoint_partitioned(frontier.repartition("node"))
+            frontier, fb = checkpoint_partitioned(
+                frontier.repartition("node"),
+                width=round_width(frontier_bytes, frontier.sparkSession),
+                return_bytes=True,
+            )
+            frontier_bytes = fb if fb is not None else frontier_bytes
         out = out.unionByName(
             frontier.select("walk_id", F.lit(t).alias("step"), "node")
         )
@@ -647,8 +686,15 @@ def kcore(
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     sym = fwd.union(rev).where(F.col("u") != F.col("v")).distinct()
+    surviving_bytes: int | None = None
     if materialize:
-        sym = checkpoint_partitioned(sym.repartition("u"))
+        # OPTIMIZATION_r13 (VERDICT r12 #1): frame-sized static side +
+        # per-round peel layouts (no-ops at production widths)
+        sym, sym_bytes = checkpoint_partitioned(
+            sym.repartition("u"), return_bytes=True
+        )
+        sym = narrow_static_layout(sym, sym_bytes, "u")
+        surviving_bytes = sym_bytes
     if isinstance(k, int):
         k_frame = None
         k_expr = F.lit(k)
@@ -674,7 +720,12 @@ def kcore(
             alive.select(F.col("u").alias("v")), "v", "left_semi"
         )
         if materialize:
-            surviving = checkpoint_partitioned(surviving.repartition("u"))
+            surviving, sb = checkpoint_partitioned(
+                surviving.repartition("u"),
+                width=round_width(surviving_bytes, surviving.sparkSession),
+                return_bytes=True,
+            )
+            surviving_bytes = sb if sb is not None else surviving_bytes
     return surviving.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -857,13 +908,17 @@ def propagate_embeddings(
     pagerank_quantized); each round's features checkpoint too, so
     round k never replays rounds 1..k-1 (the O(L^2) -> O(L) lineage
     move)."""
-    from ..plans.audit import checkpoint_partitioned
-
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     rev = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     sym = fwd.union(rev).distinct()
+    feat_bytes: int | None = None
     if materialize:
-        sym = checkpoint_partitioned(sym.repartition("u"))
+        # OPTIMIZATION_r13 (VERDICT r12 #1): frame-sized static side +
+        # per-layer feature layouts (no-ops at production widths)
+        sym, sym_bytes = checkpoint_partitioned(
+            sym.repartition("u"), return_bytes=True
+        )
+        sym = narrow_static_layout(sym, sym_bytes, "u")
     deg = sym.groupBy(F.col("v").alias("node")).agg(
         F.count(F.lit(1)).alias("__deg")
     )
@@ -888,7 +943,12 @@ def propagate_embeddings(
             ).alias("e"),
         )
         if materialize:
-            cur = checkpoint_partitioned(cur.repartition("node"))
+            cur, cb = checkpoint_partitioned(
+                cur.repartition("node"),
+                width=round_width(feat_bytes, cur.sparkSession),
+                return_bytes=True,
+            )
+            feat_bytes = cb if cb is not None else feat_bytes
         acc = (
             acc.join(cur, ["node", "dim"], "left")
             .select(
