@@ -640,10 +640,8 @@ def connected_components_star(
         .localCheckpoint()
     )
     # Parent-edge multiset, kept as distinct (u, v) pairs with u != v.
-    cur = (
-        raw.where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+    cur, cur_bytes = local_checkpoint_measured(
+        raw.where(F.col("u") != F.col("v")).distinct()
     )
     rounds = 0
     cur_count = cur.count()
@@ -687,13 +685,27 @@ def connected_components_star(
             F.min("l").over(wg).alias("m"),
             F.row_number().over(wgo).alias("__rn"),
         )
+        # OPTIMIZATION_r13 (ADVICE r12): ONE pass over sw instead of a
+        # two-branch union — each sw row emits its (l, m) edge when
+        # l != m and additionally the one-per-g (g, m) edge on the
+        # rn == 1 row, via an inline array explode (null slots
+        # filtered). Value-identical multiset (same rows, fused
+        # branches), but sw's window subtree now appears ONCE in the
+        # plan instead of twice.
+        cand = F.array(
+            F.when(
+                F.col("l") != F.col("m"),
+                F.struct(F.col("l").alias("u"), F.col("m").alias("v")),
+            ),
+            F.when(
+                F.col("__rn") == 1,
+                F.struct(F.col("g").alias("u"), F.col("m").alias("v")),
+            ),
+        )
         small = (
-            sw.where(F.col("l") != F.col("m"))
-            .select(F.col("l").alias("u"), F.col("m").alias("v"))
-            .union(
-                sw.where(F.col("__rn") == 1)
-                .select(F.col("g").alias("u"), F.col("m").alias("v"))
-            )
+            sw.select(F.explode(cand).alias("__e"))
+            .where(F.col("__e").isNotNull())
+            .select("__e.u", "__e.v")
             .where(F.col("u") != F.col("v"))
         )
         # -------- pointer jump: u -> parent(parent(u)) ----------------
@@ -711,13 +723,13 @@ def connected_components_star(
             .groupBy("v")
             .agg(F.min("w").alias("w"))
         )
-        small = (
+        small, sb = local_checkpoint_measured(
             small.join(parents, "v", "left")
             .select("u", F.coalesce("w", "v").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
+        cur_bytes = sb if sb is not None else cur_bytes
         # converged when the round was a no-op (star edges reproduce
         # themselves through both half-steps); cur's count is carried
         # from the previous round — no job re-launch

@@ -175,18 +175,21 @@ def narrow_static_layout(df, nbytes: int | None, *keys: str):
     """Re-layout an ALREADY-MATERIALIZED static loop side (edge
     list, adjacency) to a frame-sized width — but only when the
     measured frame is small enough that the relayout is provably
-    cheap AND the width materially shrinks (< half the session
-    default). Iterative operators call this right after the static
-    side's first checkpoint: at 100 TB the frame is large, the
+    cheap AND the width drastically shrinks (<= a quarter of the
+    session default). Iterative operators call this right after the
+    static side's first checkpoint: at 100 TB the frame is large, the
     condition never fires, and the cost is exactly one materialized
     checkpoint as before; at small scale the (bounded, <=
-    shuffle.partitions x ROUND_TARGET_BYTES) re-layout buys every
-    subsequent round a frame-sized stage width. Returns the input
-    unchanged when the condition does not fire."""
+    shuffle.partitions/4 x ROUND_TARGET_BYTES) re-layout buys every
+    subsequent round a frame-sized stage width. The 4x bar is
+    deliberate: a re-layout that only halves the width pays a full
+    extra copy of the frame for marginal scheduling savings (measured
+    on q102's 100 MB edge side — 32 -> 12 partitions was a wash).
+    Returns the input unchanged when the condition does not fire."""
     sess = df.sparkSession
     w = round_width(nbytes, sess)
     default = int(sess.conf.get("spark.sql.shuffle.partitions"))
-    if w is None or 2 * w > default:
+    if w is None or 4 * w > default:
         return df
     return checkpoint_partitioned(df.repartition(w, *keys), width=w)
 
