@@ -1500,6 +1500,7 @@ def mmr_diversify(
     w_red: int = 300,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sims: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance diversification (Carbonell &
     Goldstein 1998) over a retrieved candidate list — the standard
@@ -1525,15 +1526,27 @@ def mmr_diversify(
     greedy rounds run over those tiny frames, localCheckpointed once
     so the round loop doesn't re-evaluate the upstream fusion per
     round."""
-    # candidate-bounded frames: coalesce(1) so each greedy round's
-    # eager checkpoint is a 1-task job, not a 32-partition layout
-    # (round-12: the rounds were scheduling-overhead-bound)
+    # candidate-bounded frames. The INITIAL checkpoints are plain
+    # (AQE-on): the adaptive plan already coalesces them to ~1
+    # partition, while an explicit coalesce(1) here would collapse
+    # the UPSTREAM fusion's final stage to one task (measured: q199's
+    # materialization 2.8 -> 4.2 s warm). The greedy-round unions
+    # below keep coalesce(1) — they read already-checkpointed 1-task
+    # frames, so the collapse is free and keeps rounds 1-task
+    # (round-12: the rounds were scheduling-overhead-bound).
     cand = candidates.select(
         "query_doc", id_col, "rrf_ppm"
-    ).coalesce(1).localCheckpoint(eager=True)
-    sims = candidate_pair_sims(df, cand, text_col, id_col).coalesce(
-        1
     ).localCheckpoint(eager=True)
+    # ``sims`` (OPTIMIZATION_r13, VERDICT r12 #6): a caller that also
+    # reads the pairwise-similarity relation (q231's diversity
+    # readout) passes its own materialized copy so the corpus word
+    # scan underneath candidate_pair_sims runs once, not once per
+    # consumer. Must hold candidate_pair_sims(df, candidates) —
+    # same contract, same rows.
+    if sims is None:
+        sims = candidate_pair_sims(df, cand, text_col, id_col).localCheckpoint(
+            eager=True
+        )
     wrel = F.lit(w_rel).cast("long")
     wred = F.lit(w_red).cast("long")
     from pyspark.sql import Window

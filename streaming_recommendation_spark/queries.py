@@ -11847,7 +11847,14 @@ FROM base b LEFT JOIN pm ON pm.doc_id = b.doc_id
     tags=("dedup", "curation", "text", "pipeline", "iterative"),
 )
 def q211_salvaged_curation_manifest(spark, sf_dir):
-    base = q186_curation_pipeline(spark, sf_dir)
+    # OPTIMIZATION_r13 (VERDICT r12 #8): the q186 verdict frame is
+    # read TWICE (the selected-doc filter feeding the passage stage,
+    # and the final manifest join) — un-materialized, the whole
+    # composed curation pipeline (near-dup CC + quality + decontam +
+    # quota) re-executed once per reference. One plain localCheckpoint
+    # (q211 is construction-charged ITERATIVE — this is timed work)
+    # runs it once; both consumers read the materialized verdicts.
+    base = q186_curation_pipeline(spark, sf_dir).localCheckpoint(eager=True)
     docs = _t(spark, sf_dir, "documents")
     sel = docs.join(
         base.where(F.col("selected") == 1).select("doc_id"), "doc_id"
@@ -11920,7 +11927,13 @@ FROM sav s LEFT JOIN nb ON nb.source = s.source
     tags=("curation", "agg", "eval", "iterative"),
 )
 def q212_salvage_savings_report(spark, sf_dir):
-    m = q211_salvaged_curation_manifest(spark, sf_dir)
+    # OPTIMIZATION_r13 (VERDICT r12 #8): the manifest feeds BOTH the
+    # packing-bin window and the per-source savings aggregate —
+    # materialize it once (construction-charged ITERATIVE) instead of
+    # re-running q211's whole pipeline per metric tail.
+    m = q211_salvaged_curation_manifest(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
     sel = m.where(F.col("selected") == 1)
     packed = curation.pack_sequences(
         sel.where(F.col("n_tokens_kept") > 0),
@@ -13661,8 +13674,24 @@ JOIN divr v ON v.retriever = g.retriever AND v.query_doc = g.query_doc
     tags=("text", "retrieval", "eval"),
 )
 def q231_diversity_tradeoff_readout(spark, sf_dir):
+    # OPTIMIZATION_r13 (VERDICT r12 #6): the readout re-referenced its
+    # expensive subtrees — the q199 fusion fed cand, rel AND the MMR
+    # leg; candidate_pair_sims was computed once inside mmr_diversify
+    # and AGAIN for the diversity readout; the graded truth is
+    # referenced 3x inside graded_ndcg_at_k; and the lists union feeds
+    # both metric tails. Catalyst plans are trees, so every
+    # re-reference re-inlined the whole subtree. Each shared relation
+    # is now materialized ONCE (candidate-bounded, 1-task frames;
+    # q231 is construction-charged ITERATIVE, so this is timed work,
+    # not precomputation) and the sims relation is single-sourced
+    # into the MMR greedy via its ``sims`` parameter. Values
+    # identical; plan shrinks ~4x (plans/r13/q231_{before,after}).
     docs = _t(spark, sf_dir, "documents")
-    fused = q199_hybrid_rrf_fusion(spark, sf_dir)
+    # plain (AQE-on) checkpoints: the adaptive plan already coalesces
+    # these candidate-bounded frames to ~1 partition; an explicit
+    # coalesce(1) would serialize each frame's FINAL stage instead
+    # (measured on the fused leg: 4.2 vs 2.8 s warm)
+    fused = q199_hybrid_rrf_fusion(spark, sf_dir).localCheckpoint(eager=True)
     cand = fused.select("query_doc", "doc_id", "rrf_ppm")
     rel = fused.where(F.col("rank") <= 5).select(
         F.lit("relevance").alias("retriever"),
@@ -13670,22 +13699,22 @@ def q231_diversity_tradeoff_readout(spark, sf_dir):
         "doc_id",
         F.col("rank").cast("int").alias("rank"),
     )
-    mmr = text.mmr_diversify(docs, fused, k=5).select(
+    sims = text.candidate_pair_sims(docs, cand).localCheckpoint(eager=True)
+    mmr = text.mmr_diversify(docs, fused, k=5, sims=sims).select(
         F.lit("mmr").alias("retriever"),
         "query_doc",
         "doc_id",
         F.col("mmr_rank").cast("int").alias("rank"),
     )
-    lists = rel.unionByName(mmr)
+    lists = rel.unionByName(mmr).localCheckpoint(eager=True)
     truth = text.doc_jaccard_topk(
         docs, F.col("doc_id") < 3, k=5, include_rank=True
-    )
+    ).localCheckpoint(eager=True)
     ndcg = text.graded_ndcg_at_k(
         lists, truth, k=5, retrievers=["relevance", "mmr"]
     ).select(
         "retriever", "query_doc", "ndcg_ppm"
     )
-    sims = text.candidate_pair_sims(docs, cand)
     div = text.intralist_diversity(lists, sims)
     return ndcg.join(div, ["retriever", "query_doc"])
 
