@@ -112,6 +112,14 @@ def locf_fill(
     empty buckets carry the last observed value forward. Returns
     (key, bucket_start, value, is_observed).
 
+    HARD PRECONDITION (ADVICE r12): ``obs`` must hold AT MOST ONE row
+    per (key, bucket_start) — the ``bucket_last_obs`` / ``merge_obs``
+    contract. A duplicate bucket makes ``lead`` return the tied
+    bucket itself and the run explode raises an illegal-sequence-
+    boundaries error at runtime (loud, not silent; the previous
+    grid-join shape emitted silently duplicated rows instead). Dedup
+    upstream with ``merge_obs`` if your source can repeat buckets.
+
     Scale shape (OPTIMIZATION_r12): ONE per-key window over the
     SPARSE observations (``lead`` finds each observation's successor
     bucket), then the dense grid generates map-side — each
@@ -298,6 +306,15 @@ def rolling_anomalies(
         c.alias("__c"),
         F.sum(c).over(wcum).alias("__cum1"),
         F.sum(c * c).over(wcum).alias("__cum2"),
+        # cumulative NON-NULL count (ADVICE r12): the sliding-frame
+        # semantics this rewrite replaced produced a NULL frame-sum
+        # (=> never anomalous) when every baseline value was NULL;
+        # the coalesce'd cum/lag differences read 0 there instead and
+        # would flag the first non-null row. Tracking the windowed
+        # non-null count restores the old behavior exactly.
+        F.sum(F.when(c.isNotNull(), F.lit(1)).otherwise(F.lit(0)))
+        .over(wcum)
+        .alias("__cumn"),
         F.row_number().over(wo).alias("__rn"),
     )
     s1 = F.coalesce(F.lag("__cum1", 1).over(wo), F.lit(0)) - F.coalesce(
@@ -305,6 +322,9 @@ def rolling_anomalies(
     )
     s2 = F.coalesce(F.lag("__cum2", 1).over(wo), F.lit(0)) - F.coalesce(
         F.lag("__cum2", window_rows + 1).over(wo), F.lit(0)
+    )
+    nn = F.coalesce(F.lag("__cumn", 1).over(wo), F.lit(0)) - F.coalesce(
+        F.lag("__cumn", window_rows + 1).over(wo), F.lit(0)
     )
     # rows in the strictly-preceding frame: all prior rows, capped at W
     n = F.least(F.col("__rn") - 1, F.lit(window_rows)).cast("long")
@@ -316,7 +336,9 @@ def rolling_anomalies(
         value_col,
         n.alias("n_baseline"),
         F.when(
-            (n >= min_baseline) & (dev * dev > F.lit(k_sigma * k_sigma) * var_n2),
+            (n >= min_baseline)
+            & (nn > 0)
+            & (dev * dev > F.lit(k_sigma * k_sigma) * var_n2),
             F.lit(True),
         )
         .otherwise(F.lit(False))

@@ -210,6 +210,19 @@ def ragged_obs(spark):
             b += rng.choice([3600, 3600, 7200, 36000])
             val = None if rng.random() < 0.15 else round(rng.uniform(-5, 5), 3)
             rows.append((key, b, val))
+    # ADVICE r12 adversarial key: >= 3 leading NULL-valued buckets
+    # before the first non-null observation — the all-NULL-baseline
+    # frame where the old sliding sum said "never anomalous" and an
+    # unguarded cum/lag difference would flag the first real value
+    # (verified to discriminate: without rolling_anomalies' non-null
+    # count guard this key flips the parity assertion)
+    rows += [
+        (100, 3600, None),
+        (100, 7200, None),
+        (100, 10800, None),
+        (100, 14400, 4.25),
+        (100, 18000, 4.5),
+    ]
     return spark.createDataFrame(
         rows, "user_id int, bucket_start long, value double"
     ).cache()
@@ -256,14 +269,20 @@ def test_cum_lag_rolling_stats_matches_sliding_frames(spark, ragged_obs):
 
 
 def test_cum_lag_rolling_anomalies_matches_sliding_frames(spark, ragged_obs):
+    # ADVICE r12: keep the fixture's NULL observed values — a key
+    # whose leading buckets carry NULL (null-valued first
+    # observations) exercises the all-NULL-baseline case where the
+    # old sliding frame produced a NULL sum (never anomalous) and a
+    # naive cum/lag difference reads 0 (falsely anomalous); the
+    # windowed non-null count guard must reproduce the old verdicts.
     from streaming_recommendation_spark.operators.timeseries import (
         locf_fill,
         rolling_anomalies,
     )
 
-    dense = locf_fill(
-        ragged_obs.where(F.col("value").isNotNull()), "user_id", "value", 3600
-    ).select("user_id", "bucket_start", "value")
+    dense = locf_fill(ragged_obs, "user_id", "value", 3600).select(
+        "user_id", "bucket_start", "value"
+    )
     got = rolling_anomalies(
         dense, "user_id", "bucket_start", "value", 6, 2, 3
     )
