@@ -222,6 +222,12 @@ def learn_bpe(
     w = round_width(wf_bytes, df.sparkSession)
     if w is not None:
         wf = wf.coalesce(w)  # narrow relayout: no shuffle, no-op if w >= width
+    if stats is not None:
+        # expose the materialized vocab (OPTIMIZATION_r13): a caller
+        # that applies the tokenizer to the SAME corpus can hand it
+        # to bpe_token_stats as ``words`` and skip re-deriving the
+        # distinct-word set with a second corpus explode
+        stats["wordfreq"] = wf
     pc = (
         checkpoint_partitioned(_pair_counts(wf), width=w)
         if count_mode == "delta"
@@ -332,11 +338,20 @@ def bpe_token_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     repartition: int | bool | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_words, n_bpe_tokens) under the given tokenizer — the
     real-token-count statistic packing/quota/cost passes need.
     Segmentation runs once per DISTINCT word; the corpus join ships
-    only (word, token_count)."""
+    only (word, token_count).
+
+    ``words`` (OPTIMIZATION_r13): optional pre-materialized relation
+    whose ``__word`` column equals THIS corpus' distinct normalized
+    words (the trainer's word-frequency table via
+    ``learn_bpe(stats=...)['wordfreq']``). Passing it skips the
+    second corpus explode+distinct the segmentation side otherwise
+    pays; results are identical by the word_frequency_table contract
+    (same normalize + sentinel strip on both paths)."""
     toks = spread(df, repartition).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__raw"),
@@ -344,7 +359,11 @@ def bpe_token_stats(
         F.col(id_col),
         F.regexp_replace("__raw", _STRIP_SENTINELS, "").alias("__word"),
     )
-    seg = segment_words(toks.select("__word").distinct(), merges).select(
+    vocab = (
+        words.select("__word") if words is not None
+        else toks.select("__word").distinct()
+    )
+    seg = segment_words(vocab, merges).select(
         "__word", F.size("__tokens").alias("__n_sub")
     )
     return (

@@ -4378,8 +4378,13 @@ def q106_bpe_token_counts(spark, sf_dir):
     from .operators.bpe import bpe_token_stats, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
-    return bpe_token_stats(docs, merges)
+    st: dict = {}
+    merges = learn_bpe(
+        docs, num_merges=_BPE_MERGES, count_mode="delta", stats=st
+    )
+    # reuse the trainer's materialized vocab for the apply stage —
+    # skips the second corpus explode+distinct (OPTIMIZATION_r13)
+    return bpe_token_stats(docs, merges, words=st["wordfreq"])
 
 
 _Q107_LENS = (2, 4, 8, 16)
@@ -8965,8 +8970,11 @@ def q183_tokenize_pack_pipeline(spark, sf_dir):
     from .operators.bpe import bpe_token_stats, learn_bpe
 
     docs = _t(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, num_merges=_BPE_MERGES, count_mode="delta")
-    stats = bpe_token_stats(docs, merges)
+    st: dict = {}
+    merges = learn_bpe(
+        docs, num_merges=_BPE_MERGES, count_mode="delta", stats=st
+    )
+    stats = bpe_token_stats(docs, merges, words=st["wordfreq"])
     per_doc = docs.select("doc_id", "source").join(stats, "doc_id")
     return curation.pack_sequences(
         per_doc,
