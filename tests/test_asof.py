@@ -45,6 +45,7 @@ def collect_map(df):
     }
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_union_strategy_semantics(spark, ev, probes):
     out = collect_map(
         asof_join(probes, ev, value_cols=["event_id"], tiebreak="event_id")

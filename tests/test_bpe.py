@@ -3,6 +3,8 @@ reference implementation."""
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -337,6 +339,7 @@ def test_exact_batch_acceptance_rule_fuzz():
         assert batched(wf0, n, mf, K) == seq(wf0, n, mf), (trial, docs, n, mf, K)
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_delta_count_mode_matches_full(spark):
     """count_mode='delta' maintains the pair-count table incrementally;
     it must be BIT-EXACT with per-round full recounting — same merges,

@@ -315,6 +315,7 @@ def test_cum_lag_rolling_anomalies_matches_sliding_frames(spark, ragged_obs):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_rep_rank_doubling_matches_dense_rank_reference(spark):
     """Old pipeline inline: dict_encode dense ranks with the -1
     PAST_END sentinel; the optimized operator's per-doc outputs must

@@ -15,6 +15,13 @@ from streaming_recommendation_spark.queries import registry
 
 from .conftest import SF_DIR, duck_con
 
+# VERDICT r12 #3: this module replays the full registry vs DuckDB —
+# ~850 s, 37% of the suite — and duplicates the external driver's own
+# oracle gate (scripts/driver_sim.py / SELFCHECK.json at sf0.01, a
+# LARGER scale than this sf0.001 sweep). Deselected from the default
+# fast gate; run with `pytest -m ""` (round close-outs do).
+pytestmark = pytest.mark.slow
+
 ORACLE_QUERIES = [q for q in registry().values() if q.oracle is not None]
 ROWS_ONLY_QUERIES = [q for q in registry().values() if q.oracle is None]
 

@@ -343,6 +343,7 @@ def test_ann_recall_eval_bounds_and_self_hit(spark):
     assert got == {0: 5, 1: 5, 2: 5}  # full-probe IVF == brute force
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_tuning_curves_non_degenerate(spark):
     """The ANN tuning knobs must actually move recall in the advertised
     direction (VERDICT r8 #5 — the BASELINE.md sweep's invariant):
@@ -491,6 +492,7 @@ def test_pq_adc_knn_recall_and_self_rank(spark):
     }
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_ivfpq_adc_knn_self_probe_recall_determinism(spark):
     """IVF-PQ composition sanity: (a) per-query row count and rank
     contiguity; (b) self-retrieval — a query's own cell is its first
@@ -619,6 +621,7 @@ def test_frozen_codebook_encode_is_pure_and_incremental(spark):
     assert full_books != books  # drift: frozen vs retrained differ
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_ivfpq_refine_shortlist_exactdist_recall_determinism(spark):
     """FAISS refine stage (ivf_pq_refine_knn) sanity: (a) the refined
     top-10 is a SUBSET of its own ADC top-50 shortlist at identical

@@ -55,6 +55,7 @@ def _batch_reference(spark, rows):
     }
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_multi_batch_equals_batch_computation(spark, tmp_path):
     cf = _cf(tmp_path)
     for i, b in enumerate(_batches(spark)):
@@ -79,6 +80,7 @@ def test_multi_batch_equals_batch_computation(spark, tmp_path):
     assert sorted(map(tuple, cf.read_windows(spark).collect())) == want_w
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_retry_same_batch_is_idempotent(spark, tmp_path):
     cf = _cf(tmp_path)
     bs = _batches(spark)
@@ -103,6 +105,7 @@ def test_out_of_order_raises(spark, tmp_path):
         cf.ingest_batch(late, 1)
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_all_zero_bucket_writes_empty_dir_no_resurrection(spark, tmp_path):
     """(20,30) lives in pair bucket 3 (n_pair_buckets=4), (30,40) in
     bucket 0. Evicting 20 retracts the ONLY pair of bucket 3 —
@@ -134,6 +137,7 @@ def test_all_zero_bucket_writes_empty_dir_no_resurrection(spark, tmp_path):
     assert all_rows == {(40, 50): 1}
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_similarity_matches_batch_operator(spark, tmp_path):
     cf = _cf(tmp_path)
     for i, b in enumerate(_batches(spark)):

@@ -149,6 +149,7 @@ def test_streaming_matches_batch_twin(spark, doc_dir, tmp_path):
     assert idx.count() == idx.select("chunk_hash").distinct().count()
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_retry_same_batch_is_idempotent(spark, tmp_path):
     b0 = spark.createDataFrame(BATCH0, DOC_SCHEMA)
     b1 = spark.createDataFrame(BATCH1, DOC_SCHEMA)

@@ -122,6 +122,7 @@ def test_out_of_order_raises(spark, tmp_path):
         dim.ingest_batch(late, 2)
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_prune_keeps_unsuperseded_buckets(spark, tmp_path):
     state = str(tmp_path / "state")
     dim = Scd2Stream(state, n_buckets=4, keep_versions=2)
@@ -139,6 +140,7 @@ def test_prune_keeps_unsuperseded_buckets(spark, tmp_path):
     assert rows[1]["event_type"] == "t5"
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_redelivery_after_prune_window_keeps_history(spark, tmp_path):
     """ADVICE r5 (high): _prune must only treat versions committed
     strictly BEFORE the current batch as superseding. Scenario: user
@@ -185,6 +187,7 @@ def test_redelivery_after_prune_window_keeps_history(spark, tmp_path):
     assert got == [("buy", 200, None), ("click", 20, 200), ("view", 10, 20)]
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_randomized_splits_match_full_rebuild(spark):
     """Fuzz the merge step: random event sequences (heavy same-value
     runs, shared keys, interleaved ts) split at random ordered cut
@@ -222,6 +225,7 @@ def test_randomized_splits_match_full_rebuild(spark):
         assert got == want, (seed, cuts)
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_randomized_disk_pipeline_matches_full_rebuild(spark, tmp_path):
     """End-to-end randomized pin for the DISK path: random event
     sequences through Scd2Stream.ingest_batch across random ordered

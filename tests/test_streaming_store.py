@@ -11,6 +11,8 @@ identically through a base."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -529,6 +531,7 @@ def _hybrid_rows(df):
     return sorted(map(tuple, df.select("query_doc", "doc_id", "rank").collect()))
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_mixed_generation_hybrid_read_consistency(spark, tmp_path):
     """VERDICT r11 #2 pin: a crash injected BETWEEN the two stores'
     compactions (postings folded through the correction, vectors not
@@ -592,6 +595,7 @@ def test_unresolved_mixed_read_would_differ(spark, tmp_path):
     assert set(got) == {(0, 2), (1, 0), (2, 0), (3, 2), (4, 1), (5, 1)}
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_mixed_generation_erasure_crash_window(spark, tmp_path):
     """Erasure across two stores: after a crash between the two
     tombstone-folding compactions the caller keeps passing the forget
@@ -642,6 +646,7 @@ def test_mixed_generation_erasure_crash_window(spark, tmp_path):
     assert _hybrid_rows(got_after) == want
 
 
+@pytest.mark.slow  # >=10 s soak/parity tier (VERDICT r12 #3)
 def test_prune_bound_over_long_run(spark, tmp_path):
     """Pinned retention bound (VERDICT r11 #3, the fast twin of
     scripts/retention_soak.py): over a 24-batch run with in-stream
