@@ -1919,9 +1919,11 @@ def team_draft_interleave(
     b = list_b.select(
         "query_doc", id_col, F.col("rank").cast("long").alias("__rb")
     )
-    cand = a.join(b, ["query_doc", id_col], "full_outer").coalesce(
-        1
-    ).localCheckpoint(
+    # plain (AQE-on) checkpoint: AQE already coalesces this
+    # candidate-bounded frame to ~1 partition, while an explicit
+    # coalesce(1) would collapse the upstream retriever legs' final
+    # stage to one task (the q199/q231 lesson, OPTIMIZATION_r13)
+    cand = a.join(b, ["query_doc", id_col], "full_outer").localCheckpoint(
         eager=True
     )
     sel = None
